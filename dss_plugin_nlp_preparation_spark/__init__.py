@@ -1,0 +1,16 @@
+"""PySpark-native web-text quality-filter engine.
+
+A brand-new, Spark-first re-expression of the capabilities of the
+dataiku/dss-plugin-nlp-preparation reference plugin (language detection,
+multilingual tokenization, text cleaning, spell checking) extended with the
+web-scale training-data operators a 100 TB Common-Crawl-style pipeline needs
+(quality rules, PII/toxicity scrubbing, dedup, similarity search,
+fingerprinting) — all declared through the DataFrame API so Catalyst plans
+them, with Python confined to Arrow-batched pandas UDFs.
+
+Reference parity map: see SURVEY.md §2 (operator inventory).
+"""
+
+__version__ = "0.1.0"
+
+from dss_plugin_nlp_preparation_spark.session import get_spark  # noqa: F401

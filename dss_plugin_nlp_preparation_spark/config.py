@@ -1,0 +1,124 @@
+# -*- coding: utf-8 -*-
+"""V1-V3 — parameter validation for the three user-facing operators.
+
+Re-expresses the reference's recipe-config loaders as plain dataclass
+validators (plugin_config_loading.py:29-78 langdetect, :132-235
+spellchecker, :238-310 cleaning). Same rules, driver-side, fail-fast:
+
+- language scope: empty means "all supported"; exactly one language is an
+  error ("select two or more, or use a single-language mode",
+  plugin_config_loading.py:61-64);
+- minimum_score must lie in [0, 1] (:67-69);
+- fallback_language '' (none) is allowed (:72-77);
+- edit_distance must lie in [2, 100] (:216-219 — the loader rejects < 2
+  even though the reference UI allows 1);
+- ignore_regex must compile, and is passed as a compiled pattern (:221-233);
+- token_filters must be a subset of the 13 known attributes (:286-290);
+- unicode_normalization must be one of NONE/NFC/NFKC/NFD/NFKD (:304-305).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from dss_plugin_nlp_preparation_spark.nlp.lang_support import LANGUAGE_NAMES
+from dss_plugin_nlp_preparation_spark.nlp.tokenizer import FILTER_TOKEN_ATTRIBUTES
+
+
+class InvalidConfig(ValueError):
+    """Raised on invalid operator parameters (fail-fast, driver-side)."""
+
+
+def _validate_scope(language_scope) -> list:
+    scope = list(language_scope or [])
+    if not scope:
+        return list(LANGUAGE_NAMES.keys())
+    if len(scope) == 1:
+        raise InvalidConfig(
+            "Language scope of exactly 1 language: use the single-language "
+            "mode instead, or select at least two languages"
+        )
+    unknown = [l for l in scope if l not in LANGUAGE_NAMES]
+    if unknown:
+        raise InvalidConfig(f"Unknown language codes in scope: {unknown}")
+    return scope
+
+
+@dataclass
+class LangDetectConfig:
+    """V1 (plugin_config_loading.py:29-78)."""
+
+    text_column: str
+    language_scope: list = field(default_factory=list)
+    minimum_score: float = 0.0
+    fallback_language: str = ""
+
+    def __post_init__(self):
+        if not self.text_column:
+            raise InvalidConfig("Empty text column selection")
+        self.language_scope = _validate_scope(self.language_scope)
+        if not 0.0 <= float(self.minimum_score) <= 1.0:
+            raise InvalidConfig("Minimum score must be between 0 and 1")
+        if self.fallback_language and self.fallback_language not in LANGUAGE_NAMES:
+            raise InvalidConfig(
+                f"Unknown fallback language: {self.fallback_language!r}"
+            )
+
+
+@dataclass
+class SpellcheckConfig:
+    """V2 (plugin_config_loading.py:132-235)."""
+
+    text_column: str
+    language: str = "language_column"
+    language_column: str | None = None
+    edit_distance: int = 2
+    ignore_regex: str | None = None
+    compute_diagnosis: bool = False
+
+    def __post_init__(self):
+        if not self.text_column:
+            raise InvalidConfig("Empty text column selection")
+        if self.language == "language_column" and not self.language_column:
+            raise InvalidConfig(
+                "Language column mode selected but no language column given"
+            )
+        if not 2 <= int(self.edit_distance) <= 100:
+            raise InvalidConfig("Edit distance must be between 2 and 100")
+        if self.ignore_regex:
+            try:
+                self.ignore_pattern = re.compile(self.ignore_regex)
+            except re.error as e:
+                raise InvalidConfig(f"Invalid ignore regex: {e}") from e
+        else:
+            self.ignore_pattern = None
+
+
+@dataclass
+class CleaningConfig:
+    """V3 (plugin_config_loading.py:238-310)."""
+
+    text_column: str
+    token_filters: frozenset = frozenset({"is_space", "is_punct", "is_stop"})
+    language: str = "language_column"
+    language_column: str | None = None
+    lemmatization: bool = True
+    lowercase: bool = True
+    unicode_normalization: str | None = None
+    keep_filtered_tokens: bool = False
+
+    def __post_init__(self):
+        if not self.text_column:
+            raise InvalidConfig("Empty text column selection")
+        unknown = set(self.token_filters) - set(FILTER_TOKEN_ATTRIBUTES)
+        if unknown:
+            raise InvalidConfig(f"Unknown token filters: {sorted(unknown)}")
+        if self.language == "language_column" and not self.language_column:
+            raise InvalidConfig(
+                "Language column mode selected but no language column given"
+            )
+        if self.unicode_normalization not in (None, "NFC", "NFKC", "NFD", "NFKD"):
+            raise InvalidConfig(
+                f"Unknown unicode normalization: {self.unicode_normalization!r}"
+            )

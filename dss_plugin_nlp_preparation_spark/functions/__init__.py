@@ -1,0 +1,2 @@
+"""Driver-side helper functions (naming, column layout) and reusable
+native-Spark column expressions (text statistics, hashing)."""

@@ -1,0 +1,54 @@
+# -*- coding: utf-8 -*-
+"""Collision-safe output-column naming and column layout helpers.
+
+Parity targets:
+- ``generate_unique`` (reference plugin_io_utils.py:80-103): prefix with the
+  text column, ASCII-sanitize, numeric suffix on conflict (max 1000 tries);
+- ``move_columns_after`` (plugin_io_utils.py:106-123) as a DataFrame select;
+- ``unique_list`` (plugin_io_utils.py:28-39) — order-preserving dedup used
+  by the spellchecker outputs (in Spark: ``F.array_distinct`` preserves
+  first-appearance order, so the column-level equivalent is built-in).
+"""
+
+from __future__ import annotations
+
+import re
+
+_NON_ASCII_RE = re.compile(r"[^\x00-\x7F]")
+
+
+def generate_unique(name: str, existing_names, prefix: str | None = None) -> str:
+    """Unique output-column name: ASCII-sanitized, optionally prefixed,
+    numeric suffix on conflict."""
+    existing = set(existing_names)
+    name = _NON_ASCII_RE.sub("_", name).replace(" ", "_")
+    new_name = f"{prefix}_{name}" if prefix else name
+    candidate = new_name
+    for j in range(1, 1001):
+        if candidate not in existing:
+            return candidate
+        candidate = f"{candidate}_{j}"
+    raise RuntimeError(f"Failed to generate a unique name for '{name}'")
+
+
+def move_columns_after(df, columns_to_move, after_column: str):
+    """Reorder a DataFrame so ``columns_to_move`` directly follow
+    ``after_column`` (pure projection — no shuffle)."""
+    cols = [c for c in df.columns if c not in set(columns_to_move)]
+    pos = cols.index(after_column) + 1
+    reordered = cols[:pos] + list(columns_to_move) + cols[pos:]
+    return df.select(*reordered)
+
+
+def unique_list(seq):
+    """Order-preserving dedup (driver-side helper)."""
+    seen = set()
+    return [x for x in seq if not (x in seen or seen.add(x))]
+
+
+def truncate_text_list(texts, num_characters: int = 140):
+    """Truncate long strings for log messages (plugin_io_utils.py:42-59)."""
+    return [
+        t[:num_characters] + " (...)" if len(t) > num_characters else t
+        for t in texts
+    ]

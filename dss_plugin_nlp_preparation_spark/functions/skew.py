@@ -1,0 +1,98 @@
+# -*- coding: utf-8 -*-
+"""Explicit skew handling: salted two-phase aggregation and salted joins.
+
+North-rule requirement: "Ingest partitions by url-hash with explicit
+salting for skewed hosts". Url-hash partitioning is already uniform per
+*row*; what skews is per-KEY work when aggregating by host (one dominant
+host receives ~30% of a crawl). The classic fix:
+
+  phase 1: group by (key, salt) where salt = pmod(xxhash64(row-id), S)
+           -> partial aggregates spread over S reducers per hot key
+  phase 2: group by key over the partials -> exact final result
+
+AQE's skew handling covers sort-merge-join splits; salting covers hash
+aggregation and is deterministic (salt from a column hash, not random —
+resumable jobs must not depend on RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(unique_col: str, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets) derived from a unique column."""
+    return F.pmod(F.xxhash64(unique_col), F.lit(buckets)).cast("int")
+
+
+def salted_count(
+    df: DataFrame,
+    key: str,
+    unique_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Exact per-key counts via salted two-phase aggregation:
+    (key, n) — identical to ``groupBy(key).count()`` but with the hot
+    key's work spread across ``buckets`` reducers in phase 1."""
+    partial = (
+        df.withColumn("__salt", salt_column(unique_col, buckets))
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").cast("long").alias("n"))
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    unique_col: str,
+    aggs: dict,
+    buckets: int = 16,
+) -> DataFrame:
+    """Salted two-phase for decomposable aggregates.
+
+    ``aggs``: {out_name: (col, 'sum'|'count'|'min'|'max')}. Averages are
+    expressed as sum+count by the caller (decomposability requirement).
+    """
+    partial_exprs, final_exprs = [], []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            final_exprs.append(F.sum(f"__p_{out}").cast("long").alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(f"__p_{out}"))
+            final_exprs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(f"__p_{out}"))
+            final_exprs.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(f"__p_{out}"))
+            final_exprs.append(F.max(f"__p_{out}").alias(out))
+        else:
+            raise ValueError(f"Non-decomposable aggregate: {fn}")
+    partial = (
+        df.withColumn("__salt", salt_column(unique_col, buckets))
+        .groupBy(key, "__salt")
+        .agg(*partial_exprs)
+    )
+    return partial.groupBy(key).agg(*final_exprs)
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe fact ⨝ small-dim: replicate the dim ``buckets`` times and
+    join on (key, salt) so one hot key's rows land in ``buckets`` tasks.
+    (With a broadcastable dim, Spark's broadcast join already avoids the
+    shuffle — this exists for the non-broadcastable middle ground.)"""
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return salted_fact.join(replicated_dim, [key, "__salt"]).drop("__salt")

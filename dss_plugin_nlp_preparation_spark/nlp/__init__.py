@@ -1,0 +1,8 @@
+"""Pure-Python NLP kernel.
+
+Everything in this subpackage is plain Python with no Spark dependency: it is
+the code that runs *inside* Arrow-batched pandas UDFs on executors. Keeping it
+Spark-free makes it unit-testable at function level and lets the same kernel
+back both the distributed operators (``..operators``) and the in-process
+reference-label generator used by the F1 harness.
+"""

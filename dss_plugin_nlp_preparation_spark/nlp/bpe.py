@@ -1,0 +1,182 @@
+# -*- coding: utf-8 -*-
+"""Byte-pair encoding: merges trained from the public frequency
+dictionaries, applied as an executor-singleton tokenizer.
+
+Classic BPE (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units" — public algorithm, implemented from scratch):
+start from characters, repeatedly merge the most frequent adjacent symbol
+pair, weighted by word frequency. The training corpus is the same
+``term count`` dictionary the spellchecker uses (resources/dictionaries),
+so the tokenizer is deterministic and needs no external model download.
+
+Determinism: ties on pair frequency break lexicographically; the merge
+list is therefore a pure function of (dictionary file, n_merges,
+vocab_cap) and is marshal-cached in the per-user secure cache dir.
+
+Scale shape: training is a one-time driver/executor-singleton build
+(incremental pair-count updates — O(touched words) per merge, not a full
+recount); application is O(tokens) with an LRU per-word cache, run inside
+Arrow-batched pandas UDFs (see operators.tokenize.add_bpe_token_count).
+"""
+
+from __future__ import annotations
+
+import marshal
+import os
+import re
+from functools import lru_cache
+
+from dss_plugin_nlp_preparation_spark.nlp import resources
+
+_END = "</w>"  # word-end marker so suffixes merge distinctly from prefixes
+_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+DEFAULT_MERGES = 2000
+DEFAULT_VOCAB_CAP = 20_000
+
+
+def train_bpe(freqs: dict, n_merges: int = DEFAULT_MERGES, vocab_cap: int = DEFAULT_VOCAB_CAP) -> list:
+    """Learn ``n_merges`` BPE merges from a term->count dict.
+
+    Incremental algorithm: pair stats and a pair->word index are updated
+    only for words touched by each merge.
+    """
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_cap]
+    words = [(tuple(term) + (_END,), count) for term, count in top if term]
+
+    stats: dict = {}
+    index: dict = {}  # pair -> {word_idx: occurrences}
+    for wi, (sym, cnt) in enumerate(words):
+        for pair in zip(sym, sym[1:]):
+            stats[pair] = stats.get(pair, 0) + cnt
+            index.setdefault(pair, {})[wi] = index.get(pair, {}).get(wi, 0) + 1
+
+    merges: list = []
+    for _ in range(n_merges):
+        if not stats:
+            break
+        # deterministic argmax: highest count, then lexicographically first
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] < 2:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        touched = list(index.get(best, {}).keys())
+        for wi in touched:
+            sym, cnt = words[wi]
+            # remove old pair contributions for this word
+            for pair in zip(sym, sym[1:]):
+                stats[pair] -= cnt
+                d = index.get(pair)
+                if d is not None:
+                    d.pop(wi, None)
+                    if not d:
+                        index.pop(pair, None)
+                if stats.get(pair) is not None and stats[pair] <= 0:
+                    stats.pop(pair, None)
+            # apply the merge within the word
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = tuple(out)
+            words[wi] = (sym, cnt)
+            # add new pair contributions
+            for pair in zip(sym, sym[1:]):
+                stats[pair] = stats.get(pair, 0) + cnt
+                index.setdefault(pair, {})[wi] = index.get(pair, {}).get(wi, 0) + 1
+    return merges
+
+
+@lru_cache(maxsize=8)
+def get_merges(
+    language: str = "en",
+    dictionary_folder: str | None = None,
+    n_merges: int = DEFAULT_MERGES,
+    vocab_cap: int = DEFAULT_VOCAB_CAP,
+):
+    """Executor-singleton merge table: {pair: rank}. None when the language
+    has no frequency dictionary."""
+    folder = dictionary_folder or resources.dictionary_folder()
+    path = os.path.join(folder, f"{language}.txt") if folder else None
+    if not path or not os.path.isfile(path):
+        return None
+    st = os.stat(path)
+    cache_dir = resources.secure_cache_dir("nlp_spark_bpe_cache")
+    cache_file = (
+        os.path.join(
+            cache_dir,
+            f"bpe_{language}_{n_merges}_{vocab_cap}_{st.st_size}_{st.st_mtime_ns}.marshal",
+        )
+        if cache_dir
+        else None
+    )
+    if cache_file and os.path.isfile(cache_file):
+        try:
+            with resources.open_owned(cache_file) as f:
+                pairs = marshal.load(f)
+            return {(a, b): r for r, (a, b) in enumerate(pairs)}
+        except Exception:
+            pass
+    merges = train_bpe(resources.load_frequency_dict(language, folder), n_merges, vocab_cap)
+    if cache_file:
+        try:
+            tmp = cache_file + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                marshal.dump([list(p) for p in merges], f)
+            os.replace(tmp, cache_file)
+        except OSError:
+            pass
+    return {p: r for r, p in enumerate(merges)}
+
+
+def _apply_bpe(word: str, ranks: dict) -> tuple:
+    """Segment one word with the trained merges (lowest-rank pair first)."""
+    sym = list(word) + [_END]
+    if len(sym) == 1:
+        return tuple(sym)
+    while True:
+        best_rank, best_i = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            return tuple(sym)
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+
+
+class BpeTokenizer:
+    """Deterministic subword tokenizer over a trained merge table."""
+
+    def __init__(self, ranks: dict):
+        self._ranks = ranks
+        self._segment = lru_cache(maxsize=100_000)(
+            lambda w: _apply_bpe(w, self._ranks)
+        )
+
+    def encode(self, text: str) -> list:
+        """Subword tokens of ``text``: word chars are BPE-segmented
+        (lowercased, with the </w> end marker), other non-space chars pass
+        through as single tokens."""
+        out: list = []
+        for tok in _WORD_RE.findall(text):
+            if tok[0].isalnum() or tok[0] == "_":
+                out.extend(self._segment(tok.lower()))
+            else:
+                out.append(tok)
+        return out
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+@lru_cache(maxsize=8)
+def get_tokenizer(language: str = "en", dictionary_folder: str | None = None) -> BpeTokenizer | None:
+    ranks = get_merges(language, dictionary_folder)
+    return BpeTokenizer(ranks) if ranks is not None else None

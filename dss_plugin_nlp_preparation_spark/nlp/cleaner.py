@@ -1,0 +1,108 @@
+# -*- coding: utf-8 -*-
+"""Text-cleaning kernel: filter tokens, lemmatize, lowercase, normalize.
+
+Re-expresses the reference's TextCleaner document loop
+(text_cleaner.py:141-191) over this engine's own tokens. The
+whitespace-reconstruction rules are reproduced exactly because they are the
+byte-identity-critical part (SURVEY.md §7.4):
+
+- a kept token contributes its cleaned text, then a space if
+  (a) it carries trailing whitespace, or
+  (b) 'is_punct' is among the filters and the next token is punctuation, or
+  (c) lemmatization is on and the next token starts exactly where this one
+      ends (text_cleaner.py:180-188, incl. the end-of-document IndexError
+      case → no trailing space);
+- a filtered-but-kept (keep_filtered_tokens) token contributes to its
+  attribute bucket with a space if it has trailing whitespace or the next
+  token is punct/space (text_cleaner.py:166-175);
+- multi-spaces collapse and ends strip (text_cleaner.py:21,189-190).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from dss_plugin_nlp_preparation_spark.nlp import tokenizer as tk
+from dss_plugin_nlp_preparation_spark.nlp.lemmatizer import lemmatize
+
+_MULTISPACE_RE = re.compile(r" +")
+
+UNICODE_NORMALIZATIONS = ("NFC", "NFKC", "NFD", "NFKD")
+
+# canonical order of output buckets = filter-attribute order
+OUTPUT_KEYS = ["cleaned"] + list(tk.FILTER_TOKEN_ATTRIBUTES)
+
+
+def clean_token_text(
+    tok: tk.Token,
+    language: str,
+    lemmatization: bool,
+    lowercase: bool,
+    unicode_normalization: str | None,
+    attrs: dict,
+) -> str:
+    """Clean one kept token (text_cleaner.py:116-139 semantics)."""
+    cleaned = tok.text
+    if lemmatization:
+        cleaned = lemmatize(tok.text, language)
+    if lowercase:
+        cleaned = cleaned.lower()
+    if unicode_normalization:
+        cleaned = unicodedata.normalize(unicode_normalization, cleaned)
+    if attrs["is_space"]:
+        cleaned = " "
+    return cleaned
+
+
+def clean_document(
+    text: str,
+    language: str,
+    token_filters: frozenset,
+    lemmatization: bool = True,
+    lowercase: bool = True,
+    unicode_normalization: str | None = None,
+    keep_filtered_tokens: bool = False,
+    stopwords_folder: str | None = None,
+) -> dict:
+    """Clean one document; returns {'cleaned': str, <filter>: str, ...}.
+
+    Empty/null input -> all-empty outputs (text_cleaner.py:161-162).
+    """
+    output = {k: "" for k in OUTPUT_KEYS}
+    if text is None or text != text or str(text) == "":
+        return output
+    stopset = tk._stopset_for(language, stopwords_folder)
+    tokens = tk.tokenize(str(text), language)
+    all_attrs = [tk.token_attributes(t, language, stopset) for t in tokens]
+    n = len(tokens)
+    for i, (tok, attrs) in enumerate(zip(tokens, all_attrs)):
+        matched = [name for name in tk.FILTER_TOKEN_ATTRIBUTES if name in token_filters and attrs[name]]
+        nxt = tokens[i + 1] if i + 1 < n else None
+        nxt_attrs = all_attrs[i + 1] if i + 1 < n else None
+        if matched:
+            if keep_filtered_tokens:
+                bucket = matched[0]
+                if len(matched) > 1 and "is_stop" in matched:
+                    # rare case of numbers in stopwords (text_cleaner.py:168-169)
+                    bucket = [m for m in matched if m != "is_stop"][0]
+                output[bucket] += tok.lower_ if lowercase else tok.text
+                if nxt is not None and (
+                    tok.whitespace_ or nxt_attrs["is_punct"] or nxt_attrs["is_space"]
+                ):
+                    output[bucket] += " "
+        else:
+            cleaned = clean_token_text(
+                tok, language, lemmatization, lowercase, unicode_normalization, attrs
+            )
+            if cleaned:
+                output["cleaned"] += cleaned
+            if nxt is not None and (
+                tok.whitespace_
+                or ("is_punct" in token_filters and nxt_attrs["is_punct"])
+                or (lemmatization and nxt.idx == tok.idx + len(tok))
+            ):
+                output["cleaned"] += " "
+    for k in output:
+        output[k] = _MULTISPACE_RE.sub(" ", output[k]).strip()
+    return output

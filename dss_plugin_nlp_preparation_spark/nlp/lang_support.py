@@ -1,0 +1,81 @@
+"""Language support tables (ISO 639-1) for the engine.
+
+The reference plugin enumerates the language scopes of its dependency stack
+(reference: python-lib/language_support.py). This engine defines its own
+scopes from the same public ISO 639-1 data:
+
+- ``LANGUAGE_NAMES``: the 114-language detection scope (code -> human name),
+  behaviourally equivalent to the reference's detector scope
+  (language_support.py:4-119).
+- ``CLD3_ONLY_CODES`` / ``CODE_REMAP``: router-harmonisation constants the
+  reference applies between its two detectors (language_support.py:125-146);
+  kept so scope filtering and code remapping semantics match.
+- ``SPELLCHECK_LANGUAGES`` / ``TOKENIZER_LANGUAGES``: scopes gated by the
+  presence of a frequency dictionary / stopword list at runtime.
+
+The tables are stored as compact parseable text to keep them data, not code.
+"""
+
+from __future__ import annotations
+
+_LANGUAGE_TABLE = """
+af:Afrikaans sq:Albanian am:Amharic ar:Arabic an:Aragonese hy:Armenian
+as:Assamese az:Azerbaijani eu:Basque be:Belarusian bn:Bengali bs:Bosnian
+br:Breton bg:Bulgarian my:Burmese ca:Catalan km:Central_Khmer zh:Chinese
+hr:Croatian cs:Czech da:Danish nl:Dutch dz:Dzongkha en:English eo:Esperanto
+et:Estonian fo:Faroese fi:Finnish fr:French gl:Galician ka:Georgian de:German
+el:Greek gu:Gujarati ht:Haitian ha:Hausa he:Hebrew hi:Hindi hu:Hungarian
+is:Icelandic ig:Igbo id:Indonesian ga:Irish it:Italian ja:Japanese
+jv:Javanese kn:Kannada kk:Kazakh rw:Kinyarwanda ky:Kirghiz ko:Korean
+ku:Kurdish lo:Lao la:Latin lv:Latvian lt:Lithuanian lb:Luxembourgish
+mk:Macedonian mg:Malagasy ms:Malay ml:Malayalam mt:Maltese mi:Maori
+mr:Marathi mn:Mongolian ne:Nepali se:Northern_Sami nb:Norwegian_Bokmål
+nn:Norwegian_Nynorsk no:Norwegian ny:Nyanja oc:Occitan or:Oriya pa:Panjabi
+fa:Persian pl:Polish pt:Portuguese ps:Pushto qu:Quechua ro:Romanian
+ru:Russian sm:Samoan gd:Scottish_Gaelic sr:Serbian sn:Shona sd:Sindhi
+si:Sinhala sk:Slovak sl:Slovenian so:Somali st:Southern_Sotho es:Spanish
+su:Sundanese sw:Swahili sv:Swedish tl:Tagalog tg:Tajik ta:Tamil te:Telugu
+th:Thai tr:Turkish ug:Uighur uk:Ukrainian ur:Urdu uz:Uzbek vi:Vietnamese
+vo:Volapük wa:Walloon cy:Welsh fy:Western_Frisian xh:Xhosa yi:Yiddish
+yo:Yoruba zu:Zulu
+"""
+
+LANGUAGE_NAMES: dict[str, str] = {
+    code: name.replace("_", " ")
+    for code, name in (entry.split(":", 1) for entry in _LANGUAGE_TABLE.split())
+}
+
+# Codes the reference's long-document detector supports but its short-document
+# detector does not (language_support.py:125-144). Used to restrict the
+# short-document model's scope exactly like the reference does
+# (language_detector.py:51-54).
+CLD3_ONLY_CODES = frozenset(
+    "fy gd ha ig mi my ny sd sm sn so st su tg uz yi yo".split()
+)
+
+# Legacy/nonstandard code harmonisation applied to long-document detections
+# (language_support.py:146, language_detector.py:66-68).
+CODE_REMAP = {"iw": "he", "co": "it", "ji": "yi", "in": "id"}
+
+# Spellcheck scope: languages for which a frequency dictionary ships with the
+# reference plugin (language_support.py:149-188). At runtime the effective
+# scope is whichever "{lang}.txt" files exist in the dictionary folder.
+SPELLCHECK_LANGUAGES = frozenset(
+    "ar bg ca cs da de el en es et fa fi fr he hr hu id is it ja ko lt lv nl "
+    "pl pt ro ru sk sl sq sr sv th tr uk vi zh".split()
+)
+
+# Tokenizer scope: languages our rule tokenizer handles. Whitespace-delimited
+# scripts are handled generically; CJK gets dedicated chunkers, so the scope
+# mirrors the reference's tokenizer support (language_support.py:194-254).
+TOKENIZER_LANGUAGES = frozenset(
+    "af ar bg bn ca cs da de el en es et eu fa fi fr ga gu he hi hr hu hy id "
+    "is it ja kn lb lt lv mk ml mr nb ne nl pl pt ro ru sa si sk sl sq sr sv "
+    "ta te th tl tr tt uk ur vi yo zh".split()
+)
+
+
+def language_name(code: str) -> str:
+    """Human name for an ISO 639-1 code, '' when unknown (matches the
+    reference's `.get(lang_id, "")` enrichment, language_detector.py:107)."""
+    return LANGUAGE_NAMES.get(code, "")

@@ -1,0 +1,570 @@
+# -*- coding: utf-8 -*-
+"""From-scratch language identification.
+
+The reference routes each document to one of two third-party detectors by
+length (<=140 chars -> langid, else cld3; language_detector.py:35,100-103),
+then filters by scope and minimum score (language_detector.py:72-88). This
+engine keeps that *contract* — router threshold, scope filter, fallback,
+code remapping, 3-decimal rounding, name enrichment — with its own detector:
+
+1. **Script vote**: Unicode-script character counting resolves languages
+   with (near-)unique scripts (ja/zh/ko/th/el/he/ar/hi/ru-family…) with
+   probability = dominant-script share.
+2. **Profile vote** (alphabetic scripts): per-language scoring over
+   stopword-token hits and character trigram profiles built at load time
+   from the engine's stopword lists (and frequency dictionaries when
+   available). Short documents weight stopword hits higher (the reference's
+   short-document detector is word-frequency driven); long documents weight
+   trigrams higher. Softmax over the language scope yields a probability.
+
+The model is built once per process (executor-singleton) — the Spark
+operator broadcasts nothing heavier than folder paths.
+"""
+
+from __future__ import annotations
+
+import math
+import unicodedata
+from collections import Counter
+from functools import lru_cache
+
+from dss_plugin_nlp_preparation_spark.nlp import resources
+from dss_plugin_nlp_preparation_spark.nlp.lang_support import (
+    CLD3_ONLY_CODES,
+    CODE_REMAP,
+    LANGUAGE_NAMES,
+    language_name,
+)
+
+ROUTER_NUM_CHAR_THRESHOLD = 140  # parity: language_detector.py:35
+
+# Languages whose script is decisive on its own: script -> (code, purity)
+_SCRIPT_LANGS = {
+    "hira": "ja",
+    "kata": "ja",
+    "hangul": "ko",
+    "thai": "th",
+    "greek": "el",
+    "hebrew": "he",
+    "armenian": "hy",
+    "georgian": "ka",
+    "khmer": "km",
+    "lao": "lo",
+    "myanmar": "my",
+    "sinhala": "si",
+    "tamil": "ta",
+    "telugu": "te",
+    "kannada": "kn",
+    "malayalam": "ml",
+    "gujarati": "gu",
+    "oriya": "or",
+    "bengali": "bn",
+    "gurmukhi": "pa",
+}
+
+# Scripts shared by language families; resolved by profile vote within family.
+_FAMILY_SCRIPTS = {
+    "cyrillic": ["ru", "uk", "bg", "sr", "mk", "be", "kk", "ky", "mn", "tg"],
+    "arabic": ["ar", "fa", "ur", "ps", "ug", "sd"],
+    "devanagari": ["hi", "mr", "ne", "sa"],
+    "han": ["zh", "ja"],
+}
+
+
+def _char_script(ch: str) -> str:
+    cp = ord(ch)
+    if 0x3040 <= cp <= 0x309F:
+        return "hira"
+    if 0x30A0 <= cp <= 0x30FF or 0x31F0 <= cp <= 0x31FF:
+        return "kata"
+    if 0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF:
+        return "han"
+    if 0xAC00 <= cp <= 0xD7AF or 0x1100 <= cp <= 0x11FF:
+        return "hangul"
+    if 0x0E00 <= cp <= 0x0E7F:
+        return "thai"
+    if 0x0370 <= cp <= 0x03FF:
+        return "greek"
+    if 0x0400 <= cp <= 0x04FF:
+        return "cyrillic"
+    if 0x0590 <= cp <= 0x05FF:
+        return "hebrew"
+    if 0x0600 <= cp <= 0x06FF or 0x0750 <= cp <= 0x077F:
+        return "arabic"
+    if 0x0530 <= cp <= 0x058F:
+        return "armenian"
+    if 0x10A0 <= cp <= 0x10FF:
+        return "georgian"
+    if 0x1780 <= cp <= 0x17FF:
+        return "khmer"
+    if 0x0E80 <= cp <= 0x0EFF:
+        return "lao"
+    if 0x1000 <= cp <= 0x109F:
+        return "myanmar"
+    if 0x0D80 <= cp <= 0x0DFF:
+        return "sinhala"
+    if 0x0B80 <= cp <= 0x0BFF:
+        return "tamil"
+    if 0x0C00 <= cp <= 0x0C7F:
+        return "telugu"
+    if 0x0C80 <= cp <= 0x0CFF:
+        return "kannada"
+    if 0x0D00 <= cp <= 0x0D7F:
+        return "malayalam"
+    if 0x0A80 <= cp <= 0x0AFF:
+        return "gujarati"
+    if 0x0B00 <= cp <= 0x0B7F:
+        return "oriya"
+    if 0x0980 <= cp <= 0x09FF:
+        return "bengali"
+    if 0x0A00 <= cp <= 0x0A7F:
+        return "gurmukhi"
+    if ch.isalpha():
+        return "latin"
+    return "other"
+
+
+# Vectorized script counting: the named ranges above as sorted boundaries.
+# (script classification is the per-char hot loop of LID; numpy searchsorted
+# classifies a whole document in one shot with EXACTLY the same result)
+_SCRIPT_RANGES = [
+    (0x0370, 0x03FF, "greek"),
+    (0x0400, 0x04FF, "cyrillic"),
+    (0x0530, 0x058F, "armenian"),
+    (0x0590, 0x05FF, "hebrew"),
+    (0x0600, 0x06FF, "arabic"),
+    (0x0750, 0x077F, "arabic"),
+    (0x0980, 0x09FF, "bengali"),
+    (0x0A00, 0x0A7F, "gurmukhi"),
+    (0x0A80, 0x0AFF, "gujarati"),
+    (0x0B00, 0x0B7F, "oriya"),
+    (0x0B80, 0x0BFF, "tamil"),
+    (0x0C00, 0x0C7F, "telugu"),
+    (0x0C80, 0x0CFF, "kannada"),
+    (0x0D00, 0x0D7F, "malayalam"),
+    (0x0D80, 0x0DFF, "sinhala"),
+    (0x0E00, 0x0E7F, "thai"),
+    (0x0E80, 0x0EFF, "lao"),
+    (0x1000, 0x109F, "myanmar"),
+    (0x10A0, 0x10FF, "georgian"),
+    (0x1100, 0x11FF, "hangul"),
+    (0x1780, 0x17FF, "khmer"),
+    (0x3040, 0x309F, "hira"),
+    (0x30A0, 0x30FF, "kata"),
+    (0x31F0, 0x31FF, "kata"),
+    (0x3400, 0x4DBF, "han"),
+    (0x4E00, 0x9FFF, "han"),
+    (0xAC00, 0xD7AF, "hangul"),
+]
+# NB: devanagari (0x0900-0x097F) is not in _char_script's chain either — it
+# falls through to the isalpha->latin branch; keep the two paths identical.
+_RANGE_STARTS = None
+_RANGE_NAMES = None
+
+
+@lru_cache(maxsize=4096)
+def _slow_script(cp: int) -> str:
+    """Fallback for codepoints outside every named range (memoized: real
+    documents repeat a tiny alphabet)."""
+    return "latin" if chr(cp).isalpha() else "other"
+
+
+def _script_counts(doc: str) -> Counter:
+    """Counter of _char_script over a whole document, vectorized."""
+    global _RANGE_STARTS, _RANGE_NAMES
+    import numpy as np
+
+    if len(doc) < 64:  # numpy setup not worth it for tiny strings
+        c: Counter = Counter()
+        for ch in doc:
+            c[_char_script(ch)] += 1
+        return c
+    if _RANGE_STARTS is None:
+        bounds, names = [], ["__gap__"]
+        for lo, hi, name in _SCRIPT_RANGES:
+            bounds.extend([lo, hi + 1])
+            names.extend([name, "__gap__"])
+        _RANGE_STARTS = np.array(bounds, dtype=np.uint32)
+        _RANGE_NAMES = names
+    cps = np.frombuffer(doc.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.searchsorted(_RANGE_STARTS, cps, side="right")
+    counts: Counter = Counter()
+    for i, n in zip(*np.unique(idx, return_counts=True)):
+        name = _RANGE_NAMES[i]
+        if name != "__gap__":
+            counts[name] += int(n)
+        else:
+            # outside every named range: resolve per UNIQUE codepoint
+            for cp, m in zip(*np.unique(cps[idx == i], return_counts=True)):
+                counts[_slow_script(int(cp))] += int(m)
+    return counts
+
+
+# Languages with trainable Latin/Cyrillic/Arabic-script profiles: those with a
+# stopword list available. Built lazily, once per process.
+_PROFILE_NGRAM = 3
+
+
+@lru_cache(maxsize=1)
+def _profiles() -> dict:
+    """language -> (stopword_set_lower, trigram_logprob Counter, default_logprob)."""
+    profiles = {}
+    folder = resources.stopwords_folder()
+    langs: set[str] = set()
+    if folder:
+        import os
+
+        langs = {n[:-4] for n in os.listdir(folder) if n.endswith(".txt")}
+    else:
+        langs = {"en", "fr", "es", "de"}
+    for lang in sorted(langs):
+        stops = {w.lower() for w in resources.load_stopwords(lang)}
+        corpus_terms: list[tuple[str, int]] = [(w, 1000) for w in stops]
+        freqs = resources.load_frequency_dict(lang)
+        if freqs:
+            top = sorted(freqs.items(), key=lambda kv: -kv[1])[:3000]
+            corpus_terms.extend(top)
+        grams: Counter = Counter()
+        total = 0
+        for term, weight in corpus_terms:
+            padded = f" {term.lower()} "
+            w = max(1, int(math.log10(weight + 1)))
+            for i in range(len(padded) - _PROFILE_NGRAM + 1):
+                grams[padded[i : i + _PROFILE_NGRAM]] += w
+                total += w
+        if not grams:
+            continue
+        # cap profile size: top grams by weight (plenty for LID, keeps the
+        # per-executor inverted matrix small)
+        if len(grams) > _MAX_GRAMS_PER_LANG:
+            grams = Counter(dict(grams.most_common(_MAX_GRAMS_PER_LANG)))
+        logp = {g: math.log(c / total) for g, c in grams.items()}
+        # fixed miss penalty: comparable across languages regardless of
+        # profile size (a size-dependent default lets sparse profiles win)
+        default = _MISS_LOGPROB
+        # dominant script of this language's profile corpus, used to gate
+        # candidates by document script
+        script_counts: Counter = Counter()
+        for term, _ in corpus_terms[:500]:
+            for ch in term:
+                script_counts[_char_script(ch)] += 1
+        script = script_counts.most_common(1)[0][0] if script_counts else "latin"
+        profiles[lang] = (frozenset(stops), logp, default, script)
+    return profiles
+
+
+_MISS_LOGPROB = -13.0
+_MAX_GRAMS_PER_LANG = 4000
+_Q = 64  # fixed-point scale for the int16 score matrix
+_SCORE_CHAR_CAP = 600  # chars of a document scored (ample LID signal)
+
+
+def _cache_signature() -> str:
+    """Fingerprint of the resource folders driving the model build."""
+    import hashlib
+    import os
+
+    parts = []
+    for folder in (resources.stopwords_folder(), resources.dictionary_folder()):
+        if folder and os.path.isdir(folder):
+            st = os.stat(folder)
+            parts.append(f"{folder}:{st.st_mtime_ns}:{len(os.listdir(folder))}")
+        else:
+            parts.append("none")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+
+
+@lru_cache(maxsize=1)
+def _matrix():
+    """Inverted vectorized index over all profiled languages.
+
+    Scoring a document is then one numpy gather-sum over its gram rows —
+    the executor-side hot path never iterates per-language dicts.
+    Returns (langs, lang_idx, M, gram_idx, S, word_idx, scripts):
+      M[r]  = per-language trigram log-probs for gram row r (row 0 = miss)
+      S[r]  = per-language 0/1 stopword-hit vector for word row r (row 0 = 0)
+
+    The built index is disk-cached so the many Python workers of one node
+    build it ONCE (the driver pre-warms the cache at plan-build time — see
+    plans.pipeline.quality_filter_pipeline); on a real cluster this file
+    lives on each node's local disk, the executor analogue of a broadcast
+    model. The cache lives in a per-user 0700 dir and uses marshal (a
+    non-executable format: unlike pickle, loading it cannot run code), and
+    files are ownership-checked before load.
+    """
+    import marshal
+    import os
+
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.nlp.resources import (
+        open_owned,
+        secure_cache_dir,
+    )
+
+    cache_dir = secure_cache_dir("nlp_spark_lid_cache")
+    cache_file = (
+        os.path.join(cache_dir, f"lid_matrix_{_cache_signature()}.marshal")
+        if cache_dir
+        else None
+    )
+    if cache_file and os.path.isfile(cache_file):
+        try:
+            with open_owned(cache_file) as f:
+                langs, lang_idx, m_shape, m_bytes, gram_idx, s_shape, s_bytes, word_idx, scripts = marshal.load(f)
+            M = np.frombuffer(m_bytes, dtype=np.int16).reshape(m_shape)
+            S = np.frombuffer(s_bytes, dtype=np.int16).reshape(s_shape)
+            return langs, lang_idx, M, gram_idx, S, word_idx, scripts
+        except Exception:
+            pass
+    result = _build_matrix()
+    if cache_file:
+        langs, lang_idx, M, gram_idx, S, word_idx, scripts = result
+        try:
+            tmp = cache_file + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                marshal.dump(
+                    (
+                        langs,
+                        lang_idx,
+                        list(M.shape),
+                        M.tobytes(),
+                        gram_idx,
+                        list(S.shape),
+                        S.tobytes(),
+                        word_idx,
+                        scripts,
+                    ),
+                    f,
+                )
+            os.replace(tmp, cache_file)
+        except OSError:
+            pass
+    return result
+
+
+def warm_caches() -> None:
+    """Build (or load) the LID model cache in this process — call on the
+    driver before launching UDF-bearing jobs."""
+    _matrix()
+
+
+def _build_matrix():
+    import numpy as np
+
+    profiles = _profiles()
+    langs = sorted(profiles)
+    lang_idx = {l: i for i, l in enumerate(langs)}
+    n = len(langs)
+
+    # int16 fixed-point (logprob * 64): halves gather bandwidth vs float32
+    # and sums exactly in int32 — logprobs are in [-13, 0], well in range.
+    miss_q = int(_MISS_LOGPROB * _Q)
+    gram_idx: dict = {}
+    rows = [np.full(n, miss_q, dtype=np.int16)]  # row 0: miss
+    for lang in langs:
+        _stops, logp, _default, _script = profiles[lang]
+        j = lang_idx[lang]
+        for g, v in logp.items():
+            r = gram_idx.get(g)
+            if r is None:
+                r = len(rows)
+                gram_idx[g] = r
+                rows.append(np.full(n, miss_q, dtype=np.int16))
+            rows[r][j] = int(v * _Q)
+    M = np.vstack(rows)
+
+    word_idx: dict = {}
+    srows = [np.zeros(n, dtype=np.int16)]  # row 0: no hit
+    for lang in langs:
+        stops = profiles[lang][0]
+        j = lang_idx[lang]
+        for w in stops:
+            r = word_idx.get(w)
+            if r is None:
+                r = len(srows)
+                word_idx[w] = r
+                srows.append(np.zeros(n, dtype=np.int16))
+            srows[r][j] = 1
+    S = np.vstack(srows)
+
+    scripts = {l: profiles[l][3] for l in langs}
+    return langs, lang_idx, M, gram_idx, S, word_idx, scripts
+
+
+# translate table: word chars (isalpha or apostrophes) map to themselves,
+# everything else to a space — built lazily per unique codepoint so
+# tokenization is one C-level translate+split instead of a per-char loop
+_WORD_TRANS: dict = {}
+
+
+def _tokenize_words(text: str) -> list:
+    t = text.lower()
+    for ch in set(t):  # C-level dedup first; the loop sees ~40 uniques
+        cp = ord(ch)
+        if cp not in _WORD_TRANS:
+            _WORD_TRANS[cp] = cp if (ch.isalpha() or ch in "'’") else 0x20
+    # every non-word char is now a space, so bare split() drops empties —
+    # identical to the old per-char accumulator
+    return t.translate(_WORD_TRANS).split()
+
+
+_GRAM_KEY_INDEX = None  # (sorted packed-trigram keys uint64, M row indices)
+
+
+def _gram_key_index():
+    """Vector-searchable view of ``gram_idx``: every known trigram packed
+    into one uint64 (3 codepoints × 21 bits — max codepoint 0x10FFFF fits),
+    sorted, with the parallel array of M row numbers. Derived once per
+    process from the (disk-cached) matrix; lets the scorer resolve ALL of a
+    document's grams with a single C-level ``searchsorted`` instead of a
+    per-gram Python dict loop (the former hot loop of the LID UDF)."""
+    global _GRAM_KEY_INDEX
+    if _GRAM_KEY_INDEX is None:
+        import numpy as np
+
+        _langs, _li, _M, gram_idx, _S, _wi, _sc = _matrix()
+        n = len(gram_idx)
+        keys = np.empty(n, dtype=np.uint64)
+        rows = np.empty(n, dtype=np.int32)
+        for i, (g, r) in enumerate(gram_idx.items()):
+            keys[i] = ord(g[0]) | (ord(g[1]) << 21) | (ord(g[2]) << 42)
+            rows[i] = r
+        order = np.argsort(keys)
+        _GRAM_KEY_INDEX = (keys[order], rows[order])
+    return _GRAM_KEY_INDEX
+
+
+def _profile_scores(text: str, candidates: list, short_doc: bool) -> dict:
+    """Per-language unnormalised log scores over candidate languages.
+
+    Fully vectorized: the document's codepoints become a uint64 array of
+    packed sliding trigram keys (one UTF-32 encode), resolved against the
+    sorted gram-key index with one ``searchsorted``, then one gather-sum
+    over the int16 score matrix — no per-gram Python. A very long document
+    is scored on its first ``_SCORE_CHAR_CAP`` chars — ample signal,
+    bounded cost per row regardless of document size."""
+    import numpy as np
+
+    langs, lang_idx, M, _gram_idx, S, word_idx, _scripts = _matrix()
+    cand = [c for c in candidates if c in lang_idx]
+    if not cand:
+        return {}
+    words = _tokenize_words(text[:_SCORE_CHAR_CAP])
+    padded = f" {' '.join(words)} "
+    if len(padded) >= _PROFILE_NGRAM:
+        cps = np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        keys = (
+            cps[:-2]
+            | (cps[1:-1] << np.uint64(21))
+            | (cps[2:] << np.uint64(42))
+        )
+        gk, gr = _gram_key_index()
+        pos = np.minimum(np.searchsorted(gk, keys), len(gk) - 1)
+        rows = np.where(gk[pos] == keys, gr[pos], 0)  # miss -> row 0
+        total = M[rows].sum(axis=0, dtype=np.int32)
+    else:
+        total = np.zeros(len(langs), dtype=np.int32)
+    total = total.astype(np.float64) / _Q
+    word_rows = [word_idx.get(w, 0) for w in words]
+    if word_rows:
+        stop_weight = 6.0 if short_doc else 2.0
+        total = total + stop_weight * S[word_rows].sum(axis=0, dtype=np.int32)
+    return {c: float(total[lang_idx[c]]) for c in cand}
+
+
+def _softmax_top(scores: dict) -> tuple:
+    if not scores:
+        return ("", 0.0)
+    best = max(scores, key=scores.get)
+    m = scores[best]
+    denom = sum(math.exp(min(s - m, 0.0)) for s in scores.values())
+    return best, 1.0 / denom if denom > 0 else 0.0
+
+
+class LanguageIdentifier:
+    """Deterministic LID with the reference's routing/filter contract."""
+
+    def __init__(
+        self,
+        language_scope=None,
+        minimum_score: float = 0.0,
+        fallback_language: str = "",
+    ):
+        self.language_scope = list(language_scope or LANGUAGE_NAMES.keys())
+        self.minimum_score = minimum_score
+        self.fallback_language = fallback_language
+        # short-document model scope excludes long-only codes, mirroring the
+        # reference's langid scope restriction (language_detector.py:51-54)
+        self._short_scope = [l for l in self.language_scope if l not in CLD3_ONLY_CODES]
+
+    # -- core detection ----------------------------------------------------
+    def _detect_raw(self, doc: str, scope: list) -> tuple:
+        counts = _script_counts(doc)
+        counts.pop("other", None)
+        n_alpha = sum(counts.values())
+        if n_alpha == 0:
+            return ("un", 0.0)
+        script, script_n = counts.most_common(1)[0]
+        purity = script_n / n_alpha
+        # Japanese text mixes kana and han: treat them as one script mass
+        kana_n = counts.get("hira", 0) + counts.get("kata", 0)
+        if kana_n > 0 and (script in ("hira", "kata", "han")):
+            return ("ja", (kana_n + counts.get("han", 0)) / n_alpha)
+        # unique-script languages
+        if script in _SCRIPT_LANGS:
+            return (_SCRIPT_LANGS[script], purity)
+        if script == "han":
+            return ("zh", purity)
+        if script in _FAMILY_SCRIPTS and script != "han":
+            family = [l for l in _FAMILY_SCRIPTS[script] if l in scope]
+            scores = _profile_scores(doc, family, len(doc) <= ROUTER_NUM_CHAR_THRESHOLD)
+            if scores:
+                code, p = _softmax_top(scores)
+                return (code, p * purity)
+            return (family[0] if family else "un", 0.5 * purity)
+        # latin / other alphabetic: profile vote among same-script languages
+        _langs, lang_idx, _M, _gi, _S, _wi, scripts = _matrix()
+        candidates = [l for l in scope if l in lang_idx and scripts[l] == script]
+        scores = _profile_scores(doc, candidates, len(doc) <= ROUTER_NUM_CHAR_THRESHOLD)
+        if not scores:
+            return ("un", 0.0)
+        code, p = _softmax_top(scores)
+        return (code, p)
+
+    def _detection_filter(self, lang_id: str, lang_probability: float) -> tuple:
+        """Scope + minimum-score filter -> fallback with None probability
+        (parity: language_detector.py:72-88)."""
+        if lang_probability < self.minimum_score or lang_id not in self.language_scope:
+            return (self.fallback_language, None)
+        return (lang_id, lang_probability)
+
+    def detect(self, doc) -> tuple:
+        """(language_code, language_name, language_score) for one document.
+
+        Contract parity with language_detector.py:90-110: empty doc ->
+        ('', '', None); score rounded to 3 decimals; a score of exactly 0.0
+        is reported as None (the reference's truthiness behaviour,
+        language_detector.py:109 — SURVEY.md §7.4.3).
+        """
+        if doc is None or doc != doc or str(doc) == "":
+            return ("", "", None)
+        doc = str(doc)
+        # Router parity (language_detector.py:100-103): the short-document
+        # model is scope-restricted up front (langid.set_languages,
+        # language_detector.py:51-54); the long-document model detects over
+        # its FULL scope and out-of-scope hits are handled by the post
+        # filter (cld3 cannot be restricted; language_detector.py:63-70).
+        scope = (
+            self._short_scope
+            if len(doc) <= ROUTER_NUM_CHAR_THRESHOLD
+            else list(LANGUAGE_NAMES.keys())
+        )
+        lang_id, prob = self._detect_raw(doc, scope)
+        lang_id = CODE_REMAP.get(lang_id, lang_id)[:2] if lang_id else lang_id
+        lang_id, prob = self._detection_filter(lang_id, prob)
+        name = language_name(lang_id)
+        prob = round(prob, 3) if prob else None
+        return (lang_id, name, prob)

@@ -1,0 +1,134 @@
+# -*- coding: utf-8 -*-
+"""Rule + exception lemmatizer.
+
+The reference lemmatizes through spaCy lookup tables (text_cleaner.py:130-132,
+"-PRON-" kept as text). This engine uses its own deterministic design:
+an exceptions map first, then conservative suffix rules gated by vocabulary
+membership (the per-language frequency dictionaries double as the
+vocabulary). Unknown or non-alphabetic tokens pass through unchanged, so the
+lemmatizer can never corrupt URLs, hashtags, numbers or emoji.
+
+Golden parity with the reference's cleaning fixtures is pinned by
+tests/test_cleaner.py (apples->apple, costing->cost, n't->not,
+cherchâmes->chercher, informations->information, aventures->aventurer).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from dss_plugin_nlp_preparation_spark.nlp import resources
+
+_EXCEPTIONS = {
+    "en": {
+        "n't": "not",
+        "n’t": "not",
+        "'s": "'s",
+        "am": "be", "are": "be", "is": "be", "was": "be", "were": "be", "been": "be",
+        "has": "have", "had": "have", "having": "have",
+        "does": "do", "did": "do", "done": "do", "doing": "do",
+        "went": "go", "gone": "go", "goes": "go",
+        "said": "say", "says": "say",
+        "made": "make", "got": "get", "gotten": "get",
+        "children": "child", "men": "man", "women": "woman", "people": "person",
+        "mice": "mouse", "feet": "foot", "teeth": "tooth", "geese": "goose",
+        "better": "well", "best": "good", "worse": "bad", "worst": "bad",
+        # -ing forms that are lexicalised nouns, never stripped
+        "morning": "morning", "evening": "evening", "thing": "thing",
+        "something": "something", "nothing": "nothing", "anything": "anything",
+        "everything": "everything", "king": "king", "ring": "ring",
+        "spring": "spring", "string": "string", "wing": "wing", "being": "be",
+        "during": "during", "sing": "sing", "bring": "bring",
+    },
+    "fr": {
+        "cherchâmes": "chercher", "aventures": "aventurer",
+        "informations": "information", "fautes": "faute",
+        "été": "être", "sont": "être", "est": "être", "était": "être",
+        "avons": "avoir", "avait": "avoir", "ont": "avoir",
+        "fait": "faire", "faites": "faire",
+        "yeux": "œil", "chevaux": "cheval",
+    },
+    "es": {
+        "es": "ser", "son": "ser", "era": "ser", "fue": "ser",
+        "está": "estar", "están": "estar",
+        "tiene": "tener", "tienen": "tener",
+    },
+    "de": {
+        "ist": "sein", "sind": "sein", "war": "sein", "waren": "sein",
+        "hat": "haben", "hatte": "haben",
+    },
+}
+
+# (suffix, replacement) rules per language, tried in order; a rule applies
+# only if the candidate stem is in the language vocabulary.
+_RULES = {
+    "en": [
+        ("ies", "y"), ("sses", "ss"), ("shes", "sh"), ("ches", "ch"),
+        ("xes", "x"), ("zes", "z"), ("ves", "f"),
+        ("s", ""),
+        ("ing", ""), ("ing", "e"),
+        ("ed", ""), ("ed", "e"),
+        ("er", ""), ("est", ""),
+    ],
+    "fr": [
+        ("âmes", "er"), ("èrent", "er"), ("erons", "er"), ("erez", "er"),
+        ("aux", "al"), ("eaux", "eau"),
+        ("s", ""), ("x", ""),
+    ],
+    "es": [
+        ("es", ""), ("s", ""),
+        ("aba", "ar"), ("aban", "ar"),
+    ],
+    "de": [
+        ("en", ""), ("er", ""), ("e", ""), ("n", ""),
+    ],
+}
+
+# double-consonant undo for English -ing/-ed ("running" -> "run")
+_EN_DOUBLES = set("bdfglmnprt")
+
+
+@lru_cache(maxsize=64)
+def _vocab(language: str) -> frozenset:
+    freqs = resources.load_frequency_dict(language)
+    if freqs:
+        return frozenset(freqs)
+    # fall back to the stopword list as a tiny vocabulary
+    return frozenset(w.lower() for w in resources.load_stopwords(language))
+
+
+@lru_cache(maxsize=4096)
+def lemmatize(text: str, language: str) -> str:
+    """Lemma of a token's surface form; the surface form itself when no rule
+    confidently applies (never invents out-of-vocabulary stems)."""
+    if not text or not text.replace("'", "").replace("’", "").isalpha():
+        return text
+    low = text.lower()
+    exceptions = _EXCEPTIONS.get(language, {})
+    if low in exceptions:
+        lemma = exceptions[low]
+        return lemma
+    vocab = _vocab(language)
+    for suffix, repl in _RULES.get(language, []):
+        if low.endswith(suffix) and len(low) - len(suffix) >= 2:
+            stem = low[: len(low) - len(suffix)] + repl
+            if stem in vocab and stem != low:
+                return _match_case(stem, text)
+            if (
+                language == "en"
+                and suffix in ("ing", "ed")
+                and repl == ""
+                and len(stem) >= 3
+                and stem[-1] == stem[-2]
+                and stem[-1] in _EN_DOUBLES
+                and stem[:-1] in vocab
+            ):
+                return _match_case(stem[:-1], text)
+    return text
+
+
+def _match_case(lemma: str, original: str) -> str:
+    """Preserve leading capitalisation of the original surface form."""
+    if original[:1].isupper() and lemma:
+        return lemma[0].upper() + lemma[1:]
+    return lemma

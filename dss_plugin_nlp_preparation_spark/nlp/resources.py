@@ -1,0 +1,212 @@
+"""Runtime resource loading: stopword lists and word-frequency dictionaries.
+
+The reference plugin ships per-language resource files and loads them lazily
+per language (stopwords: spacy_tokenizer.py:200-203; frequency dictionaries:
+symspell_checker.py:147-148). This engine reads the same *file formats* from
+configurable folders:
+
+- stopwords folder: ``{lang}.txt``, one stopword per line
+- dictionary folder: ``{lang}.txt``, ``term<space>count`` per line
+
+Folders come from env vars (``STOPWORDS_FOLDER_PATH`` /
+``DICTIONARY_FOLDER_PATH``) or explicit arguments; when absent, a small
+built-in fallback set keeps the engine functional standalone. On a cluster
+these folders are distributed once via ``--archives``/``SparkFiles`` and read
+once per executor (module-level memoization below == executor-singleton).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+# Minimal built-in fallbacks so the engine works with no external resources.
+# Curated from common function words; extend via a real stopwords folder.
+_BUILTIN_STOPWORDS: dict[str, str] = {
+    "en": """a about above after again all am an and any are as at be because
+        been before being below between both but by did do does doing down
+        during each few for from further had has have having he her here hers
+        herself hi him himself his how i if in into is it its itself just me
+        more most my myself no nor not now of off on once only or other our
+        ours ourselves out over own same she should so some such than that the
+        their theirs them themselves then there these they this those through
+        to too under until up very was we were what when where which while who
+        whom why will with you your yours yourself yourselves""",
+    "fr": """au aux avec c c' ce ces dans de des du elle en et eux il je l l'
+        la le les leur lui ma mais me même mes moi mon ne nos notre nous on ou
+        où par pas pour qu qu' que qui s s' sa se ses son sur ta te tes toi
+        ton tu un une vos votre vous y d d' j j' n n' m m' t t' l’ d’""",
+    "es": """a al algo algunas algunos ante antes como con contra cual cuando
+        de del desde donde durante e el ella ellas ellos en entre era es esa
+        esas ese eso esos esta estas este esto estos fue ha han hasta hay la
+        las le les lo los me mi mis mucho muy nada ni no nos nosotros nuestra
+        nuestro o os otra otro para pero poco por porque que quien se sin
+        sobre son su sus también tanto te tiene tienen todo todos tu tus un
+        una uno unos vosotros y ya yo""",
+    "de": """aber alle als also am an auch auf aus bei bin bis bist da damit
+        dann das dass dein deine dem den der des dessen die dies diese dir doch
+        dort du durch ein eine einem einen einer eines er es euer eure für
+        hatte hatten hattest hier hinter ich ihr ihre im in ist ja jede jedem
+        jeden jeder jedes jener jetzt kann kannst können könnt machen mein
+        meine mit muss musst müssen müsst nach nachdem nein nicht nun oder
+        seid sind sie soll sollen sollst sollt sonst soweit sowie und unser
+        unsere unter vom von vor wann warum was weiter weitere wenn wer werde
+        werden werdet wieder wir wird wirst wo woher wohin zu zum zur über""",
+}
+
+_DEFAULT_STOPWORDS_ENV = "STOPWORDS_FOLDER_PATH"
+_DEFAULT_DICTIONARY_ENV = "DICTIONARY_FOLDER_PATH"
+
+
+def _uid() -> int:
+    return os.getuid() if hasattr(os, "getuid") else 0
+
+
+def secure_cache_dir(name: str) -> str | None:
+    """Per-user cache dir (mode 0700) under the system tempdir.
+
+    Executor-singleton model caches live here. The dir is keyed by uid and
+    kept 0700 so that on a shared multi-tenant node no other local user can
+    pre-plant a crafted artifact at a predictable path. Returns None when a
+    safe dir cannot be ensured (callers then skip disk caching and rebuild
+    in memory — slower but safe).
+    """
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"{name}_u{_uid()}")
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.stat(base)
+        if st.st_uid != _uid() or (st.st_mode & 0o077):
+            os.chmod(base, 0o700)
+            st = os.stat(base)
+        if st.st_uid != _uid() or (st.st_mode & 0o077):
+            return None
+        return base
+    except OSError:
+        return None
+
+
+def open_owned(path: str):
+    """Open a cache file for reading only if it is owned by this uid and not
+    group/world-writable; raises OSError otherwise."""
+    st = os.stat(path)
+    if st.st_uid != _uid() or (st.st_mode & 0o022):
+        raise OSError(f"untrusted cache file: {path}")
+    return open(path, "rb")
+
+
+# repo-bundled resource folder (resources/ at the repo root, shipped with
+# the engine; on a cluster, --archives + the env vars override this)
+_BUNDLE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "resources",
+)
+
+
+def stopwords_folder() -> str | None:
+    """Configured stopwords folder; falls back to the repo bundle."""
+    path = os.environ.get(_DEFAULT_STOPWORDS_ENV)
+    if path and os.path.isdir(path):
+        return path
+    bundled = os.path.join(_BUNDLE_DIR, "stopwords")
+    return bundled if os.path.isdir(bundled) else None
+
+
+def dictionary_folder() -> str | None:
+    """Configured frequency-dictionary folder; falls back to the repo bundle."""
+    path = os.environ.get(_DEFAULT_DICTIONARY_ENV)
+    if path and os.path.isdir(path):
+        return path
+    bundled = os.path.join(_BUNDLE_DIR, "dictionaries")
+    return bundled if os.path.isdir(bundled) else None
+
+
+@lru_cache(maxsize=128)
+def load_stopwords(language: str, folder: str | None = None) -> frozenset:
+    """Stopword set for a language.
+
+    Mirrors the reference's per-language file load (spacy_tokenizer.py:200-203)
+    plus its case-variant marking (spacy_tokenizer.py:204-207): the returned
+    set contains the raw word, Capitalized and UPPER variants, so membership
+    tests reproduce the reference's exact-cased ``is_stop`` semantics.
+    """
+    folder = folder or stopwords_folder()
+    words: set[str] = set()
+    if folder:
+        path = os.path.join(folder, f"{language}.txt")
+        if os.path.isfile(path):
+            with open(path, encoding="utf-8") as f:
+                words = {w for w in (line.strip() for line in f) if w}
+    if not words:
+        words = set(_BUILTIN_STOPWORDS.get(language, "").split())
+    variants: set[str] = set()
+    for w in words:
+        variants.add(w)
+        variants.add(w.capitalize())
+        variants.add(w.upper())
+    return frozenset(variants)
+
+
+@lru_cache(maxsize=64)
+def load_frequency_dict(language: str, folder: str | None = None) -> dict:
+    """``term -> count`` frequency dictionary for a language.
+
+    Same file format as the reference's SymSpell load
+    (symspell_checker.py:147-148): ``term<space>count`` per line. Returns an
+    empty dict when no dictionary is available (caller decides whether that is
+    an error — the spellchecker treats it as unsupported-language).
+
+    The parsed dict is marshal-cached on local disk: several kernels (LID,
+    lemmatizer vocabulary, LM, SymSpell) consume the same files, and every
+    Python worker on a node shares the parse.
+    """
+    import marshal
+
+    folder = folder or dictionary_folder()
+    if not folder:
+        return {}
+    path = os.path.join(folder, f"{language}.txt")
+    if not os.path.isfile(path):
+        return {}
+    st = os.stat(path)
+    cache_dir = secure_cache_dir("nlp_spark_freq_cache")
+    cache_file = (
+        os.path.join(cache_dir, f"freq_{language}_{st.st_size}_{st.st_mtime_ns}.marshal")
+        if cache_dir
+        else None
+    )
+    if cache_file and os.path.isfile(cache_file):
+        try:
+            with open_owned(cache_file) as f:
+                return marshal.load(f)
+        except Exception:
+            pass
+    freqs: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            if len(parts) == 2:
+                try:
+                    freqs[parts[0]] = int(parts[1])
+                except ValueError:
+                    continue
+    if cache_file:
+        try:
+            tmp = cache_file + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                marshal.dump(freqs, f)
+            os.replace(tmp, cache_file)
+        except OSError:
+            pass
+    return freqs
+
+
+def available_spellcheck_languages(folder: str | None = None) -> frozenset:
+    """Languages with a usable frequency dictionary in ``folder``."""
+    folder = folder or dictionary_folder()
+    if not folder:
+        return frozenset()
+    return frozenset(
+        name[:-4] for name in os.listdir(folder) if name.endswith(".txt")
+    )

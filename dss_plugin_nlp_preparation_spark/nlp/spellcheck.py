@@ -1,0 +1,169 @@
+# -*- coding: utf-8 -*-
+"""Spellcheck kernel: per-document correction with the reference's decision
+ladder (symspell_checker.py:223-314):
+
+per token, in order —
+1. English merges the built-in social-media corrections
+   (symspell_checker.py:70-92,245-246);
+2. custom-correction hit -> corrected (diagnosis 'custom correction');
+3. custom-vocabulary hit -> kept;
+4. any of the 13 filter attributes -> kept ('Detected as <attr>');
+5. else SymSpell lookup: differing suggestion -> corrected; equal ->
+   approved; none -> flagged misspelled but kept as-is.
+
+Document reassembly keeps the original per-token whitespace flags
+(symspell_checker.py:301-306); tokens whose correction is '' vanish together
+with their whitespace. Outputs per document: (corrected, misspellings,
+misspelling_list, misspelling_count).
+"""
+
+from __future__ import annotations
+
+import re
+
+from dss_plugin_nlp_preparation_spark.nlp import tokenizer as tk
+from dss_plugin_nlp_preparation_spark.nlp.symspell import (
+    DEFAULT_EDIT_DISTANCE,
+    SpellCheckingError,
+    get_index,
+)
+
+ENGLISH_CUSTOM_CORRECTIONS = {
+    "k": "ok", "K": "OK",
+    "plz": "please", "Plz": "Please",
+    "thks": "thanks", "Thks": "Thanks",
+    "thnx": "thanks", "Thnx": "Thanks",
+    "thx": "thanks", "Thx": "Thanks",
+    "u": "you", "U": "You",
+    "ur": "your", "Ur": "Your",
+    "w": "with", "w/": "with", "W/": "With",
+    "w/o": "without", "W/o": "Without",
+    "y'": "you", "Y'": "You",
+}
+# parity: the same 21 social-media English mappings as the reference
+# (symspell_checker.py:70-92)
+
+
+_WORD_CACHE_MAX = 200_000
+
+
+def check_word(
+    word: str,
+    language: str,
+    index,
+    edit_distance: int,
+    ignore_token: re.Pattern | None,
+    transfer_casing: bool,
+) -> tuple:
+    """(is_misspelled, correction, diagnosis) for a bare word
+    (symspell_checker.py:183-221 contract).
+
+    Memoized per index instance (the executor-singleton), the distributed
+    analogue of the reference's lru_cache word memo
+    (symspell_checker.py:182) — web corpora repeat words massively."""
+    cache = getattr(index, "_word_cache", None)
+    if cache is None:
+        cache = index._word_cache = {}
+    key = (word, edit_distance, transfer_casing, ignore_token.pattern if ignore_token else None)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    result = _check_word_uncached(word, index, edit_distance, ignore_token, transfer_casing)
+    if len(cache) < _WORD_CACHE_MAX:
+        cache[key] = result
+    return result
+
+
+def _check_word_uncached(
+    word: str,
+    index,
+    edit_distance: int,
+    ignore_token: re.Pattern | None,
+    transfer_casing: bool,
+) -> tuple:
+    cleaned = word.strip()
+    suggestions = index.lookup(
+        cleaned,
+        max_edit_distance=edit_distance,
+        ignore_token=ignore_token,
+        transfer_casing=transfer_casing,
+    )
+    if suggestions:
+        term = suggestions[0][0]
+        if term.lower() != cleaned.lower():
+            return (True, term, "NOK - Corrected by spellchecker")
+        return (False, word, "OK - Approved by spellchecker")
+    return (True, word, "WARN - No correction found, keeping as-is")
+
+
+def check_document(
+    text: str,
+    language: str,
+    dictionary_folder: str | None = None,
+    custom_vocabulary: frozenset = frozenset(),
+    custom_corrections: dict | None = None,
+    edit_distance: int = DEFAULT_EDIT_DISTANCE,
+    ignore_token: re.Pattern | None = None,
+    transfer_casing: bool = True,
+    stopwords_folder: str | None = None,
+    collect_diagnosis: list | None = None,
+) -> tuple:
+    """Spellcheck one document.
+
+    Returns (corrected_text, misspellings, misspelling_list,
+    misspelling_count). When ``collect_diagnosis`` is a list, appends one
+    tuple (language, original_word, is_misspelled, corrected_word,
+    diagnosis) per token — the raw feed for the A1 diagnosis aggregation.
+
+    Raises SpellCheckingError on missing/unsupported language, matching the
+    reference's fail-fast contract (symspell_checker.py:155-180).
+    """
+    corrections = dict(custom_corrections or {})
+    if language == "en":
+        corrections.update(ENGLISH_CUSTOM_CORRECTIONS)
+    if language is None or language == "" or language != language:
+        raise SpellCheckingError("Missing language code")
+    index = get_index(
+        language,
+        dictionary_folder,
+        edit_distance,
+        frozenset(custom_vocabulary),
+    )
+    if text is None or text != text:
+        text = ""
+    stopset = tk._stopset_for(language, stopwords_folder)
+    tokens = tk.tokenize(str(text), language)
+
+    spelling_mistakes: list = []
+    corrected_parts: list = []
+    for tok in tokens:
+        is_misspelled, correction, diagnosis = False, tok.text, ""
+        if tok.text in corrections:
+            is_misspelled, correction = True, str(corrections[tok.text])
+            diagnosis = "NOK - Corrected by custom correction"
+        elif tok.text in custom_vocabulary:
+            diagnosis = "OK - In custom vocabulary"
+        else:
+            attrs = tk.token_attributes(tok, language, stopset)
+            matched = [n for n in tk.FILTER_TOKEN_ATTRIBUTES if attrs[n]]
+            if matched:
+                label = tk.FILTER_TOKEN_ATTRIBUTES[matched[0]].lower()
+                diagnosis = f"OK - Detected as '{label}', keeping as-is"
+            else:
+                is_misspelled, correction, diagnosis = check_word(
+                    tok.text, language, index, edit_distance, ignore_token, transfer_casing
+                )
+        if collect_diagnosis is not None:
+            collect_diagnosis.append(
+                (language, tok.text, is_misspelled, correction, diagnosis)
+            )
+        if is_misspelled:
+            spelling_mistakes.append(tok.text)
+        if correction != "":
+            corrected_parts.append(correction + (" " if tok.whitespace_ else ""))
+    corrected_text = "".join(corrected_parts)
+    misspellings = " ".join(spelling_mistakes).strip()
+    # order-preserving dedup (reference unique_list, plugin_io_utils.py:28-39)
+    seen: set = set()
+    misspelling_list = [m for m in spelling_mistakes if not (m in seen or seen.add(m))]
+    return (corrected_text, misspellings, misspelling_list, len(spelling_mistakes))

@@ -1,0 +1,296 @@
+# -*- coding: utf-8 -*-
+"""From-scratch SymSpell-style spelling correction.
+
+The reference wraps the symspellpy library (symspell_checker.py:146-153,
+200-207). This module re-implements the public SymSpell algorithm (Garbe's
+symmetric-delete spelling correction) natively:
+
+- index build: every dictionary term contributes all delete-variants of its
+  first ``prefix_length`` characters up to ``max_edit_distance`` deletions;
+- lookup: generate delete-variants of the query, collect candidate terms,
+  verify with Damerau-Levenshtein (optimal string alignment) distance, and
+  return the best suggestion (smallest distance, then highest corpus count —
+  the reference's Verbosity.TOP);
+- ``transfer_casing`` re-applies the query's character casing onto the
+  suggestion via difflib opcodes (parity pinned by the reference fixture
+  "tHISs" -> "tHIS", tests/python/unit/test_symspell_checker.py:16-51);
+- ``ignore_token`` regex short-circuits matching queries.
+
+Index construction is memoized per (folder, language, edit distance) at
+module level and pickle-cached on local disk so the many Python workers of
+one executor node build it once (executor-singleton pattern, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import difflib
+import hashlib
+import marshal
+import os
+import re
+import tempfile
+from functools import lru_cache
+
+from dss_plugin_nlp_preparation_spark.nlp import resources
+
+DEFAULT_EDIT_DISTANCE = 2  # parity: symspell_checker.py:51
+DEFAULT_PREFIX_LENGTH = 7  # standard SymSpell prefix truncation
+
+
+class SpellCheckingError(RuntimeError):
+    """Raised for missing/unsupported languages (symspell_checker.py:28-31)."""
+
+
+def osa_distance(a: str, b: str, max_dist: int) -> int:
+    """Damerau-Levenshtein (optimal string alignment) distance with cutoff.
+
+    Returns a value > max_dist (max_dist + 1) when the distance exceeds it.
+    """
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_dist:
+        return max_dist + 1
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = i
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+            if d < row_min:
+                row_min = d
+        if row_min > max_dist:
+            return max_dist + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _deletes(word: str, max_edit: int) -> set:
+    """All delete-variants of ``word`` with up to ``max_edit`` deletions,
+    including the empty string when the word is short enough — without it,
+    a 1-char query can never reach a 1-char dictionary word one
+    substitution away (canonical SymSpell adds "" for short words too)."""
+    results = {word}
+    frontier = {word}
+    for _ in range(max_edit):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[: i] + w[i + 1 :])
+        nxt -= results
+        results |= nxt
+        frontier = nxt
+    return results
+
+
+class SymSpellIndex:
+    """Symmetric-delete index over a term->count dictionary."""
+
+    def __init__(self, max_edit_distance: int = DEFAULT_EDIT_DISTANCE, prefix_length: int = DEFAULT_PREFIX_LENGTH):
+        self.max_edit_distance = max_edit_distance
+        self.prefix_length = prefix_length
+        self.words: list = []  # term strings
+        self.counts: list = []  # corpus counts
+        self._by_term: dict = {}  # term -> index in words
+        self._delete_index: dict | None = {}  # delete-variant -> word indices
+        # lazy-load support: when constructed from the two-part disk cache,
+        # _delete_index is None and _delete_cache_file points at part 2 —
+        # exact-match lookups (the overwhelming majority on clean corpora)
+        # never pay the big index load; the first fuzzy lookup does.
+        self._delete_cache_file: str | None = None
+
+    def add_word(self, term: str, count: int) -> None:
+        if term in self._by_term:
+            idx = self._by_term[term]
+            self.counts[idx] = max(self.counts[idx], count)
+            return
+        idx = len(self.words)
+        self.words.append(term)
+        self.counts.append(count)
+        self._by_term[term] = idx
+        if self._delete_index is None:
+            self._ensure_delete_index()
+        for var in _deletes(term[: self.prefix_length], self.max_edit_distance):
+            self._delete_index.setdefault(var, []).append(idx)
+
+    def _ensure_delete_index(self) -> None:
+        """Load (or rebuild) the delete index on first fuzzy lookup."""
+        if self._delete_index is not None:
+            return
+        if self._delete_cache_file and os.path.isfile(self._delete_cache_file):
+            try:
+                with resources.open_owned(self._delete_cache_file) as f:
+                    self._delete_index = marshal.load(f)
+                return
+            except Exception:
+                pass
+        self._delete_index = {}
+        for idx, term in enumerate(self.words):
+            for var in _deletes(term[: self.prefix_length], self.max_edit_distance):
+                self._delete_index.setdefault(var, []).append(idx)
+
+    def load_frequency_dict(self, freqs: dict) -> None:
+        for term, count in freqs.items():
+            self.add_word(term, count)
+
+    def lookup(
+        self,
+        word: str,
+        max_edit_distance: int | None = None,
+        ignore_token: re.Pattern | None = None,
+        transfer_casing: bool = False,
+    ) -> list:
+        """Best-first suggestions: [(term, distance, count)] with TOP
+        semantics (single best), or [] when nothing is within distance."""
+        max_edit = min(
+            self.max_edit_distance,
+            self.max_edit_distance if max_edit_distance is None else max_edit_distance,
+        )
+        if ignore_token is not None and ignore_token.match(word):
+            return [(word, 0, 1)]
+        query = word.lower() if transfer_casing else word
+        # exact match short-circuits
+        idx = self._by_term.get(query)
+        if idx is not None:
+            term = self.words[idx]
+            if transfer_casing:
+                term = transfer_casing_text(word, term)
+            return [(term, 0, self.counts[idx])]
+        best: tuple | None = None  # (distance, -count, term)
+        seen: set = set()
+        self._ensure_delete_index()
+        prefix = query[: self.prefix_length]
+        for var in _deletes(prefix, max_edit):
+            for cand_idx in self._delete_index.get(var, ()):
+                if cand_idx in seen:
+                    continue
+                seen.add(cand_idx)
+                term = self.words[cand_idx]
+                dist = osa_distance(query, term, max_edit)
+                if dist > max_edit:
+                    continue
+                key = (dist, -self.counts[cand_idx], term)
+                if best is None or key < best:
+                    best = key
+        if best is None:
+            return []
+        dist, neg_count, term = best
+        out_term = transfer_casing_text(word, term) if transfer_casing else term
+        return [(out_term, dist, -neg_count)]
+
+
+def transfer_casing_text(source: str, target: str) -> str:
+    """Transfer character casing of ``source`` onto lowercase ``target``
+    (same contract as symspellpy's transfer_casing helper, re-implemented
+    over difflib opcodes)."""
+    out = []
+    for tag, i1, i2, j1, j2 in difflib.SequenceMatcher(
+        None, source.lower(), target
+    ).get_opcodes():
+        if tag == "equal":
+            out.append(source[i1:i2])
+        elif tag == "replace":
+            seg_src = source[i1:i2]
+            seg_tgt = target[j1:j2]
+            styled = []
+            for k, ch in enumerate(seg_tgt):
+                src_ch = seg_src[k] if k < len(seg_src) else (seg_src[-1] if seg_src else ch)
+                styled.append(ch.upper() if src_ch.isupper() else ch)
+            out.append("".join(styled))
+        elif tag == "insert":
+            # inherit casing from the neighbouring source character
+            anchor = source[i1 - 1] if i1 > 0 else (source[i1] if i1 < len(source) else "a")
+            seg = target[j1:j2]
+            out.append(seg.upper() if anchor.isupper() and source.isupper() else seg)
+        # delete: skip
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Executor-singleton index cache (memory + on-disk marshal for worker reuse;
+# per-user 0700 dir + ownership check before every load — see
+# resources.secure_cache_dir)
+# ---------------------------------------------------------------------------
+
+
+def _cache_dir() -> str | None:
+    return resources.secure_cache_dir("nlp_spark_symspell_cache")
+
+
+_INDEX_VERSION = "v2"  # bump when delete-variant generation changes
+
+
+def _cache_key(path: str, edit_distance: int, extra: str = "") -> str:
+    stat = os.stat(path)
+    raw = f"{path}:{stat.st_mtime_ns}:{stat.st_size}:{edit_distance}:{_INDEX_VERSION}:{extra}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:16]
+
+
+@lru_cache(maxsize=16)
+def get_index(
+    language: str,
+    dictionary_folder: str | None = None,
+    edit_distance: int = DEFAULT_EDIT_DISTANCE,
+    custom_vocabulary: frozenset = frozenset(),
+) -> SymSpellIndex:
+    """Language index, built once per process and pickle-cached on disk.
+
+    Custom vocabulary entries are added with count=1, mirroring the
+    reference (symspell_checker.py:149-151).
+    """
+    folder = dictionary_folder or resources.dictionary_folder()
+    if not folder:
+        raise SpellCheckingError("No dictionary folder configured")
+    path = os.path.join(folder, f"{language}.txt")
+    if not os.path.isfile(path):
+        raise SpellCheckingError(f"Unsupported language code: {language}")
+    index: SymSpellIndex | None = None
+    terms_file = deletes_file = None
+    cache_base = _cache_dir()
+    if not custom_vocabulary and cache_base:  # only cache the vanilla index
+        stem = f"symspell_{language}_{_cache_key(path, edit_distance)}"
+        terms_file = os.path.join(cache_base, f"{stem}.terms.marshal")
+        deletes_file = os.path.join(cache_base, f"{stem}.deletes.marshal")
+        if os.path.isfile(terms_file):
+            try:
+                with resources.open_owned(terms_file) as f:
+                    words, counts, by_term = marshal.load(f)
+                index = SymSpellIndex(max_edit_distance=edit_distance)
+                index.words, index.counts, index._by_term = words, counts, by_term
+                # part 2 (the big delete index) loads lazily on first fuzzy
+                # lookup; exact-hit-only workloads never pay for it
+                index._delete_index = None
+                index._delete_cache_file = deletes_file
+            except Exception:
+                index = None
+    if index is None:
+        index = SymSpellIndex(max_edit_distance=edit_distance)
+        index.load_frequency_dict(resources.load_frequency_dict(language, folder))
+        if terms_file:
+            try:
+                tmp = terms_file + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    marshal.dump((index.words, index.counts, index._by_term), f)
+                os.replace(tmp, terms_file)
+                tmp = deletes_file + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    marshal.dump(index._delete_index, f)
+                os.replace(tmp, deletes_file)
+                index._delete_cache_file = deletes_file
+            except OSError:
+                pass
+    for word in sorted(custom_vocabulary):
+        index.add_word(word, 1)
+    return index

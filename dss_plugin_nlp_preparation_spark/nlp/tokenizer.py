@@ -1,0 +1,511 @@
+# -*- coding: utf-8 -*-
+"""From-scratch multilingual rule tokenizer with the reference's token model.
+
+Re-expresses the behaviour of the reference's spaCy-based tokenizer
+(reference: python-lib/spacy_tokenizer.py) without spaCy: a deterministic
+rule tokenizer producing tokens that carry
+- ``text``: the token surface form,
+- ``whitespace_``: the single space attached to the token (spaCy convention),
+- ``idx``: character offset in the source document,
+plus the 13 boolean attributes the reference filters on
+(spacy_tokenizer.py:101-115 DEFAULT_FILTER_TOKEN_ATTRIBUTES):
+is_space, is_punct, is_stop, like_num, is_symbol, is_currency, is_measure,
+is_datetime, like_url, like_email, is_username, is_hashtag, is_emoji.
+
+Semantics parity notes (each pinned by tests/test_tokenizer.py):
+- hashtags/mentions stay single tokens (spacy_tokenizer.py:176-183),
+- a leading whitespace run becomes its own token (spaCy behaviour the
+  reference inherits; fixture: fr sentence with leading space -> 8 tokens),
+- French-style elision prefixes split ("l'aventures" -> "l'", "aventures"),
+- English contractions split ("didn't" -> "did", "n't"),
+- CJK text is segmented by a deterministic script-run chunker approximating
+  morphological segmentation; exact counts pinned by the reference fixtures
+  (ja=9, zh=13 tokens — tests/python/unit/test_spacy_tokenizer.py:16-55).
+
+This is a *new design*: the reference delegates segmentation to spaCy models;
+here segmentation is explicit rules so it can run dependency-free inside
+Arrow batches on any executor.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from functools import lru_cache
+
+from dss_plugin_nlp_preparation_spark.nlp import resources
+from dss_plugin_nlp_preparation_spark.nlp.lang_support import TOKENIZER_LANGUAGES
+
+MAX_NUM_CHARACTERS = 10**7  # same guard as the reference (spacy_tokenizer.py:99)
+
+
+class TokenizationError(RuntimeError):
+    """Raised on unsupported language or oversized document (mirrors
+    reference TokenizationError, spacy_tokenizer.py:76-79)."""
+
+
+URL_RE = re.compile(
+    r"""^(?:https?://\S+|www\.\S+|[\w-]+(?:\.[\w-]+)+(?:/\S*)?)$""",
+    re.IGNORECASE,
+)
+_URL_TLD_RE = re.compile(r"\.(com|org|net|edu|gov|io|fr|de|es|uk|jp|cn|ru|info|biz)(/|$)", re.I)
+EMAIL_RE = re.compile(r"^[^@\s]+@[^@\s]+\.[A-Za-z]{2,}$")
+HASHTAG_RE = re.compile(r"^#\w+$", re.UNICODE)
+MENTION_RE = re.compile(r"^@\w+$", re.UNICODE)
+
+# Elision prefixes for Romance languages: "l'aventures" -> ["l'", "aventures"]
+_ELISION_RE = re.compile(r"^([ldjcnmst]|qu)(['’])(.+)$", re.IGNORECASE)
+_ELISION_LANGS = frozenset({"fr", "it", "ca", "oc"})
+
+# English contraction suffixes, split as their own tokens like spaCy does.
+_EN_CONTRACTIONS = ("n't", "'ll", "'re", "'ve", "'m", "'d", "'s", "’ll", "’re", "’ve", "’m", "’d", "’s", "n’t")
+
+# Datetime-ish unit fragments: a token starting with a digit whose remaining
+# characters are only digits after removing these fragments is a datetime
+# (parity with spacy_tokenizer.py:38-45).
+_DT_UNITS = ["am", "pm", "hrs", "hr", "h", "minutes", "mins", "min", "sec", "s", "ms", "ns", "y"]
+_DT_RE = re.compile("(" + "|".join([r":", r"-", r"\.", r"/"] + _DT_UNITS) + ")+", re.IGNORECASE)
+
+# Measure units (parity with spacy_tokenizer.py:46-60).
+_ORDER_UNITS = {"eme", "th", "st", "nd", "rd", "k"}
+_WEIGHT_UNITS = {"mg", "g", "kg", "t", "lb", "oz"}
+_DIST_UNITS = {"mm", "cm", "m", "km", "in", "ft", "yd", "mi", "kmh", "mph"}
+_VOL_UNITS = {"ml", "dl", "l", "pt", "qt", "gal"}
+_MISC_UNITS = {"k", "a", "v", "mol", "cd", "w", "n", "c"}
+ALL_UNITS = _ORDER_UNITS | _WEIGHT_UNITS | _DIST_UNITS | _VOL_UNITS | _MISC_UNITS
+_NUM_SEP_RE = re.compile(r"[.,]")
+
+# Spelled-out numbers considered like_num per language (spaCy-like).
+_NUM_WORDS = {
+    "en": set(
+        "zero one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty "
+        "thirty forty fifty sixty seventy eighty ninety hundred thousand "
+        "million billion trillion".split()
+    ),
+    "fr": set(
+        "zéro un deux trois quatre cinq six sept huit neuf dix onze douze "
+        "treize quatorze quinze seize vingt trente quarante cinquante soixante "
+        "cent mille million milliard".split()
+    ),
+    "es": set(
+        "cero uno dos tres cuatro cinco seis siete ocho nueve diez once doce "
+        "trece catorce quince veinte treinta cuarenta cincuenta sesenta cien "
+        "mil millón".split()
+    ),
+    "de": set(
+        "null eins zwei drei vier fünf sechs sieben acht neun zehn elf zwölf "
+        "zwanzig dreißig vierzig fünfzig hundert tausend million milliarde".split()
+    ),
+}
+
+# Emoji codepoint ranges (public Unicode blocks).
+_EMOJI_RANGES = (
+    (0x1F1E6, 0x1F1FF),  # regional indicators
+    (0x1F300, 0x1F5FF),  # misc symbols & pictographs
+    (0x1F600, 0x1F64F),  # emoticons
+    (0x1F680, 0x1F6FF),  # transport
+    (0x1F900, 0x1F9FF),  # supplemental symbols
+    (0x1FA70, 0x1FAFF),  # symbols extended-A
+    (0x2600, 0x26FF),  # misc symbols (☃ …)
+    (0x2700, 0x27BF),  # dingbats
+    (0x2B00, 0x2BFF),  # arrows & stars (⭐)
+    (0xFE0F, 0xFE0F),  # variation selector-16
+)
+
+_PUNCT_OPEN = set("([{«“‘\"'¿¡")
+_PUNCT_CLOSE = set(")]}»”’\"'.,;:!?…、。，：；！？")
+_CJK_PUNCT = set("。、，：；！？「」『』（）“”…・：")
+
+
+def _is_emoji_char(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _EMOJI_RANGES)
+
+
+def _char_script(ch: str) -> str:
+    cp = ord(ch)
+    if 0x3040 <= cp <= 0x309F:
+        return "hira"
+    if 0x30A0 <= cp <= 0x30FF or 0x31F0 <= cp <= 0x31FF:
+        return "kata"
+    if 0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF or 0xF900 <= cp <= 0xFAFF:
+        return "han"
+    if 0xAC00 <= cp <= 0xD7AF or 0x1100 <= cp <= 0x11FF:
+        return "hangul"
+    if 0x0E00 <= cp <= 0x0E7F:
+        return "thai"
+    if ch in _CJK_PUNCT:
+        return "cjkpunct"
+    return "other"
+
+
+class Token:
+    """Minimal token: surface text + trailing whitespace + offset."""
+
+    __slots__ = ("text", "whitespace_", "idx")
+
+    def __init__(self, text: str, whitespace: str = "", idx: int = 0):
+        self.text = text
+        self.whitespace_ = whitespace
+        self.idx = idx
+
+    @property
+    def lower_(self) -> str:
+        return self.text.lower()
+
+    def __len__(self) -> int:
+        return len(self.text)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Token({self.text!r})"
+
+
+# ---------------------------------------------------------------------------
+# Token attribute predicates (the reference's 13 filter attributes)
+# ---------------------------------------------------------------------------
+
+def _cats(text: str) -> list:
+    return [unicodedata.category(c) for c in text]
+
+
+def is_space(text: str) -> bool:
+    if not text:
+        return False
+    stripped = text.strip()
+    if not stripped:
+        return True
+    # invisible per unicode categories C/Z/M, but never when the token is a
+    # symbol — the reference's is_space getter explicitly excludes is_symbol
+    # (spacy_tokenizer.py:62-73), so combining-marks-only tokens classify as
+    # Symbol, not Whitespace
+    return all(cat[0] in ("C", "Z", "M") for cat in _cats(stripped)) and not is_symbol(
+        stripped
+    )
+
+
+def is_punct(text: str) -> bool:
+    return bool(text) and all(cat[0] == "P" for cat in _cats(text))
+
+
+def is_currency(text: str) -> bool:
+    return bool(text) and all(cat == "Sc" for cat in _cats(text))
+
+
+def is_emoji(text: str) -> bool:
+    return any(_is_emoji_char(c) for c in text)
+
+
+def is_symbol(text: str) -> bool:
+    # only marks/symbols left after removing M and S chars, and not already
+    # punct/currency/emoji (spacy_tokenizer.py:29-37)
+    if not text or is_punct(text) or is_currency(text) or is_emoji(text):
+        return False
+    residue = "".join(c for c in text if unicodedata.category(c)[0] not in ("M", "S"))
+    return not residue.strip()
+
+
+def like_num(text: str, lang: str = "en") -> bool:
+    t = text.replace(",", "").replace(".", "")
+    if t.isdigit():
+        return True
+    if t.count("/") == 1:
+        num, _, den = t.partition("/")
+        if num.isdigit() and den.isdigit():
+            return True
+    return text.lower() in _NUM_WORDS.get(lang, _NUM_WORDS["en"])
+
+
+def is_datetime(text: str, lang: str = "en") -> bool:
+    return (
+        not like_num(text, lang)
+        and text[:1].isdigit()
+        and _DT_RE.sub("", text).isdigit()
+    )
+
+
+def is_measure(text: str, lang: str = "en") -> bool:
+    if like_num(text, lang) or is_datetime(text, lang) or not text[:1].isdigit():
+        return False
+    base = _NUM_SEP_RE.sub("", text.lower())
+    return any(base.replace(unit, "").isdigit() for unit in ALL_UNITS)
+
+
+def like_url(text: str) -> bool:
+    if URL_RE.match(text):
+        if text.lower().startswith(("http://", "https://", "www.")):
+            return True
+        return bool(_URL_TLD_RE.search(text))
+    return False
+
+
+def like_email(text: str) -> bool:
+    return bool(EMAIL_RE.match(text))
+
+
+def is_hashtag(text: str) -> bool:
+    return bool(text) and text[0] == "#"
+
+
+def is_username(text: str) -> bool:
+    return bool(text) and text[0] == "@"
+
+
+def is_stop(text: str, stopset: frozenset) -> bool:
+    """Exact-cased stopword check: the reference marks word/Capitalized/UPPER
+    variants as stopwords (spacy_tokenizer.py:204-207); ``stopset`` already
+    contains those variants (resources.load_stopwords)."""
+    return text in stopset
+
+
+FILTER_TOKEN_ATTRIBUTES = {
+    "is_space": "Whitespace",
+    "is_punct": "Punctuation",
+    "is_stop": "Stopword",
+    "like_num": "Number",
+    "is_symbol": "Symbol",
+    "is_currency": "Currency sign",
+    "is_measure": "Measure",
+    "is_datetime": "Datetime",
+    "like_url": "URL",
+    "like_email": "Email",
+    "is_username": "Username",
+    "is_hashtag": "Hashtag",
+    "is_emoji": "Emoji",
+}
+
+
+def token_attributes(tok: Token, lang: str, stopset: frozenset) -> dict:
+    """All 13 filter attributes for a token (memoized on surface form —
+    web corpora repeat tokens massively, so the per-executor cache turns
+    the flag computation into a dict hit)."""
+    return _token_attributes_cached(tok.text, lang, stopset)
+
+
+@lru_cache(maxsize=100_000)
+def _token_attributes_cached(t: str, lang: str, stopset: frozenset) -> dict:
+    return {
+        "is_space": is_space(t),
+        "is_punct": is_punct(t),
+        "is_stop": is_stop(t, stopset),
+        "like_num": like_num(t, lang),
+        "is_symbol": is_symbol(t),
+        "is_currency": is_currency(t),
+        "is_measure": is_measure(t, lang),
+        "is_datetime": is_datetime(t, lang),
+        "like_url": like_url(t),
+        "like_email": like_email(t),
+        "is_username": is_username(t),
+        "is_hashtag": is_hashtag(t),
+        "is_emoji": is_emoji(t),
+    }
+
+
+def matched_filters(tok: Token, lang: str, stopset: frozenset, token_filters) -> list:
+    """Names of the requested filters this token matches, in the canonical
+    FILTER_TOKEN_ATTRIBUTES order (the reference iterates its dict in
+    insertion order, text_cleaner.py:164 / symspell_checker.py:254-258)."""
+    attrs = token_attributes(tok, lang, stopset)
+    return [name for name in FILTER_TOKEN_ATTRIBUTES if name in token_filters and attrs[name]]
+
+
+# ---------------------------------------------------------------------------
+# Segmentation
+# ---------------------------------------------------------------------------
+
+def _split_cjk_run(run: str, script: str, lang: str) -> list:
+    """Deterministic chunker for a single-script CJK run.
+
+    ja: greedy 2-char chunks; odd runs lead with a 1-char chunk
+        (期一会 -> 期|一会; 異体同心 -> 異体|同心; そうです -> そう|です).
+    zh: runs of <=2 chars split to single chars (子曰 -> 子|曰); longer runs
+        take greedy 2-char chunks with a trailing single
+        (學而不思則罔 -> 學而|不思|則罔).
+    """
+    n = len(run)
+    out = []
+    if lang == "zh" and script == "han":
+        if n <= 2:
+            return list(run)
+        i = 0
+        while i < n:
+            step = 2 if n - i >= 2 else 1
+            out.append(run[i : i + step])
+            i += step
+        return out
+    # ja and generic CJK
+    i = 0
+    if n % 2 == 1 and n > 1:
+        out.append(run[0])
+        i = 1
+    while i < n:
+        step = 2 if n - i >= 2 else 1
+        out.append(run[i : i + step])
+        i += step
+    return out
+
+
+def _tokenize_cjk_segment(seg: str, lang: str) -> list:
+    """Split a non-space segment containing CJK chars into token strings."""
+    parts: list = []
+    run = []
+    run_script = None
+    for ch in seg:
+        sc = _char_script(ch)
+        if sc == "cjkpunct" or (sc == "other" and (is_punct(ch) or _is_emoji_char(ch))):
+            if run:
+                parts.extend(_split_cjk_run("".join(run), run_script, lang))
+                run, run_script = [], None
+            parts.append(ch)
+            continue
+        if sc != run_script and run:
+            parts.extend(_split_cjk_run("".join(run), run_script, lang))
+            run = []
+        run.append(ch)
+        run_script = sc
+    if run:
+        parts.extend(_split_cjk_run("".join(run), run_script, lang))
+    return parts
+
+
+def _split_core(core: str, lang: str) -> list:
+    """Split a punctuation-stripped core into subtokens (currency signs,
+    elisions, contractions)."""
+    if not core:
+        return []
+    # currency signs are always their own tokens ("3$" -> "3", "$")
+    for i, ch in enumerate(core):
+        if unicodedata.category(ch) == "Sc" and len(core) > 1:
+            left = _split_core(core[:i], lang)
+            right = _split_core(core[i + 1 :], lang)
+            return left + [ch] + right
+    if lang in _ELISION_LANGS:
+        m = _ELISION_RE.match(core)
+        if m and len(m.group(3)) > 1:
+            return [m.group(1) + m.group(2)] + _split_core(m.group(3), lang)
+    if lang == "en":
+        low = core.lower()
+        for suf in _EN_CONTRACTIONS:
+            if low.endswith(suf) and len(core) > len(suf):
+                base = core[: len(core) - len(suf)]
+                return _split_core(base, lang) + [core[len(core) - len(suf) :]]
+    return [core]
+
+
+def _maybe_protected(seg: str) -> bool:
+    """Cheap pre-filter: every protected shape (URL, email, hashtag,
+    mention) requires a '.', '@', '#' or ':' — plain words skip all four
+    regexes. (URL_RE needs '://', 'www.' or a dotted domain; EMAIL_RE
+    needs '@' and '.'; HASHTAG/MENTION need their sigil.)"""
+    return "." in seg or "@" in seg or "#" in seg or ":" in seg
+
+
+def _tokenize_segment(seg: str, lang: str) -> list:
+    """Split one whitespace-delimited segment into token strings."""
+    # ASCII fast path: every CJK script/punct codepoint is > 0x7F
+    if not seg.isascii() and any(
+        _char_script(c) in ("hira", "kata", "han", "hangul", "cjkpunct") for c in seg
+    ):
+        return _tokenize_cjk_segment(seg, lang)
+    # protected whole-token shapes checked before punctuation peeling,
+    # mirroring spaCy's token_match precedence for URLs and #hashtags
+    if _maybe_protected(seg):
+        if URL_RE.match(seg) and like_url(seg):
+            return [seg]
+        if EMAIL_RE.match(seg):
+            return [seg]
+        if HASHTAG_RE.match(seg) or MENTION_RE.match(seg):
+            return [seg]
+    prefix: list = []
+    suffix: list = []
+    core = seg
+    while core and core[0] in _PUNCT_OPEN:
+        prefix.append(core[0])
+        core = core[1:]
+    while core:
+        # re-check protected shapes as punctuation is peeled
+        if _maybe_protected(core) and (
+            (URL_RE.match(core) and like_url(core))
+            or EMAIL_RE.match(core)
+            or HASHTAG_RE.match(core)
+            or MENTION_RE.match(core)
+        ):
+            break
+        if core[-1] in _PUNCT_CLOSE and not _keeps_trailing_punct(core, lang):
+            suffix.append(core[-1])
+            core = core[:-1]
+        else:
+            break
+    return prefix + _split_core(core, lang) + list(reversed(suffix))
+
+
+def _keeps_trailing_punct(core: str, lang: str) -> bool:
+    """True when trailing punctuation must stay attached: only when the core
+    IS a single punctuation char (peeling would loop forever)."""
+    return len(core) < 2
+
+
+def tokenize(text: str, language: str = "en", max_num_characters: int = MAX_NUM_CHARACTERS) -> list:
+    """Tokenize a document into a list of :class:`Token`.
+
+    Raises TokenizationError on unsupported language codes and oversized
+    documents (parity: spacy_tokenizer.py:234-238 and nlp.max_length).
+    """
+    if language is None or language == "" or language != language:
+        raise TokenizationError("Missing language code")
+    if language not in TOKENIZER_LANGUAGES:
+        raise TokenizationError(f"Unsupported language code: '{language}'")
+    if text is None:
+        text = ""
+    text = str(text)
+    if len(text) > max_num_characters:
+        raise TokenizationError(
+            f"Document exceeds maximum of {max_num_characters} characters"
+        )
+
+    tokens: list = []
+    i = 0
+    n = len(text)
+    while i < n:
+        if text[i].isspace():
+            j = i
+            while j < n and text[j].isspace():
+                j += 1
+            run = text[i:j]
+            if not tokens:
+                # leading whitespace is its own token (spaCy behaviour)
+                tokens.append(Token(run, "", i))
+            elif len(run) == 1:
+                tokens[-1].whitespace_ = run
+            else:
+                tokens[-1].whitespace_ = run[0]
+                tokens.append(Token(run[1:], "", i + 1))
+            i = j
+            continue
+        j = i
+        while j < n and not text[j].isspace():
+            j += 1
+        seg = text[i:j]
+        offset = i
+        for part in _tokenize_segment(seg, language):
+            tokens.append(Token(part, "", offset))
+            offset += len(part)
+        i = j
+    return tokens
+
+
+@lru_cache(maxsize=256)
+def _stopset_for(language: str, folder: str | None) -> frozenset:
+    return resources.load_stopwords(language, folder)
+
+
+def tokenize_with_flags(
+    text: str,
+    language: str,
+    stopwords_folder: str | None = None,
+    token_filters=frozenset(),
+):
+    """Tokenize and return (tokens, per-token matched filter lists)."""
+    stopset = _stopset_for(language, stopwords_folder)
+    toks = tokenize(text, language)
+    return toks, [matched_filters(t, language, stopset, token_filters) for t in toks]

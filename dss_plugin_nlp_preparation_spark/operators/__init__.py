@@ -1,0 +1,9 @@
+"""Distributed operators: each module wraps a kernel (or pure column
+expressions) into a DataFrame -> DataFrame transform.
+
+Design rules (SURVEY.md §7.3):
+- relational work (filters, aggs, dedup, joins) is plain DataFrame API so
+  Catalyst optimizes it;
+- non-relational NLP runs in Arrow-batched pandas UDFs with executor-
+  singleton models — never per-row Python, never driver-side loops.
+"""

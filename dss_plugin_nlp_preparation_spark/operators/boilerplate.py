@@ -1,0 +1,99 @@
+# -*- coding: utf-8 -*-
+"""Cross-document boilerplate line removal — the C4-style global rule
+("any line occurring in >= k documents of the corpus is boilerplate":
+cookie banners, nav bars, footers; Raffel et al. 2020 §2.2 use the
+three-sentence-span variant of the same idea).
+
+Distinct from the *within-document* ``dup_line_frac`` quality signal
+(operators/quality.py): this operator needs corpus-global line document-
+frequencies, i.e. one full shuffle keyed on the line. Spark-first shape:
+
+- DF counting is a two-phase aggregate on ``(line)`` — map-side partial
+  ``approx``-free exact counts, reduce on the line key. Key skew (the
+  whole point: some lines appear in millions of docs) is harmless because
+  partial aggregation collapses each partition's copies to one row before
+  the shuffle.
+- The surviving boilerplate relation is *small* (only lines with df >= k)
+  and is **broadcast** back against the exploded corpus — the rebuild
+  never shuffles the corpus on the line key, only on ``doc_id`` to
+  reassemble text (and that shuffle carries only kept lines).
+- Order is preserved by carrying ``posexplode`` positions and
+  ``array_sort``-ing the collected (pos, line) structs — ``collect_list``
+  order is not deterministic across retries, the sort makes it so.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """(line, df): trimmed non-empty lines appearing in >= min_df docs."""
+    lines = docs.select(
+        F.col(id_column).alias("id"),
+        F.explode(F.split(F.col(text_column), "\n")).alias("raw_line"),
+    ).select("id", F.trim("raw_line").alias("line"))
+    return (
+        lines.where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """(id, clean_text, n_removed_lines): documents with corpus-global
+    boilerplate lines removed, original line order preserved.
+
+    A line is removed when its *trimmed* form is non-empty and occurs in
+    >= ``min_df`` distinct documents; empty/whitespace lines are kept as
+    document structure. Every document comes back exactly once (docs with
+    no text survive with clean_text = "").
+    """
+    bad = F.broadcast(
+        boilerplate_lines(docs, text_column, id_column, min_df).select(
+            F.col("line").alias("bad_line")
+        )
+    )
+    lines = docs.select(
+        F.col(id_column).alias("id"),
+        F.posexplode_outer(F.split(F.col(text_column), "\n")).alias(
+            "pos", "raw_line"
+        ),
+    )
+    marked = lines.join(
+        bad, F.trim(F.col("raw_line")) == F.col("bad_line"), "left"
+    ).select(
+        "id", "pos", "raw_line", F.col("bad_line").isNotNull().alias("is_bad")
+    )
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_bad"),
+                            F.struct(F.col("pos"), F.col("raw_line").alias("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(F.col("is_bad").cast("long")).alias("n_removed_lines"),
+    )
+    return rebuilt.select(
+        "id", F.coalesce("clean_text", F.lit("")).alias("clean_text"), "n_removed_lines"
+    )

@@ -1,0 +1,103 @@
+# -*- coding: utf-8 -*-
+"""M3 — Text cleaning (tokenize -> filter -> lemmatize -> normalize) as a
+struct pandas UDF.
+
+Spark-first re-expression of the reference's TextCleaner
+(text_cleaner.py:193-231): the whole per-document loop runs inside one
+Arrow batch; the output struct carries the cleaned text plus (optionally)
+one field per selected token filter when ``keep_filtered_tokens`` is on —
+the static schema replaces the reference's probe-first-5-rows schema dance
+(dku_io_utils.py:71-75).
+
+Language can be a constant (``language=``) or per-row
+(``language_column=``); per-row batches are grouped by language *inside*
+the UDF so per-language caches amortize without repartitioning the table by
+language (which would fight url-hash partitioning and re-introduce skew —
+SURVEY.md §7.4.6).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from dss_plugin_nlp_preparation_spark.functions.naming import generate_unique
+from dss_plugin_nlp_preparation_spark.nlp.tokenizer import FILTER_TOKEN_ATTRIBUTES
+
+CLEANED_DESCRIPTION = "Cleaned version of the original text"
+
+
+def clean_text(
+    df: DataFrame,
+    text_column: str,
+    language: str = "language_column",
+    language_column: str | None = None,
+    token_filters=frozenset({"is_space", "is_punct", "is_stop"}),
+    lemmatization: bool = True,
+    lowercase: bool = True,
+    unicode_normalization: str | None = None,
+    keep_filtered_tokens: bool = False,
+    stopwords_folder: str | None = None,
+) -> DataFrame:
+    """Append `<text>_cleaned` (+ one `<text>_<filter>s` column per selected
+    filter when keep_filtered_tokens)."""
+    token_filters = frozenset(token_filters)
+    filters_in_order = [k for k in FILTER_TOKEN_ATTRIBUTES if k in token_filters]
+
+    fields = [StructField("cleaned", StringType())]
+    out_names = {"cleaned": generate_unique("cleaned", df.columns, text_column)}
+    if keep_filtered_tokens:
+        existing = list(df.columns) + [out_names["cleaned"]]
+        for k in filters_in_order:
+            label = FILTER_TOKEN_ATTRIBUTES[k]
+            name = generate_unique(f"{label.lower()}s", existing, text_column)
+            existing.append(name)
+            out_names[k] = name
+            fields.append(StructField(k, StringType()))
+    result_type = StructType(fields)
+
+    @F.pandas_udf(result_type)
+    def _clean(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        from dss_plugin_nlp_preparation_spark.nlp.cleaner import clean_document
+
+        out = {name: [""] * len(texts) for name in result_type.fieldNames()}
+        # group by language within the Arrow batch (SURVEY.md §7.4.6)
+        by_lang: dict = {}
+        for i, (t, lang) in enumerate(zip(texts, langs)):
+            by_lang.setdefault(lang, []).append((i, t))
+        for lang, items in by_lang.items():
+            for i, t in items:
+                cleaned = clean_document(
+                    t,
+                    lang,
+                    token_filters,
+                    lemmatization=lemmatization,
+                    lowercase=lowercase,
+                    unicode_normalization=unicode_normalization,
+                    keep_filtered_tokens=keep_filtered_tokens,
+                    stopwords_folder=stopwords_folder,
+                )
+                out["cleaned"][i] = cleaned["cleaned"]
+                if keep_filtered_tokens:
+                    for k in filters_in_order:
+                        out[k][i] = cleaned.get(k, "")
+        return pd.DataFrame(out)
+
+    lang_expr = (
+        F.col(language_column)
+        if language == "language_column" and language_column
+        else F.lit(language)
+    )
+    result = df.withColumn("__clean__", _clean(F.col(text_column), lang_expr))
+    for field in result_type.fieldNames():
+        desc = (
+            CLEANED_DESCRIPTION
+            if field == "cleaned"
+            else f"{FILTER_TOKEN_ATTRIBUTES[field]}s in the original text"
+        )
+        result = result.withColumn(
+            out_names[field], F.col(f"__clean__.{field}")
+        ).withMetadata(out_names[field], {"comment": desc})
+    return result.drop("__clean__")

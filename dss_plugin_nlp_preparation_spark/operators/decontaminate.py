@@ -1,0 +1,140 @@
+# -*- coding: utf-8 -*-
+"""Benchmark decontamination — flag training documents that share word
+n-grams with an evaluation/benchmark set (the GPT-3/PaLM-style 13-gram
+overlap rule; Brown et al. 2020, appendix C).
+
+Spark-first shape for a 100 TB corpus:
+
+- The *benchmark* side is tiny (eval sets are thousands of documents):
+  its distinct n-gram digests are computed once and **broadcast**, so the
+  corpus-side probe is a map-side semi-join — zero shuffle of the corpus.
+- The *corpus* side builds n-gram digests with pure native expressions
+  (split → slice → concat_ws → md5 inside a single projection), so the
+  whole probe stays in whole-stage codegen; no Python, no explode-shuffle.
+- Matches are counted per document with ``size(array_intersect(...))``
+  against the broadcast digest set when it is small enough to inline, or
+  via explode + broadcast join for larger benchmark sets — both paths
+  keep the corpus un-shuffled.
+
+Digests are md5 over the space-joined lowercase n-gram so the DuckDB
+oracle can replay them exactly (xxhash64 would be Spark-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.quality import words_col
+
+
+def _ngram_digests(text, n: int):
+    """array<string> of md5 digests of the word ``n``-grams of ``text``.
+
+    Native expression: words = non-empty whitespace tokens of lower(text);
+    one digest per window ``slice(words, i, n)`` (1-based), empty array
+    when the document has fewer than ``n`` words.
+    """
+    words = words_col(F.lower(text))
+    n_windows = F.size(words) - F.lit(n - 1)
+    return F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_ngram_digests(
+    benchmark: DataFrame, text_column: str = "text", n: int = 13
+) -> DataFrame:
+    """(ngram_digest) — distinct word-n-gram digests of the benchmark set."""
+    return (
+        benchmark.select(
+            F.explode(_ngram_digests(F.col(text_column), n)).alias("ngram_digest")
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """(id, n_contaminated_ngrams, is_contaminated) for every document.
+
+    A document is contaminated when any of its word ``n``-grams appears in
+    the benchmark set. The benchmark digest relation is broadcast; the
+    corpus side is explode → broadcast hash semi-aggregation, so the only
+    shuffle is the final per-doc partial-aggregated count — and the
+    partial agg happens map-side on (id, digest) windows that never leave
+    their input partition before being reduced to one row per doc.
+    """
+    digests = F.broadcast(benchmark_ngram_digests(benchmark, text_column, n))
+    doc_grams = docs.select(
+        F.col(id_column).alias("id"),
+        F.explode_outer(_ngram_digests(F.col(text_column), n)).alias("ngram_digest"),
+    )
+    hits = (
+        doc_grams.join(digests, "ngram_digest", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_column).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def fuzzy_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_k: int = 5,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Append ``fuzzy_contaminated boolean``: does the document share a
+    MinHash band signature with any benchmark document?
+
+    Exact n-gram decontamination (``decontaminate``) misses paraphrased or
+    lightly-edited benchmark leakage; LSH banding catches documents whose
+    shingle sets are merely *similar* to a benchmark item (same estimator
+    as ``near_dup_pairs``, so thresholds tune identically).
+
+    Scale shape: the benchmark side (thousands of rows) is reduced to its
+    distinct band signatures and broadcast, so candidate detection is a
+    map-side semi-join over the corpus band projection — no corpus
+    shuffle; only the (small) hit-id set shuffles for the flag join back.
+    """
+    from dss_plugin_nlp_preparation_spark.operators.dedup import minhash_bands
+
+    corpus_bands = minhash_bands(df, text_column, id_column, shingle_k, num_bands)
+    bench_sigs = F.broadcast(
+        minhash_bands(benchmark, text_column, id_column, shingle_k, num_bands)
+        .select("band_id", "band_min")
+        .distinct()
+    )
+    hits = (
+        corpus_bands.join(bench_sigs, ["band_id", "band_min"], "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("fuzzy_contaminated", F.lit(True))
+        .withColumnRenamed("id", id_column)
+    )
+    return df.join(hits, id_column, "left").withColumn(
+        "fuzzy_contaminated", F.coalesce("fuzzy_contaminated", F.lit(False))
+    )

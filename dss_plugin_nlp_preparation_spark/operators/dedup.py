@@ -1,0 +1,667 @@
+# -*- coding: utf-8 -*-
+"""Deduplication operators for web-scale training data.
+
+All variants are pure DataFrame expressions (no Python UDFs), so they
+whole-stage-codegen and scale with shuffle-partition count:
+
+- ``exact_dedup``: hash-groupBy on md5(text) — one shuffle on a short key.
+- ``minhash_bands``: char-shingle MinHash where each band's signature is
+  the *lexicographic min of md5 hex digests* — hash-function-free, exactly
+  reproducible in any engine with md5 (the DuckDB oracle replays it).
+- ``near_dup_pairs``: LSH banding — docs sharing any band signature are
+  candidates; a band-signature groupBy avoids the classic O(n²) self-join.
+- ``simhash``: 32-bit SimHash over whitespace tokens; bit b of a token's
+  hash = high bit of hex digit b of md5(token) — again engine-portable.
+- ``ngram_jaccard_pairs``: exact Jaccard on shingle sets for candidate
+  pairs (verification stage after LSH).
+
+Scale notes: every groupBy here keys on a hash/signature — uniformly
+distributed by construction, so no salting needed; AQE handles residual
+skew (e.g. the empty-document signature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """Distinct char k-grams of lowercase text (empty-safe)."""
+    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n = F.length(t)
+    return F.when(n < k, F.array(t)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(t, i, k)
+            )
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_column: str = "text", id_column: str = "doc_id") -> DataFrame:
+    """One row per distinct text: (text_hash, canonical_id, dup_count)."""
+    return (
+        df.groupBy(F.md5(F.col(text_column)).alias("text_hash"))
+        .agg(
+            F.min(id_column).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_k: int = 5,
+    num_bands: int = 8,
+) -> DataFrame:
+    """(id, band_id, band_min): per-band MinHash signature.
+
+    Band b's per-shingle hash is the b-th disjoint 8-hex-char window of a
+    widened digest (md5(s) || md5('0'||s) || …): ceil(num_bands/4) md5
+    calls per shingle instead of num_bands, and the shingle/digest arrays
+    are materialized ONCE per row (a real projection, not an expression
+    inlined per band — Catalyst does not CSE across lambda bodies). The min
+    of a uniform hash window is the classic MinHash estimator; banding
+    gives LSH. Portable: the DuckDB oracle replays the same formula.
+    """
+    n_digests = (num_bands * 8 + 31) // 32
+    sh = _shingles(F.col(text_column), shingle_k)
+    digest = lambda s: F.concat(  # noqa: E731
+        *[F.md5(s) if i == 0 else F.md5(F.concat(F.lit(str(i)), s)) for i in range(n_digests)]
+    )
+    hashed = df.select(
+        F.col(id_column).alias("id"),
+        F.transform(sh, digest).alias("__digests"),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.array_min(
+                F.transform(
+                    F.col("__digests"),
+                    lambda h: h.substr(b.cast("int") * 8 + 1, F.lit(8)),
+                )
+            ).alias("band_min"),
+        ),
+    )
+    return hashed.select("id", F.explode(bands).alias("b")).select(
+        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_min").alias("band_min")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_k: int = 5,
+    num_bands: int = 8,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
+
+    groupBy(band signature) + in-group pairing — the shuffle is on the band
+    signature (uniform), and pair explosion only happens inside buckets.
+
+    ``max_bucket_size`` guards the O(bucket²) pair blow-up: a bucket larger
+    than the cap means a degenerate signature (boilerplate-dominated or
+    near-identical corpus slices) — those clusters belong to exact-dedup /
+    fingerprint grouping, not pairwise verification.
+
+    The cap is enforced BEFORE any id collection via a window count over
+    the band-signature partitioning: one scan of the (expensive) shingle
+    hashes, one shuffle, and the per-signature row buffer is WindowExec's
+    spill-safe array — a degenerate signature (empty docs, site
+    boilerplate) spills to disk instead of OOMing an aggregation buffer.
+    Only rows in signatures with 2..cap members reach collect_set, so the
+    collected array is provably ≤ cap. The follow-up groupBy keys on the
+    same columns, so it reuses the window's partitioning (no 2nd shuffle).
+    """
+    from pyspark.sql import Window
+
+    bands = minhash_bands(df, text_column, id_column, shingle_k, num_bands)
+    w = Window.partitionBy("band_id", "band_min")
+    kept = bands.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)
+    )
+    pairs = kept.groupBy("band_id", "band_min").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    ).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash bigint): ``bits``-bit SimHash over whitespace tokens.
+
+    Token bit b = high bit of hex digit b of a widened digest
+    md5(w) || md5('1'||w) || … (64 hex digits cover 64 bits with 2 md5
+    calls). Document bit b = majority vote over tokens. Bit 63 carries the
+    two's-complement sign (value -2^63), so the full 64-bit hash fits a
+    signed bigint exactly — portable to any engine with md5+substr.
+
+    64 bits (vs the 32 of round 1) keeps the collision rate useful at
+    corpus scale: at 10^12 docs, 32 bits collide constantly while 64-bit
+    hamming balls of radius 3 stay selective.
+    """
+    assert 1 <= bits <= 64
+    n_digests = (bits + 31) // 32
+    words = F.filter(
+        F.split(F.lower(F.col(text_column)), r"\s+"), lambda w: w != ""
+    )
+    digest = lambda w: F.concat(  # noqa: E731
+        *[F.md5(w) if i == 0 else F.md5(F.concat(F.lit(str(i)), w)) for i in range(n_digests)]
+    )
+    # materialize the per-token digests ONCE (a real projection): Catalyst
+    # does not CSE across lambda bodies, so inlining would md5 every token
+    # `bits` times over
+    hashed = df.select(
+        F.col(id_column).alias("id"), F.transform(words, digest).alias("__hs")
+    )
+    sign_bit = bits - 1 if bits == 64 else None
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                F.col("__hs"),
+                F.lit(0),
+                lambda a, h: a
+                + F.when(F.substring(h, b + 1, 1).isin(*_HI_HEX), F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            > 0,
+            # two's complement: bit 63 contributes -2^63, others +2^b
+            F.when(b == F.lit(sign_bit), F.lit(-(2**63)).cast("bigint")).otherwise(
+                F.pow(F.lit(2.0), b).cast("bigint")
+            )
+            if sign_bit is not None
+            else F.pow(F.lit(2.0), b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return hashed.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming): SimHash neighbor search via
+    bit-sampling banding.
+
+    Pigeonhole: with the 64-bit hash split into ``n_blocks`` equal blocks,
+    any pair within hamming distance < n_blocks must agree exactly on at
+    least one block — so candidate generation is a groupBy on (block_id,
+    block_value), never an all-pairs join. The bucket cap is enforced by a
+    window count over the block partitioning (single scan of the simhash
+    computation, spill-safe buffering — see :func:`near_dup_pairs`).
+    Verification is one xor+bit_count per candidate.
+
+    Requires ``max_hamming < n_blocks`` for exact recall (default 3 < 4).
+    """
+    from pyspark.sql import Window
+
+    assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    sh = simhash(df, text_column, id_column, bits)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.block_id", "b.block_val")
+    w = Window.partitionBy("block_id", "block_val")
+    kept = blocks.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)
+    )
+    grouped = kept.groupBy("block_id", "block_val").agg(
+        F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("items")
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("items"), i + 2, F.size("items")),
+                            lambda b: F.struct(
+                                a["id"].alias("id_a"),
+                                b["id"].alias("id_b"),
+                                F.bit_count(
+                                    a["simhash"].bitwiseXOR(b["simhash"])
+                                ).alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component): connected components of the near-dup pair graph by
+    iterative min-label propagation — the clustering step that turns
+    pairwise candidates into "keep one per duplicate cluster".
+
+    Each round every node adopts the minimum label among itself and its
+    neighbors; convergence (no label changed) is checked with one small
+    aggregate per round, so rounds = graph diameter, not max_iterations.
+    Labels and edges are persisted per round and the previous round is
+    unpersisted — lineage stays O(1) instead of growing by one join per
+    iteration. Near-dup graphs are overwhelmingly tiny cliques (diameter
+    1-2); for adversarial chain-shaped graphs at 10^12 scale, use
+    :func:`connected_components_star` — same (id, component) contract,
+    O(log^2 n) rounds independent of diameter.
+    """
+    spark = pairs.sparkSession
+    # the label/edge relations are tiny next to the corpus (one row per
+    # *duplicate* doc); size the iteration's shuffles to the graph, not to
+    # the corpus-level spark.sql.shuffle.partitions
+    n_part = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    # localCheckpoint (not persist) — each round below references `labels`
+    # three times, so without lineage truncation the logical plan grows
+    # ~3x per round on top of the upstream LSH DAG and the driver OOMs
+    # just *printing* the plan. Checkpointing cuts the plan to a leaf each
+    # round: O(1) plan size for any number of rounds. On a multi-executor
+    # cluster swap localCheckpoint for reliable checkpoint() (HDFS/S3
+    # checkpoint dir) so the iteration survives executor loss.
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .repartition(n_part, "d")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .repartition(n_part, "id")
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # one round: every node adopts min(self, neighbors, neighbors'
+        # labels-of-labels) — the extra label->label hop is pointer
+        # doubling, collapsing convergence from diameter to ~log(diameter)
+        neighbor_min = (
+            edges.join(labels, edges.d == labels.id)
+            .groupBy("s")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        lbl2 = labels.select(
+            F.col("id").alias("l_id"), F.col("component").alias("l_comp")
+        )
+        hop2 = (
+            labels.join(lbl2, labels.component == lbl2.l_id)
+            .groupBy(labels.id)
+            .agg(F.min("l_comp").alias("hop_min"))
+            .select(F.col("id").alias("h_id"), "hop_min")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
+            .join(hop2, labels.id == hop2.h_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                    F.coalesce(F.col("hop_min"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.least(
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                        F.coalesce(F.col("hop_min"), F.col("component")),
+                    )
+                    < F.col("component")
+                ).alias("__changed"),
+            )
+            .repartition(n_part, "id")
+            .localCheckpoint()
+        )
+        changed = new_labels.where("__changed").count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    """(count, hash-xor) fingerprint of a distinct edge set — one tiny
+    aggregate, used as the alternating-star convergence test. XOR (not
+    sum) so the fold can't overflow under ANSI mode and is order-free;
+    edges are distinct so nothing self-cancels."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _large_star(edges: DataFrame, n_part: int) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14): every node connects its
+    strictly-larger neighbors to the minimum of its closed neighborhood."""
+    adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = adj.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    m = mins.select("u", F.least("nbr_min", "u").alias("m"))
+    return (
+        adj.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+        .repartition(n_part, "u")
+    )
+
+
+def _small_star(edges: DataFrame, n_part: int) -> DataFrame:
+    """Small-star round: every node connects its strictly-smaller
+    neighbors (and itself) to the minimum among them."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mn = e.groupBy("u").agg(F.min("v").alias("m"))
+    child_edges = (
+        e.join(mn, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center_edges = mn.select("u", F.col("m").alias("v"))
+    return child_edges.union(center_edges).distinct().repartition(n_part, "u")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, component): connected components by large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the scale path for adversarial graph shapes.
+
+    Min-label propagation (:func:`connected_components`) needs rounds
+    proportional to (log of) the graph diameter and keeps the *full* edge
+    set in every round's join. The alternating-star algorithm instead
+    rewrites the edge set itself each round, provably converging in
+    O(log^2 n) rounds regardless of diameter, with the edge set shrinking
+    toward one star per component — each round's shuffle gets cheaper.
+    Same output contract as :func:`connected_components`: one row per
+    node that appears in ``pairs``, ``component`` = min node id of its
+    component (star center at convergence).
+
+    Per round the edge relation is localCheckpoint'd — same lineage-
+    truncation requirement as the label-propagation variant (swap for
+    reliable checkpoint() on a real cluster).
+    """
+    spark = pairs.sparkSession
+    n_part = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+        .repartition(n_part, "u")
+        .localCheckpoint()
+    )
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges, n_part), n_part).localCheckpoint()
+        new_fp = _edge_fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # converged: every edge is (child, center); centers are component minima
+    canon = edges.select(
+        F.greatest("u", "v").alias("id"), F.least("u", "v").alias("component")
+    )
+    roots = canon.select(F.col("component").alias("id")).distinct()
+    result = canon.union(
+        roots.select("id", F.col("id").alias("component"))
+    ).distinct()
+    # nodes whose only rows in `pairs` are self-pairs were dropped by the
+    # src != dst filter above; emit them as their own singleton component
+    # so the output contract matches connected_components exactly
+    self_only = (
+        pairs.where(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("id"))
+        .distinct()
+        .join(result.select("id"), "id", "left_anti")
+    )
+    return result.union(self_only.select("id", F.col("id").alias("component")))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_k: int = 5,
+    num_bands: int = 8,
+    max_bucket_size: int = 64,
+    algorithm: str = "label_prop",
+) -> DataFrame:
+    """(id, cluster_id, is_canonical): every document labeled with its
+    near-duplicate cluster (cluster_id = min doc id in the component;
+    singletons are their own cluster). ``is_canonical`` marks the one row
+    per cluster a training pipeline keeps.
+
+    ``algorithm``: "label_prop" (pointer-doubled min-label propagation —
+    fastest on the tiny-clique graphs LSH actually produces) or "star"
+    (alternating large-star/small-star — diameter-independent scale path).
+    Both yield identical output.
+    """
+    if algorithm not in ("label_prop", "star"):
+        raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
+    pairs = near_dup_pairs(
+        df, text_column, id_column, shingle_k, num_bands, max_bucket_size
+    )
+    cc = connected_components if algorithm == "label_prop" else connected_components_star
+    comps = cc(pairs)
+    all_ids = df.select(F.col(id_column).alias("id"))
+    labeled = all_ids.join(comps, "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster_id")
+    )
+    return labeled.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_k: int = 5,
+    num_bands: int = 8,
+    min_jaccard: float = 0.0,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Exact shingle-Jaccard for LSH candidate pairs:
+    (id_a, id_b, jaccard). Verification stage of the dedup pipeline."""
+    sh = df.select(
+        F.col(id_column).alias("id"),
+        _shingles(F.col(text_column), shingle_k).alias("shingles"),
+    )
+    pairs = near_dup_pairs(
+        df, text_column, id_column, shingle_k, num_bands, max_bucket_size
+    )
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 32,
+    max_span_count: int = 10_000,
+) -> DataFrame:
+    """Exact-substring duplication stats (simplified Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): split
+    each document into non-overlapping ``window``-token spans, hash each
+    span, and report how much of the document is made of spans that occur
+    elsewhere in the corpus.
+
+    Output: ``(doc_id, n_spans, n_dup_spans, dup_span_frac)`` where a span
+    is duplicated iff its md5 occurs >1 time corpus-wide (identical docs
+    count — exact duplicates are maximally duplicated). Unlike the full
+    suffix-array construction this is window-aligned (a duplicate shifted
+    by <window tokens is missed), which is the standard scalable
+    relaxation; MinHash/SimHash cover the fuzzy cases.
+
+    Scale shape: one explode into spans, a two-phase count on uniform
+    md5 keys (map-side combined), and a join back keyed by span hash.
+    ``max_span_count`` caps the per-hash count to bound the join-side agg
+    value, not the bucket (counts, not collect).
+    """
+    from dss_plugin_nlp_preparation_spark.operators.sampling import chunk_documents
+
+    spans = chunk_documents(
+        df, text_column=text_column, id_column=id_column, chunk_size=window
+    ).select("id", F.md5("chunk_text").alias("h"))
+    counts = spans.groupBy("h").agg(
+        F.least(F.count(F.lit(1)), F.lit(max_span_count)).alias("c")
+    )
+    per_doc = (
+        spans.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("c") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_column).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_column),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 32,
+) -> DataFrame:
+    """Exact-substring duplicate *removal* (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): emit each
+    document's text with corpus-duplicated window-aligned spans excised,
+    keeping only the globally-first occurrence of every span — first =
+    min ``(doc_id, chunk_id)``, deterministic under any partitioning,
+    retry, or AQE re-plan. This is the text :func:`duplicate_span_stats`
+    only reports on: what a training-data pipeline actually feeds the
+    tokenizer after exact-substring dedup.
+
+    Output: ``(doc_id, text_dedup_spans, n_spans, n_removed_spans)``.
+    The reconstructed text is whitespace-normalized (tokens joined by a
+    single space) — the same normalization the span hashing uses, so a
+    second pass over the output is a fixed point.
+
+    Scale shape: one chunk explode, one groupBy on uniform md5 span keys
+    (map-side combined ``min(struct)``), one join back keyed by span
+    hash, one per-document agg (``collect_list`` bounded by document
+    size). No driver collection, no windows over corpus-scale keys.
+    """
+    from dss_plugin_nlp_preparation_spark.operators.sampling import chunk_documents
+
+    spans = chunk_documents(
+        df, text_column=text_column, id_column=id_column, chunk_size=window
+    ).select("id", "chunk_id", "chunk_text", F.md5("chunk_text").alias("h"))
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct("id", "chunk_id")).alias("first")
+    )
+    marked = spans.join(firsts, "h").withColumn(
+        "keep_span",
+        (F.col("id") == F.col("first.id"))
+        & (F.col("chunk_id") == F.col("first.chunk_id")),
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((~F.col("keep_span")).cast("long")).alias("n_removed_spans"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep_span"), F.struct("chunk_id", "chunk_text"))
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("text_dedup_spans"),
+    )
+    return (
+        df.select(F.col(id_column).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_column),
+            F.coalesce("text_dedup_spans", F.lit("")).alias("text_dedup_spans"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_removed_spans", F.lit(0)).cast("long").alias("n_removed_spans"),
+        )
+    )

@@ -1,0 +1,32 @@
+# -*- coding: utf-8 -*-
+"""Document fingerprinting (winnowing-style, engine-portable).
+
+Fingerprint = md5 of the sorted, comma-joined set of *sampled* shingle
+hashes; a shingle hash is sampled when its md5 hex starts with '0'
+(deterministic 1/16 mod-p sampling — the streaming-friendly cousin of
+winnowing). Two documents share a fingerprint iff their sampled shingle
+sets are identical; the sampled set itself supports containment queries.
+
+Pure column expressions; the DuckDB oracle replays the identical formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.dedup import _shingles
+
+
+def fingerprint_expr(text: Column, shingle_k: int = 8) -> Column:
+    hashes = F.transform(_shingles(text, shingle_k), lambda s: F.md5(s))
+    sampled = F.filter(hashes, lambda h: F.substring(h, 1, 1) == "0")
+    # fall back to the full hash set when sampling leaves nothing (short docs)
+    effective = F.when(F.size(sampled) > 0, sampled).otherwise(hashes)
+    return F.md5(F.array_join(F.array_sort(effective), ","))
+
+
+def add_fingerprint(
+    df: DataFrame, text_column: str = "text", shingle_k: int = 8
+) -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_expr(F.col(text_column), shingle_k))

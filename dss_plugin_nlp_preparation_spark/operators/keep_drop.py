@@ -1,0 +1,83 @@
+# -*- coding: utf-8 -*-
+"""Stage F — keep/drop decision + quality score.
+
+Combines Stage D signals into `keep boolean`, `drop_reason string` (first
+failing rule, evaluated in a fixed documented order) and
+`quality_score double` in [0,1]. Pure column expressions; the formula IS
+the spec and the DuckDB oracle re-derives it verbatim.
+
+Rule order (first failure wins — F.when chain):
+  too_short, too_long, mean_word_len_out_of_bounds, low_stopword_ratio,
+  high_symbol_ratio, high_digit_ratio, repeated_lines, low_lang_score.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class KeepDropThresholds:
+    min_words: int = 10
+    max_words: int = 100_000
+    min_mean_word_len: float = 2.0
+    max_mean_word_len: float = 12.0
+    min_stopword_ratio: float = 0.05
+    max_symbol_word_ratio: float = 0.30
+    max_digit_ratio: float = 0.20
+    max_dup_line_frac: float = 0.30
+    min_lang_score: float = 0.20
+
+
+DEFAULT_THRESHOLDS = KeepDropThresholds()
+
+
+def add_keep_drop(
+    df: DataFrame,
+    thresholds: KeepDropThresholds = DEFAULT_THRESHOLDS,
+    lang_score_column: str | None = None,
+) -> DataFrame:
+    """Append keep/drop_reason/quality_score. Requires Stage D columns."""
+    t = thresholds
+    checks = [
+        ("too_short", F.col("n_words") < t.min_words),
+        ("too_long", F.col("n_words") > t.max_words),
+        (
+            "word_len_oob",
+            (F.col("mean_word_len") < t.min_mean_word_len)
+            | (F.col("mean_word_len") > t.max_mean_word_len),
+        ),
+        ("low_stopword_ratio", F.col("stopword_ratio") < t.min_stopword_ratio),
+        ("high_symbol_ratio", F.col("symbol_word_ratio") > t.max_symbol_word_ratio),
+        ("high_digit_ratio", F.col("digit_ratio") > t.max_digit_ratio),
+        ("repeated_lines", F.col("dup_line_frac") > t.max_dup_line_frac),
+    ]
+    if lang_score_column:
+        checks.append(
+            (
+                "low_lang_score",
+                F.coalesce(F.col(lang_score_column), F.lit(0.0)) < t.min_lang_score,
+            )
+        )
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+
+    # quality_score: 1 minus bounded penalties (deterministic, documented)
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(0.4), F.col("dup_line_frac"))
+        - F.least(F.lit(0.3), F.col("symbol_word_ratio"))
+        - F.least(F.lit(0.2), F.col("digit_ratio"))
+        - F.when(
+            F.col("stopword_ratio") < t.min_stopword_ratio, F.lit(0.2)
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("drop_reason", reason)
+        .withColumn("keep", reason.isNull())
+        .withColumn("quality_score", F.round(F.greatest(F.lit(0.0), score), 4))
+    )

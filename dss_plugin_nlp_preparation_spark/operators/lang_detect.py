@@ -1,0 +1,86 @@
+# -*- coding: utf-8 -*-
+"""M1 — Language detection as a vectorized struct pandas UDF.
+
+Re-expresses the reference recipe (custom-recipes/nlp-preparation-language-
+detection/recipe.py + language_detector.py:112-123) Spark-first:
+
+- one scalar pandas UDF returning ``struct<language_code, language_name,
+  language_score>``; Catalyst plans it as a single ArrowEvalPython node, so
+  detection composes with pushed-down filters and column pruning;
+- the detector model is an executor-singleton (module-level lru_cache keyed
+  by the parameter tuple) — built once per Python worker, reused across all
+  Arrow batches (replaces the reference's driver-side eager init +
+  4-thread chunk loop, language_detector.py:119-120);
+- output columns get collision-safe names prefixed by the text column
+  (parity: generate_unique, plugin_io_utils.py:80-103).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from dss_plugin_nlp_preparation_spark.functions.naming import generate_unique
+
+_RESULT_TYPE = StructType(
+    [
+        StructField("language_code", StringType()),
+        StructField("language_name", StringType()),
+        StructField("language_score", DoubleType()),
+    ]
+)
+
+COLUMN_DESCRIPTIONS = {
+    "language_code": "Language code in ISO 639-1 format",
+    "language_name": "Language name in ISO 639-1 format",
+    "language_score": "Probability score of the predicted language from 0 to 1",
+}
+
+
+@lru_cache(maxsize=8)
+def _identifier(scope: tuple | None, minimum_score: float, fallback: str):
+    from dss_plugin_nlp_preparation_spark.nlp.langid import LanguageIdentifier
+
+    return LanguageIdentifier(
+        language_scope=list(scope) if scope else None,
+        minimum_score=minimum_score,
+        fallback_language=fallback,
+    )
+
+
+def detect_language(
+    df: DataFrame,
+    text_column: str,
+    language_scope=None,
+    minimum_score: float = 0.0,
+    fallback_language: str = "",
+) -> DataFrame:
+    """Append `<text>_language_code/_language_name/_language_score`."""
+    scope = tuple(language_scope) if language_scope else None
+
+    # driver-side pre-warm: writes the LID matrix cache to local disk so
+    # executor workers load instead of rebuilding
+    from dss_plugin_nlp_preparation_spark.nlp.langid import warm_caches
+
+    warm_caches()
+
+    @F.pandas_udf(_RESULT_TYPE)
+    def _detect(texts: pd.Series) -> pd.DataFrame:
+        det = _identifier(scope, minimum_score, fallback_language)
+        rows = [det.detect(t) for t in texts]
+        return pd.DataFrame(rows, columns=["language_code", "language_name", "language_score"])
+
+    out_names = {
+        k: generate_unique(k, df.columns, text_column) for k in COLUMN_DESCRIPTIONS
+    }
+    struct_col = _detect(F.col(text_column))
+    result = df.withColumn("__lid__", struct_col)
+    for field, out in out_names.items():
+        result = result.withColumn(out, F.col(f"__lid__.{field}")).withMetadata(
+            out, {"comment": COLUMN_DESCRIPTIONS[field]}
+        )
+    return result.drop("__lid__")

@@ -1,0 +1,187 @@
+# -*- coding: utf-8 -*-
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode/feature-extraction runs in ``mapInPandas`` batches.
+The actual decoders are STUBBED (image/audio libraries are not available in
+this environment) behind ``decode_stub`` — a deterministic fake that hashes
+the payload into a fixed-length feature vector — while the Spark-side
+plumbing (schema, batching, partition behaviour) is real and tested.
+
+At 100 TB scale binary payloads dominate row width: the operators here
+project metadata early (column pruning drops the payload as soon as
+features are extracted) and cap Arrow batch bytes via
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 16
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_stub(payload: bytes) -> list:
+    """Deterministic fake decoder: 16 floats derived from md5(payload).
+
+    Replace with a real decoder (PIL/librosa/ffmpeg) in production:
+    raise NotImplementedError there when the codec is unsupported.
+    """
+    if payload is None:
+        payload = b""
+    h = hashlib.md5(bytes(payload)).digest()
+    return [b / 255.0 for b in h]
+
+
+def extract_media_features(
+    df: DataFrame,
+    payload_column: str = "html",
+    url_column: str = "url",
+    media_type: str = "binary",
+) -> DataFrame:
+    """mapInPandas: (url, media_type, byte_len, feature[16]).
+
+    The payload column is consumed inside the UDF and pruned from the
+    output — downstream stages never reshuffle megabyte-scale binaries.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_column]
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_column].astype(str),
+                    "media_type": media_type,
+                    "byte_len": payloads.map(lambda b: 0 if b is None else len(b)).astype("int32"),
+                    "feature": payloads.map(decode_stub),
+                }
+            )
+
+    return df.select(url_column, payload_column).mapInPandas(
+        _extract, MEDIA_FEATURE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb_len", IntegerType()),
+        StructField("thumb_digest", StringType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> tuple:
+    """Deterministic fake resize: a real implementation decodes with PIL,
+    resizes to (width, height) and re-encodes; the stub derives a fake
+    thumbnail whose length and digest are md5-determined, so the Spark
+    plumbing is hash-verifiable in any engine. The salt is the ASCII
+    'WxH' string (replayable: md5(payload || 'WxH'))."""
+    if payload is None:
+        payload = b""
+    digest = hashlib.md5(bytes(payload) + f"{width}x{height}".encode()).hexdigest()
+    # fake thumbnail size: bounded by the target area, derived from digest
+    thumb_len = int(digest[:4], 16) % (width * height) if width * height else 0
+    return thumb_len, digest
+
+
+def resize_images(
+    df: DataFrame,
+    payload_column: str = "html",
+    url_column: str = "url",
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """mapInPandas: (url, width, height, thumb_len, thumb_digest).
+
+    Resize runs where the payload lives — the megabyte blob is read once
+    per batch and only thumbnail-sized metadata leaves the UDF (payload
+    pruned from the output), so downstream stages never shuffle raw images.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, digests = [], []
+            for payload in pdf[payload_column]:
+                tl, dg = resize_stub(payload, width, height)
+                lens.append(tl)
+                digests.append(dg)
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_column].astype(str),
+                    "width": pd.array([width] * len(pdf), dtype="int32"),
+                    "height": pd.array([height] * len(pdf), dtype="int32"),
+                    "thumb_len": pd.array(lens, dtype="int32"),
+                    "thumb_digest": digests,
+                }
+            )
+
+    return df.select(url_column, payload_column).mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("frame_index", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def sample_frames_stub(payload: bytes, n_frames: int) -> list:
+    """Deterministic fake frame sampler: n_frames feature vectors derived
+    from md5(payload || ascii(frame_index)). A real implementation decodes
+    with ffmpeg and samples every k-th keyframe; the Spark-side contract
+    (one output row per (url, frame)) is identical. The ASCII salt keeps
+    the stub replayable in any engine with md5 over strings."""
+    if payload is None:
+        payload = b""
+    return [decode_stub(bytes(payload) + str(i).encode()) for i in range(n_frames)]
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_column: str = "html",
+    url_column: str = "url",
+    n_frames: int = 4,
+) -> DataFrame:
+    """mapInPandas: one row per sampled frame — (url, frame_index,
+    feature[16]). The frame explosion happens inside the UDF batch, so the
+    binary payload is read once and never shuffled."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, feats = [], [], []
+            for url, payload in zip(pdf[url_column], pdf[payload_column]):
+                for i, feat in enumerate(sample_frames_stub(payload, n_frames)):
+                    urls.append(str(url))
+                    idxs.append(i)
+                    feats.append(feat)
+            yield pd.DataFrame(
+                {"url": urls, "frame_index": pd.array(idxs, dtype="int32"), "feature": feats}
+            )
+
+    return df.select(url_column, payload_column).mapInPandas(_frames, FRAME_SCHEMA)

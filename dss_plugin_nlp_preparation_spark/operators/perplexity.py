@@ -1,0 +1,423 @@
+# -*- coding: utf-8 -*-
+"""KenLM-style n-gram perplexity scoring as vectorized pandas UDFs.
+
+The north rule calls for "KenLM-style n-gram perplexity scoring run inside
+vectorized pandas/Arrow UDFs (models broadcast once per executor)". Two
+models, mirroring the real KenLM workflow (train on a reference corpus,
+score the web text):
+
+- **Dictionary unigram** (``add_perplexity``): add-α smoothed word-unigram
+  built deterministically from the per-language frequency dictionaries (the
+  same resources the spellchecker uses). Zero-setup fluency prior.
+- **Corpus bigram with unigram backoff** (``train_bigram_lm`` +
+  ``add_perplexity_bigram``): bigram conditionals are *trained as a Spark
+  job* (tokenize in an Arrow UDF, count with a JVM groupBy — the classic
+  KenLM lmplz counting pass, distributed), then scored per document with
+  interpolated backoff  P(w2|w1) = λ·P_bi(w2|w1) + (1-λ)·P_uni(w2).
+  Unlike a unigram model this separates fluent text from shuffled text
+  (word order changes the bigram term).
+
+Models are executor singletons; disk caches live in per-user 0700 dirs in a
+non-executable serialization (marshal) and are ownership-checked before
+load (see nlp.resources.secure_cache_dir).
+
+Output: ``log_ppl`` (natural-log perplexity per token; lower = more
+fluent). Documents in languages without a model get NULL.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+)
+
+from dss_plugin_nlp_preparation_spark.nlp import resources
+
+_ALPHA = 0.4
+_LAMBDA = 0.75  # bigram interpolation weight (backoff mass = 1 - λ)
+_PUNCT_STRIP = ".,!?;:\"'()"
+
+_MODEL_VOCAB_CAP = 50_000  # top terms are ample for LM scoring
+
+
+@lru_cache(maxsize=32)
+def _unigram_model(language: str, folder: str | None):
+    """Executor-singleton LM, marshal-cached on local disk so one node's
+    Python workers build it once (same pattern as the SymSpell index)."""
+    import marshal
+    import os
+
+    folder_eff = folder or resources.dictionary_folder()
+    path = os.path.join(folder_eff, f"{language}.txt") if folder_eff else None
+    if not path or not os.path.isfile(path):
+        return None
+    st = os.stat(path)
+    cache_dir = resources.secure_cache_dir("nlp_spark_lm_cache")
+    cache_file = (
+        os.path.join(cache_dir, f"lm_{language}_{st.st_size}_{st.st_mtime_ns}.marshal")
+        if cache_dir
+        else None
+    )
+    if cache_file and os.path.isfile(cache_file):
+        try:
+            with resources.open_owned(cache_file) as f:
+                return marshal.load(f)
+        except Exception:
+            pass
+    freqs = resources.load_frequency_dict(language, folder_eff)
+    if not freqs:
+        return None
+    if len(freqs) > _MODEL_VOCAB_CAP:
+        freqs = dict(
+            sorted(freqs.items(), key=lambda kv: -kv[1])[:_MODEL_VOCAB_CAP]
+        )
+    total = sum(freqs.values())
+    vocab = len(freqs)
+    denom = total + _ALPHA * (vocab + 1)
+    logp = {w: math.log((c + _ALPHA) / denom) for w, c in freqs.items()}
+    unk = math.log(_ALPHA / denom)
+    model = (logp, unk)
+    if cache_file:
+        try:
+            tmp = cache_file + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                marshal.dump(model, f)
+            os.replace(tmp, cache_file)
+        except OSError:
+            pass
+    return model
+
+
+def _doc_log_ppl(text: str, model) -> float | None:
+    """Single-document scorer (kept for the in-process reference path)."""
+    logp, unk = model
+    words = str(text).lower().split()
+    if not words:
+        return None
+    total = sum(logp.get(w.strip(_PUNCT_STRIP), unk) for w in words)
+    return round(-total / len(words), 4)
+
+
+def score_unigram_pandas(
+    texts: pd.Series, langs: pd.Series, dictionary_folder: str | None = None
+) -> pd.Series:
+    """Vectorized unigram scorer: split -> explode -> dict-map ->
+    groupby-mean all run in C. Shared verbatim by the Spark UDF and the
+    single-process frozen-oracle replay (tools/freeze_oracles.py), so both
+    paths round identically."""
+    import numpy as np
+
+    out = pd.Series(np.nan, index=texts.index, dtype="float64")
+    eff_langs = langs.fillna("en").replace("", "en")
+    for lang in eff_langs.unique():
+        model = _unigram_model(lang, dictionary_folder)
+        mask = (eff_langs == lang) & texts.notna()
+        if model is None or not mask.any():
+            continue
+        logp, unk = model
+        words = texts[mask].str.lower().str.split()
+        exploded = words.explode()
+        valid = exploded.notna()
+        if valid.any():
+            lp = exploded[valid].str.strip(_PUNCT_STRIP).map(logp).fillna(unk)
+            per_doc = -lp.groupby(level=0).mean()
+            out.loc[per_doc.index] = per_doc.round(4)
+    return out
+
+
+def add_perplexity(
+    df: DataFrame,
+    text_column: str = "text",
+    language_column: str | None = "lang",
+    dictionary_folder: str | None = None,
+) -> DataFrame:
+    """Append ``log_ppl double`` (NULL when no LM for the language)."""
+
+    @F.pandas_udf(DoubleType())
+    def _ppl(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        return score_unigram_pandas(texts, langs, dictionary_folder)
+
+    lang_expr = F.col(language_column) if language_column else F.lit("en")
+    return df.withColumn("log_ppl", _ppl(F.col(text_column), lang_expr))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM (KenLM counting pass as a Spark job)
+# ---------------------------------------------------------------------------
+
+_TOKENS_TYPE = ArrayType(StringType())
+
+
+@F.pandas_udf(_TOKENS_TYPE)
+def _lm_tokens(texts: pd.Series) -> pd.Series:
+    """Shared LM tokenization (train AND score use this exact function, so
+    there is no JVM-regex vs Python-split divergence): lowercase, split on
+    Python unicode whitespace, strip edge punctuation, drop empties."""
+
+    def tok(t):
+        if t is None:
+            return []
+        return [w for w in (x.strip(_PUNCT_STRIP) for x in str(t).lower().split()) if w]
+
+    return texts.map(tok)
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_column: str = "text",
+    language_column: str | None = "lang",
+    max_bigrams_per_lang: int = 500_000,
+    cache_counts: bool = True,
+) -> DataFrame:
+    """Distributed LM training: returns (lang, w1, w2, n) counts.
+
+    Rows with ``w1 IS NULL`` are unigram counts for w2 (including one row
+    with ``w2 IS NULL`` per lang carrying the total token count). The heavy
+    lifting is ONE pass: tokenize once (Arrow UDF), zip each token with its
+    successor (``arrays_zip`` of the array and its shift — O(tokens), no
+    quadratic index probing), explode once, and aggregate bigram counts,
+    unigram counts, and per-language totals together via GROUPING SETS —
+    the same counting cascade kenlm's lmplz performs, in a single shuffle
+    with map-side partial aggregation. ``max_bigrams_per_lang`` prunes the
+    long tail deterministically (count desc, then w1/w2 asc) to bound model
+    size.
+    """
+    from pyspark.sql import Window
+
+    lang = (
+        F.coalesce(F.col(language_column), F.lit("en"))
+        if language_column
+        else F.lit("en")
+    )
+    toks = df.select(lang.alias("lang"), _lm_tokens(F.col(text_column)).alias("toks"))
+    n = F.size("toks")
+    # (w_i, w_{i+1}) for every token, the last token of a doc pairing with
+    # NULL — so each token appears exactly once as w1 (unigram counts fall
+    # out of the same exploded relation, no second tokenization pass)
+    shifted = F.concat(
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
+    )
+    pairs = toks.where(n >= 1).select(
+        "lang",
+        F.explode(F.arrays_zip(F.col("toks").alias("w1"), shifted.alias("w2"))).alias(
+            "p"
+        ),
+    ).select("lang", "p.w1", "p.w2")
+    # gid 0 = (lang,w1,w2) pair counts; gid 1 = (lang,w1) token counts;
+    # gid 3 = (lang) totals. The expand operator triples rows *before* the
+    # partial aggregate, so the shuffle still carries only distinct keys.
+    agg = pairs.groupingSets(
+        [["lang", "w1", "w2"], ["lang", "w1"], ["lang"]], "lang", "w1", "w2"
+    ).agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+    if cache_counts:
+        # the three consumers below (bigram prune, unigram selection,
+        # totals) are separate union branches; Spark does not reuse the
+        # aggregation exchange across them (distinct PythonUDF instances
+        # defeat plan canonicalization), so without this the corpus would
+        # be tokenized three times. The cached relation holds only the
+        # distinct-count table (the standard KenLM intermediate), spilling
+        # to disk if it outgrows executor memory; on a cluster-scale run
+        # write it to a table instead and read it back.
+        from pyspark.storagelevel import StorageLevel
+
+        agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+    bi_counts = agg.where((F.col("gid") == 0) & F.col("w2").isNotNull()).select(
+        "lang", "w1", "w2", "n"
+    )
+    # Two-phase top-k prune. A single Window.partitionBy(lang) would pull
+    # every distinct bigram of a language through ONE task — billions of
+    # rows per language at web scale. Phase 1 takes the per-(lang, salt)
+    # top-k under the same total order, which is provably a superset of
+    # the global top-k (any global top-k row is top-k within its own salt
+    # bucket); phase 2 ranks only the <= n_salt * k survivors.
+    order = (F.desc("n"), F.asc("w1"), F.asc("w2"))
+    n_salt = 32
+    w_salted = Window.partitionBy(
+        "lang", F.pmod(F.xxhash64("w1", "w2"), F.lit(n_salt))
+    ).orderBy(*order)
+    w_lang = Window.partitionBy("lang").orderBy(*order)
+    bi_counts = (
+        bi_counts.withColumn("__r", F.row_number().over(w_salted))
+        .where(F.col("__r") <= max_bigrams_per_lang)
+        .withColumn("__r", F.row_number().over(w_lang))
+        .where(F.col("__r") <= max_bigrams_per_lang)
+        .drop("__r")
+    )
+    uni_counts = agg.where(F.col("gid") == 1).select(
+        "lang", F.lit(None).cast("string").alias("w1"), F.col("w1").alias("w2"), "n"
+    )
+    totals = agg.where(F.col("gid") == 3).select(
+        "lang",
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        "n",
+    )
+    return bi_counts.unionByName(uni_counts).unionByName(totals)
+
+
+def build_bigram_model(counts: list) -> dict:
+    """(lang,w1,w2,n) rows -> {lang: (bi_p, uni_p, unk_p)} where bi_p maps
+    'w1\\x00w2' -> P(w2|w1) and uni_p maps w -> add-α P(w). Pure-Python so
+    the frozen-oracle replay shares it byte-for-byte with the UDF."""
+    per_lang: dict = {}
+    for lang, w1, w2, n in counts:
+        d = per_lang.setdefault(lang, {"bi": {}, "uni": {}, "total": 0})
+        if w1 is None and w2 is None:
+            d["total"] = n
+        elif w1 is None:
+            d["uni"][w2] = n
+        else:
+            d["bi"][(w1, w2)] = n
+    models: dict = {}
+    for lang, d in per_lang.items():
+        uni, total = d["uni"], d["total"]
+        vocab = len(uni)
+        denom = total + _ALPHA * (vocab + 1)
+        uni_p = {w: (c + _ALPHA) / denom for w, c in uni.items()}
+        unk_p = _ALPHA / denom
+        bi_p = {
+            f"{w1} {w2}": c / uni[w1]
+            for (w1, w2), c in d["bi"].items()
+            if uni.get(w1)
+        }
+        models[lang] = (bi_p, uni_p, unk_p)
+    return models
+
+
+def score_tokens_bigram(toks: list, model) -> float | None:
+    """Single-document interpolated-backoff scorer (reference path for the
+    frozen oracle; the UDF vectorizes the identical formula)."""
+    if not toks:
+        return None
+    bi_p, uni_p, unk_p = model
+    total = 0.0
+    prev = None
+    for w in toks:
+        pu = uni_p.get(w, unk_p)
+        pb = bi_p.get(f"{prev} {w}", 0.0) if prev is not None else 0.0
+        total += math.log(_LAMBDA * pb + (1.0 - _LAMBDA) * pu)
+        prev = w
+    return round(-total / len(toks), 4)
+
+
+@lru_cache(maxsize=4)
+def _load_models_from_path(path: str) -> dict:
+    """Executor-side model loader for the too-big-to-collect path: read
+    the pruned (lang, w1, w2, n) counts parquet with pyarrow (no Spark in
+    the worker) and build the scoring dicts ONCE per Python worker process
+    (lru_cache = the executor-singleton pattern; workers are reused across
+    tasks, so each core pays the load once per job, not per batch)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["lang", "w1", "w2", "n"])
+    d = t.to_pydict()
+    return build_bigram_model(
+        list(zip(d["lang"], d["w1"], d["w2"], d["n"]))
+    )
+
+
+def add_perplexity_bigram(
+    df: DataFrame,
+    lm_counts: DataFrame,
+    text_column: str = "text",
+    language_column: str | None = "lang",
+    max_driver_rows: int = 2_000_000,
+    model_path: str | None = None,
+) -> DataFrame:
+    """Append ``log_ppl double`` scored against a trained bigram LM.
+
+    ``lm_counts`` is the pruned output of ``train_bigram_lm``. Two ways
+    the model reaches the executors, chosen by size:
+
+    - **broadcast** (default, counts ≤ ``max_driver_rows``): collect once
+      on the driver, ship as a Spark broadcast — fetched once per executor
+      and shared by its Python workers, instead of riding inside every
+      task's serialized closure.
+    - **persist-and-load-per-executor** (``model_path`` given, or counts
+      exceed ``max_driver_rows``): write the counts to parquet and have
+      each executor's Python workers read them directly (memoized, one
+      load per worker process) — the driver never materializes the model.
+      On a cluster ``model_path`` must be shared storage (HDFS/S3/NFS);
+      the auto-generated temp dir fallback is only correct in local mode,
+      so a warning names the path it picked.
+
+    Both paths score through the identical ``score_bigram_pandas`` kernel
+    (``tests/test_perplexity_bigram.py`` pins their agreement).
+    """
+    spark = lm_counts.sparkSession
+    use_path = model_path is not None
+    if not use_path and lm_counts.count() > max_driver_rows:
+        import tempfile
+        import warnings
+
+        model_path = tempfile.mkdtemp(prefix="nlp_spark_bigram_lm_")
+        warnings.warn(
+            f"bigram LM counts exceed max_driver_rows={max_driver_rows}; "
+            f"spilling model to {model_path} for per-executor load. Pass "
+            "model_path= on shared storage when running on a cluster.",
+            stacklevel=2,
+        )
+        use_path = True
+
+    if use_path:
+        lm_counts.select("lang", "w1", "w2", "n").write.mode("overwrite").parquet(
+            model_path
+        )
+        path = model_path
+
+        @F.pandas_udf(DoubleType())
+        def _ppl(texts: pd.Series, langs: pd.Series) -> pd.Series:
+            return score_bigram_pandas(texts, langs, _load_models_from_path(path))
+
+    else:
+        rows = [(r["lang"], r["w1"], r["w2"], r["n"]) for r in lm_counts.collect()]
+        models_bc = spark.sparkContext.broadcast(build_bigram_model(rows))
+
+        @F.pandas_udf(DoubleType())
+        def _ppl(texts: pd.Series, langs: pd.Series) -> pd.Series:
+            return score_bigram_pandas(texts, langs, models_bc.value)
+
+    lang_expr = F.col(language_column) if language_column else F.lit("en")
+    return df.withColumn("log_ppl", _ppl(F.col(text_column), lang_expr))
+
+
+def score_bigram_pandas(texts: pd.Series, langs: pd.Series, models: dict) -> pd.Series:
+    """Vectorized interpolated-backoff scorer, shared verbatim by the Spark
+    UDF and the single-process frozen-oracle replay."""
+    import numpy as np
+
+    out = pd.Series(np.nan, index=texts.index, dtype="float64")
+    eff = langs.fillna("en").replace("", "en")
+    toks_all = _lm_tokens.func(texts)
+    for lang in eff.unique():
+        model = models.get(lang)
+        if model is None:
+            continue
+        mask = eff == lang
+        if not mask.any():
+            continue
+        bi_p, uni_p, unk_p = model
+        exploded = toks_all[mask].explode()
+        valid = exploded.notna()
+        if not valid.any():
+            continue
+        ex = exploded[valid]
+        pu = ex.map(uni_p).fillna(unk_p)
+        prev = ex.groupby(level=0).shift(1)
+        # identical (possibly duplicated) indexes -> positional combine;
+        # NaN prev (first token of a doc) propagates -> pb backoff 0
+        key = prev + " " + ex
+        pb = key.map(bi_p).fillna(0.0)
+        lp = np.log(_LAMBDA * pb + (1.0 - _LAMBDA) * pu)
+        per_doc = -lp.groupby(level=0).mean()
+        out.loc[per_doc.index] = per_doc.round(4)
+    return out

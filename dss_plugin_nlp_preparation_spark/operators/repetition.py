@@ -1,0 +1,167 @@
+# -*- coding: utf-8 -*-
+"""Gopher-style within-document repetition signals (Rae et al. 2021,
+Table A1): the fraction of a document's characters accounted for by its
+most frequent word n-gram ("top n-gram char fraction", n = 2..4 in the
+paper) and by word n-grams occurring more than once ("duplicate n-gram
+char fraction", n = 5..10).
+
+Engine spec (the DuckDB oracle re-derives the identical formulas; this is
+a deliberately simplified, exactly-reproducible variant of the paper's
+rule — overlap de-duplication of the character spans is NOT performed,
+and the ratio is capped at 1.0):
+
+- words: non-empty whitespace tokens of lower(text)
+- n-gram string: the n words joined with a single space
+- char base: length of all words joined with single spaces (i.e. the
+  whitespace-normalized document)
+- top_{n}gram_char_frac  = count(most frequent n-gram) * len(that n-gram)
+  / char base; ties broken by lexicographically smallest n-gram
+- dup_{n}gram_char_frac  = sum over distinct n-grams with count >= 2 of
+  count * len(n-gram) / char base, capped at 1.0
+
+100-TB shape: everything is a per-row native expression — sort the n-gram
+array once, then a single O(n) ``aggregate`` fold finds the best run and
+the duplicated-char sum (run-length encoding over the sorted array). No
+explode, no shuffle, no Python; the whole signal set rides the same scan
+as the other quality columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.quality import words_col
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """array<string>: space-joined word n-grams (empty if < n words)."""
+    n_windows = F.size(words) - F.lit(n - 1)
+    return F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_length_stats(grams: Column) -> Column:
+    """struct(top_chars, dup_chars): one O(n) fold over the sorted n-gram
+    array. ``top_chars`` = occurrences*len of the most frequent gram
+    (lexicographically-smallest tiebreak — guaranteed by the sort order:
+    a later equal-count run never replaces an earlier one);
+    ``dup_chars`` = sum of occurrences*len over grams seen >= 2 times.
+    """
+    sorted_grams = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_run"),
+        F.lit("").alias("best_gram"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def step(acc, g):
+        is_same = acc["prev"] == g
+        run = F.when(is_same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        # strictly-greater replacement + ascending sort order = on a count
+        # tie the earlier (lexicographically smaller) gram wins
+        replace = run > acc["best_run"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(replace, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(replace, g).otherwise(acc["best_gram"]).alias("best_gram"),
+            # on the 2nd occurrence the whole run (2*len) enters dup_chars,
+            # each later occurrence adds one more len
+            F.when(is_same & (run == 2), acc["dup_chars"] + run * F.length(g))
+            .when(is_same & (run > 2), acc["dup_chars"] + F.length(g))
+            .otherwise(acc["dup_chars"])
+            .alias("dup_chars"),
+        )
+
+    folded = F.aggregate(sorted_grams, zero, step)
+    return F.struct(
+        (folded["best_run"] * F.length(folded["best_gram"])).alias("top_chars"),
+        folded["dup_chars"].alias("dup_chars"),
+    )
+
+
+# Gopher's published repetition thresholds (Rae et al. 2021, Table A1):
+# a document is dropped when any fraction exceeds its threshold. Ordered —
+# the first exceeded rule names the drop_reason (deterministic).
+GOPHER_REPETITION_THRESHOLDS = (
+    ("top_2gram_char_frac", 0.20),
+    ("top_3gram_char_frac", 0.18),
+    ("top_4gram_char_frac", 0.16),
+    ("dup_5gram_char_frac", 0.15),
+    ("dup_6gram_char_frac", 0.14),
+    ("dup_7gram_char_frac", 0.13),
+    ("dup_8gram_char_frac", 0.12),
+    ("dup_9gram_char_frac", 0.11),
+    ("dup_10gram_char_frac", 0.10),
+)
+
+
+def add_gopher_repetition_filter(
+    df: DataFrame,
+    text_column: str = "text",
+    thresholds: tuple = GOPHER_REPETITION_THRESHOLDS,
+) -> DataFrame:
+    """Append ``keep`` / ``drop_reason`` from the Gopher repetition rules.
+
+    Composes with the stopword/symbol/length rules in
+    operators/keep_drop.py — this is the repetition axis of the same
+    Stage F decision, kept separate so the reference-parity keep/drop
+    (pinned at F1>=0.99 vs reference labels) stays untouched. Strictly
+    ``>`` comparisons on the rounded fractions, first exceeded rule wins.
+    """
+    top_ns = tuple(
+        int(c.split("_")[1].rstrip("gram")) for c, _ in thresholds if c.startswith("top_")
+    )
+    dup_ns = tuple(
+        int(c.split("_")[1].rstrip("gram")) for c, _ in thresholds if c.startswith("dup_")
+    )
+    out = add_repetition_signals(df, text_column, top_ns=top_ns, dup_ns=dup_ns)
+    reason = F.lit(None).cast("string")
+    for col, thr in reversed(thresholds):
+        reason = F.when(F.col(col) > thr, F.lit(col)).otherwise(reason)
+    return out.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+def add_repetition_signals(
+    df: DataFrame,
+    text_column: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Append top_{n}gram_char_frac and dup_{n}gram_char_frac columns."""
+    words = words_col(F.lower(F.col(text_column)))
+    base = F.length(F.concat_ws(" ", words))
+    out = df
+    for n in top_ns:
+        stats = _run_length_stats(_ngrams(words, n))
+        out = out.withColumn(
+            f"top_{n}gram_char_frac",
+            F.when(
+                base > 0,
+                F.round(
+                    F.least(stats["top_chars"] / base, F.lit(1.0)), 4
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    for n in dup_ns:
+        stats = _run_length_stats(_ngrams(words, n))
+        out = out.withColumn(
+            f"dup_{n}gram_char_frac",
+            F.when(
+                base > 0,
+                F.round(
+                    F.least(stats["dup_chars"] / base, F.lit(1.0)), 4
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out

@@ -1,0 +1,187 @@
+# -*- coding: utf-8 -*-
+"""Deterministic corpus sampling and token-window chunking — the last-mile
+operators between a filtered corpus and a training run.
+
+- ``deterministic_sample``: hash-threshold sampling. Unlike
+  ``DataFrame.sample`` (seeded per-partition RNG — resample on every
+  repartition/retry), the decision is a pure function of the row's key:
+  md5(key) < frac, so the sample is stable across reruns, cluster sizes
+  and AQE re-plans, and composes with resume/checkpoint. Stratification
+  is just a per-stratum frac map compiled into one expression.
+- ``chunk_documents``: split each document's whitespace tokens into
+  fixed-size windows with optional overlap (stride = chunk_size -
+  overlap), emitting (id, chunk_id, chunk_text, n_tokens). Pure native
+  expressions: one sequence() over window starts + slice/concat_ws, then
+  a single explode — no Python, no shuffle; cost is linear in document
+  length.
+
+Both are DuckDB-replayable (md5 hex compare / list slicing), so the
+driver gate hash-verifies them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.quality import words_col
+
+
+def _hash_unit(key: Column) -> Column:
+    """Uniform [0,1) double from md5(key): first 8 hex chars / 16^8.
+    Engine-portable (DuckDB replays the same arithmetic)."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    frac: float,
+    key_column: str = "doc_id",
+    stratify_column: str | None = None,
+    strata_fracs: dict | None = None,
+) -> DataFrame:
+    """Rows whose hash-unit falls under the (per-stratum) fraction.
+
+    ``strata_fracs`` overrides ``frac`` per value of ``stratify_column``
+    (e.g. {"en": 0.01, "fr": 0.05} to over-sample scarce languages).
+    """
+    u = _hash_unit(F.col(key_column).cast("string"))
+    if stratify_column and strata_fracs:
+        thr = F.lit(float(frac))
+        for value, f in sorted(strata_fracs.items()):
+            thr = F.when(
+                F.col(stratify_column) == F.lit(value), F.lit(float(f))
+            ).otherwise(thr)
+    else:
+        thr = F.lit(float(frac))
+    return df.where(u < thr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict,
+    source_column: str = "source",
+    weight_column: str = "n_chars",
+    key_column: str = "doc_id",
+) -> DataFrame:
+    """Data-mixing sampler: hit a per-source token budget, oversampling
+    small sources across epochs (the standard LLM mixture op — e.g. "web
+    0.8 epochs, wiki 3.2 epochs").
+
+    ``budgets`` maps source → target total ``weight_column`` units. Each
+    source is emitted ``floor(budget/avail)`` full epochs plus a final
+    partial epoch holding the hash-selected fraction
+    ``(budget mod avail)/avail`` of its documents, so the achieved weight
+    ≈ budget. Sources not in ``budgets`` are dropped. Output adds
+    ``epoch int`` (0-based copy index); the sample is a pure function of
+    (key, source totals), stable across partitioning/retries/AQE.
+
+    Scale shape: the per-source totals relation is tiny (one row per
+    source) and broadcast back; the corpus itself is never shuffled —
+    one scan, a broadcast hash join, and an explode of per-row epoch
+    sequences. Skewed epoch counts only multiply rows linearly.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    avail = df.groupBy(source_column).agg(F.sum(weight_column).alias("__avail"))
+    pairs = []
+    for k in sorted(budgets):
+        pairs += [F.lit(k), F.lit(float(budgets[k]))]
+    budget = F.create_map(*pairs)[F.col(source_column)]
+    u = _hash_unit(F.col(key_column).cast("string"))
+    epochs = F.floor(budget / F.col("__avail"))
+    rem = (budget - epochs * F.col("__avail")) / F.col("__avail")
+    n_copies = (epochs + (u < rem).cast("long")).cast("int")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(F.broadcast(avail), source_column)
+        .where(budget.isNotNull() & (F.col("__avail") > 0))
+        .withColumn("epoch", F.explode(copies))
+        .drop("__avail")
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 256,
+    id_column: str = "id",
+    chunk_id_column: str = "chunk_id",
+    tokens_column: str = "n_tokens",
+    group_columns: tuple = (),
+) -> DataFrame:
+    """Assign token chunks to fixed-budget training sequences ("sequence
+    packing"): within a shard, chunks are laid end-to-end in (id, chunk_id)
+    order and a chunk joins the pack where its span begins
+    (``pack_id = floor(tokens_before / seq_len)``), so packs average
+    ``seq_len`` tokens. Adds ``shard int, pack_id long`` per chunk.
+
+    Deterministic: the shard is an md5-hash of the document id (so the
+    layout is a pure function of the data, not the partitioning) and the
+    within-shard order is the unique (id, chunk_id). ``group_columns``
+    (e.g. a train/val split column) are added to the packing partition so
+    packs never mix groups. Scale shape: one shuffle into ``n_shards``
+    ordered groups — parallelism is n_shards, set it ≳ cluster cores; no
+    global sort.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql import Window
+
+    shard = F.floor(
+        _hash_unit(F.col(id_column).cast("string")) * n_shards
+    ).cast("int")
+    out = chunks.withColumn("shard", shard)
+    w = Window.partitionBy(*group_columns, "shard").orderBy(
+        id_column, chunk_id_column
+    )
+    before = F.coalesce(
+        F.sum(tokens_column).over(w) - F.col(tokens_column), F.lit(0)
+    )
+    return out.withColumn("pack_id", F.floor(before / F.lit(seq_len)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens): fixed-token-window chunks.
+
+    Window starts step by ``chunk_size - overlap``; the final window may
+    be short (its tokens are never dropped). Documents with no tokens
+    yield no rows.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    words = words_col(F.col(text_column))
+    n = F.size(words)
+    # starts: 1, 1+stride, ... covering every token once
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(1),
+            # last start: the smallest 1+k*stride with start+chunk_size > n
+            F.lit(1) + F.ceil((F.greatest(n - F.lit(chunk_size), F.lit(0))) / F.lit(stride)).cast("int") * F.lit(stride),
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(words, s, chunk_size)).alias("chunk_text"),
+            F.least(F.lit(chunk_size), n - s + 1).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_column).alias("id"), F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )

@@ -1,0 +1,58 @@
+# -*- coding: utf-8 -*-
+"""Stage E — regex PII / toxicity scrubbing, native `regexp_replace` chain.
+
+The north rule asks for "regex-based PII/toxicity scrubbing compiled
+per-batch"; in a Spark-first design the regexes are compiled ONCE inside
+the JVM's codegen'd `regexp_replace` — strictly better than per-batch
+Python compilation. All patterns are written in the common subset of Java
+regex and RE2 so the DuckDB oracle can replay them verbatim.
+
+The original `text` column is never modified — scrubbing writes
+`scrubbed_text` (byte-identity invariant per BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — ordered; applied left to right.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{2,4}", "[PHONE]"),
+]
+
+# Deterministic demo lexicon: replace with a curated list in production.
+TOXICITY_WORDS = ["idiot", "stupid", "moron", "dumbass", "scumbag"]
+TOXICITY_PATTERN = r"(?i)\b(" + "|".join(TOXICITY_WORDS) + r")\b"
+TOXICITY_REPLACEMENT = "[TOX]"
+
+
+def scrub_expr(text: Column) -> Column:
+    """Chained scrub expression (email -> ip -> ssn -> phone -> toxicity)."""
+    out = text
+    for _name, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    out = F.regexp_replace(out, TOXICITY_PATTERN, TOXICITY_REPLACEMENT)
+    return out
+
+
+def pii_counts(text: Column) -> dict:
+    """Per-category match-count expressions (for metrics / lineage rows)."""
+    return {
+        f"pii_{name}_count": F.regexp_count(text, F.lit(pattern))
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+def scrub_text(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Append `scrubbed_text` + per-category PII counts + `tox_count`."""
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    result = df.withColumn("scrubbed_text", scrub_expr(text))
+    for name, expr in pii_counts(text).items():
+        result = result.withColumn(name, expr)
+    return result.withColumn(
+        "tox_count", F.regexp_count(text, F.lit(TOXICITY_PATTERN))
+    )

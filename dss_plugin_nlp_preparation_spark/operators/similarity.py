@@ -1,0 +1,318 @@
+# -*- coding: utf-8 -*-
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine against a broadcast query vector.
+  The dot product is a native ``zip_with``/``aggregate`` expression — JVM
+  codegen, no Python. At cluster scale this is one narrow map + a top-k
+  (``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: per-
+  partition heaps + driver merge, no full sort shuffle).
+- ``lsh_hyperplane_buckets``: random-hyperplane LSH — the scale path. Sign
+  patterns of ``n_planes`` deterministic pseudo-random projections (seeded
+  md5-derived coefficients, generated driver-side, shipped as literals)
+  bucket vectors so candidate generation touches only same-bucket pairs.
+- ``embedding_near_dup``: cosine over LSH-bucket candidate pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vector,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to ``query_vector``."""
+    q = F.array(*[F.lit(float(v)) for v in query_vector])
+    emb = F.col(embedding_column).cast("array<double>")
+    return (
+        df.select(
+            F.col(id_column).alias("id"),
+            F.round(cosine_expr(emb, q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _plane_coeffs(seed: int, plane: int, dim: int) -> list:
+    """Deterministic ±1 hyperplane coefficients from md5 bits (no RNG so
+    resume/replay is exact — Date/random are banned in this engine)."""
+    out = []
+    for i in range(0, dim, 128):
+        h = hashlib.md5(f"{seed}:{plane}:{i}".encode()).digest()
+        bits = int.from_bytes(h, "big")
+        for j in range(min(128, dim - i)):
+            out.append(1.0 if (bits >> j) & 1 else -1.0)
+    return out
+
+
+def pick_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> list:
+    """Deterministic IVF-Flat centroids: the ``n_centroids`` dataset vectors
+    with the smallest md5(id) — a uniform pseudo-random sample with no RNG
+    state, so index build and replay agree exactly. (Production path: swap
+    in kmeans|| trained centroids; every downstream op below only needs a
+    list of vectors.) One small driver collect; centroids ship to executors
+    as literals (broadcast-equivalent)."""
+    rows = (
+        df.select(
+            F.md5(F.col(id_column).cast("string")).alias("__h"),
+            F.col(embedding_column).cast("array<double>").alias("__v"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["__v"]) for r in rows]
+
+
+def _centroid_scores(emb: Column, centroids: list) -> Column:
+    """array<struct<score,double cid,int>> of cosine-vs-centroid scores."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(emb, F.array(*[F.lit(float(x)) for x in c]))
+                    / (_norm(emb) * F.lit(_py_norm(c))),
+                    6,
+                ).alias("score"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _py_norm(vec: list) -> float:
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> DataFrame:
+    """(id, list_id, embedding): nearest-centroid inverted-list assignment.
+
+    ``array_max`` over (score, cid) structs picks the best centroid with a
+    deterministic tie-break (higher cid on equal rounded score). At table
+    scale, WRITE the output partitioned by list_id — then a query probing
+    p lists scans only p/n of the data (partition pruning is the whole
+    point of IVF).
+    """
+    emb = F.col(embedding_column).cast("array<double>")
+    best = F.array_max(_centroid_scores(emb, centroids))
+    return df.select(
+        F.col(id_column).alias("id"),
+        best["cid"].alias("list_id"),
+        emb.alias("embedding"),
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vector,
+    centroids: list,
+    k: int = 10,
+    n_probe: int = 4,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe the ``n_probe`` inverted lists nearest to
+    the query, brute-force cosine only within them.
+
+    The list filter is a literal IN over list ids — on a table partitioned
+    by list_id it becomes partition pruning, reading n_probe/n_centroids of
+    the data; the in-list scan is the same narrow map +
+    TakeOrderedAndProject as exact :func:`cosine_topk`.
+    """
+    import math
+
+    q = [float(v) for v in query_vector]
+    qn = _py_norm(q)
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -round(_fold_dot(q, centroids[i]) / (qn * _py_norm(centroids[i])), 6),
+            -i,
+        ),
+    )
+    probe = ranked[:n_probe]
+    assigned = ivf_assign(df, centroids, embedding_column, id_column)
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        assigned.where(F.col("list_id").isin(probe))
+        .select(
+            "id",
+            F.round(cosine_expr(F.col("embedding"), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def recommended_planes(n_vectors: int) -> int:
+    """Planes sized so expected bucket occupancy stays small: 2^planes ≈
+    n/64 ⇒ planes = log2(n) - 6, clamped to [8, 24]. At 1B vectors → 24
+    planes → ~16M buckets → ~60 vectors/bucket expected."""
+    import math as _m
+
+    if n_vectors <= 0:
+        return 8
+    return max(8, min(24, int(_m.log2(max(n_vectors, 2))) - 6))
+
+
+def lsh_hyperplane_buckets(
+    df: DataFrame,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 1,
+) -> DataFrame:
+    """(id, table_id, bucket): sign pattern of n_planes random projections,
+    repeated for ``n_tables`` independent hash tables (banding: a true
+    near-dup pair only needs to collide in ONE table, so recall grows
+    exponentially in tables while per-table buckets stay selective).
+
+    Output intentionally does NOT carry the embedding — candidate
+    generation shuffles only (id, table_id, bucket) rows; vectors are
+    joined back by id for verification, so megabyte-scale embeddings never
+    ride through the bucket groupBy.
+    """
+    emb = F.col(embedding_column).cast("array<double>")
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            coeffs = F.array(*[F.lit(c) for c in _plane_coeffs(seed + 1000 * t, p, dim)])
+            bit = F.when(_dot(emb, coeffs) >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket + bit.cast("bigint") * (2**p)
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_column).alias("id"), F.explode(F.array(*tables)).alias("t")
+    ).select("id", "t.table_id", "t.bucket")
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    min_cosine: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-duplicate vector pairs: (id_a, id_b, cosine ≥ min_cosine).
+
+    Scale shape (each stage bounded):
+    1. bucket ids per table — narrow rows, no embeddings in the shuffle;
+    2. two-phase bucket cap: count per (table_id, bucket), keep 2..cap,
+       semi-join — a degenerate bucket costs one counter, never an
+       unbounded aggregation buffer;
+    3. in-bucket pairing (≤ cap² per bucket), distinct across tables;
+    4. embeddings joined back BY ID for exact cosine verification — the
+       big vector relation is touched twice by a hash join on its key,
+       not carried through candidate generation.
+
+    Tune ``n_planes`` with :func:`recommended_planes` (≈log2(n)-6) and
+    raise ``n_tables`` for recall (pairs split by every table are still
+    found if any single table agrees).
+    """
+    from pyspark.sql import Window
+
+    buckets = lsh_hyperplane_buckets(
+        df, embedding_column, id_column, n_planes, dim, seed, n_tables
+    )
+    # bucket cap via window count: one scan of the projection work, one
+    # shuffle, spill-safe row buffering for degenerate buckets (the
+    # follow-up groupBy reuses the same partitioning)
+    w = Window.partitionBy("table_id", "bucket")
+    kept = buckets.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)
+    )
+    grouped = kept.groupBy("table_id", "bucket").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_column).alias("__vid"),
+        F.col(embedding_column).cast("array<double>").alias("__vemb"),
+    )
+    a = vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vemb", "emb_a")
+    b = vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vemb", "emb_b")
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+    )
+    return verified.where(F.col("cosine") >= min_cosine)

@@ -1,0 +1,244 @@
+# -*- coding: utf-8 -*-
+"""M4 + A1 — Spell checking and the diagnosis aggregation.
+
+Spark-first re-expression of the reference SpellChecker
+(symspell_checker.py:394-439) and its diagnosis dataset
+(symspell_checker.py:441-485):
+
+- ``check_spelling`` appends 4 columns via one struct pandas UDF; the
+  SymSpell index is an executor-singleton keyed by (folder, language,
+  edit distance, custom vocabulary) — dictionaries load once per worker,
+  never per row (SURVEY.md §4);
+- custom vocabulary / corrections are small side-inputs closed over the UDF
+  (Spark serializes them once per task — the broadcast-hash-join analogue
+  of the reference's in-process set/dict lookups, SURVEY.md §2.3);
+- ``spell_diagnosis`` re-expresses the reference's cross-chunk mutable
+  Counter state (symspell_checker.py:129-132,441-458) as a proper
+  distributed aggregation: explode per-token diagnosis rows ->
+  groupBy(language, word) -> count + first(diagnosis) with a deterministic
+  tie-break -> filter whitespace rows -> orderBy. The reference's
+  "first-seen" is chunk-order dependent (SURVEY.md §7.4.4); here first =
+  min_by over a stable struct so results are reproducible at any
+  parallelism.
+- fail-fast language-scope validation (F2, symspell_checker.py:418-424) is
+  a column-pruned scan + distinct().collect(): one full pass over just the
+  language column (cheap relative to the NLP main scan, but not free — on
+  a partitioned-by-language table, probe partition values instead).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dss_plugin_nlp_preparation_spark.functions.naming import generate_unique
+from dss_plugin_nlp_preparation_spark.nlp.symspell import DEFAULT_EDIT_DISTANCE
+
+OUTPUT_COLUMN_DESCRIPTIONS = {
+    "corrected": "Corrected text",
+    "misspellings": "Misspelled text",
+    "misspelling_list": "List of unique misspellings",
+    "misspelling_count": "Number of misspellings",
+}
+
+_RESULT_TYPE = StructType(
+    [
+        StructField("corrected", StringType()),
+        StructField("misspellings", StringType()),
+        StructField("misspelling_list", ArrayType(StringType())),
+        StructField("misspelling_count", IntegerType()),
+    ]
+)
+
+_DIAG_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("language", StringType()),
+            StructField("original_word", StringType()),
+            StructField("is_misspelled", BooleanType()),
+            StructField("corrected_word", StringType()),
+            StructField("spellcheck_diagnosis", StringType()),
+        ]
+    )
+)
+
+
+def validate_language_scope(df: DataFrame, language_column: str, supported) -> None:
+    """F2 fail-fast: raise when the dataset contains unsupported languages
+    (parity: symspell_checker.py:418-424; NaN languages are skipped)."""
+    langs = {
+        r[0]
+        for r in df.select(language_column).where(F.col(language_column).isNotNull()).distinct().collect()
+    }
+    unsupported = langs - set(supported)
+    if unsupported:
+        raise ValueError(
+            f"Found {len(unsupported)} unsupported languages in dataset: {unsupported}"
+        )
+
+
+def check_spelling(
+    df: DataFrame,
+    text_column: str,
+    language: str = "language_column",
+    language_column: str | None = None,
+    dictionary_folder: str | None = None,
+    custom_vocabulary=frozenset(),
+    custom_corrections: dict | None = None,
+    edit_distance: int = DEFAULT_EDIT_DISTANCE,
+    ignore_regex: str | None = None,
+    transfer_casing: bool = True,
+    stopwords_folder: str | None = None,
+) -> DataFrame:
+    """Append `<text>_corrected/_misspellings/_misspelling_list/
+    _misspelling_count`.
+
+    Divergence from the reference recorded in SURVEY.md §7.4.1: Spark
+    columns are monotyped, so `misspelling_list` stays `array<string>`
+    (empty `[]` instead of `""`) and `misspelling_count` is a nullable int,
+    NULL when the corrected text is empty (reference blanks it to "").
+    """
+    custom_vocabulary = frozenset(custom_vocabulary)
+    corrections = dict(custom_corrections or {})
+
+    if language != "language_column":
+        # driver-side pre-warm: build the SymSpell pickle cache once so
+        # executor workers load it instead of re-indexing the dictionary
+        from dss_plugin_nlp_preparation_spark.nlp.symspell import get_index
+
+        try:
+            get_index(language, dictionary_folder, edit_distance, frozenset())
+        except Exception:
+            pass  # scope errors surface per-row with full context
+
+    @F.pandas_udf(_RESULT_TYPE)
+    def _check(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        from dss_plugin_nlp_preparation_spark.nlp.spellcheck import check_document
+
+        pattern = re.compile(ignore_regex) if ignore_regex else None
+        rows = []
+        for t, lang in zip(texts, langs):
+            corrected, missp, mlist, mcount = check_document(
+                t,
+                lang,
+                dictionary_folder=dictionary_folder,
+                custom_vocabulary=custom_vocabulary,
+                custom_corrections=corrections,
+                edit_distance=edit_distance,
+                ignore_token=pattern,
+                transfer_casing=transfer_casing,
+                stopwords_folder=stopwords_folder,
+            )
+            rows.append(
+                (corrected, missp, mlist, mcount if corrected != "" else None)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["corrected", "misspellings", "misspelling_list", "misspelling_count"],
+        )
+
+    lang_expr = (
+        F.col(language_column)
+        if language == "language_column" and language_column
+        else F.lit(language)
+    )
+    out_names = {
+        k: generate_unique(k, df.columns, text_column)
+        for k in OUTPUT_COLUMN_DESCRIPTIONS
+    }
+    result = df.withColumn("__spell__", _check(F.col(text_column), lang_expr))
+    for field, out in out_names.items():
+        result = result.withColumn(out, F.col(f"__spell__.{field}")).withMetadata(
+            out, {"comment": OUTPUT_COLUMN_DESCRIPTIONS[field]}
+        )
+    return result.drop("__spell__")
+
+
+def spell_diagnosis(
+    df: DataFrame,
+    text_column: str,
+    language: str = "language_column",
+    language_column: str | None = None,
+    dictionary_folder: str | None = None,
+    custom_vocabulary=frozenset(),
+    custom_corrections: dict | None = None,
+    edit_distance: int = DEFAULT_EDIT_DISTANCE,
+    ignore_regex: str | None = None,
+    transfer_casing: bool = True,
+    stopwords_folder: str | None = None,
+) -> DataFrame:
+    """A1 — word-level diagnosis table.
+
+    Columns: (language, original_word, is_misspelled, corrected_word,
+    spellcheck_diagnosis, word_count), whitespace rows dropped, ordered by
+    is_misspelled desc, word_count desc (parity: symspell_checker.py:461-485
+    with a deterministic first() tie-break — SURVEY.md §7.4.4).
+    """
+    custom_vocabulary = frozenset(custom_vocabulary)
+    corrections = dict(custom_corrections or {})
+
+    @F.pandas_udf(_DIAG_TYPE)
+    def _diag(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        from dss_plugin_nlp_preparation_spark.nlp.spellcheck import check_document
+
+        pattern = re.compile(ignore_regex) if ignore_regex else None
+        out = []
+        for t, lang in zip(texts, langs):
+            rows: list = []
+            check_document(
+                t,
+                lang,
+                dictionary_folder=dictionary_folder,
+                custom_vocabulary=custom_vocabulary,
+                custom_corrections=corrections,
+                edit_distance=edit_distance,
+                ignore_token=pattern,
+                transfer_casing=transfer_casing,
+                stopwords_folder=stopwords_folder,
+                collect_diagnosis=rows,
+            )
+            out.append(rows)
+        return pd.Series(out)
+
+    lang_expr = (
+        F.col(language_column)
+        if language == "language_column" and language_column
+        else F.lit(language)
+    )
+    tokens = df.select(
+        F.explode(_diag(F.col(text_column), lang_expr)).alias("d")
+    ).select("d.*")
+    agg = (
+        tokens.groupBy("language", "original_word")
+        .agg(
+            F.count(F.lit(1)).alias("word_count"),
+            F.min_by(
+                F.struct("is_misspelled", "corrected_word", "spellcheck_diagnosis"),
+                F.struct("spellcheck_diagnosis", "corrected_word"),
+            ).alias("d"),
+        )
+        .select(
+            "language",
+            "original_word",
+            F.col("d.is_misspelled").alias("is_misspelled"),
+            F.when(F.col("d.is_misspelled"), F.col("d.corrected_word"))
+            .otherwise(F.lit(""))
+            .alias("corrected_word"),
+            F.col("d.spellcheck_diagnosis").alias("spellcheck_diagnosis"),
+            "word_count",
+        )
+        .where(~F.col("spellcheck_diagnosis").contains("whitespace"))
+        .orderBy(F.desc("is_misspelled"), F.desc("word_count"))
+    )
+    return agg

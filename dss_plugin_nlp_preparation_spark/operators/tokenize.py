@@ -1,0 +1,71 @@
+# -*- coding: utf-8 -*-
+"""M2 — Multilingual tokenization as a Spark operator.
+
+The reference materializes spaCy Doc objects in a pandas column
+(spacy_tokenizer.py:276-315); Spark cannot (and should not) carry opaque
+objects, so the operator's public output is the useful projection:
+``array<string>`` of token surface forms (plus a token count). The full
+token structure (whitespace, offsets, flags) lives only inside UDF batches
+of the cleaning/spellcheck operators — parity with the reference where the
+Doc column is dropped before output (text_cleaner.py:230).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from dss_plugin_nlp_preparation_spark.functions.naming import generate_unique
+
+
+def tokenize_text(
+    df: DataFrame,
+    text_column: str,
+    language: str = "language_column",
+    language_column: str | None = None,
+) -> DataFrame:
+    """Append `<text>_tokens array<string>`."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tok(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        from dss_plugin_nlp_preparation_spark.nlp.tokenizer import tokenize
+
+        return pd.Series(
+            [[t.text for t in tokenize(txt, lang)] for txt, lang in zip(texts, langs)]
+        )
+
+    lang_expr = (
+        F.col(language_column)
+        if language == "language_column" and language_column
+        else F.lit(language)
+    )
+    out = generate_unique("tokens", df.columns, text_column)
+    return df.withColumn(out, _tok(F.col(text_column), lang_expr))
+
+
+def add_bpe_token_count(
+    df: DataFrame,
+    text_column: str = "text",
+    language: str = "en",
+    dictionary_folder: str | None = None,
+) -> DataFrame:
+    """Append ``n_bpe_tokens long``: subword count under a real trained
+    byte-pair encoding (merges learned from the public frequency
+    dictionary — see nlp.bpe). The tokenizer is an executor singleton;
+    the per-word LRU makes the batch loop O(unique words) in practice."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _bpe_count(texts: pd.Series) -> pd.Series:
+        from dss_plugin_nlp_preparation_spark.nlp.bpe import get_tokenizer
+
+        tk = get_tokenizer(language, dictionary_folder)
+        if tk is None:
+            return pd.Series([None] * len(texts), dtype="object")
+        return pd.Series(
+            [0 if t is None else tk.count(str(t)) for t in texts], dtype="int64"
+        )
+
+    return df.withColumn("n_bpe_tokens", _bpe_count(F.col(text_column)))

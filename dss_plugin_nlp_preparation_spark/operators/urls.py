@@ -1,0 +1,150 @@
+# -*- coding: utf-8 -*-
+"""URL canonicalization, host extraction, and URL-level dedup — the
+ingest-side staples of a Common-Crawl-style pipeline (the north rule's
+per-document key is the url; crawl dumps carry the same page under
+fragment/tracking-param/case variants).
+
+Canonicalization spec (deliberate, engine-owned; the DuckDB oracle
+replays it exactly — all patterns are RE2-safe so both engines accept
+them: no lookaround, no backreferences):
+
+1. trim surrounding whitespace
+2. drop the fragment (`#...`)
+3. lowercase the `scheme://host[:port]` prefix (path/query untouched)
+4. drop default ports (`http://h:80`, `https://h:443`)
+5. drop tracking query params (`utm_*`, `fbclid`, `gclid`, `msclkid` —
+   case-sensitive, the de-facto lowercase forms) and tidy separators
+6. drop a leading `www.` host label
+
+Everything is JVM `regexp_replace`/`regexp_extract` — whole-stage
+codegen, no Python. ``url_dedup`` is a hash aggregate on the canonical
+form (uniform keys after canonicalization; hot hosts do NOT skew this —
+the key is the full url, not the host).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    u = F.trim(url)
+    # 2. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. lowercase scheme://host[:port]
+    prefix = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    u = F.concat(F.lower(prefix), F.substr(u, F.length(prefix) + F.lit(1)))
+    # 4. default ports (unmatched trailing group substitutes as "")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?#].*)?$", r"$1$2")
+    # 5. tracking params: keep the leading separator ('?a=1&utm=x&b=2'
+    # -> '?a=1&&b=2'), then tidy '&&' runs, '?&', and trailing '?'/'&'
+    u = F.regexp_replace(u, r"([?&])" + _TRACKING + r"=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # 6. www.
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    return u
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host with a leading 'www.' label stripped; '' when the
+    value has no scheme://host shape."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def add_canonical_url(
+    df: DataFrame, url_column: str = "url", out_column: str = "canonical_url"
+) -> DataFrame:
+    return df.withColumn(out_column, canonicalize_url(F.col(url_column))).withColumn(
+        "host", host_of(F.col(out_column))
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_column: str = "url", id_column: str = "doc_id"
+) -> DataFrame:
+    """(canonical_url, n_docs, canonical_id): one row per canonical url;
+    canonical_id = min id among the variants (the row a pipeline keeps)."""
+    with_canon = df.select(
+        F.col(id_column).alias("id"), canonicalize_url(F.col(url_column)).alias("canonical_url")
+    )
+    return with_canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_id")
+    )
+
+
+def add_host_verdict(
+    df: DataFrame,
+    hosts: DataFrame,
+    url_column: str = "url",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Append ``host_listed boolean``: does the document's host (or, with
+    ``include_subdomains``, any of its domain suffixes — ``a.b.c`` matches
+    a list entry ``b.c``) appear in the ``hosts`` relation (one ``host``
+    column)?
+
+    Scale shape: host lists are thousands-to-millions of rows (MBs) — the
+    list is collected once and shipped as a Spark broadcast set; the
+    verdict is a vectorized Arrow UDF doing set probes per suffix. Zero
+    shuffle, zero explode of the corpus (a doc host has <10 labels). The
+    corpus-side host extraction is the same codegen regexp used by
+    ``host_of``.
+    """
+    from pyspark.sql.types import BooleanType
+
+    listed = {r["__h"] for r in hosts.select(F.lower(F.col("host")).alias("__h")).distinct().collect()}
+    bc = df.sparkSession.sparkContext.broadcast(listed)
+    sub = bool(include_subdomains)
+
+    @F.pandas_udf(BooleanType())
+    def _verdict(doc_hosts: pd.Series) -> pd.Series:
+        hs = bc.value
+
+        def hit(h):
+            if not h:
+                return False
+            if not sub:
+                return h in hs
+            parts = h.split(".")
+            return any(".".join(parts[i:]) in hs for i in range(len(parts)))
+
+        return doc_hosts.map(hit)
+
+    return df.withColumn("host_listed", _verdict(host_of(F.col(url_column))))
+
+
+def filter_hosts(
+    df: DataFrame,
+    hosts: DataFrame,
+    mode: str = "deny",
+    url_column: str = "url",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Host allow/deny filtering against a list relation — the standard
+    crawl hygiene step (blocklists of spam/adult domains, allowlists of
+    curated sources). ``deny`` drops listed hosts, ``allow`` keeps only
+    them; subdomain matching per ``add_host_verdict``.
+
+    With ``include_subdomains=False`` the filter is a pure broadcast
+    semi/anti equi-join on the extracted host (map-side, no corpus
+    shuffle and no Python); the subdomain variant routes through the
+    broadcast-set verdict column.
+    """
+    if mode not in ("deny", "allow"):
+        raise ValueError(f"mode must be 'deny' or 'allow', got {mode!r}")
+    if include_subdomains:
+        out = add_host_verdict(df, hosts, url_column, include_subdomains=True)
+        keep = ~F.col("host_listed") if mode == "deny" else F.col("host_listed")
+        return out.where(keep).drop("host_listed")
+    hl = F.broadcast(hosts.select(F.lower(F.col("host")).alias("__h")).distinct())
+    probe = df.withColumn("__dh", host_of(F.col(url_column)))
+    how = "left_anti" if mode == "deny" else "left_semi"
+    return probe.join(hl, probe["__dh"] == hl["__h"], how).drop("__dh")

@@ -1,0 +1,1 @@
+"""Composed pipelines and operational plumbing (checkpoint/resume/lineage)."""

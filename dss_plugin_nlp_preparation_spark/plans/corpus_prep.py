@@ -1,0 +1,212 @@
+# -*- coding: utf-8 -*-
+"""End-to-end training-corpus preparation: the composed plan a pretraining
+team actually runs over a filtered crawl —
+
+    exact dedup (keep canonical) -> Gopher repetition filter ->
+    benchmark decontamination -> token-window chunking ->
+    deterministic train/val split
+
+Spark-first shape: every *decision* is computed as a flag column in ONE
+annotated projection over the corpus (dedup canonicality via a broadcast-
+friendly min-id join on the text hash, Gopher fractions as native folds,
+contamination via the broadcast digest probe), so the stage report is a
+single aggregate over one scan, and the surviving rows flow straight into
+chunking without re-reading the input. No driver-side loops; the only
+corpus shuffles are the dedup hash-agg and the final chunk explode's
+parent (none — explode is narrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.decontaminate import (
+    benchmark_ngram_digests,
+)
+from dss_plugin_nlp_preparation_spark.operators.repetition import (
+    GOPHER_REPETITION_THRESHOLDS,
+    add_gopher_repetition_filter,
+)
+from dss_plugin_nlp_preparation_spark.operators.sampling import (
+    _hash_unit,
+    chunk_documents,
+)
+
+
+def annotate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    decontam_n: int = 8,
+    val_frac: float = 0.01,
+    fuzzy_dedup: bool = False,
+    fuzzy_decontam: bool = False,
+) -> DataFrame:
+    """One projection per doc with every prep decision as a flag:
+
+    is_canonical  — min id among exact-duplicate texts (md5 hash-agg);
+                    with ``fuzzy_dedup`` additionally min id of the
+                    MinHash-LSH near-duplicate cluster (both must hold —
+                    exact dedup still catches identical texts whose LSH
+                    bucket overflows the cap)
+    keep_gopher   — repetition thresholds (GOPHER_REPETITION_THRESHOLDS)
+    contaminated  — shares a word n-gram with ``benchmark`` (broadcast);
+                    with ``fuzzy_decontam`` additionally any MinHash band
+                    signature (catches paraphrased leakage)
+    split         — 'val' for the deterministic val_frac hash slice
+    """
+    hashed = docs.withColumn(
+        "__th", F.md5(F.coalesce(F.col(text_column), F.lit("")))
+    )
+    canon = hashed.groupBy("__th").agg(F.min(id_column).alias("__canon_id"))
+    out = hashed.join(canon, "__th").withColumn(
+        "is_canonical", F.col(id_column) == F.col("__canon_id")
+    )
+    if fuzzy_dedup:
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            near_dup_clusters,
+        )
+
+        clusters = near_dup_clusters(docs, text_column, id_column).select(
+            F.col("id").alias(id_column), F.col("is_canonical").alias("__fz")
+        )
+        out = (
+            out.join(clusters, id_column)
+            .withColumn("is_canonical", F.col("is_canonical") & F.col("__fz"))
+            .drop("__fz")
+        )
+    out = add_gopher_repetition_filter(out, text_column).withColumnRenamed(
+        "keep", "keep_gopher"
+    )
+    if benchmark is not None:
+        digests = F.broadcast(
+            benchmark_ngram_digests(benchmark, text_column, decontam_n)
+        )
+        from dss_plugin_nlp_preparation_spark.operators.decontaminate import (
+            _ngram_digests,
+        )
+
+        grams = out.select(
+            F.col(id_column).alias("__cid"),
+            F.explode_outer(
+                _ngram_digests(F.col(text_column), decontam_n)
+            ).alias("ngram_digest"),
+        )
+        hit_ids = (
+            grams.join(digests, "ngram_digest", "left_semi")
+            .select(F.col("__cid"))
+            .distinct()
+        )
+        out = out.join(
+            hit_ids.withColumnRenamed("__cid", id_column).withColumn(
+                "contaminated", F.lit(True)
+            ),
+            id_column,
+            "left",
+        ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+        if fuzzy_decontam:
+            from dss_plugin_nlp_preparation_spark.operators.decontaminate import (
+                fuzzy_decontaminate,
+            )
+
+            fz = fuzzy_decontaminate(
+                docs.select(id_column, text_column), benchmark, text_column, id_column
+            ).select(id_column, F.col("fuzzy_contaminated").alias("__fzc"))
+            out = (
+                out.join(fz, id_column)
+                .withColumn("contaminated", F.col("contaminated") | F.col("__fzc"))
+                .drop("__fzc")
+            )
+    else:
+        out = out.withColumn("contaminated", F.lit(False))
+    out = out.withColumn(
+        "split",
+        F.when(
+            _hash_unit(F.concat(F.lit("split:"), F.col(id_column).cast("string")))
+            < val_frac,
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
+    )
+    return out.drop("__th", "__canon_id")
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 0,
+    decontam_n: int = 8,
+    val_frac: float = 0.01,
+    cache_annotations: bool = True,
+    pack_seq_len: int | None = None,
+    pack_shards: int = 256,
+    fuzzy_dedup: bool = False,
+    fuzzy_decontam: bool = False,
+) -> tuple:
+    """(chunks, report): training-ready chunks + one-row stage counts.
+
+    ``chunks``: (id, chunk_id, chunk_text, n_tokens, split) from documents
+    surviving dedup + Gopher + decontamination; with ``pack_seq_len`` set,
+    each chunk additionally carries (shard, pack_id) — a deterministic
+    sequence-packing layout computed per split (val chunks never share a
+    pack with train chunks). ``report``: one row — n_docs, n_canonical,
+    n_after_gopher, n_after_decontam, n_val_docs — a single aggregate over
+    the annotated scan (no extra passes).
+
+    ``cache_annotations`` persists the annotated relation (MEMORY_AND_DISK)
+    because both returned DataFrames consume it — without it a caller that
+    materializes both pays the expensive annotate scan twice. Pass False
+    when only one output will be used.
+    """
+    ann = annotate_corpus(
+        docs, benchmark, text_column, id_column, decontam_n, val_frac,
+        fuzzy_dedup=fuzzy_dedup, fuzzy_decontam=fuzzy_decontam,
+    )
+    if cache_annotations:
+        ann = ann.persist()
+    survivors = ann.where(
+        F.col("is_canonical") & F.col("keep_gopher") & ~F.col("contaminated")
+    )
+    chunks = chunk_documents(
+        survivors, text_column, id_column, chunk_size, overlap
+    ).join(
+        survivors.select(F.col(id_column).alias("id"), "split"), "id"
+    )
+    if pack_seq_len:
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        chunks = pack_sequences(
+            chunks,
+            seq_len=pack_seq_len,
+            n_shards=pack_shards,
+            group_columns=("split",),
+        )
+    report = ann.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+        F.sum(
+            (F.col("is_canonical") & F.col("keep_gopher")).cast("long")
+        ).alias("n_after_gopher"),
+        F.sum(
+            (
+                F.col("is_canonical")
+                & F.col("keep_gopher")
+                & ~F.col("contaminated")
+            ).cast("long")
+        ).alias("n_after_decontam"),
+        F.sum(
+            (
+                F.col("is_canonical")
+                & F.col("keep_gopher")
+                & ~F.col("contaminated")
+                & (F.col("split") == "val")
+            ).cast("long")
+        ).alias("n_val_docs"),
+    )
+    return chunks, report

@@ -1,0 +1,213 @@
+# -*- coding: utf-8 -*-
+"""The flagship quality-filter pipeline (Stages A–F, SURVEY.md §7.1).
+
+    pages(url, warc_ts, html, text, lang)
+      -> Stage A  language detection (fill missing lang)         [M1]
+      -> Stage D  quality signals (native exprs)                 [north_rule]
+      ->          perplexity (pandas UDF, executor-singleton LM) [north_rule]
+      -> Stage E  PII/toxicity scrub (JVM regexp chain)          [north_rule]
+      -> Stage F  keep/drop + quality_score                      [north_rule]
+
+Stage B/C (clean/spellcheck) are separate operators — at 10^12-doc scale
+you run them on the *kept* subset, which is why the pipeline exposes them
+as opt-ins rather than always paying the heaviest NLP on data about to be
+dropped (filter-early principle).
+
+The input ``text`` column passes through untouched (byte-identity
+invariant); the keep/drop decision and ``scrubbed_text`` are new columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+import pandas as pd
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from dss_plugin_nlp_preparation_spark.operators.keep_drop import (
+    DEFAULT_THRESHOLDS,
+    KeepDropThresholds,
+    add_keep_drop,
+)
+from dss_plugin_nlp_preparation_spark.operators.lang_detect import detect_language
+from dss_plugin_nlp_preparation_spark.operators.perplexity import add_perplexity
+from dss_plugin_nlp_preparation_spark.operators.quality import add_quality_signals
+from dss_plugin_nlp_preparation_spark.operators.scrub import scrub_text
+
+_FUSED_TYPE = StructType(
+    [
+        StructField("language_code", StringType()),
+        StructField("language_score", DoubleType()),
+        StructField("log_ppl", DoubleType()),
+    ]
+)
+
+
+def _fused_lid_ppl_udf(language_scope, minimum_score, fallback_language):
+    """One Arrow round-trip computing Stage A LID (for unlabeled rows) AND
+    the LM perplexity — the ppl input depends on the detected language, so
+    two separate UDFs would serialize into two python exchanges; fusing
+    halves the text-column IPC of the hot pipeline."""
+    scope = tuple(language_scope) if language_scope else None
+
+    @F.pandas_udf(_FUSED_TYPE)
+    def _fused(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from dss_plugin_nlp_preparation_spark.operators.lang_detect import _identifier
+        from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+            _PUNCT_STRIP,
+            _unigram_model,
+        )
+
+        det = _identifier(scope, minimum_score, fallback_language)
+        codes, scores = [], []
+        for t, given in zip(texts, langs):
+            if given is not None and given == given and given != "":
+                codes.append(given)
+                scores.append(1.0)  # trusted label
+            else:
+                code, _name, score = det.detect(t)
+                codes.append(code)
+                scores.append(score)
+        codes_s = pd.Series(codes, index=texts.index)
+        ppl = pd.Series(np.nan, index=texts.index, dtype="float64")
+        eff = codes_s.replace("", "en")
+        for lang in eff.unique():
+            model = _unigram_model(lang, None)
+            mask = (eff == lang) & texts.notna()
+            if model is None or not mask.any():
+                continue
+            logp, unk = model
+            exploded = texts[mask].str.lower().str.split().explode()
+            valid = exploded.notna()
+            if valid.any():
+                lp = exploded[valid].str.strip(_PUNCT_STRIP).map(logp).fillna(unk)
+                per_doc = -lp.groupby(level=0).mean()
+                ppl.loc[per_doc.index] = per_doc.round(4)
+        return pd.DataFrame(
+            {"language_code": codes, "language_score": scores, "log_ppl": ppl}
+        )
+
+    return _fused
+
+
+def quality_filter_pipeline(
+    pages: DataFrame,
+    thresholds: KeepDropThresholds = DEFAULT_THRESHOLDS,
+    detect_missing_lang: bool = True,
+    with_perplexity: bool = True,
+    language_scope=None,
+    min_lid_score: float = 0.0,
+    fallback_language: str = "",
+    classifier_model: DataFrame | None = None,
+) -> DataFrame:
+    """pages -> pages + lang_detected/effective_lang + signals + keep/drop.
+
+    ``classifier_model`` (output of ``train_token_classifier``) optionally
+    appends the distilled-classifier columns ``clf_score``/``clf_keep`` —
+    the cheap student score alongside the rule-based decision, broadcast
+    to executors, zero extra shuffle."""
+    # Pre-warm executor model caches from the driver: builds the LID matrix
+    # and per-language LM pickles on local disk so Python workers load
+    # instead of rebuilding (32 workers x 30s build -> 1 build + 32 loads).
+    from dss_plugin_nlp_preparation_spark.nlp.langid import warm_caches
+
+    warm_caches()
+    if with_perplexity:
+        from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+            _unigram_model,
+        )
+
+        for lang in ("en", "fr", "es", "de", "ja", "zh"):
+            _unigram_model(lang, None)
+
+    df = pages
+    lang_score_col = None
+    if detect_missing_lang and with_perplexity:
+        # fused Stage A + LM scoring: one Arrow round trip (see
+        # _fused_lid_ppl_udf)
+        fused = _fused_lid_ppl_udf(language_scope, min_lid_score, fallback_language)
+        df = (
+            df.withColumn("__f", fused(F.col("text"), F.col("lang")))
+            .withColumn("text_language_code", F.col("__f.language_code"))
+            .withColumn("text_language_score", F.col("__f.language_score"))
+            .withColumn("log_ppl", F.col("__f.log_ppl"))
+            .drop("__f")
+            .withColumn("effective_lang", F.col("text_language_code"))
+        )
+        lang_score_col = "text_language_score"
+        df = add_quality_signals(df, text_column="text", language_column="effective_lang")
+        df = scrub_text(df, text_column="text")
+        df = add_keep_drop(df, thresholds=thresholds, lang_score_column=lang_score_col)
+        return _maybe_classify(df, classifier_model)
+    if detect_missing_lang:
+        # Only unlabeled rows pay the LID UDF: labeled rows feed '' into the
+        # detector (constant-time empty-doc path). A pandas UDF always runs
+        # for every row, so the masking happens in its *input*, JVM-side.
+        has_lang = F.col("lang").isNotNull() & (F.col("lang") != "")
+        df = df.withColumn(
+            "__lid_input", F.when(has_lang, F.lit("")).otherwise(F.col("text"))
+        )
+        df = detect_language(
+            df,
+            "__lid_input",
+            language_scope=language_scope,
+            minimum_score=min_lid_score,
+            fallback_language=fallback_language,
+        )
+        df = (
+            df.withColumn(
+                "text_language_code",
+                F.when(has_lang, F.col("lang")).otherwise(F.col("__lid_input_language_code")),
+            )
+            .withColumn(
+                "text_language_score",
+                # labeled rows: trusted label -> certainty 1.0
+                F.when(has_lang, F.lit(1.0)).otherwise(F.col("__lid_input_language_score")),
+            )
+            .drop(
+                "__lid_input",
+                "__lid_input_language_code",
+                "__lid_input_language_name",
+                "__lid_input_language_score",
+            )
+        )
+        df = df.withColumn("effective_lang", F.col("text_language_code"))
+        lang_score_col = "text_language_score"
+    else:
+        df = df.withColumn("effective_lang", F.col("lang"))
+    df = add_quality_signals(df, text_column="text", language_column="effective_lang")
+    if with_perplexity:
+        df = add_perplexity(df, text_column="text", language_column="effective_lang")
+    df = scrub_text(df, text_column="text")
+    df = add_keep_drop(df, thresholds=thresholds, lang_score_column=lang_score_col)
+    return _maybe_classify(df, classifier_model)
+
+
+def _maybe_classify(df: DataFrame, model: DataFrame | None) -> DataFrame:
+    if model is None:
+        return df
+    from dss_plugin_nlp_preparation_spark.operators.classifier import (
+        score_with_classifier,
+    )
+
+    return score_with_classifier(df, model)
+
+
+def partition_metrics(result: DataFrame, partition_expr=None) -> DataFrame:
+    """Per-partition lineage/metrics rows (north_rule): keep/drop counts and
+    PII totals keyed by the url-hash partition."""
+    part = partition_expr if partition_expr is not None else F.pmod(F.xxhash64("url"), F.lit(64))
+    return (
+        result.groupBy(part.alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+            F.sum("pii_email_count").alias("pii_emails"),
+            F.sum("tox_count").alias("tox_hits"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+    )

@@ -1,0 +1,144 @@
+# -*- coding: utf-8 -*-
+"""User-facing recipe entry points — the reference plugin's three recipes
+re-expressed as end-to-end Spark jobs.
+
+A user of the reference runs three recipes (custom-recipes/*/recipe.py):
+language detection, text cleaning, spell checking. Each function here is
+the drop-in equivalent: validate config -> read -> transform -> write
+(+ column descriptions; + the optional diagnosis dataset for spellcheck).
+Lifecycle parity with SURVEY.md §3, minus the chunk loop that Spark's
+execution model replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dss_plugin_nlp_preparation_spark.config import (
+    CleaningConfig,
+    LangDetectConfig,
+    SpellcheckConfig,
+)
+from dss_plugin_nlp_preparation_spark.operators.clean import clean_text
+from dss_plugin_nlp_preparation_spark.operators.lang_detect import (
+    COLUMN_DESCRIPTIONS as LID_DESCRIPTIONS,
+    detect_language,
+)
+from dss_plugin_nlp_preparation_spark.operators.spellcheck import (
+    check_spelling,
+    spell_diagnosis,
+    validate_language_scope,
+)
+from dss_plugin_nlp_preparation_spark.nlp.lang_support import SPELLCHECK_LANGUAGES
+from dss_plugin_nlp_preparation_spark.sources.side_inputs import (
+    load_custom_corrections,
+    load_custom_vocabulary,
+)
+from dss_plugin_nlp_preparation_spark.sources.tables import write_table
+
+
+def _read(spark: SparkSession, source) -> DataFrame:
+    return source if isinstance(source, DataFrame) else spark.read.parquet(source)
+
+
+def run_language_detection(
+    spark: SparkSession,
+    input_source,
+    output_target: str | None = None,
+    **config,
+) -> DataFrame:
+    """Recipe 1 (reference: custom-recipes/nlp-preparation-language-
+    detection/recipe.py): config validation -> detect -> write."""
+    cfg = LangDetectConfig(**config)
+    df = _read(spark, input_source)
+    result = detect_language(
+        df,
+        cfg.text_column,
+        language_scope=cfg.language_scope,
+        minimum_score=cfg.minimum_score,
+        fallback_language=cfg.fallback_language,
+    )
+    if output_target:
+        write_table(result, output_target)
+    return result
+
+
+def run_text_cleaning(
+    spark: SparkSession,
+    input_source,
+    output_target: str | None = None,
+    **config,
+) -> DataFrame:
+    """Recipe 2 (reference: custom-recipes/nlp-preparation-cleaning/
+    recipe.py)."""
+    cfg = CleaningConfig(**config)
+    df = _read(spark, input_source)
+    result = clean_text(
+        df,
+        cfg.text_column,
+        language=cfg.language,
+        language_column=cfg.language_column,
+        token_filters=cfg.token_filters,
+        lemmatization=cfg.lemmatization,
+        lowercase=cfg.lowercase,
+        unicode_normalization=cfg.unicode_normalization,
+        keep_filtered_tokens=cfg.keep_filtered_tokens,
+    )
+    if output_target:
+        write_table(result, output_target)
+    return result
+
+
+def run_spell_checking(
+    spark: SparkSession,
+    input_source,
+    output_target: str | None = None,
+    diagnosis_target: str | None = None,
+    custom_vocabulary_source=None,
+    custom_corrections_source=None,
+    **config,
+) -> tuple:
+    """Recipe 3 (reference: custom-recipes/nlp-preparation-spell-checker/
+    recipe.py): side-inputs, fail-fast scope validation, main output +
+    optional diagnosis dataset. Returns (result_df, diagnosis_df|None)."""
+    cfg = SpellcheckConfig(**config)
+    df = _read(spark, input_source)
+    vocab = (
+        load_custom_vocabulary(_read(spark, custom_vocabulary_source))
+        if custom_vocabulary_source is not None
+        else frozenset()
+    )
+    corrections = (
+        load_custom_corrections(_read(spark, custom_corrections_source))
+        if custom_corrections_source is not None
+        else {}
+    )
+    if cfg.language == "language_column":
+        validate_language_scope(df, cfg.language_column, SPELLCHECK_LANGUAGES)
+    result = check_spelling(
+        df,
+        cfg.text_column,
+        language=cfg.language,
+        language_column=cfg.language_column,
+        custom_vocabulary=vocab,
+        custom_corrections=corrections,
+        edit_distance=cfg.edit_distance,
+        ignore_regex=cfg.ignore_regex,
+    )
+    diagnosis = None
+    if cfg.compute_diagnosis:
+        diagnosis = spell_diagnosis(
+            df,
+            cfg.text_column,
+            language=cfg.language,
+            language_column=cfg.language_column,
+            custom_vocabulary=vocab,
+            custom_corrections=corrections,
+            edit_distance=cfg.edit_distance,
+            ignore_regex=cfg.ignore_regex,
+        )
+    if output_target:
+        write_table(result, output_target)
+    if diagnosis is not None and diagnosis_target:
+        write_table(diagnosis, diagnosis_target)
+    return result, diagnosis

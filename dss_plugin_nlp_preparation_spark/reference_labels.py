@@ -1,0 +1,72 @@
+# -*- coding: utf-8 -*-
+"""In-process (pandas/pure-Python) reference-label generator.
+
+SURVEY.md §7.2.5: the F1 harness compares the distributed pipeline against
+labels produced by evaluating the *same documented rule spec* in-process,
+the way the reference plugin runs — single process, chunked pandas. This
+is an independent second implementation of the Stage A/D/F spec (plain
+Python string ops, no Spark), so a Spark-side expression bug cannot cancel
+out in the comparison.
+"""
+
+from __future__ import annotations
+
+import re
+
+from dss_plugin_nlp_preparation_spark.nlp.langid import LanguageIdentifier
+from dss_plugin_nlp_preparation_spark.operators.keep_drop import DEFAULT_THRESHOLDS
+from dss_plugin_nlp_preparation_spark.operators.quality import (
+    DEFAULT_QUALITY_LANG,
+    QUALITY_STOPWORDS,
+)
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _signals(text: str, lang: str) -> dict:
+    text = text or ""
+    words = _WS_RE.split(text.strip()) if text.strip() else []
+    n_words = len(words)
+    n_chars = len(text)
+    sw = set(QUALITY_STOPWORDS.get(lang or DEFAULT_QUALITY_LANG, QUALITY_STOPWORDS[DEFAULT_QUALITY_LANG]))
+    hits = sum(1 for w in words if w.lower() in sw)
+    symbol_chars = sum(text.count(c) for c in "#…|")
+    lines = [l for l in text.split("\n") if l.strip()]
+    return {
+        "n_words": n_words,
+        "mean_word_len": round(sum(len(w) for w in words) / n_words, 4) if n_words else 0.0,
+        "stopword_ratio": round(hits / n_words, 4) if n_words else 0.0,
+        "symbol_word_ratio": round(symbol_chars / n_words, 4) if n_words else 0.0,
+        "digit_ratio": round(sum(c.isdigit() and c.isascii() for c in text) / n_chars, 4) if n_chars else 0.0,
+        "dup_line_frac": round(1.0 - len(set(lines)) / len(lines), 4) if lines else 0.0,
+    }
+
+
+def keep_labels_pandas(pages_pd, thresholds=DEFAULT_THRESHOLDS) -> dict:
+    """{url: keep_bool} evaluated in-process over a pandas pages frame."""
+    det = LanguageIdentifier()
+    t = thresholds
+    labels = {}
+    for _, row in pages_pd.iterrows():
+        text = row["text"] or ""
+        lang = row["lang"]
+        if lang is None or lang == "":
+            # unlabeled: detect, trust the detector's score
+            lang, _name, score = det.detect(text)
+        else:
+            # labeled: trusted label -> certainty 1.0 (engine spec)
+            score = 1.0
+        s = _signals(text, lang)
+        keep = not (
+            s["n_words"] < t.min_words
+            or s["n_words"] > t.max_words
+            or s["mean_word_len"] < t.min_mean_word_len
+            or s["mean_word_len"] > t.max_mean_word_len
+            or s["stopword_ratio"] < t.min_stopword_ratio
+            or s["symbol_word_ratio"] > t.max_symbol_word_ratio
+            or s["digit_ratio"] > t.max_digit_ratio
+            or s["dup_line_frac"] > t.max_dup_line_frac
+            or (score or 0.0) < t.min_lang_score
+        )
+        labels[row["url"]] = keep
+    return labels

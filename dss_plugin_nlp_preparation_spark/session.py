@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned for the local[32] sandbox but chosen to be the same knobs
+one would set on a 1000-executor cluster: AQE on (runtime skew-join and
+partition coalescing), Arrow enabled for pandas UDF exchange, and a bounded
+Arrow batch size so per-batch NLP models see chunky-but-memory-safe batches
+(the reference streams 1000-row pandas chunks — dku_io_utils.py:45-88; the
+Arrow batch is our equivalent unit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_ARROW_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
+
+
+def get_spark(
+    app_name: str = "nlp-preparation-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_ARROW_BATCH))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

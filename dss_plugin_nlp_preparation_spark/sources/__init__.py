@@ -1,0 +1,2 @@
+"""Sources & sinks: testdata tables, the synthetic Common-Crawl-style pages
+table, and small side-input datasets (custom vocabulary / corrections)."""

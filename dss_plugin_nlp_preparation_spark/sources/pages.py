@@ -1,0 +1,142 @@
+# -*- coding: utf-8 -*-
+"""Deterministic synthetic Common-Crawl-style ``pages`` table.
+
+Schema per BASELINE.json input_hint:
+    (url string, warc_ts timestamp, html binary, text string, lang string)
+
+Generation is fully distributed (``spark.range`` + expressions + one
+deterministic pandas UDF keyed by row id — md5-seeded, no RNG state), so
+the same code that makes 5k rows here would make 10^12 rows on a cluster.
+
+The mix deliberately exercises the pipeline (FIXTURES.md §1):
+- 5 languages (en/fr/es/de/ja) at skewed proportions,
+- one dominant host (~30% of urls) to exercise salting,
+- lengths spanning the 140-char LID router threshold,
+- edge rows: empty text, numeric-only, emoji/hashtag-rich, PII-bearing,
+  repeated-line docs, exact and near duplicates,
+- ~25% of rows have NULL ``lang`` so Stage A must detect it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_WORDS = {
+    "en": (
+        "the quick brown fox jumps over lazy dog and runs through green field "
+        "while morning sun rises above quiet village people walk to market with "
+        "fresh bread this is a good day for reading books about history"
+    ).split(),
+    "fr": (
+        "le chat noir dort sur la table pendant que les enfants jouent dans le "
+        "jardin avec leur chien et la voiture rouge passe devant la maison des "
+        "voisins qui préparent le dîner ce soir pour toute la famille"
+    ).split(),
+    "es": (
+        "el perro grande corre por la calle mientras los niños juegan en el "
+        "parque con sus amigos y la señora compra pan fresco en la tienda de la "
+        "esquina para el desayuno de toda la familia esta mañana"
+    ).split(),
+    "de": (
+        "der alte mann geht durch den wald und die kinder spielen auf dem platz "
+        "während die frau das brot in der küche backt und der hund im garten "
+        "schläft weil das wetter heute sehr schön ist"
+    ).split(),
+    "ja": list("これは日本語のテストです今日は天気がとても良いので公園へ散歩に行きます"),
+}
+_LANGS = ["en", "en", "en", "en", "fr", "fr", "es", "es", "de", "ja"]
+
+_PAGE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def _rng_ints(seed: str, n: int) -> list:
+    """n deterministic 32-bit ints from chained md5 (no RNG object)."""
+    out = []
+    h = seed.encode()
+    while len(out) < n:
+        h = hashlib.md5(h).digest()
+        for i in range(0, 16, 4):
+            out.append(int.from_bytes(h[i : i + 4], "big"))
+    return out[:n]
+
+
+def _make_row(i: int) -> tuple:
+    r = _rng_ints(f"page:{i}", 40)
+    lang = _LANGS[r[0] % len(_LANGS)]
+    words = _WORDS[lang]
+    host = "big-host.example.com" if r[1] % 10 < 3 else f"host{r[1] % 997}.example.org"
+    url = f"https://{host}/{lang}/doc/{i}"
+    kind = r[2] % 20
+    if kind == 0:
+        text = ""  # empty doc
+    elif kind == 1:
+        text = str(r[3] % 10_000)  # numeric-only
+    elif kind == 2:
+        text = "💩 😂 #OMG @user " * (1 + r[3] % 3)  # emoji/hashtag-rich
+    else:
+        n_sent = 1 + r[3] % 12
+        sents = []
+        for s in range(n_sent):
+            sw = r[(4 + s) % 40]
+            n_w = 4 + sw % 14
+            sent = " ".join(words[(sw + j * 7) % len(words)] for j in range(n_w))
+            if lang == "ja":
+                sent = sent.replace(" ", "")
+            sents.append(sent.capitalize() if lang != "ja" else sent)
+        text = ". ".join(sents) + "."
+        if kind == 3:  # PII-bearing
+            text += f" Contact user{i}@example.com or +1-555-{r[5] % 900 + 100:03d}-{r[6] % 9000 + 1000:04d}."
+        if kind == 4:  # repeated lines
+            line = " ".join(words[:6])
+            text = "\n".join([text] + [line] * (2 + r[5] % 4))
+        if kind == 5 and i > 100:  # near-duplicate of an earlier doc
+            base = _make_row(i - 100)
+            text = base[3] + " extra."
+        if kind == 6 and i > 50:  # exact duplicate of an earlier doc
+            text = _make_row(i - 50)[3]
+    html = f"<html><body>{text[:200]}</body></html>".encode()
+    labeled = r[7] % 4 != 0  # 25% unlabeled
+    return (i, url, html, text, lang if labeled else None)
+
+
+def synthesize_pages(spark: SparkSession, n_rows: int = 5000, partitions: int = 32) -> DataFrame:
+    """Distributed deterministic pages table."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_make_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["id", "url", "html", "text", "lang"])
+
+    base = spark.range(0, n_rows, 1, partitions)
+    pages = base.mapInPandas(_gen, _PAGE_SCHEMA)
+    return pages.select(
+        "url",
+        (F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 17)).alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
+
+
+def write_pages(spark: SparkSession, path: str, n_rows: int = 5000, partitions: int = 32) -> None:
+    synthesize_pages(spark, n_rows, partitions).write.mode("overwrite").parquet(path)

@@ -1,0 +1,55 @@
+# -*- coding: utf-8 -*-
+"""B1/B2 — small side-input datasets: custom vocabulary and corrections.
+
+Parity with the reference's loaders (plugin_config_loading.py:81-129):
+- custom vocabulary must be exactly one string column; rows are trimmed,
+  empties dropped, collected to a set;
+- custom corrections must be exactly two string columns (word, correction);
+  the word side must be non-empty after trim; empty corrections allowed.
+
+Both are collected on the driver and closed over the spellcheck UDF —
+the broadcast-hash-join analogue for genuinely tiny dimension data.
+F1 (empty/NaN row filter, plugin_io_utils.py:62-77) is applied as native
+``trim``/``where`` expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cleaned_single_column(df: DataFrame, col: str) -> DataFrame:
+    return (
+        df.select(F.trim(F.col(col).cast("string")).alias(col))
+        .where(F.col(col).isNotNull() & (F.col(col) != ""))
+    )
+
+
+def load_custom_vocabulary(df: DataFrame) -> frozenset:
+    """Exactly-one-string-column dataset -> frozenset of words."""
+    if len(df.columns) != 1:
+        raise ValueError(
+            f"Custom vocabulary dataset must have exactly 1 column, got {len(df.columns)}"
+        )
+    col = df.columns[0]
+    rows = _cleaned_single_column(df, col).collect()
+    return frozenset(r[0] for r in rows)
+
+
+def load_custom_corrections(df: DataFrame) -> dict:
+    """Exactly-two-string-columns dataset -> {word: correction}."""
+    if len(df.columns) != 2:
+        raise ValueError(
+            f"Custom corrections dataset must have exactly 2 columns, got {len(df.columns)}"
+        )
+    word_col, corr_col = df.columns
+    rows = (
+        df.select(
+            F.trim(F.col(word_col).cast("string")).alias("w"),
+            F.coalesce(F.trim(F.col(corr_col).cast("string")), F.lit("")).alias("c"),
+        )
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .collect()
+    )
+    return {r["w"]: r["c"] for r in rows}

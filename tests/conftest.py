@@ -1,0 +1,24 @@
+import os
+
+import pytest
+
+# Resource folders: the repo-bundled resources/ (public stopword lists +
+# `term count` frequency dictionaries) are the default — the test suite is
+# fully standalone; STOPWORDS_FOLDER_PATH / DICTIONARY_FOLDER_PATH still
+# override (same env-var contract as the reference Makefile:36-37).
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dss_plugin_nlp_preparation_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,57 @@
+# -*- coding: utf-8 -*-
+"""Trained BPE: merge learning, deterministic segmentation, Spark operator."""
+
+from dss_plugin_nlp_preparation_spark.nlp.bpe import (
+    BpeTokenizer,
+    get_tokenizer,
+    train_bpe,
+)
+
+
+def test_train_bpe_learns_frequent_pairs():
+    freqs = {"low": 50, "lower": 20, "newest": 60, "widest": 30}
+    merges = train_bpe(freqs, n_merges=10)
+    assert len(merges) > 0
+    # 'est</w>' dominates (newest+widest = 90): its pairs merge early
+    flat = ["".join(p) for p in merges]
+    assert any("est" in m or ("e", "s") == tuple(m) for m in [merges[0]] + flat)
+
+
+def test_train_bpe_deterministic():
+    freqs = {"abab": 10, "abcd": 10, "bcbc": 10}
+    assert train_bpe(freqs, n_merges=5) == train_bpe(freqs, n_merges=5)
+
+
+def test_tokenizer_roundtrip_words():
+    tk = get_tokenizer("en")
+    toks = tk.encode("the unbelievable foxes!")
+    # detokenizing (strip </w>) reproduces the lowercased word characters
+    assert "".join(t.replace("</w>", "") for t in toks if t != "!") == "theunbelievablefoxes"
+    assert "!" in toks
+    assert tk.count("") == 0
+
+
+def test_bpe_subwords_fewer_than_chars_more_than_words():
+    tk = get_tokenizer("en")
+    text = "the quick brown fox jumps over the lazy dog"
+    n = tk.count(text)
+    assert len(text.split()) <= n < sum(len(w) + 1 for w in text.split())
+
+
+def test_unknown_script_falls_back_to_chars():
+    tk = BpeTokenizer({})  # no merges at all
+    assert tk.encode("ab") == ["a", "b", "</w>"]
+
+
+def test_spark_operator(spark):
+    from dss_plugin_nlp_preparation_spark.operators.tokenize import (
+        add_bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, None), (2, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in add_bpe_token_count(df).collect()}
+    tk = get_tokenizer("en")
+    assert out[0] == tk.count("the quick brown fox")
+    assert out[1] == 0 and out[2] == 0

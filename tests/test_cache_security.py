@@ -1,0 +1,59 @@
+# -*- coding: utf-8 -*-
+"""Model-cache hardening: per-user 0700 dirs, ownership/permission checks
+before load, non-executable serialization (marshal, never pickle) for every
+executor-singleton artifact."""
+
+import os
+import stat
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.nlp import resources
+
+
+def test_secure_cache_dir_mode():
+    d = resources.secure_cache_dir("nlp_spark_test_cache")
+    assert d is not None
+    st = os.stat(d)
+    assert stat.S_IMODE(st.st_mode) == 0o700
+    assert st.st_uid == os.getuid()
+    assert f"u{os.getuid()}" in os.path.basename(d)
+
+
+def test_open_owned_rejects_world_writable(tmp_path):
+    p = tmp_path / "model.marshal"
+    p.write_bytes(b"data")
+    os.chmod(p, 0o666)  # world-writable: another user could have planted it
+    with pytest.raises(OSError):
+        resources.open_owned(str(p))
+    os.chmod(p, 0o600)
+    with resources.open_owned(str(p)) as f:
+        assert f.read() == b"data"
+
+
+def test_no_pickle_model_caches():
+    # pickle deserialization executes code; every disk-cached model must use
+    # marshal (data-only). Grep the kernel + operator sources.
+    import dss_plugin_nlp_preparation_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            if not name.endswith(".py"):
+                continue
+            src = open(os.path.join(dirpath, name), encoding="utf-8").read()
+            if "pickle.load" in src or "pickle.dump" in src:
+                offenders.append(os.path.join(dirpath, name))
+    assert not offenders, offenders
+
+
+def test_lid_matrix_cache_roundtrip():
+    from dss_plugin_nlp_preparation_spark.nlp import langid
+
+    m1 = langid._matrix()
+    langid._matrix.cache_clear()
+    m2 = langid._matrix()  # second call loads from the marshal disk cache
+    assert m1[0] == m2[0]  # langs
+    assert (m1[2] == m2[2]).all() and (m1[4] == m2[4]).all()
+    assert m1[6] == m2[6]  # scripts

@@ -1,0 +1,99 @@
+# -*- coding: utf-8 -*-
+"""Distilled quality classifier (operators/classifier.py): log-odds model
+trained as a Spark count job, scored via a broadcast pandas UDF."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.classifier import (
+    features_py,
+    score_texts_pandas,
+    score_with_classifier,
+    train_token_classifier,
+)
+
+
+def _labeled(spark):
+    # positive docs talk about fruit, negative docs about invoices — a
+    # separable vocabulary so the student should fit the teacher well
+    pos = [f"the fresh apple and ripe pear taste sweet today number {i}" for i in range(40)]
+    neg = [f"invoice {i} total due remit payment account overdue balance" for i in range(40)]
+    rows = [(i, t, True) for i, t in enumerate(pos)] + [
+        (100 + i, t, False) for i, t in enumerate(neg)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "keep"])
+
+
+def test_features_unigram_plus_bigram():
+    assert features_py("A  b c") == ["a", "b", "c", "a b", "b c"]
+    assert features_py("solo") == ["solo"]
+    assert features_py("") == []
+    assert features_py(None) == []
+
+
+def test_model_shape_and_prior(spark):
+    df = _labeled(spark)
+    model = train_token_classifier(df)
+    rows = model.collect()
+    prior = [r for r in rows if r["token"] is None]
+    assert len(prior) == 1
+    # balanced classes -> prior ln(40/40) = 0
+    assert prior[0]["w"] == 0.0
+    ws = {r["token"]: r["w"] for r in rows if r["token"] is not None}
+    assert ws["apple"] > 0 and ws["invoice"] < 0
+    assert ws["apple and"] > 0  # bigram feature present
+
+
+def test_classifier_fits_separable_teacher(spark):
+    df = _labeled(spark)
+    model = train_token_classifier(df)
+    scored = score_with_classifier(df, model)
+    acc = scored.select(
+        F.avg((F.col("clf_keep") == F.col("keep")).cast("double"))
+    ).collect()[0][0]
+    assert acc == 1.0
+
+
+def test_training_deterministic_across_partitioning(spark):
+    df = _labeled(spark)
+    a = sorted(
+        ((r["token"] or ""), r["w"]) for r in train_token_classifier(df).collect()
+    )
+    b = sorted(
+        ((r["token"] or ""), r["w"])
+        for r in train_token_classifier(df.repartition(7)).collect()
+    )
+    assert a == b
+
+
+def test_vocab_cap_prunes_to_top_k(spark):
+    df = _labeled(spark)
+    model = train_token_classifier(df, vocab_cap=5)
+    toks = [r["token"] for r in model.collect() if r["token"] is not None]
+    assert len(toks) == 5
+    # the cap keeps the most frequent features under (count desc, token asc)
+    full = train_token_classifier(df).collect()  # noqa: F841 — smoke: no error
+
+
+def test_empty_doc_scores_prior(spark):
+    df = spark.createDataFrame(
+        [(0, "apple apple good", True), (1, "bad invoice", False), (2, "", True)],
+        ["doc_id", "text", "keep"],
+    )
+    model = train_token_classifier(df)
+    out = {r["doc_id"]: r for r in score_with_classifier(df, model).collect()}
+    prior = [r["w"] for r in model.collect() if r["token"] is None][0]
+    assert out[2]["clf_score"] == round(prior, 6)
+
+
+def test_pandas_scorer_matches_spark(spark):
+    df = _labeled(spark)
+    model = train_token_classifier(df)
+    weights = {r["token"]: r["w"] for r in model.collect()}
+    prior = weights.pop(None)
+    pdf = df.toPandas()
+    local = score_texts_pandas(pdf["text"], weights, prior)
+    via_spark = (
+        score_with_classifier(df, model).orderBy("doc_id").toPandas()["clf_score"]
+    )
+    assert list(local.round(6)) == list(via_spark.round(6))

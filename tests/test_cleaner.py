@@ -1,0 +1,107 @@
+# -*- coding: utf-8 -*-
+"""M3 goldens ported from the reference
+(tests/python/unit/test_text_cleaner.py:15-53), through the kernel AND the
+Spark operator."""
+
+import unicodedata
+
+from dss_plugin_nlp_preparation_spark.nlp.cleaner import clean_document
+
+EN_FILTERS = frozenset(
+    {"is_punct", "is_stop", "like_num", "is_symbol", "is_currency", "is_emoji"}
+)
+ML_FILTERS = frozenset(
+    {"is_stop", "is_measure", "is_datetime", "like_url", "like_email", "is_username", "is_hashtag"}
+)
+
+ML_CASES = [
+    (
+        "I did a 10k run this morning at 6h34 follow me @superRunnerdu95 didn't I?",
+        "en",
+        "run morning follow not ?",
+    ),
+    (
+        "Nous cherchâmes des informations sur https://www.google.com/ le 03/11/2046 l'aventures",
+        "fr",
+        "chercher information aventurer",
+    ),
+    (
+        "#Barcelona Fútbol es la vida me@me.com ℌ ①",
+        "es",
+        "Fútbol vida H 1",
+    ),
+]
+
+
+def test_clean_english_golden():
+    got = clean_document(
+        "Hi, I have two apples costing 3$ 😂    \n and unicode has #snowpersons ☃",
+        "en",
+        EN_FILTERS,
+        lemmatization=True,
+        lowercase=True,
+    )
+    assert got["cleaned"] == "apple cost unicode #snowpersons"
+
+
+def test_clean_multilingual_goldens():
+    for text, lang, expected in ML_CASES:
+        got = clean_document(
+            text,
+            lang,
+            ML_FILTERS,
+            lemmatization=True,
+            lowercase=False,
+            unicode_normalization="NFKD",
+        )
+        assert got["cleaned"] == unicodedata.normalize("NFKD", expected), (lang, got)
+
+
+def test_empty_and_null():
+    assert clean_document("", "en", EN_FILTERS)["cleaned"] == ""
+    assert clean_document(None, "en", EN_FILTERS)["cleaned"] == ""
+
+
+def test_spark_clean_operator(spark):
+    from dss_plugin_nlp_preparation_spark.operators.clean import clean_text
+
+    df = spark.createDataFrame(
+        [(t, lang) for t, lang, _ in ML_CASES], ["input_text", "language"]
+    )
+    out = clean_text(
+        df,
+        "input_text",
+        language_column="language",
+        token_filters=ML_FILTERS,
+        lemmatization=True,
+        lowercase=False,
+        unicode_normalization="NFKD",
+    )
+    got = {r["input_text"]: r["input_text_cleaned"] for r in out.collect()}
+    for text, lang, expected in ML_CASES:
+        assert got[text] == unicodedata.normalize("NFKD", expected)
+
+
+def test_keep_filtered_tokens_columns(spark):
+    from dss_plugin_nlp_preparation_spark.operators.clean import clean_text
+
+    df = spark.createDataFrame([("Hi, I have two apples", "en")], ["txt", "language"])
+    out = clean_text(
+        df,
+        "txt",
+        language_column="language",
+        token_filters=frozenset({"is_stop", "like_num"}),
+        keep_filtered_tokens=True,
+    )
+    row = out.collect()[0]
+    assert row["txt_stopwords"] == "hi i have"
+    assert row["txt_numbers"] == "two"
+    assert row["txt_cleaned"] == ", apple"
+
+
+def test_lemmatizer_preserves_leading_case():
+    from dss_plugin_nlp_preparation_spark.nlp.lemmatizer import lemmatize
+
+    assert lemmatize("apples", "en") == "apple"
+    # leading capitalisation of the surface form is preserved on the lemma
+    assert lemmatize("Apples", "en") == "Apple"

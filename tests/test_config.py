@@ -1,0 +1,61 @@
+# -*- coding: utf-8 -*-
+"""V1-V3 config validation (parity: plugin_config_loading.py)."""
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.config import (
+    CleaningConfig,
+    InvalidConfig,
+    LangDetectConfig,
+    SpellcheckConfig,
+)
+
+
+def test_langdetect_defaults_expand_scope():
+    cfg = LangDetectConfig(text_column="text")
+    assert len(cfg.language_scope) == 114
+
+
+def test_langdetect_single_language_scope_rejected():
+    with pytest.raises(InvalidConfig, match="1 language"):
+        LangDetectConfig(text_column="text", language_scope=["en"])
+
+
+def test_langdetect_score_bounds():
+    with pytest.raises(InvalidConfig, match="between 0 and 1"):
+        LangDetectConfig(text_column="text", minimum_score=1.5)
+
+
+def test_langdetect_unknown_fallback():
+    with pytest.raises(InvalidConfig, match="fallback"):
+        LangDetectConfig(text_column="text", fallback_language="qq")
+
+
+def test_spellcheck_edit_distance_bounds():
+    with pytest.raises(InvalidConfig, match="between 2 and 100"):
+        SpellcheckConfig(text_column="t", language="en", edit_distance=1)
+    cfg = SpellcheckConfig(text_column="t", language="en", edit_distance=2)
+    assert cfg.ignore_pattern is None
+
+
+def test_spellcheck_regex_validation():
+    with pytest.raises(InvalidConfig, match="regex"):
+        SpellcheckConfig(text_column="t", language="en", ignore_regex="[unclosed")
+    cfg = SpellcheckConfig(text_column="t", language="en", ignore_regex=r"^[A-Z]+$")
+    assert cfg.ignore_pattern.match("ABC")
+
+
+def test_spellcheck_language_column_required():
+    with pytest.raises(InvalidConfig, match="language column"):
+        SpellcheckConfig(text_column="t")
+
+
+def test_cleaning_unknown_filter():
+    with pytest.raises(InvalidConfig, match="token filters"):
+        CleaningConfig(text_column="t", language="en", token_filters=frozenset({"is_bogus"}))
+
+
+def test_cleaning_normalization_enum():
+    with pytest.raises(InvalidConfig, match="normalization"):
+        CleaningConfig(text_column="t", language="en", unicode_normalization="NFX")
+    CleaningConfig(text_column="t", language="en", unicode_normalization="NFKD")

@@ -1,0 +1,157 @@
+# -*- coding: utf-8 -*-
+"""End-to-end corpus prep: dedup -> Gopher -> decontaminate -> chunk -> split."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.plans.corpus_prep import (
+    annotate_corpus,
+    prepare_training_corpus,
+)
+
+
+def _corpus(spark):
+    varied = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (0, varied + " zero"),
+        (1, varied + " zero"),  # exact dup of 0 -> not canonical
+        (2, "spam spam spam spam spam spam"),  # gopher-dropped
+        (3, varied + " three"),
+        (4, varied + " four"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_annotate_flags(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(99, "w1 w2 w3 w4 bench doc")], "doc_id long, text string"
+    )
+    ann = {
+        r["doc_id"]: (r["is_canonical"], r["keep_gopher"], r["contaminated"])
+        for r in annotate_corpus(docs, bench, decontam_n=4).collect()
+    }
+    assert ann[0][0] and not ann[1][0]  # min id is canonical
+    assert not ann[2][1]  # spam fails gopher
+    # every varied doc shares the 4-gram "w1 w2 w3 w4" with the benchmark
+    assert ann[0][2] and ann[3][2] and ann[4][2]
+    assert not ann[2][2]
+
+
+def test_prepare_training_corpus_counts_and_chunks(spark):
+    docs = _corpus(spark)
+    chunks, report = prepare_training_corpus(
+        docs, benchmark=None, chunk_size=16, overlap=0, val_frac=0.5
+    )
+    rep = report.collect()[0].asDict()
+    assert rep["n_docs"] == 5
+    assert rep["n_canonical"] == 4  # doc 1 deduped
+    assert rep["n_after_gopher"] == 3  # doc 2 dropped
+    assert rep["n_after_decontam"] == 3  # no benchmark
+    ch = chunks.collect()
+    ids = {r["id"] for r in ch}
+    assert ids == {0, 3, 4}  # chunks only from survivors
+    # 61 tokens, chunk 16 -> 4 chunks per doc; split is constant per doc
+    per_doc = {}
+    for r in ch:
+        per_doc.setdefault(r["id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_doc.values())
+    assert sum(1 for r in ch if r["id"] == 0) == 4
+    # token conservation: chunk n_tokens sum == doc token count
+    tot = sum(r["n_tokens"] for r in ch if r["id"] == 0)
+    assert tot == 61
+
+
+def test_split_fraction_deterministic(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    a = annotate_corpus(docs, val_frac=0.2).where("split = 'val'")
+    b = annotate_corpus(docs.repartition(7), val_frac=0.2).where("split = 'val'")
+    sa = {r["doc_id"] for r in a.collect()}
+    sb = {r["doc_id"] for r in b.collect()}
+    assert sa == sb
+    assert 0.12 < len(sa) / 1000 < 0.28
+
+
+def test_prepare_corpus_with_packing(spark):
+    from dss_plugin_nlp_preparation_spark.plans.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(50)) + " distinct tail")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks, report = prepare_training_corpus(
+        docs, chunk_size=16, val_frac=0.2, pack_seq_len=48, pack_shards=2
+    )
+    out = chunks.collect()
+    assert {"shard", "pack_id"} <= set(chunks.columns)
+    # packs never mix splits
+    packs = {}
+    for r in out:
+        packs.setdefault((r["split"], r["shard"], r["pack_id"]), set()).add(r["split"])
+    by_shard_pack = {}
+    for r in out:
+        by_shard_pack.setdefault((r["shard"], r["pack_id"]), set()).add(r["split"])
+    # a (shard, pack_id) pair may repeat across splits, but within a split
+    # the layout is contiguous; assert per-split packs are well-formed
+    for (split, shard, pack), s in packs.items():
+        assert s == {split}
+    # deterministic across partitioning
+    chunks2, _ = prepare_training_corpus(
+        docs.repartition(7), chunk_size=16, val_frac=0.2,
+        pack_seq_len=48, pack_shards=2,
+    )
+    a = sorted((r["id"], r["chunk_id"], r["shard"], r["pack_id"]) for r in out)
+    b = sorted(
+        (r["id"], r["chunk_id"], r["shard"], r["pack_id"]) for r in chunks2.collect()
+    )
+    assert a == b
+
+
+def test_annotate_fuzzy_dedup(spark):
+    from dss_plugin_nlp_preparation_spark.plans.corpus_prep import annotate_corpus
+
+    base = " ".join(f"token{i} filler common words here" for i in range(30))
+    rows = [
+        (0, base),
+        (1, base + " tiny tail difference"),   # near-dup of 0, not exact
+        (2, base),                              # exact dup of 0
+        (3, "a completely different document about other things entirely " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r["doc_id"]: r["is_canonical"] for r in annotate_corpus(docs).collect()}
+    fuzzy = {
+        r["doc_id"]: r["is_canonical"]
+        for r in annotate_corpus(docs, fuzzy_dedup=True).collect()
+    }
+    # exact dedup keeps the near-duplicate; fuzzy removes it too
+    assert exact == {0: True, 1: True, 2: False, 3: True}
+    assert fuzzy == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_annotate_fuzzy_decontam(spark):
+    from dss_plugin_nlp_preparation_spark.plans.corpus_prep import annotate_corpus
+
+    bench_text = "the standard benchmark question about rivers and mountains in europe"
+    rows = [
+        (0, bench_text.replace("europe", "asia")),  # paraphrase of the benchmark
+        (1, "zzv qqk jjx wwf ppz mmv ccb ddg hhk llq rrw ssx vvz kkp"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in annotate_corpus(docs, bench, decontam_n=12).collect()
+    }
+    fuzzy = {
+        r["doc_id"]: r["contaminated"]
+        for r in annotate_corpus(docs, bench, decontam_n=12, fuzzy_decontam=True).collect()
+    }
+    # 12-gram exact overlap misses the one-word edit (doc has 11 words in
+    # common max run < 12); fuzzy banding catches it
+    assert exact[0] is False and exact[1] is False
+    assert fuzzy[0] is True and fuzzy[1] is False

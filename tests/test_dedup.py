@@ -1,0 +1,358 @@
+# -*- coding: utf-8 -*-
+"""Dedup / similarity / fingerprint operators."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.dedup import (
+    exact_dedup,
+    minhash_bands,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dss_plugin_nlp_preparation_spark.operators.fingerprint import add_fingerprint
+from dss_plugin_nlp_preparation_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + " extra tail words here"),  # near dup
+        (3, "completely different content about database query optimization plans"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    groups = {r["canonical_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert groups[2] == 1 and groups[3] == 1
+    assert len(out) == 4
+
+
+def test_minhash_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(_docs(spark)).collect()}
+    assert (0, 1) in pairs  # exact dups share every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught by some band
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_deterministic(spark):
+    a = sorted(map(tuple, minhash_bands(_docs(spark)).collect()))
+    b = sorted(map(tuple, minhash_bands(_docs(spark)).collect()))
+    assert a == b
+
+
+def test_ngram_jaccard(spark):
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark)).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert 0.5 < rows.get((0, 2), rows.get((1, 2), 0.0)) < 1.0
+
+
+def test_simhash_similarity(spark):
+    out = {r["id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    ham01 = bin(out[0] ^ out[1]).count("1")
+    ham02 = bin(out[0] ^ out[2]).count("1")
+    ham03 = bin(out[0] ^ out[3]).count("1")
+    assert ham01 == 0
+    assert ham02 < ham03
+
+
+def test_fingerprint(spark):
+    out = {r["doc_id"]: r["fingerprint"] for r in add_fingerprint(_docs(spark)).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[3]
+
+
+def test_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    top = cosine_topk(emb, q, k=5).collect()
+    assert top[0]["id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    assert len(top) == 5
+    # descending similarity
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_dup_finds_self_similar(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    pairs = embedding_near_dup(emb, min_cosine=0.8).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.8
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_is_64_bit(spark):
+    rows = [(i, f"distinct content number {i} with words {i*7} {i*13}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = [r["simhash"] for r in simhash(df).collect()]
+    # high bits are actually exercised (two's-complement sign bit included)
+    assert any(v < 0 for v in out) or any(v >= 2**32 for v in out)
+    # 64-bit hashes of distinct docs are distinct here
+    assert len(set(out)) == len(out)
+
+
+def test_simhash_near_dup_hamming(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import simhash_near_dup
+
+    docs = _docs(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup(docs).collect()}
+    assert pairs.get((0, 1)) == 0  # exact dups: identical hash
+    # every reported pair respects the bound and matches a direct recompute
+    hashes = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    for (a, b), h in pairs.items():
+        assert h <= 3
+        assert _ham(hashes[a], hashes[b]) == h
+
+
+def test_near_dup_pairs_degenerate_bucket_capped(spark):
+    # 10k identical docs -> one signature per band with 10k members; the
+    # two-phase cap must filter on the COUNT (one bigint per bucket) before
+    # any collect, so this completes without materializing a 10k-id array
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    assert near_dup_pairs(df, max_bucket_size=64).count() == 0
+    # plan shows the window-count cap feeding the collect_set (collection
+    # happens only on provably capped buckets, after a spill-safe count)
+    plan = near_dup_pairs(df, max_bucket_size=64)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan
+    assert "count(1)" in plan and "collect_set" in plan
+
+
+def test_embedding_near_dup_multi_table_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from dss_plugin_nlp_preparation_spark.operators.similarity import cosine_expr
+
+    # exact ground truth at this scale (all-pairs)
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a = e.toDF("id_a", "va")
+    b = e.toDF("id_b", "vb")
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.5)
+    )
+    truth = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(emb, min_cosine=0.5, n_tables=8).collect()
+    }
+    assert got <= truth  # no false positives (exact verify stage)
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.5, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_recommended_planes_scales():
+    from dss_plugin_nlp_preparation_spark.operators.similarity import recommended_planes
+
+    assert recommended_planes(1_000) == 8
+    assert recommended_planes(1_000_000_000) > recommended_planes(1_000_000) > 8
+    assert recommended_planes(10**12) == 24
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from dss_plugin_nlp_preparation_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        ivf_assign,
+        pick_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = pick_ivf_centroids(emb, n_centroids=8)
+    assert len(centroids) == 8 and all(len(c) == len(centroids[0]) for c in centroids)
+    q = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    exact = [r["id"] for r in cosine_topk(emb, q, k=10).collect()]
+    # probing every list == exact brute force
+    full = [r["id"] for r in cosine_topk_ivf(emb, q, centroids, k=10, n_probe=8).collect()]
+    assert full == exact
+    # probing 3/8 lists keeps most of the true top-k (clustered queries
+    # land in few lists)
+    approx = [r["id"] for r in cosine_topk_ivf(emb, q, centroids, k=10, n_probe=3).collect()]
+    assert len(set(approx) & set(exact)) >= 5
+    # every vector lands in exactly one list
+    assigned = ivf_assign(emb, centroids)
+    assert assigned.count() == emb.count()
+    assert assigned.select("list_id").distinct().count() <= 8
+
+
+def test_connected_components_chain_and_islands(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    # clique 10-11, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_star_chain_and_islands(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["id"]: r["component"] for r in connected_components_star(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_star_long_path(spark):
+    # a 65-node path is the adversarial case for label propagation
+    # (diameter 64); the star alternation must still converge well under
+    # its O(log^2 n) round bound and label every node with the path min
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+    comp = {r["id"]: r["component"] for r in connected_components_star(path).collect()}
+    assert len(comp) == 65 and set(comp.values()) == {0}
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    import random
+
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(200), rng.randrange(200)) for _ in range(300)})
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    b = {r["id"]: r["component"] for r in connected_components_star(pairs).collect()}
+    assert a == b
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import near_dup_clusters
+
+    docs = _docs(spark)  # 0,1 exact dups; 2 near dup of them; 3,4 distinct
+    out = {r["id"]: (r["cluster_id"], r["is_canonical"]) for r in near_dup_clusters(docs).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2][0] == 0 and not out[2][1]  # near dup joins the cluster
+    assert out[3] == (3, True) and out[4] == (4, True)  # singletons canonical
+    # exactly one canonical row per cluster
+    canon = [i for i, (_c, k) in out.items() if k]
+    assert sorted(canon) == [0, 3, 4]
+
+
+def test_duplicate_span_stats(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import duplicate_span_stats
+
+    span_a = " ".join(f"a{i}" for i in range(16))
+    span_b = " ".join(f"b{i}" for i in range(16))
+    span_c = " ".join(f"c{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (0, span_a + " " + span_b),  # shares span_a with doc 1
+            (1, span_a + " " + span_c),
+            (2, span_c),                 # shares span_c with doc 1
+            (3, "unique words only here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_span_stats(df, window=16).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_dup_spans"] == 1
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 2
+    assert out[2]["n_spans"] == 1 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
+    assert out[1]["dup_span_frac"] == 1.0
+
+
+def test_duplicate_span_stats_identical_docs(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import duplicate_span_stats
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    rows = duplicate_span_stats(df, window=16).collect()
+    assert all(r["dup_span_frac"] == 1.0 for r in rows)
+
+
+def test_remove_duplicate_spans(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import remove_duplicate_spans
+
+    span_a = " ".join(f"a{i}" for i in range(16))
+    span_b = " ".join(f"b{i}" for i in range(16))
+    span_c = " ".join(f"c{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (0, span_a + " " + span_b),  # first occurrence of span_a: kept
+            (1, span_a + " " + span_c),  # span_a removed, span_c kept (first)
+            (2, span_c),                 # span_c removed (doc 1 is first)
+            (3, "unique words only here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, window=16).collect()}
+    assert out[0]["text_dedup_spans"] == span_a + " " + span_b
+    assert out[0]["n_removed_spans"] == 0
+    assert out[1]["text_dedup_spans"] == span_c
+    assert out[1]["n_removed_spans"] == 1
+    assert out[2]["text_dedup_spans"] == ""
+    assert out[2]["n_removed_spans"] == 1
+    assert out[3]["text_dedup_spans"] == "unique words only here"
+    assert out[4]["text_dedup_spans"] == "" and out[4]["n_spans"] == 0
+
+
+def test_remove_duplicate_spans_is_fixed_point(spark):
+    # a second pass over the cleaned text removes nothing further
+    from dss_plugin_nlp_preparation_spark.operators.dedup import remove_duplicate_spans
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(3)] + [(9, "other words entirely")],
+        "doc_id long, text string",
+    )
+    once = remove_duplicate_spans(df, window=16).select(
+        "doc_id", F.col("text_dedup_spans").alias("text")
+    )
+    twice = remove_duplicate_spans(once, window=16)
+    assert all(r["n_removed_spans"] == 0 for r in twice.collect())
+
+
+def test_connected_components_star_self_pairs_only(spark):
+    # a node whose only rows are self-pairs must still appear, as its own
+    # singleton component — identical contract to connected_components
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (3, 3)], "id_a long, id_b long"
+    )
+    expected = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
+    got = {(r["id"], r["component"]) for r in connected_components_star(pairs).collect()}
+    assert got == expected
+    assert (7, 7) in got and (3, 3) in got

@@ -1,0 +1,108 @@
+# -*- coding: utf-8 -*-
+"""Null / empty / oversized inputs through every Spark operator — the
+edge cases a 10^12-row crawl WILL contain (parity notes: SURVEY.md §2.2
+null handling)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def _nulls_df(spark):
+    schema = StructType(
+        [StructField("text", StringType()), StructField("lang", StringType())]
+    )
+    return spark.createDataFrame(
+        [(None, "en"), ("", "en"), ("   ", "en"), ("ok text here", None), (None, None)],
+        schema,
+    )
+
+
+def test_lang_detect_nulls(spark):
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import detect_language
+
+    rows = detect_language(_nulls_df(spark), "text").collect()
+    for r in rows:
+        if not r["text"]:
+            assert r["text_language_code"] == "" and r["text_language_score"] is None
+
+
+def test_clean_nulls(spark):
+    from dss_plugin_nlp_preparation_spark.operators.clean import clean_text
+
+    out = clean_text(
+        _nulls_df(spark).where("lang is not null"),
+        "text",
+        language_column="lang",
+        token_filters=frozenset({"is_stop"}),
+    ).collect()
+    for r in out:
+        assert r["text_cleaned"] == "" or r["text"] == "ok text here"
+
+
+def test_spellcheck_nulls(spark):
+    from dss_plugin_nlp_preparation_spark.operators.spellcheck import check_spelling
+
+    out = check_spelling(
+        _nulls_df(spark).where("lang is not null"), "text", language="en"
+    ).collect()
+    by_text = {r["text"]: r for r in out}
+    assert by_text[None]["text_corrected"] == ""
+    assert by_text[None]["text_misspelling_list"] == []
+    # count blanked (NULL) when corrected text empty (symspell_checker.py:392)
+    assert by_text[None]["text_misspelling_count"] is None
+    assert by_text[""]["text_misspelling_count"] is None
+
+
+def test_quality_and_scrub_nulls(spark):
+    from dss_plugin_nlp_preparation_spark.operators.keep_drop import add_keep_drop
+    from dss_plugin_nlp_preparation_spark.operators.quality import add_quality_signals
+    from dss_plugin_nlp_preparation_spark.operators.scrub import scrub_text
+
+    out = add_keep_drop(add_quality_signals(scrub_text(_nulls_df(spark)))).collect()
+    for r in out:
+        assert r["keep"] is False or r["text"] == "ok text here"
+        assert r["scrubbed_text"] is not None
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_dedup_nulls_and_empty(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import exact_dedup, simhash
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, ""), (3, "real content")],
+        "doc_id long, text string",
+    )
+    groups = {r["canonical_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert groups.get(1) == 2  # two empty strings collapse
+    sims = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sims[1] == sims[2] == 0  # no tokens -> all-majority-negative bits
+
+
+def test_long_document(spark):
+    from dss_plugin_nlp_preparation_spark.nlp.tokenizer import tokenize
+    from dss_plugin_nlp_preparation_spark.operators.quality import add_quality_signals
+
+    long_text = ("word " * 50_000).strip()
+    toks = tokenize(long_text, "en")
+    assert len(toks) == 50_000
+    df = spark.createDataFrame([(long_text, "en")], ["text", "lang"])
+    row = add_quality_signals(df).collect()[0]
+    assert row["n_words"] == 50_000
+    assert row["mean_word_len"] == 4.0
+
+
+def test_pipeline_with_all_edge_rows(spark):
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import quality_filter_pipeline
+
+    df = spark.createDataFrame(
+        [
+            ("u1", None, ""),
+            ("u2", None, None),
+            ("u3", "en", "the cat sat on the mat and the dog ran through the field today ok"),
+        ],
+        "url string, lang string, text string",
+    )
+    rows = {r["url"]: r for r in quality_filter_pipeline(df, with_perplexity=True).collect()}
+    assert rows["u1"]["keep"] is False
+    assert rows["u2"]["keep"] is False
+    assert rows["u3"]["keep"] is True

@@ -1,0 +1,77 @@
+# -*- coding: utf-8 -*-
+"""Frozen-oracle freshness guard: recompute a sample of each frozen
+expected table with the pure kernels and compare against the committed
+parquet — catches a kernel change that was not re-frozen (the full check
+is `python tools/freeze_oracles.py` + `tools/check_oracle.py`)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+ORACLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "oracles", "sf0.01")
+SF = "/root/testdata/sf0.01"
+
+
+def _frozen(name):
+    path = os.path.join(ORACLES, f"{name}.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"no frozen oracle {name}")
+    return pd.read_parquet(path)
+
+
+def _docs(n=None):
+    df = duckdb.sql(f"SELECT * FROM '{SF}/documents.parquet'").df()
+    for col in ("text", "lang"):
+        df[col] = df[col].astype(object).where(df[col].notna(), None)
+    return df.head(n) if n else df
+
+
+def test_lang_detect_frozen_fresh():
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import _identifier
+
+    frozen = _frozen("lang_detect").set_index("doc_id")
+    det = _identifier(None, 0.0, "")
+    for _, row in _docs(25).iterrows():
+        code, name, score = det.detect(row["text"])
+        f = frozen.loc[row["doc_id"]]
+        assert f["text_language_code"] == code
+        assert f["text_language_name"] == name
+        assert (score != score and f["text_language_score"] != f["text_language_score"]) or (
+            abs(f["text_language_score"] - score) < 1e-9
+        )
+
+
+def test_tokenize_stats_frozen_fresh():
+    from dss_plugin_nlp_preparation_spark.nlp.tokenizer import tokenize
+
+    frozen = _frozen("tokenize_stats").set_index("doc_id")
+    for _, row in _docs(25).iterrows():
+        assert frozen.loc[row["doc_id"]]["n_tokens"] == len(tokenize(row["text"], row["lang"]))
+
+
+def test_bpe_frozen_fresh():
+    from dss_plugin_nlp_preparation_spark.nlp.bpe import get_tokenizer
+
+    frozen = _frozen("bpe_token_count_v2").set_index("doc_id")
+    tk = get_tokenizer("en")
+    for _, row in _docs(25).iterrows():
+        expect = 0 if row["text"] is None else tk.count(str(row["text"]))
+        assert frozen.loc[row["doc_id"]]["n_bpe_tokens"] == expect
+
+
+def test_perplexity_frozen_fresh():
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        score_unigram_pandas,
+    )
+
+    docs = _docs(50)
+    frozen = _frozen("perplexity").set_index("doc_id")
+    got = score_unigram_pandas(
+        pd.Series(list(docs["text"]), dtype=object),
+        pd.Series(list(docs["lang"]), dtype=object),
+    )
+    for doc_id, val in zip(docs["doc_id"], got):
+        f = frozen.loc[doc_id]["log_ppl"]
+        assert (f != f and val != val) or abs(f - val) < 1e-9

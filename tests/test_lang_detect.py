@@ -1,0 +1,89 @@
+# -*- coding: utf-8 -*-
+"""M1 goldens ported from the reference
+(tests/python/unit/test_language_detector.py:12-36), asserted through BOTH
+the pure kernel and the Spark DataFrame path."""
+
+import math
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.nlp.langid import LanguageIdentifier
+
+FIXTURE = [
+    ("Comment est votre blanquette ?", "fr", "French", 1.0),
+    ("このオレはいずれ火影の名を受け継いで、先代のどの火影をも超えてやるんだ", "ja", "Japanese", 1.0),
+    (
+        "Every performance is an adventure with this group. They're called Fire Saga.",
+        "en",
+        "English",
+        1.0,
+    ),
+    ("", "", "", None),
+    ("1", "es", "Spanish", None),  # fallback: no signal -> below min score
+]
+
+
+def test_kernel_goldens():
+    det = LanguageIdentifier(minimum_score=0.2, fallback_language="es")
+    for text, code, name, score in FIXTURE:
+        got = det.detect(text)
+        assert got[0] == code, (text, got)
+        assert got[1] == name, (text, got)
+        if score is None:
+            assert got[2] is None
+        else:
+            assert got[2] == pytest.approx(score, abs=1e-9)
+
+
+def test_spark_goldens(spark):
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import detect_language
+
+    df = spark.createDataFrame([(t,) for t, *_ in FIXTURE], ["input_text"])
+    out = detect_language(df, "input_text", minimum_score=0.2, fallback_language="es")
+    rows = {r["input_text"]: r for r in out.collect()}
+    for text, code, name, score in FIXTURE:
+        r = rows[text]
+        assert r["input_text_language_code"] == code
+        assert r["input_text_language_name"] == name
+        if score is None:
+            assert r["input_text_language_score"] is None or math.isnan(
+                r["input_text_language_score"]
+            )
+        else:
+            assert r["input_text_language_score"] == pytest.approx(score)
+
+
+def test_scope_filter_and_fallback():
+    det = LanguageIdentifier(
+        language_scope=["fr", "es"], minimum_score=0.0, fallback_language="es"
+    )
+    # > 140 chars -> long-document model detects over its full scope, the
+    # post-filter sees 'en' outside the scope -> fallback with None score
+    # (parity: language_detector.py:63-88)
+    long_en = (
+        "Every performance is an adventure with this group and they are called "
+        "Fire Saga because the show must go on every single night of the year "
+        "without exception whatsoever"
+    )
+    assert len(long_en) > 140
+    code, name, score = det.detect(long_en)
+    assert code == "es" and score is None
+
+
+def test_multilingual_wide_coverage():
+    det = LanguageIdentifier()
+    cases = {
+        "de": "Der schnelle braune Fuchs springt über den faulen Hund und läuft weiter",
+        "it": "Il gatto nero dorme tranquillo sul divano tutto il giorno senza problemi",
+        "pt": "O gato preto dorme no sofá o dia inteiro sem problemas nenhuns",
+        "nl": "De snelle bruine vos springt over de luie hond heen en rent verder weg",
+        "ru": "Привет, как дела? Это тестовое сообщение на русском языке.",
+        "zh": "子曰：學而不思則罔，思而不學則殆。",
+        "ko": "안녕하세요 오늘 날씨가 정말 좋네요",
+        "ar": "مرحبا كيف حالك هذه رسالة اختبار باللغة العربية",
+        "th": "สวัสดีครับ วันนี้อากาศดีมาก",
+        "el": "Γεια σου, πώς είσαι σήμερα;",
+        "he": "שלום מה שלומך היום",
+    }
+    for expected, text in cases.items():
+        assert det.detect(text)[0] == expected, text

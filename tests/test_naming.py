@@ -1,0 +1,37 @@
+# -*- coding: utf-8 -*-
+"""P1-P4 helpers (parity: plugin_io_utils.py:28-123)."""
+
+from dss_plugin_nlp_preparation_spark.functions.naming import (
+    generate_unique,
+    move_columns_after,
+    truncate_text_list,
+    unique_list,
+)
+
+
+def test_generate_unique_prefix_and_sanitize():
+    assert generate_unique("cleaned", ["a"], "input_text") == "input_text_cleaned"
+    assert generate_unique("clé ané", [], "col") == "col_cl__an_"
+
+
+def test_generate_unique_conflict_suffix():
+    # suffix accumulates per probe, matching the reference's loop
+    # (plugin_io_utils.py:99-103): cleaned -> cleaned_1 -> cleaned_1_2
+    existing = ["t_cleaned", "t_cleaned_1"]
+    assert generate_unique("cleaned", existing, "t") == "t_cleaned_1_2"
+
+
+def test_unique_list_order_preserving():
+    assert unique_list(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
+
+
+def test_truncate_text_list():
+    out = truncate_text_list(["x" * 150, "short"])
+    assert out[0].endswith(" (...)") and len(out[0]) == 146
+    assert out[1] == "short"
+
+
+def test_move_columns_after(spark):
+    df = spark.createDataFrame([(1, 2, 3, 4)], ["a", "b", "c", "d"])
+    out = move_columns_after(df, ["d", "c"], "a")
+    assert out.columns == ["a", "d", "c", "b"]

@@ -1,0 +1,125 @@
+# -*- coding: utf-8 -*-
+"""Corpus-trained bigram LM: training job, scoring UDF, word-order
+sensitivity (the property a unigram model cannot have)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+    add_perplexity_bigram,
+    build_bigram_model,
+    score_tokens_bigram,
+    train_bigram_lm,
+)
+
+_SENT = "the quick brown fox jumps over the lazy dog"
+
+
+def _corpus(spark, n=50):
+    rows = [(i, _SENT + f" in field number {i}", "en") for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def _tok(t):
+    return [w for w in (x.strip(".,!?;:\"'()") for x in t.lower().split()) if w]
+
+
+def test_train_bigram_lm_counts(spark):
+    df = _corpus(spark, 10)
+    lm = train_bigram_lm(df)
+    rows = {(r["w1"], r["w2"]): r["n"] for r in lm.where("lang = 'en'").collect()}
+    assert rows[("quick", "brown")] == 10  # bigram count
+    assert rows[(None, "the")] == 20  # unigram: 'the' twice per sentence
+    assert rows[(None, None)] == 10 * (len(_SENT.split()) + 4)  # total tokens
+
+
+def test_bigram_scores_shuffled_worse(spark):
+    df = _corpus(spark)
+    lm = train_bigram_lm(df)
+    rows = [(r["lang"], r["w1"], r["w2"], r["n"]) for r in lm.collect()]
+    model = build_bigram_model(rows)["en"]
+    orig = score_tokens_bigram(_tok(_SENT), model)
+    shuffled = score_tokens_bigram(_tok(" ".join(reversed(_SENT.split()))), model)
+    assert orig < shuffled, (orig, shuffled)
+
+
+def test_unigram_cannot_separate_word_order(spark):
+    # the old unigram model gives identical scores to any permutation —
+    # documents why the bigram upgrade matters
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        _doc_log_ppl,
+        _unigram_model,
+    )
+
+    model = _unigram_model("en", None)
+    if model is None:
+        pytest.skip("no en dictionary available")
+    assert _doc_log_ppl(_SENT, model) == _doc_log_ppl(
+        " ".join(reversed(_SENT.split())), model
+    )
+
+
+def test_add_perplexity_bigram_udf_matches_reference(spark):
+    df = _corpus(spark, 20)
+    lm = train_bigram_lm(df)
+    scored = {
+        r["doc_id"]: r["log_ppl"]
+        for r in add_perplexity_bigram(df, lm).select("doc_id", "log_ppl").collect()
+    }
+    rows = [(r["lang"], r["w1"], r["w2"], r["n"]) for r in lm.collect()]
+    model = build_bigram_model(rows)["en"]
+    for r in df.collect():
+        expected = score_tokens_bigram(_tok(r["text"]), model)
+        assert scored[r["doc_id"]] == pytest.approx(expected, abs=1e-4)
+
+
+def test_bigram_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [(0, None, "en"), (1, "", "en"), (2, "unseen words entirely", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    lm = train_bigram_lm(_corpus(spark, 5))
+    out = {r["doc_id"]: r["log_ppl"] for r in add_perplexity_bigram(df, lm).collect()}
+    assert out[0] is None and out[1] is None
+    assert out[2] is not None and out[2] > 0
+
+
+def test_executor_load_path_matches_broadcast(spark, tmp_path):
+    """The persist-and-load-per-executor escape hatch (model too big to
+    collect on the driver) must score identically to the broadcast path."""
+    df = _corpus(spark, 30)
+    lm = train_bigram_lm(df)
+    via_broadcast = {
+        r["doc_id"]: r["log_ppl"]
+        for r in add_perplexity_bigram(df, lm).select("doc_id", "log_ppl").collect()
+    }
+    via_path = {
+        r["doc_id"]: r["log_ppl"]
+        for r in add_perplexity_bigram(df, lm, model_path=str(tmp_path / "lm"))
+        .select("doc_id", "log_ppl")
+        .collect()
+    }
+    assert via_broadcast == via_path
+
+
+def test_auto_spill_when_counts_exceed_driver_cap(spark):
+    """max_driver_rows forced tiny -> the operator spills the model to
+    parquet and warns, and the scores still agree with broadcast."""
+    import warnings
+
+    df = _corpus(spark, 20)
+    lm = train_bigram_lm(df)
+    expected = {
+        r["doc_id"]: r["log_ppl"]
+        for r in add_perplexity_bigram(df, lm).select("doc_id", "log_ppl").collect()
+    }
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r["doc_id"]: r["log_ppl"]
+            for r in add_perplexity_bigram(df, lm, max_driver_rows=1)
+            .select("doc_id", "log_ppl")
+            .collect()
+        }
+    assert any("spilling model" in str(w.message) for w in caught)
+    assert got == expected

@@ -1,0 +1,140 @@
+# -*- coding: utf-8 -*-
+"""Flagship pipeline: F1 vs reference labels, byte identity, resume, and
+the multimodal/streaming plumbing."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+    partition_metrics,
+    quality_filter_pipeline,
+)
+from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+N_PAGES = 2000
+
+
+def _pages(spark):
+    return synthesize_pages(spark, N_PAGES, 8)
+
+
+def test_pages_deterministic(spark):
+    a = sorted(map(tuple, _pages(spark).select("url", "text", "lang").collect()))
+    b = sorted(map(tuple, _pages(spark).select("url", "text", "lang").collect()))
+    assert a == b
+
+
+def test_pipeline_byte_identity_and_schema(spark):
+    pages = _pages(spark)
+    res = quality_filter_pipeline(pages, with_perplexity=False)
+    joined = (
+        pages.select("url", F.md5("text").alias("h_in"))
+        .join(res.select("url", F.md5("text").alias("h_out")), "url")
+    )
+    assert joined.where("h_in <> h_out").count() == 0
+    for col in ["keep", "drop_reason", "quality_score", "scrubbed_text", "effective_lang"]:
+        assert col in res.columns
+
+
+def test_pipeline_f1_vs_reference_labels(spark):
+    """The reference-semantics labels come from running the same kernel
+    logic in-process on pandas (the SURVEY.md §7.2.5 harness): the Spark
+    path must reproduce them at F1 >= 0.99."""
+    pages_pd = _pages(spark).select("url", "text", "lang").toPandas()
+    res = quality_filter_pipeline(_pages(spark), with_perplexity=False)
+    spark_keep = {
+        r["url"]: r["keep"] for r in res.select("url", "keep").collect()
+    }
+    # in-process reference labels: identical rule set evaluated in pandas
+    from dss_plugin_nlp_preparation_spark.reference_labels import keep_labels_pandas
+
+    ref = keep_labels_pandas(pages_pd)
+    tp = sum(1 for u, k in ref.items() if k and spark_keep[u])
+    fp = sum(1 for u, k in ref.items() if not k and spark_keep[u])
+    fn = sum(1 for u, k in ref.items() if k and not spark_keep[u])
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, (f1, tp, fp, fn)
+
+
+def test_partition_metrics(spark):
+    res = quality_filter_pipeline(_pages(spark), with_perplexity=False)
+    m = partition_metrics(res)
+    total = m.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == N_PAGES
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from dss_plugin_nlp_preparation_spark.plans.checkpoint import run_with_resume
+
+    res = quality_filter_pipeline(_pages(spark), with_perplexity=False)
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    r1 = run_with_resume(res, out, ledger, n_parts=8, run_id="r1")
+    assert r1["processed_parts"] == 8 and r1["skipped_parts"] == 0
+    r2 = run_with_resume(res, out, ledger, n_parts=8, run_id="r2")
+    assert r2["skipped_parts"] == 8 and r2["processed_parts"] == 0
+    written = spark.read.parquet(out)
+    assert written.count() == N_PAGES
+
+
+def test_multimodal_plumbing(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_media_features,
+    )
+
+    pages = _pages(spark).limit(50)
+    feats = extract_media_features(pages, payload_column="html", url_column="url")
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["byte_len"] > 0
+    # deterministic
+    again = {r["url"]: r["feature"] for r in feats.collect()}
+    for r in rows[:5]:
+        assert again[r["url"]] == r["feature"]
+
+
+def test_streaming_pipeline(spark, tmp_path):
+    from dss_plugin_nlp_preparation_spark.streaming import stream_quality_filter
+
+    pages_dir = str(tmp_path / "pages")
+    _pages(spark).limit(50).write.parquet(pages_dir)
+    q = stream_quality_filter(
+        spark,
+        pages_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        with_perplexity=False,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert "keep" in out.columns
+
+
+def test_pipeline_with_classifier_model(spark):
+    from dss_plugin_nlp_preparation_spark.operators.classifier import (
+        train_token_classifier,
+    )
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 200, 4)
+    base = quality_filter_pipeline(pages, with_perplexity=False)
+    model = train_token_classifier(base.select("text", "keep"))
+    out = quality_filter_pipeline(
+        pages, with_perplexity=False, classifier_model=model
+    )
+    assert {"clf_score", "clf_keep"} <= set(out.columns)
+    rows = out.select("keep", "clf_keep").collect()
+    agree = sum(1 for r in rows if r["clf_keep"] == r["keep"]) / len(rows)
+    assert agree > 0.6  # student roughly tracks the rule on its train set
+    # default path unchanged
+    assert "clf_score" not in base.columns

@@ -1,0 +1,136 @@
+# -*- coding: utf-8 -*-
+"""Property-based tests (hypothesis) for the pure kernels.
+
+The reference has no property tests (SURVEY.md §5); these guard the
+invariants our distributed semantics rely on:
+- tokenization is byte-lossless: concatenating token surface forms with
+  their attached whitespace reproduces the input exactly (the foundation
+  of the byte-identity invariant and of spellcheck reassembly);
+- SymSpell suggestions respect the edit-distance contract;
+- exact dictionary words are never "corrected".
+"""
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from dss_plugin_nlp_preparation_spark.nlp.symspell import SymSpellIndex, osa_distance
+from dss_plugin_nlp_preparation_spark.nlp.tokenizer import tokenize
+
+# text alphabets: latin + digits + punct + whitespace + CJK + emoji
+_LATIN = st.text(
+    alphabet="abcdefgHIJKL Zéü0123456789.,!?#@'\"()-:/\n\t  ", max_size=120
+)
+_CJK = st.text(alphabet="子曰學而不思則罔期一会そうですカタカナ。、 ", max_size=60)
+_MIXED = st.one_of(_LATIN, _CJK, st.text(max_size=80))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_LATIN)
+def test_tokenize_reconstruction_en(text):
+    toks = tokenize(text, "en")
+    assert "".join(t.text + t.whitespace_ for t in toks) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(_CJK)
+def test_tokenize_reconstruction_ja(text):
+    toks = tokenize(text, "ja")
+    assert "".join(t.text + t.whitespace_ for t in toks) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(_MIXED)
+def test_tokenize_reconstruction_zh(text):
+    toks = tokenize(text, "zh")
+    assert "".join(t.text + t.whitespace_ for t in toks) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(_MIXED)
+def test_token_offsets_monotonic(text):
+    toks = tokenize(text, "en")
+    pos = 0
+    for t in toks:
+        assert t.idx >= pos or t.text.strip() == ""
+        pos = max(pos, t.idx)
+
+
+_WORDS = st.text(alphabet="abcdefghio", min_size=1, max_size=10)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(_WORDS, min_size=1, max_size=30), _WORDS)
+def test_symspell_distance_contract(vocab, query):
+    index = SymSpellIndex(max_edit_distance=2)
+    for i, w in enumerate(sorted(vocab)):
+        index.add_word(w, 10 + i)
+    result = index.lookup(query)
+    if result:
+        term, dist, count = result[0]
+        assert dist <= 2
+        assert osa_distance(query, term, 2) == dist
+        # TOP semantics: no dictionary word is strictly better
+        for w in vocab:
+            d = osa_distance(query, w, 2)
+            if d < dist:
+                raise AssertionError(f"{w} at distance {d} beats {term} at {dist}")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(_WORDS, min_size=1, max_size=30))
+def test_symspell_exact_words_approved(vocab):
+    index = SymSpellIndex(max_edit_distance=2)
+    for w in sorted(vocab):
+        index.add_word(w, 5)
+    for w in vocab:
+        term, dist, _ = index.lookup(w)[0]
+        assert term == w and dist == 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=100), st.text(alphabet="abcdefgh", max_size=12))
+def test_osa_distance_axioms(a, b):
+    assert osa_distance(a, a, 3) == 0
+    d_ab = osa_distance(a, b, 100)
+    d_ba = osa_distance(b, a, 100)
+    assert d_ab == d_ba
+    assert d_ab <= max(len(a), len(b))
+
+
+def test_connected_components_matches_union_find(spark):
+    # randomized graphs vs a pure-python union-find reference
+    import hashlib
+
+    from dss_plugin_nlp_preparation_spark.operators.dedup import connected_components
+
+    def rng(seed, n):
+        out, h = [], str(seed).encode()
+        while len(out) < n:
+            h = hashlib.md5(h).digest()
+            out.extend(h)
+        return out[:n]
+
+    for seed in (1,):
+        bts = rng(seed, 32)
+        edges = [(bts[i] % 14, bts[i + 1] % 14) for i in range(0, 30, 2)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(14))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        nodes = {n for e in edges for n in e}
+        for n in nodes:
+            root = find(n)
+            expected[n] = min(m for m in nodes if find(m) == root)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+        assert got == expected, (seed, got, expected)

@@ -1,0 +1,86 @@
+# -*- coding: utf-8 -*-
+"""Stage D/E/F: quality signals, scrubbing, keep/drop."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.keep_drop import add_keep_drop
+from dss_plugin_nlp_preparation_spark.operators.quality import add_quality_signals
+from dss_plugin_nlp_preparation_spark.operators.scrub import scrub_text
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["text", "lang"])
+
+
+def test_quality_signals(spark):
+    good = "the cat sat on the mat and the dog ran through the field to the house"
+    df = _mk(
+        spark,
+        [
+            (good, "en"),
+            ("", "en"),
+            ("x\ny\ny\ny", "en"),
+            ("### ### ###", "en"),
+        ],
+    )
+    rows = add_quality_signals(df).collect()
+    by_text = {r["text"]: r for r in rows}
+    g = by_text[good]
+    assert g["n_words"] == 16
+    assert g["stopword_ratio"] > 0.3
+    assert g["dup_line_frac"] == 0.0
+    assert by_text[""]["n_words"] == 0
+    assert by_text["x\ny\ny\ny"]["dup_line_frac"] == 0.5
+    assert by_text["### ### ###"]["symbol_word_ratio"] == 3.0
+
+
+def test_scrub_pii_and_tox(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at bob@example.com or 10.0.0.1 you idiot", "en"),
+            ("ssn 123-45-6789 phone +1-555-123-4567", "en"),
+            ("clean text here", "en"),
+        ],
+        ["text", "lang"],
+    )
+    rows = {r["text"]: r for r in scrub_text(df).collect()}
+    r1 = rows["mail me at bob@example.com or 10.0.0.1 you idiot"]
+    assert "[EMAIL]" in r1["scrubbed_text"] and "[IP]" in r1["scrubbed_text"]
+    assert "[TOX]" in r1["scrubbed_text"]
+    assert r1["pii_email_count"] == 1 and r1["tox_count"] == 1
+    r2 = rows["ssn 123-45-6789 phone +1-555-123-4567"]
+    assert "[SSN]" in r2["scrubbed_text"] and "[PHONE]" in r2["scrubbed_text"]
+    r3 = rows["clean text here"]
+    assert r3["scrubbed_text"] == "clean text here"
+    # original text untouched
+    assert "text" in df.columns
+
+
+def test_keep_drop_reasons(spark):
+    good = "the cat sat on the mat and the dog ran through the field to the house today"
+    df = _mk(spark, [(good, "en"), ("tiny", "en"), ("w1 w2\nw1 w2\n" * 8, "en")])
+    out = add_keep_drop(add_quality_signals(df))
+    rows = {r["text"]: r for r in out.collect()}
+    assert rows[good]["keep"] is True and rows[good]["drop_reason"] is None
+    assert rows["tiny"]["keep"] is False and rows["tiny"]["drop_reason"] == "too_short"
+    assert rows["w1 w2\nw1 w2\n" * 8]["drop_reason"] in ("repeated_lines", "low_stopword_ratio")
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows.values())
+
+
+def test_perplexity(spark):
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import add_perplexity
+
+    df = _mk(
+        spark,
+        [
+            ("the quick brown fox jumps over the lazy dog", "en"),
+            ("zzz qqq xxx jjj vvv www", "en"),
+            ("", "en"),
+        ],
+    )
+    rows = add_perplexity(df).collect()
+    by_text = {r["text"]: r for r in rows}
+    fluent = by_text["the quick brown fox jumps over the lazy dog"]["log_ppl"]
+    garbage = by_text["zzz qqq xxx jjj vvv www"]["log_ppl"]
+    assert fluent is not None and garbage is not None and fluent < garbage
+    assert by_text[""]["log_ppl"] is None

@@ -1,0 +1,84 @@
+# -*- coding: utf-8 -*-
+"""End-to-end recipe flows (the reference's 3 user entry points)."""
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.config import InvalidConfig
+from dss_plugin_nlp_preparation_spark.recipes import (
+    run_language_detection,
+    run_spell_checking,
+    run_text_cleaning,
+)
+
+
+def test_language_detection_recipe(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("Comment est votre blanquette ?",), ("",), ("1",)], ["input_text"]
+    )
+    out_path = str(tmp_path / "out")
+    result = run_language_detection(
+        spark,
+        df,
+        out_path,
+        text_column="input_text",
+        minimum_score=0.2,
+        fallback_language="es",
+    )
+    rows = {r["input_text"]: r for r in spark.read.parquet(out_path).collect()}
+    assert rows["Comment est votre blanquette ?"]["input_text_language_code"] == "fr"
+    assert rows["1"]["input_text_language_code"] == "es"
+    assert result.columns[-3:] == [
+        "input_text_language_code",
+        "input_text_language_name",
+        "input_text_language_score",
+    ]
+
+
+def test_cleaning_recipe_config_error(spark):
+    df = spark.createDataFrame([("x", "en")], ["t", "language"])
+    with pytest.raises(InvalidConfig):
+        run_text_cleaning(spark, df, text_column="t", language="en", token_filters=frozenset({"nope"}))
+
+
+def test_cleaning_recipe(spark):
+    df = spark.createDataFrame([("Hi, I have two apples", "en")], ["t", "language"])
+    out = run_text_cleaning(
+        spark,
+        df,
+        text_column="t",
+        language_column="language",
+        token_filters=frozenset({"is_stop", "is_punct", "like_num"}),
+    )
+    assert out.collect()[0]["t_cleaned"] == "apple"
+
+
+def test_spellcheck_recipe_with_side_inputs_and_diagnosis(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("Les fautes d'orthografe c pas toop PTDR", "fr")], ["input_text", "language"]
+    )
+    vocab = spark.createDataFrame([("PTDR",)], ["word"])
+    result, diagnosis = run_spell_checking(
+        spark,
+        df,
+        str(tmp_path / "main"),
+        str(tmp_path / "diag"),
+        custom_vocabulary_source=vocab,
+        text_column="input_text",
+        language="fr",
+        language_column=None,
+        compute_diagnosis=True,
+    )
+    corrected = result.collect()[0]["input_text_corrected"]
+    assert corrected == "Les fautes d'orthographe c pas trop PTDR"
+    diag_rows = spark.read.parquet(str(tmp_path / "diag")).collect()
+    words = {r["original_word"]: r for r in diag_rows}
+    assert words["toop"]["corrected_word"] == "trop"
+    assert words["PTDR"]["spellcheck_diagnosis"] == "OK - In custom vocabulary"
+
+
+def test_spellcheck_recipe_scope_failfast(spark):
+    df = spark.createDataFrame([("hello", "qq")], ["t", "lang"])
+    with pytest.raises(ValueError, match="unsupported"):
+        run_spell_checking(
+            spark, df, text_column="t", language_column="lang"
+        )

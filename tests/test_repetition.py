@@ -1,0 +1,84 @@
+# -*- coding: utf-8 -*-
+"""Gopher-style repetition signals (engine spec in operators/repetition.py)."""
+
+from dss_plugin_nlp_preparation_spark.operators.repetition import (
+    add_repetition_signals,
+)
+
+
+def _signals(spark, rows, **kw):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in add_repetition_signals(docs, **kw).collect()}
+
+
+def test_top_ngram_fraction(spark):
+    out = _signals(spark, [(0, "a b a b a b c")], top_ns=(2,), dup_ns=())
+    # "a b" occurs 3x, len 3; base = len("a b a b a b c") = 13
+    assert out[0]["top_2gram_char_frac"] == round(9 / 13, 4)
+
+
+def test_top_ngram_counts_not_chars(spark):
+    # most FREQUENT gram wins even when a rarer, longer gram has more chars
+    out = _signals(
+        spark, [(0, "x x x x longword otherword")], top_ns=(2,), dup_ns=()
+    )
+    # "x x" count 3 (len 3) beats "longword otherword" count 1 (len 18)
+    base = len("x x x x longword otherword")
+    assert out[0]["top_2gram_char_frac"] == round(9 / base, 4)
+
+
+def test_dup_ngram_fraction_caps_at_one(spark):
+    out = _signals(spark, [(0, "q q q q q q q q")], top_ns=(), dup_ns=(2,))
+    assert out[0]["dup_2gram_char_frac"] == 1.0
+
+
+def test_no_repeats_and_edge_docs(spark):
+    out = _signals(
+        spark,
+        [(0, "x y z w"), (1, ""), (2, None), (3, "one two")],
+        top_ns=(2,),
+        dup_ns=(2, 5),
+    )
+    assert out[0]["dup_2gram_char_frac"] == 0.0
+    assert out[0]["top_2gram_char_frac"] == round(3 / 7, 4)
+    for d in (1, 2):
+        assert out[d]["top_2gram_char_frac"] == 0.0
+        assert out[d]["dup_2gram_char_frac"] == 0.0
+    # doc 3 has 2 words: one 2-gram, zero 5-grams
+    assert out[3]["dup_5gram_char_frac"] == 0.0
+    assert out[3]["top_2gram_char_frac"] == round(7 / 7, 4)
+
+
+def test_gopher_filter_thresholds_and_reason_order(spark):
+    from dss_plugin_nlp_preparation_spark.operators.repetition import (
+        add_gopher_repetition_filter,
+    )
+
+    # note: like Gopher's, the top-n-gram rule counts single-occurrence
+    # grams, so very short docs trip it trivially — short docs are the
+    # length rule's job. Use a realistically sized varied doc.
+    varied = " ".join(f"word{i}" for i in range(80))
+    rows = [
+        (0, varied),
+        (1, "spam spam spam spam spam spam only"),  # trips top_2gram first
+        (2, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in add_gopher_repetition_filter(docs).collect()
+    }
+    assert out[0] == (True, None)
+    # multiple rules exceed; the FIRST in threshold order names the reason
+    assert out[1] == (False, "top_2gram_char_frac")
+    assert out[2] == (True, None)  # empty docs are length-rule territory
+
+
+def test_tie_breaks_to_lexicographically_smallest(spark):
+    # "b c" and "a b" both occur twice; tie must go to "a b" — with equal
+    # lengths the fraction is the same, so pin the spec via a length
+    # difference: "zz zz" (len 5) x2 vs "a b" (len 3) x2 -> smaller gram
+    # "a b" wins the tie despite fewer chars
+    out = _signals(spark, [(0, "a b zz zz a b zz zz")], top_ns=(2,), dup_ns=())
+    base = len("a b zz zz a b zz zz")
+    assert out[0]["top_2gram_char_frac"] == round(2 * 3 / base, 4)

@@ -1,0 +1,172 @@
+# -*- coding: utf-8 -*-
+"""Deterministic sampling and token-window chunking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.sampling import (
+    chunk_documents,
+    deterministic_sample,
+)
+
+
+def test_sample_is_deterministic_and_repartition_stable(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df.repartition(13), 0.2).collect()}
+    assert a == b  # same rows regardless of physical layout
+    # roughly the requested fraction
+    assert 0.15 < len(a) / 2000 < 0.25
+
+
+def test_sample_stratified_fracs(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    out = deterministic_sample(
+        df, 0.05, stratify_column="lang", strata_fracs={"fr": 0.5}
+    )
+    rates = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.35 < rates.get("fr", 0) / 2000 < 0.65
+    assert rates.get("en", 0) / 2000 < 0.12
+
+
+def test_chunks_cover_every_token_in_order(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_size=32, overlap=4).collect()
+    )
+    # stride 28: starts at tokens 0, 28, 56, 84 -> 4 chunks
+    assert [c[0] for c in chunks] == [0, 1, 2, 3]
+    assert chunks[0][1].split()[:2] == ["t0", "t1"]
+    assert chunks[1][1].split()[0] == "t28"  # overlap of 4: 28 = 32 - 4
+    assert chunks[3][1].split()[-1] == "t99"  # tail covered
+    assert chunks[3][2] == 100 - 84  # short final window keeps real count
+    # overlap means consecutive chunks share exactly 4 tokens
+    assert chunks[0][1].split()[-4:] == chunks[1][1].split()[:4]
+
+
+def test_chunk_edges(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, None), (3, "x " * 32)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=32, overlap=0)
+    rows = {(r["id"], r["chunk_id"]): r["n_tokens"] for r in out.collect()}
+    assert rows == {(0, 0): 3, (3, 0): 32}  # empty/null docs -> no rows
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+
+
+def _mix_corpus(spark):
+    rows = [
+        (i, "wiki" if i < 10 else "web", float(100 + (i % 7) * 10))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+
+
+def test_mixture_full_epochs_plus_partial(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import mixture_sample
+
+    df = _mix_corpus(spark)
+    wiki_avail = sum(r["n_chars"] for r in df.where("source='wiki'").collect())
+    out = mixture_sample(df, {"wiki": 2.5 * wiki_avail}).collect()
+    by_doc = {}
+    for r in out:
+        assert r["source"] == "wiki"  # web has no budget -> dropped
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every wiki doc appears in epochs 0 and 1; a hash-chosen subset gets 2
+    for doc_id, epochs in by_doc.items():
+        assert sorted(epochs)[:2] == [0, 1]
+        assert sorted(epochs) in ([0, 1], [0, 1, 2])
+    assert len(by_doc) == 10
+    n_partial = sum(1 for e in by_doc.values() if len(e) == 3)
+    assert 0 < n_partial < 10  # partial epoch is a strict subset
+
+
+def test_mixture_achieved_weight_near_budget(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import mixture_sample
+
+    df = _mix_corpus(spark)
+    web_avail = sum(r["n_chars"] for r in df.where("source='web'").collect())
+    budget = 0.5 * web_avail
+    out = mixture_sample(df, {"web": budget}).collect()
+    achieved = sum(r["n_chars"] for r in out)
+    assert abs(achieved - budget) / budget < 0.35  # 50 docs -> coarse
+
+
+def test_mixture_deterministic_across_partitioning(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import mixture_sample
+
+    df = _mix_corpus(spark)
+    budgets = {"wiki": 3000.0, "web": 2000.0}
+    a = sorted(
+        (r["doc_id"], r["epoch"]) for r in mixture_sample(df, budgets).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mixture_sample(df.repartition(13), budgets).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_mixture_empty_budgets_rejected(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import mixture_sample
+
+    with pytest.raises(ValueError):
+        mixture_sample(_mix_corpus(spark), {})
+
+
+def test_pack_sequences_layout(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import pack_sequences
+
+    # one shard's worth of chunks: 5 chunks of 40 tokens, seq_len 100
+    rows = [(1, c, 40) for c in range(5)]
+    df = spark.createDataFrame(rows, "id long, chunk_id long, n_tokens long")
+    out = pack_sequences(df, seq_len=100, n_shards=1)
+    packs = {r["chunk_id"]: r["pack_id"] for r in out.collect()}
+    # tokens_before: 0,40,80,120,160 -> packs 0,0,0,1,1
+    assert packs == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+    assert {r["shard"] for r in out.collect()} == {0}
+
+
+def test_pack_sequences_deterministic_and_sharded(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import pack_sequences
+
+    rows = [(d, c, 10 + (d * 7 + c) % 30) for d in range(40) for c in range(3)]
+    df = spark.createDataFrame(rows, "id long, chunk_id long, n_tokens long")
+    a = sorted(map(tuple, pack_sequences(df, seq_len=64, n_shards=4).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(df.repartition(11), seq_len=64, n_shards=4).collect())
+    )
+    assert a == b
+    shards = {t[3] for t in a}
+    assert shards <= set(range(4)) and len(shards) > 1
+    # every chunk of a doc lands in its doc's single shard
+    doc_shards = {}
+    for id_, chunk_id, n, shard, pack in a:
+        doc_shards.setdefault(id_, set()).add(shard)
+    assert all(len(s) == 1 for s in doc_shards.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
+
+
+def test_mixture_zero_weight_source_dropped(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(0, "empty", 0.0), (1, "empty", 0.0), (2, "web", 100.0)],
+        "doc_id long, source string, n_chars double",
+    )
+    out = mixture_sample(df, {"empty": 500.0, "web": 100.0}).collect()
+    # a zero-weight source cannot satisfy any budget -> dropped, no
+    # infinite epoch explosion
+    assert {r["source"] for r in out} == {"web"}

@@ -1,0 +1,67 @@
+# -*- coding: utf-8 -*-
+"""Salted two-phase aggregation and skew-safe join (functions/skew.py)."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.functions.skew import (
+    salted_agg,
+    salted_broadcast_join,
+    salted_count,
+)
+
+
+def _skewed(spark):
+    # one dominant key (~70% of rows) + a long tail
+    rows = [(i, "hot" if i % 10 < 7 else f"cold{i % 13}", i * 2) for i in range(2000)]
+    return spark.createDataFrame(rows, ["id", "host", "v"])
+
+
+def test_salted_count_matches_direct(spark):
+    df = _skewed(spark)
+    direct = {r["host"]: r["cnt"] for r in df.groupBy("host").agg(F.count("*").alias("cnt")).collect()}
+    salted = {r["host"]: r["n"] for r in salted_count(df, "host", "id").collect()}
+    assert salted == direct
+
+
+def test_salted_agg_matches_direct(spark):
+    df = _skewed(spark)
+    direct = {
+        r["host"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("host")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["host"]: (r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df, "host", "id", {"n": ("v", "count"), "s": ("v", "sum"), "mx": ("v", "max")}
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_plain(spark):
+    fact = _skewed(spark)
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"cold{i}", i) for i in range(13)], ["host", "rank"]
+    )
+    plain = fact.join(dim, "host").agg(F.sum("rank"), F.count("*")).collect()[0]
+    salted = salted_broadcast_join(fact, dim, "host").agg(
+        F.sum("rank"), F.count("*")
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
+
+
+def test_video_frame_sampling(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 20, 4)
+    frames = sample_video_frames(pages, n_frames=3).collect()
+    assert len(frames) == 60
+    by_url = {}
+    for r in frames:
+        by_url.setdefault(r["url"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 1, 2] for v in by_url.values())

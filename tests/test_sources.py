@@ -1,0 +1,61 @@
+# -*- coding: utf-8 -*-
+"""S2/S3/S4 + B1/B2: counts, sinks, column descriptions, side inputs."""
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.sources.side_inputs import (
+    load_custom_corrections,
+    load_custom_vocabulary,
+)
+from dss_plugin_nlp_preparation_spark.sources.tables import (
+    count_records,
+    get_column_descriptions,
+    set_column_descriptions,
+    write_table,
+)
+
+
+def test_column_descriptions_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["id", "txt"])
+    described = set_column_descriptions(
+        df, {"txt": "the text", "missing_col": "ignored"}
+    )
+    assert get_column_descriptions(described) == {"txt": "the text"}
+    # descriptions survive a parquet round trip (S4)
+    path = str(tmp_path / "t")
+    write_table(described, path)
+    back = spark.read.parquet(path)
+    assert get_column_descriptions(back) == {"txt": "the text"}
+
+
+def test_operator_columns_carry_descriptions(spark):
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import detect_language
+
+    df = spark.createDataFrame([("bonjour tout le monde",)], ["t"])
+    out = detect_language(df, "t")
+    descs = get_column_descriptions(out)
+    assert descs["t_language_code"] == "Language code in ISO 639-1 format"
+
+
+def test_count_records(spark, tmp_path):
+    path = str(tmp_path / "c")
+    spark.range(123).write.parquet(path)
+    assert count_records(spark, path) == 123
+
+
+def test_custom_vocabulary_validation(spark):
+    ok = spark.createDataFrame([("PTDR",), (" LOL ",), ("",), (None,)], ["word"])
+    assert load_custom_vocabulary(ok) == {"PTDR", "LOL"}
+    bad = spark.createDataFrame([("a", "b")], ["w", "x"])
+    with pytest.raises(ValueError, match="exactly 1 column"):
+        load_custom_vocabulary(bad)
+
+
+def test_custom_corrections_validation(spark):
+    ok = spark.createDataFrame(
+        [("helo", "hello"), (" x ", None), ("", "drop")], ["word", "corr"]
+    )
+    assert load_custom_corrections(ok) == {"helo": "hello", "x": ""}
+    bad = spark.createDataFrame([("a",)], ["w"])
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        load_custom_corrections(bad)

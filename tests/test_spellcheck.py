@@ -1,0 +1,105 @@
+# -*- coding: utf-8 -*-
+"""M4 + A1 goldens ported from the reference
+(tests/python/unit/test_symspell_checker.py:16-51)."""
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.nlp.spellcheck import check_document
+
+EN_TEXT = "Can yu read tHISs message despite the horible AB1234 sppeling msitakes 😂 #OMG"
+EN_EXPECTED = "Can you read tHIS message despite the horrible AB1234 spelling mistakes 😂 #OMG"
+
+ML_CASES = [
+    (EN_TEXT, "en", EN_EXPECTED),
+    (
+        "Les fautes d'orthografe c pas toop #LOOOL PTDR",
+        "fr",
+        "Les fautes d'orthographe c pas trop #LOOOL PTDR",
+    ),
+    (
+        "Toodo lo que puéde ser covfefe es real.",
+        "es",
+        "Todo lo que puede ser covfefe es real.",
+    ),
+]
+
+
+def test_kernel_english_golden():
+    corrected, missp, mlist, mcount = check_document(EN_TEXT, "en")
+    assert corrected == EN_EXPECTED
+    assert mlist == ["yu", "tHISs", "horible", "AB1234", "sppeling", "msitakes"]
+    assert mcount == 6
+
+
+def test_kernel_multilingual_goldens():
+    for text, lang, expected in ML_CASES:
+        vocab = frozenset({"PTDR"}) if lang == "fr" else frozenset()
+        corrected, *_ = check_document(text, lang, custom_vocabulary=vocab)
+        assert corrected == expected, (lang, corrected)
+
+
+def test_custom_corrections_and_english_slang():
+    corrected, *_ = check_document("thx u", "en")
+    assert corrected == "thanks you"
+    corrected, *_ = check_document("helo wrld", "en", custom_corrections={"helo": "hey"})
+    assert corrected.startswith("hey ")
+
+
+def test_unsupported_language_raises():
+    from dss_plugin_nlp_preparation_spark.nlp.symspell import SpellCheckingError
+
+    with pytest.raises(SpellCheckingError):
+        check_document("hello", "xx")
+
+
+def test_spark_spellcheck_operator(spark):
+    from dss_plugin_nlp_preparation_spark.operators.spellcheck import check_spelling
+
+    df = spark.createDataFrame(
+        [(t, lang) for t, lang, _ in ML_CASES], ["input_text", "language"]
+    )
+    out = check_spelling(
+        df,
+        "input_text",
+        language_column="language",
+        custom_vocabulary=frozenset({"PTDR"}),
+    )
+    rows = {r["input_text"]: r for r in out.collect()}
+    for text, lang, expected in ML_CASES:
+        assert rows[text]["input_text_corrected"] == expected
+    en = rows[EN_TEXT]
+    assert en["input_text_misspelling_count"] == 6
+    assert en["input_text_misspelling_list"] == [
+        "yu", "tHISs", "horible", "AB1234", "sppeling", "msitakes",
+    ]
+
+
+def test_spark_diagnosis(spark):
+    from dss_plugin_nlp_preparation_spark.operators.spellcheck import spell_diagnosis
+
+    df = spark.createDataFrame(
+        [("Can yu read the msitakes", "en"), ("yu again yu", "en")],
+        ["input_text", "language"],
+    )
+    diag = spell_diagnosis(df, "input_text", language_column="language").collect()
+    by_word = {(r["language"], r["original_word"]): r for r in diag}
+    yu = by_word[("en", "yu")]
+    assert yu["is_misspelled"] is True
+    assert yu["corrected_word"] == "you"
+    assert yu["word_count"] == 3
+    # non-misspelled words have blank corrected_word (symspell_checker.py:482)
+    ok = by_word[("en", "read")]
+    assert ok["is_misspelled"] is False and ok["corrected_word"] == ""
+    # ordering: misspelled first, then by count desc (symspell_checker.py:484)
+    assert diag[0]["is_misspelled"] is True
+
+
+def test_validate_language_scope(spark):
+    from dss_plugin_nlp_preparation_spark.operators.spellcheck import (
+        validate_language_scope,
+    )
+
+    df = spark.createDataFrame([("a", "en"), ("b", "qq"), ("c", None)], ["t", "lang"])
+    with pytest.raises(ValueError, match="unsupported"):
+        validate_language_scope(df, "lang", {"en", "fr"})
+    validate_language_scope(df.where("lang = 'en' or lang is null"), "lang", {"en"})

@@ -1,0 +1,157 @@
+# -*- coding: utf-8 -*-
+"""Stateful streaming: watermarked exact dedup and the custom
+applyInPandasWithState per-host quality monitor."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.streaming.stateful import (
+    stream_exact_dedup,
+    stream_host_quality_monitor,
+)
+
+PAGES_DDL = "url string, warc_ts timestamp, text string, keep boolean"
+
+
+def _write_pages(spark, path):
+    rows = [
+        ("https://a.example.com/1", "2024-01-01 00:00:00", "same text", True),
+        ("https://a.example.com/2", "2024-01-01 00:05:00", "same text", True),  # dup
+        ("https://a.example.com/3", "2024-01-01 00:10:00", "other text", False),
+        ("https://b.example.com/1", "2024-01-01 00:01:00", "b text", False),
+        ("https://b.example.com/2", "2024-01-01 00:02:00", "b text 2", False),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text", "keep"]).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    _write_pages(spark, src)
+    stream = spark.readStream.schema(PAGES_DDL).parquet(src)
+    deduped = stream_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT url, text FROM dedup_sink").collect()
+    texts = [r["text"] for r in out]
+    assert sorted(texts) == ["b text", "b text 2", "other text", "same text"]
+    # the duplicate 'same text' row was dropped (first-seen wins)
+    assert len(out) == 4
+
+
+def test_stream_url_dedup(spark, tmp_path):
+    from dss_plugin_nlp_preparation_spark.streaming.stateful import stream_url_dedup
+
+    src = str(tmp_path / "pages_urls")
+    rows = [
+        ("https://example.com/p?utm_source=x", "2024-01-01 00:00:00", "v1", True),
+        ("HTTPS://WWW.Example.com/p#frag", "2024-01-01 00:01:00", "v2", True),  # same page
+        ("https://example.com/q", "2024-01-01 00:02:00", "v3", True),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text", "keep"]).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(PAGES_DDL).parquet(src)
+    q = (
+        stream_url_dedup(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("url_dedup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT canonical_url, text FROM url_dedup_sink").collect()
+    canon = sorted(r["canonical_url"] for r in out)
+    assert canon == ["https://example.com/p", "https://example.com/q"]
+
+
+def test_stream_host_quality_monitor(spark, tmp_path):
+    src = str(tmp_path / "pages2")
+    _write_pages(spark, src)
+    stream = spark.readStream.schema(PAGES_DDL).parquet(src)
+    monitored = stream_host_quality_monitor(stream, max_drop_rate=0.5)
+    q = (
+        monitored.writeStream.format("memory")
+        .queryName("monitor_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT host, n_docs, n_keep, drop_rate, alarm FROM monitor_sink"
+    ).toPandas()
+    # last row per host = cumulative state
+    last = rows.groupby("host").last()
+    a = last.loc["a.example.com"]
+    assert (a["n_docs"], a["n_keep"]) == (3, 2)
+    assert not a["alarm"]  # drop rate 1/3 <= 0.5
+    b = last.loc["b.example.com"]
+    assert (b["n_docs"], b["n_keep"]) == (2, 0)
+    assert b["alarm"] and b["drop_rate"] == 1.0
+
+
+def test_monitor_state_accumulates_across_batches(spark, tmp_path):
+    # two micro-batches (maxFilesPerTrigger=1) -> state carries counts over
+    src = str(tmp_path / "pages3")
+    rows1 = [("https://h.example.com/1", "2024-01-01 00:00:00", "t1", True)]
+    rows2 = [("https://h.example.com/2", "2024-01-01 00:01:00", "t2", False)]
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(rows, ["url", "warc_ts", "text", "keep"]).withColumn(
+            "warc_ts", F.to_timestamp("warc_ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(PAGES_DDL).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_host_quality_monitor(stream, max_drop_rate=0.4)
+        .writeStream.format("memory")
+        .queryName("monitor_sink2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM monitor_sink2 ORDER BY n_docs").collect()
+    assert rows[-1]["n_docs"] == 2  # cumulative, not per-batch
+    assert rows[-1]["n_keep"] == 1
+    assert rows[-1]["alarm"]  # drop rate 0.5 > 0.4
+
+
+def test_stream_windowed_host_counts(spark, tmp_path):
+    from dss_plugin_nlp_preparation_spark.streaming.stateful import (
+        stream_windowed_host_counts,
+    )
+
+    src = str(tmp_path / "pages4")
+    _write_pages(spark, src)
+    stream = spark.readStream.schema(PAGES_DDL).parquet(src)
+    q = (
+        stream_windowed_host_counts(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_sink")
+        # complete mode: append would only emit windows already finalized
+        # by the watermark, and a single availableNow batch finalizes none
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT host, window_start, n_pages FROM win_sink ORDER BY host, window_start"
+    ).collect()
+    agg = {(r["host"], str(r["window_start"])): r["n_pages"] for r in rows}
+    # a.example.com: events at 00:00, 00:05, 00:10 -> three 5-min windows
+    assert agg.get(("a.example.com", "2024-01-01 00:00:00")) == 1
+    assert agg.get(("a.example.com", "2024-01-01 00:05:00")) == 1
+    # b.example.com: 00:01 and 00:02 in the same window
+    assert agg.get(("b.example.com", "2024-01-01 00:00:00")) == 2

@@ -1,0 +1,65 @@
+# -*- coding: utf-8 -*-
+"""Golden tokenization fixtures ported from the reference
+(tests/python/unit/test_spacy_tokenizer.py:16-55): exact token counts."""
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.nlp.tokenizer import (
+    TokenizationError,
+    tokenize,
+)
+
+
+@pytest.mark.parametrize(
+    "text,language,expected",
+    [
+        ("I hope nothing. I fear nothing. I am free. 💩 😂 #OMG", "en", 15),
+        ("期一会。 異体同心。 そうです。", "ja", 9),
+        ("I hope nothing. I fear nothing. I am free.", "en", 12),
+        (" Les sanglots longs des violons d'automne", "fr", 8),
+        ("子曰：“學而不思則罔，思而不學則殆。”", "zh", 13),
+    ],
+)
+def test_token_counts(text, language, expected):
+    assert len(tokenize(text, language)) == expected
+
+
+def test_max_num_characters_raises():
+    with pytest.raises(TokenizationError):
+        tokenize("This text is way too long", "en", max_num_characters=1)
+
+
+def test_unsupported_language_raises():
+    with pytest.raises(TokenizationError):
+        tokenize("hello", "xx")
+
+
+def test_missing_language_raises():
+    with pytest.raises(TokenizationError):
+        tokenize("hello", "")
+
+
+def test_hashtags_mentions_urls_emails_stay_whole():
+    toks = [t.text for t in tokenize("see #tag @user https://a.com/x me@me.com", "en")]
+    assert "#tag" in toks and "@user" in toks
+    assert "https://a.com/x" in toks and "me@me.com" in toks
+
+
+def test_whitespace_reconstruction_offsets():
+    toks = tokenize("didn't stop", "en")
+    assert [t.text for t in toks] == ["did", "n't", "stop"]
+    assert toks[0].whitespace_ == "" and toks[1].whitespace_ == " "
+    assert toks[1].idx == toks[0].idx + len(toks[0])
+
+
+def test_combining_marks_token_is_symbol_not_whitespace():
+    # parity: the reference's is_space getter excludes is_symbol tokens
+    # (spacy_tokenizer.py:62-73), so a combining-marks-only token buckets
+    # as Symbol
+    from dss_plugin_nlp_preparation_spark.nlp.tokenizer import is_space, is_symbol
+
+    marks = "́̂"  # combining acute + circumflex (category Mn)
+    assert is_symbol(marks)
+    assert not is_space(marks)
+    assert is_space("​")  # zero-width space stays Whitespace
+    assert is_space("  ")

@@ -1,0 +1,172 @@
+# -*- coding: utf-8 -*-
+"""URL canonicalization / host extraction / url-level dedup."""
+
+from dss_plugin_nlp_preparation_spark.operators.urls import (
+    add_canonical_url,
+    url_dedup,
+)
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_canonicalize_full_gauntlet(spark):
+    df = _urls(
+        spark,
+        [
+            (0, "  HTTPS://WWW.Example.COM:443/Path/Doc?utm_source=feed&id=7&gclid=abc#frag  "),
+            (1, "http://example.com:80/a?utm_a=1&utm_b=2&c=3"),
+            (2, "https://example.com/Path/Doc?id=7"),
+            (3, "not a url"),
+            (4, "http://HOST.org/x?fbclid=z"),
+            (5, "https://www.example.com/Path/Doc?id=7&utm_x=9"),
+        ],
+    )
+    out = {r["doc_id"]: (r["canonical_url"], r["host"]) for r in add_canonical_url(df).collect()}
+    assert out[0] == ("https://example.com/Path/Doc?id=7", "example.com")
+    # mid-query tracking params removed without gluing neighbors together
+    assert out[1] == ("http://example.com/a?c=3", "example.com")
+    assert out[2] == ("https://example.com/Path/Doc?id=7", "example.com")
+    # non-urls pass through untouched, host is ''
+    assert out[3] == ("not a url", "")
+    # whole query dropped when only tracking params remain
+    assert out[4] == ("http://host.org/x", "host.org")
+    assert out[5] == ("https://example.com/Path/Doc?id=7", "example.com")
+
+
+def test_case_of_path_and_query_preserved(spark):
+    df = _urls(spark, [(0, "HTTP://A.COM/CaseSensitive/Path?Q=Value")])
+    out = add_canonical_url(df).collect()[0]
+    assert out["canonical_url"] == "http://a.com/CaseSensitive/Path?Q=Value"
+
+
+def test_default_port_only_for_matching_scheme(spark):
+    df = _urls(
+        spark,
+        [(0, "http://a.com:443/x"), (1, "https://a.com:80/x"), (2, "http://a.com:8080/x")],
+    )
+    out = {r["doc_id"]: r["canonical_url"] for r in add_canonical_url(df).collect()}
+    # :443 is NOT http's default, :80 is not https's — both kept
+    assert out[0] == "http://a.com:443/x"
+    assert out[1] == "https://a.com:80/x"
+    assert out[2] == "http://a.com:8080/x"
+
+
+def test_canonicalize_is_idempotent_fuzz(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a seeded zoo
+    of url shapes — the property that makes re-running ingest safe."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import canonicalize_url
+
+    rng = random.Random(42)
+    schemes = ["http://", "https://", "HTTPS://", "HtTp://", ""]
+    hosts = ["example.com", "WWW.Example.COM", "a.b.co:443", "x.org:80", "h:8080"]
+    paths = ["", "/", "/P/q", "/docs/1", "//double"]
+    queries = [
+        "",
+        "?a=1",
+        "?utm_source=x",
+        "?utm_a=1&b=2&utm_c=3",
+        "?a=1&gclid=z&b=2",
+        "?fbclid=1&utm_x=2",
+    ]
+    frags = ["", "#f", "#a#b"]
+    rows = [
+        (
+            i,
+            rng.choice(schemes)
+            + rng.choice(hosts)
+            + rng.choice(paths)
+            + rng.choice(queries)
+            + rng.choice(frags),
+        )
+        for i in range(200)
+    ]
+    df = _urls(spark, rows)
+    once = canonicalize_url(F.col("url"))
+    bad = (
+        df.select("url", once.alias("c1"), canonicalize_url(once).alias("c2"))
+        .where(F.col("c1") != F.col("c2"))
+        .collect()
+    )
+    assert bad == [], bad[:5]
+
+
+def test_url_dedup_groups_variants(spark):
+    df = _urls(
+        spark,
+        [
+            (3, "https://www.example.com/p?utm_s=1"),
+            (1, "HTTPS://example.com/p"),
+            (2, "https://example.com/p#frag"),
+            (9, "https://example.com/other"),
+        ],
+    )
+    out = {r["canonical_url"]: (r["n_docs"], r["canonical_id"]) for r in url_dedup(df).collect()}
+    assert out["https://example.com/p"] == (3, 1)
+    assert out["https://example.com/other"] == (1, 9)
+
+
+def _host_corpus(spark):
+    rows = [
+        (0, "https://www.spam.org/x"),
+        (1, "https://ads.spam.org/y"),
+        (2, "https://news.net/a"),
+        (3, "https://sub.news.net/b"),
+        (4, "http://example.com/c"),
+        (5, "not a url"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_filter_hosts_deny_subdomains(spark):
+    from dss_plugin_nlp_preparation_spark.operators.urls import filter_hosts
+
+    hosts = spark.createDataFrame([("spam.org",)], ["host"])
+    kept = sorted(
+        r["doc_id"] for r in filter_hosts(_host_corpus(spark), hosts).collect()
+    )
+    # 0 (www-stripped spam.org) and 1 (subdomain) denied; non-url kept
+    assert kept == [2, 3, 4, 5]
+
+
+def test_filter_hosts_allow_exact(spark):
+    from dss_plugin_nlp_preparation_spark.operators.urls import filter_hosts
+
+    hosts = spark.createDataFrame([("news.net",)], ["host"])
+    kept_sub = sorted(
+        r["doc_id"]
+        for r in filter_hosts(_host_corpus(spark), hosts, mode="allow").collect()
+    )
+    assert kept_sub == [2, 3]
+    kept_exact = sorted(
+        r["doc_id"]
+        for r in filter_hosts(
+            _host_corpus(spark), hosts, mode="allow", include_subdomains=False
+        ).collect()
+    )
+    assert kept_exact == [2]
+
+
+def test_filter_hosts_bad_mode(spark):
+    import pytest as _pytest
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import filter_hosts
+
+    with _pytest.raises(ValueError):
+        filter_hosts(_host_corpus(spark), _host_corpus(spark), mode="blocklist")
+
+
+def test_add_host_verdict_column(spark):
+    from dss_plugin_nlp_preparation_spark.operators.urls import add_host_verdict
+
+    hosts = spark.createDataFrame([("spam.org",), ("example.com",)], ["host"])
+    out = {
+        r["doc_id"]: r["host_listed"]
+        for r in add_host_verdict(_host_corpus(spark), hosts).collect()
+    }
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: True, 5: False}

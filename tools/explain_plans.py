@@ -1,0 +1,211 @@
+# -*- coding: utf-8 -*-
+"""Dump `.explain("formatted")` for the engine's key plans into PLANS.md —
+the evidence that filters push down, columns prune, and Python stays out of
+the relational path."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.dedup import exact_dedup, near_dup_pairs
+    from dss_plugin_nlp_preparation_spark.operators.keep_drop import add_keep_drop
+    from dss_plugin_nlp_preparation_spark.operators.quality import add_quality_signals
+    from dss_plugin_nlp_preparation_spark.operators.similarity import cosine_topk
+    from dss_plugin_nlp_preparation_spark.session import get_spark
+
+    spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    sections = []
+
+    kd = add_keep_drop(add_quality_signals(docs)).where("keep").select("doc_id")
+    sections.append(
+        (
+            "keep_drop (native exprs; filter/prune should reach the scan)",
+            _explain(kd),
+        )
+    )
+    sections.append(
+        (
+            "predicate pushdown probe: docs.where(lang='en').select(doc_id)",
+            _explain(docs.where(F.col("lang") == "en").select("doc_id")),
+        )
+    )
+    sections.append(("exact_dedup (hash agg on md5)", _explain(exact_dedup(docs))))
+    sections.append(
+        ("near_dup_pairs (LSH banding, capped buckets)", _explain(near_dup_pairs(docs.limit(100))))
+    )
+    qvec = [0.1] * 64
+    sections.append(
+        (
+            "cosine_topk (expect TakeOrderedAndProject, no full sort)",
+            _explain(cosine_topk(embs, qvec, k=10)),
+        )
+    )
+    from dss_plugin_nlp_preparation_spark.operators.dedup import simhash_near_dup
+    from dss_plugin_nlp_preparation_spark.operators.similarity import (
+        cosine_topk_ivf,
+        embedding_near_dup,
+        pick_ivf_centroids,
+    )
+
+    sections.append(
+        (
+            "simhash_near_dup (single scan; window cap before collect)",
+            _explain(simhash_near_dup(docs.limit(100))),
+        )
+    )
+    sections.append(
+        (
+            "embedding_near_dup (ids-only candidate shuffle; vectors join back by id)",
+            _explain(embedding_near_dup(embs.limit(100), n_tables=2)),
+        )
+    )
+    centroids = pick_ivf_centroids(embs, n_centroids=4)
+    sections.append(
+        (
+            "cosine_topk_ivf (probe-list filter then TakeOrderedAndProject)",
+            _explain(cosine_topk_ivf(embs, qvec, centroids, k=5, n_probe=2)),
+        )
+    )
+
+    from dss_plugin_nlp_preparation_spark.operators.boilerplate import (
+        remove_boilerplate,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.decontaminate import decontaminate
+
+    sections.append(
+        (
+            "decontaminate (broadcast benchmark digests; corpus un-shuffled"
+            " until the per-doc partial-agg count)",
+            _explain(decontaminate(docs, docs.where(F.col("doc_id") % 20 == 0), n=8)),
+        )
+    )
+    sections.append(
+        (
+            "boilerplate_removal (line-DF two-phase agg; df>=k relation"
+            " broadcast back for the rebuild)",
+            _explain(remove_boilerplate(docs.limit(200), min_df=2)),
+        )
+    )
+
+    from dss_plugin_nlp_preparation_spark.operators.repetition import (
+        add_repetition_signals,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.urls import url_dedup
+
+    sections.append(
+        (
+            "repetition_signals (per-row native fold; expect a single"
+            " Project over the scan, no shuffle, no Python)",
+            _explain(add_repetition_signals(docs, top_ns=(2,), dup_ns=(5,))),
+        )
+    )
+    sections.append(
+        (
+            "url_dedup (codegen regexp chain + hash agg on canonical url)",
+            _explain(
+                url_dedup(
+                    docs.select("doc_id", F.concat(F.lit("https://h/"), "doc_id").alias("url"))
+                )
+            ),
+        )
+    )
+
+    from dss_plugin_nlp_preparation_spark.operators.classifier import (
+        score_with_classifier,
+        train_token_classifier,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import train_bigram_lm
+
+    sections.append(
+        (
+            "train_bigram_lm (one tokenize pass; Expand + single hash agg"
+            " for bigram/unigram/total counts via grouping sets)",
+            _explain(train_bigram_lm(docs.limit(200))),
+        )
+    )
+    labeled = docs.limit(200).withColumn("keep", F.col("doc_id") % 2 == 0)
+    sections.append(
+        (
+            "classifier training (one explode + integer-count hash agg;"
+            " salted two-phase vocab prune)",
+            _explain(train_token_classifier(labeled)),
+        )
+    )
+    sections.append(
+        (
+            "classifier scoring (broadcast model; ArrowEvalPython directly"
+            " over the scan — NO Exchange)",
+            _explain(
+                score_with_classifier(labeled, train_token_classifier(labeled))
+            ),
+        )
+    )
+
+    from dss_plugin_nlp_preparation_spark.operators.decontaminate import (
+        fuzzy_decontaminate,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        chunk_documents,
+        mixture_sample,
+        pack_sequences,
+    )
+
+    sections.append(
+        (
+            "fuzzy_decontaminate (benchmark band signatures broadcast;"
+            " map-side semi-join over the corpus band projection)",
+            _explain(
+                fuzzy_decontaminate(docs, docs.where(F.col("doc_id") % 20 == 0))
+            ),
+        )
+    )
+    sections.append(
+        (
+            "mixture_sample (per-source totals broadcast back; one corpus"
+            " scan + epoch-sequence explode, no corpus shuffle)",
+            _explain(mixture_sample(docs, {"src0": 1000.0, "src1": 500.0})),
+        )
+    )
+    sections.append(
+        (
+            "pack_sequences (one shuffle into n_shards ordered groups;"
+            " window cumsum, no global sort)",
+            _explain(
+                pack_sequences(chunk_documents(docs, chunk_size=32), seq_len=128)
+            ),
+        )
+    )
+
+    out = ["# Physical plans (generated by tools/explain_plans.py)\n"]
+    for title, text in sections:
+        out.append(f"\n## {title}\n\n```\n{text}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print("wrote PLANS.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

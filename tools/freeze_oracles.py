@@ -1,0 +1,438 @@
+# -*- coding: utf-8 -*-
+"""Freeze kernel-computed expected outputs for the non-SQL-expressible
+queries (oracles/sf0.01/<name>.parquet).
+
+NO SPARK anywhere in this file: every expected table is produced by the
+single-process pure-Python kernels — the same kernels pinned byte-for-byte
+by the ported reference golden fixtures (tests/test_lang_detect.py,
+test_cleaner.py, test_spellcheck.py vs /root/reference/tests/python/unit).
+The driver (and tools/check_oracle.py) then hash-compares the distributed
+Spark path against these files, closing the correctness loop for UDF-backed
+operators the same way DuckDB does for the relational ones.
+
+Usage: python tools/freeze_oracles.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = (
+    sys.argv[2]
+    if len(sys.argv) > 2
+    else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "oracles", "sf0.01")
+)
+
+
+def _read(table: str) -> pd.DataFrame:
+    return duckdb.sql(f"SELECT * FROM '{os.path.join(SF_DIR, table + '.parquet')}'").df()
+
+
+def _write(name: str, df: pd.DataFrame) -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    df.to_parquet(os.path.join(OUT_DIR, f"{name}.parquet"), index=False)
+    print(f"froze {name}: {len(df)} rows -> {OUT_DIR}/{name}.parquet")
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark's F.round semantics (BigDecimal HALF_UP on the shortest
+    decimal repr of the double) — NOT Python's banker's round."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# NLP kernel oracles over the documents table
+# ---------------------------------------------------------------------------
+
+def freeze_lang_detect(docs: pd.DataFrame) -> None:
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import _identifier
+
+    det = _identifier(None, 0.0, "")
+    rows = [det.detect(t) for t in docs["text"]]
+    out = pd.DataFrame(rows, columns=["text_language_code", "text_language_name", "text_language_score"])
+    out.insert(0, "doc_id", docs["doc_id"].values)
+    out["text_language_score"] = out["text_language_score"].astype("float64")
+    _write("lang_detect", out)
+
+
+def freeze_clean_text(docs: pd.DataFrame) -> None:
+    from dss_plugin_nlp_preparation_spark.nlp.cleaner import clean_document
+
+    token_filters = frozenset({"is_stop", "is_punct", "like_num"})
+    cleaned = [
+        clean_document(
+            t, lang, token_filters, lemmatization=True, lowercase=True,
+            unicode_normalization=None, keep_filtered_tokens=False,
+        )["cleaned"]
+        for t, lang in zip(docs["text"], docs["lang"])
+    ]
+    _write("clean_text", pd.DataFrame({"doc_id": docs["doc_id"], "text_cleaned": cleaned}))
+
+
+def freeze_spellcheck(docs: pd.DataFrame) -> None:
+    from dss_plugin_nlp_preparation_spark.nlp.spellcheck import check_document
+
+    en = docs[docs["lang"] == "en"]
+    corrected_l, count_l = [], []
+    for t in en["text"]:
+        corrected, _missp, _mlist, mcount = check_document(t, "en")
+        corrected_l.append(corrected)
+        count_l.append(mcount if corrected != "" else None)
+    _write(
+        "spellcheck",
+        pd.DataFrame(
+            {
+                "doc_id": en["doc_id"].values,
+                "text_corrected": corrected_l,
+                "text_misspelling_count": pd.array(count_l, dtype="Int64"),
+            }
+        ),
+    )
+
+
+def freeze_spell_diagnosis(docs: pd.DataFrame) -> None:
+    from dss_plugin_nlp_preparation_spark.nlp.spellcheck import check_document
+
+    en = docs[(docs["lang"] == "en") & (docs["doc_id"] < 200)]
+    all_rows: list = []
+    for t in en["text"]:
+        rows: list = []
+        check_document(t, "en", collect_diagnosis=rows)
+        all_rows.extend(rows)
+    # replay of the Spark agg: groupBy(language, original_word) ->
+    # count + min_by(struct fields, key=(diagnosis, corrected))
+    groups: dict = {}
+    for language, original, is_missp, corrected, diagnosis in all_rows:
+        k = (language, original)
+        g = groups.setdefault(k, {"n": 0, "best": None})
+        g["n"] += 1
+        key = (diagnosis, corrected)
+        if g["best"] is None or key < g["best"][0]:
+            g["best"] = (key, (is_missp, corrected, diagnosis))
+    recs = []
+    for (language, original), g in groups.items():
+        is_missp, corrected, diagnosis = g["best"][1]
+        if "whitespace" in diagnosis:
+            continue
+        recs.append(
+            (
+                language,
+                original,
+                bool(is_missp),
+                corrected if is_missp else "",
+                diagnosis,
+                g["n"],
+            )
+        )
+    _write(
+        "spell_diagnosis",
+        pd.DataFrame(
+            recs,
+            columns=[
+                "language",
+                "original_word",
+                "is_misspelled",
+                "corrected_word",
+                "spellcheck_diagnosis",
+                "word_count",
+            ],
+        ),
+    )
+
+
+def freeze_tokenize_stats(docs: pd.DataFrame) -> None:
+    from dss_plugin_nlp_preparation_spark.nlp.tokenizer import tokenize
+
+    n = [len(tokenize(t, lang)) for t, lang in zip(docs["text"], docs["lang"])]
+    _write("tokenize_stats", pd.DataFrame({"doc_id": docs["doc_id"], "n_tokens": pd.array(n, dtype="int64")}))
+
+
+def freeze_perplexity(docs: pd.DataFrame) -> None:
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        score_unigram_pandas,
+    )
+
+    texts = pd.Series(list(docs["text"]), dtype=object)
+    langs = pd.Series(list(docs["lang"]), dtype=object)
+    ppl = score_unigram_pandas(texts, langs)
+    _write(
+        "perplexity",
+        pd.DataFrame({"doc_id": docs["doc_id"].values, "log_ppl": ppl.values}),
+    )
+
+
+def freeze_perplexity_bigram(docs: pd.DataFrame) -> None:
+    """Pure replay of train_bigram_lm (Counter == distributed groupBy: the
+    counts are exact integers, so any execution order agrees) + the shared
+    vectorized scorer."""
+    from collections import Counter
+
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        _PUNCT_STRIP,
+        build_bigram_model,
+        score_bigram_pandas,
+    )
+
+    def tok(t):
+        if t is None or (isinstance(t, float) and math.isnan(t)):
+            return []
+        return [w for w in (x.strip(_PUNCT_STRIP) for x in str(t).lower().split()) if w]
+
+    bi: Counter = Counter()
+    uni: Counter = Counter()
+    total: Counter = Counter()
+    for t, lang in zip(docs["text"], docs["lang"]):
+        lang = lang if isinstance(lang, str) and lang else "en"
+        ws = tok(t)
+        total[lang] += len(ws)
+        for w in ws:
+            uni[(lang, w)] += 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(lang, a, b)] += 1
+    counts = (
+        [(lang, a, b, n) for (lang, a, b), n in bi.items()]
+        + [(lang, None, w, n) for (lang, w), n in uni.items()]
+        + [(lang, None, None, n) for lang, n in total.items()]
+    )
+    models = build_bigram_model(counts)
+    texts = pd.Series(list(docs["text"]), dtype=object)
+    langs = pd.Series(list(docs["lang"]), dtype=object)
+    ppl = score_bigram_pandas(texts, langs, models)
+    _write(
+        "perplexity_bigram",
+        pd.DataFrame({"doc_id": docs["doc_id"].values, "log_ppl": ppl.values}),
+    )
+
+
+def freeze_bpe_token_count_v2(docs: pd.DataFrame) -> None:
+    from dss_plugin_nlp_preparation_spark.nlp.bpe import get_tokenizer
+
+    tk = get_tokenizer("en")
+    counts = [0 if t is None else tk.count(str(t)) for t in docs["text"]]
+    _write(
+        "bpe_token_count_v2",
+        pd.DataFrame({"doc_id": docs["doc_id"], "n_bpe_tokens": pd.array(counts, dtype="int64")}),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dup: NumPy-free replay of the banded hyperplane LSH with
+# left-fold dot products (same summation order as Spark's F.aggregate)
+# ---------------------------------------------------------------------------
+
+def _fold_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def freeze_embedding_near_dup(embs: pd.DataFrame) -> None:
+    from dss_plugin_nlp_preparation_spark.operators.similarity import _plane_coeffs
+
+    min_cosine, n_planes, dim, n_tables, seed, cap = 0.25, 8, 64, 4, 42, 256
+    ids = list(embs["vec_id"])
+    vecs = [[float(x) for x in v] for v in embs["embedding"]]
+    planes = {
+        t: [_plane_coeffs(seed + 1000 * t, p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    }
+    buckets: dict = {}
+    for vid, v in zip(ids, vecs):
+        for t in range(n_tables):
+            b = 0
+            for p in range(n_planes):
+                if _fold_dot(v, planes[t][p]) >= 0:
+                    b += 2**p
+            buckets.setdefault((t, b), []).append(vid)
+    cand = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= cap:
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1 :]:
+                    cand.add((a, b))
+    byid = dict(zip(ids, vecs))
+    rows = []
+    for a, b in sorted(cand):
+        va, vb = byid[a], byid[b]
+        cos = _fold_dot(va, vb) / (
+            math.sqrt(_fold_dot(va, va)) * math.sqrt(_fold_dot(vb, vb))
+        )
+        cos = _round_half_up(cos, 6)
+        if cos >= min_cosine:
+            rows.append((a, b, cos))
+    _write(
+        "embedding_near_dup",
+        pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pages_pipeline: pure replay of the Stage A->D->F path (with_perplexity
+# False, as in the driver query) over the deterministic synthesized pages
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")  # Java \s is ASCII-only
+
+
+def _signals(text: str, lang: str) -> dict:
+    from dss_plugin_nlp_preparation_spark.operators.quality import (
+        DEFAULT_QUALITY_LANG,
+        QUALITY_STOPWORDS,
+    )
+
+    text = text or ""
+    words = [w for w in _JAVA_WS.split(text) if w != ""]
+    n_chars = len(text)
+    n_words = len(words)
+    mean_word_len = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    sw = set(QUALITY_STOPWORDS.get(lang, QUALITY_STOPWORDS[DEFAULT_QUALITY_LANG]))
+    sw_hits = sum(1 for w in words if w.lower() in sw)
+    stopword_ratio = (sw_hits / n_words) if n_words else 0.0
+    symbol_chars = sum(1 for c in text if c in "#…|")
+    symbol_word_ratio = (symbol_chars / n_words) if n_words else 0.0
+    digits = sum(1 for c in text if "0" <= c <= "9")
+    digit_ratio = (digits / n_chars) if n_chars else 0.0
+    lines = [l for l in text.split("\n") if l.strip(" ") != ""]
+    n_lines = len(lines)
+    dup_line_frac = (1.0 - len(set(lines)) / n_lines) if n_lines else 0.0
+    return {
+        "n_words": n_words,
+        "mean_word_len": _round_half_up(mean_word_len, 4),
+        "stopword_ratio": _round_half_up(stopword_ratio, 4),
+        "symbol_word_ratio": _round_half_up(symbol_word_ratio, 4),
+        "digit_ratio": _round_half_up(digit_ratio, 4),
+        "dup_line_frac": _round_half_up(dup_line_frac, 4),
+    }
+
+
+def freeze_cosine_topk_ivf(embs: pd.DataFrame) -> None:
+    """Pure replay of pick_ivf_centroids + ivf_assign + cosine_topk_ivf
+    (md5-sorted centroid sample, rounded-cosine argmax assignment with the
+    array_max tie-break, probe-4-of-16, top-10)."""
+    n_centroids, n_probe, k = 16, 4, 10
+    ids = list(embs["vec_id"])
+    vecs = [[float(x) for x in v] for v in embs["embedding"]]
+    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+    centroids = [vecs[i] for i in order[:n_centroids]]
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    c_norms = [norm(c) for c in centroids]
+
+    def assign(v):
+        vn = norm(v)
+        scored = [
+            (_round_half_up(_fold_dot(v, c) / (vn * c_norms[i]), 6), i)
+            for i, c in enumerate(centroids)
+        ]
+        return max(scored)[1]  # array_max: score first, then cid
+
+    q = vecs[ids.index(0)]
+    qn = norm(q)
+    ranked = sorted(
+        range(n_centroids),
+        key=lambda i: (-_round_half_up(_fold_dot(q, centroids[i]) / (qn * c_norms[i]), 6), -i),
+    )
+    probe = set(ranked[:n_probe])
+    rows = []
+    for vid, v in zip(ids, vecs):
+        if assign(v) in probe:
+            rows.append((vid, _round_half_up(_fold_dot(v, q) / (norm(v) * qn), 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    _write("cosine_topk_ivf", pd.DataFrame(rows[:k], columns=["id", "cosine"]))
+
+
+def freeze_pages_pipeline() -> None:
+    from dss_plugin_nlp_preparation_spark.operators.keep_drop import DEFAULT_THRESHOLDS
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import _identifier
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    t = DEFAULT_THRESHOLDS
+    det = _identifier(None, 0.0, "")
+    recs = []
+    for i in range(500):
+        _i, url, _html, text, lang = _make_row(i)
+        if lang is not None and lang == lang and lang != "":
+            eff, score = lang, 1.0
+        else:
+            code, _name, score = det.detect(text)
+            eff = code
+        s = _signals(text, eff if eff else "en")
+        reason = None
+        if s["n_words"] < t.min_words:
+            reason = "too_short"
+        elif s["n_words"] > t.max_words:
+            reason = "too_long"
+        elif s["mean_word_len"] < t.min_mean_word_len or s["mean_word_len"] > t.max_mean_word_len:
+            reason = "word_len_oob"
+        elif s["stopword_ratio"] < t.min_stopword_ratio:
+            reason = "low_stopword_ratio"
+        elif s["symbol_word_ratio"] > t.max_symbol_word_ratio:
+            reason = "high_symbol_ratio"
+        elif s["digit_ratio"] > t.max_digit_ratio:
+            reason = "high_digit_ratio"
+        elif s["dup_line_frac"] > t.max_dup_line_frac:
+            reason = "repeated_lines"
+        else:
+            eff_score = 0.0 if score is None else score
+            # Spark: coalesce(NaN)=NaN and NaN < x is false -> not dropped
+            if not (eff_score != eff_score) and eff_score < t.min_lang_score:
+                reason = "low_lang_score"
+        score_q = (
+            1.0
+            - min(0.4, s["dup_line_frac"])
+            - min(0.3, s["symbol_word_ratio"])
+            - min(0.2, s["digit_ratio"])
+            - (0.2 if s["stopword_ratio"] < t.min_stopword_ratio else 0.0)
+        )
+        recs.append(
+            (url, eff, reason is None, reason, _round_half_up(max(0.0, score_q), 4))
+        )
+    _write(
+        "pages_pipeline",
+        pd.DataFrame(
+            recs,
+            columns=["url", "effective_lang", "keep", "drop_reason", "quality_score"],
+        ),
+    )
+
+
+def main() -> int:
+    docs = _read("documents")
+    for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
+        docs[col] = docs[col].astype(object).where(docs[col].notna(), None)
+    embs = _read("embeddings")
+    freeze_lang_detect(docs)
+    freeze_clean_text(docs)
+    freeze_spellcheck(docs)
+    freeze_spell_diagnosis(docs)
+    freeze_tokenize_stats(docs)
+    freeze_perplexity(docs)
+    freeze_perplexity_bigram(docs)
+    freeze_bpe_token_count_v2(docs)
+    freeze_embedding_near_dup(embs)
+    freeze_cosine_topk_ivf(embs)
+    freeze_pages_pipeline()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,101 @@
+# -*- coding: utf-8 -*-
+"""Build the spark-submit artifacts (north rule: "ships via spark-submit
+--py-files to multi-executor clusters").
+
+Produces under dist/:
+  engine.zip      the dss_plugin_nlp_preparation_spark package (--py-files)
+  resources.zip   stopword + frequency-dictionary bundle (--archives)
+  run_pipeline.py a minimal cluster driver script
+
+and prints the spark-submit command line. Deterministic zips (sorted
+entries, zeroed timestamps) so re-builds are byte-identical.
+
+Usage: python tools/make_submit_bundle.py [dist_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIST = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "dist")
+
+_DRIVER = '''\
+"""Cluster driver: spark-submit entry for the quality-filter pipeline.
+
+spark-submit --py-files engine.zip --archives resources.zip#resources \\
+    run_pipeline.py <input_pages_table> <output_path> <ledger_path>
+"""
+import os
+import sys
+
+os.environ.setdefault("STOPWORDS_FOLDER_PATH", "resources/stopwords")
+os.environ.setdefault("DICTIONARY_FOLDER_PATH", "resources/dictionaries")
+
+from pyspark.sql import SparkSession
+
+from dss_plugin_nlp_preparation_spark.plans.checkpoint import run_with_resume
+from dss_plugin_nlp_preparation_spark.plans.pipeline import quality_filter_pipeline
+
+src, out, ledger = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = SparkSession.builder.appName("quality-filter").getOrCreate()
+pages = spark.read.format(os.environ.get("PAGES_FORMAT", "parquet")).load(src)
+result = quality_filter_pipeline(pages, with_perplexity=True)
+stats = run_with_resume(
+    result, out, ledger,
+    n_parts=int(os.environ.get("N_PARTS", "4096")),
+    run_id=os.environ.get("RUN_ID", "run-1"),
+)
+print(stats)
+'''
+
+
+def _zip_tree(zf: zipfile.ZipFile, root: str, arc_prefix: str) -> None:
+    entries = []
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            if name.endswith(".pyc") or "__pycache__" in dirpath:
+                continue
+            full = os.path.join(dirpath, name)
+            entries.append((os.path.join(arc_prefix, os.path.relpath(full, root)), full))
+    for arc, full in sorted(entries):
+        info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_DEFLATED
+        with open(full, "rb") as f:
+            zf.writestr(info, f.read())
+
+
+def main() -> int:
+    os.makedirs(DIST, exist_ok=True)
+    engine_zip = os.path.join(DIST, "engine.zip")
+    with zipfile.ZipFile(engine_zip, "w") as zf:
+        _zip_tree(
+            zf,
+            os.path.join(REPO, "dss_plugin_nlp_preparation_spark"),
+            "dss_plugin_nlp_preparation_spark",
+        )
+    res_zip = os.path.join(DIST, "resources.zip")
+    with zipfile.ZipFile(res_zip, "w") as zf:
+        _zip_tree(zf, os.path.join(REPO, "resources"), ".")
+    driver = os.path.join(DIST, "run_pipeline.py")
+    with open(driver, "w", encoding="utf-8") as f:
+        f.write(_DRIVER)
+    print(f"wrote {engine_zip} ({os.path.getsize(engine_zip)} B)")
+    print(f"wrote {res_zip} ({os.path.getsize(res_zip)} B)")
+    print(f"wrote {driver}")
+    print(
+        "\nspark-submit \\\n"
+        "  --master yarn --deploy-mode cluster \\\n"
+        f"  --py-files {engine_zip} \\\n"
+        f"  --archives {res_zip}#resources \\\n"
+        "  --conf spark.sql.adaptive.enabled=true \\\n"
+        "  --conf spark.sql.shuffle.partitions=4096 \\\n"
+        f"  {driver} s3://bucket/pages s3://bucket/out s3://bucket/ledger"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
