@@ -663,6 +663,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "effective_lang", "keep", "drop_reason", "quality_score"
         )
 
+    def q_html_extract(spark, sf_dir):
+        from dss_plugin_nlp_preparation_spark.operators.html_extract import (
+            verify_extraction,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        return verify_extraction(synthesize_pages(spark, 500, 8), prefix_chars=200)
+
     def q_decontaminate(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.decontaminate import (
             decontaminate,
@@ -731,6 +739,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dss_plugin_nlp_preparation_spark.operators.urls import url_dedup
 
         return url_dedup(_messy_urls(_docs(spark, sf_dir)))
+
+    def q_cap_per_host(spark, sf_dir):
+        from dss_plugin_nlp_preparation_spark.operators.urls import cap_per_host
+
+        # deterministic skewed host assignment (40% on one mega-host),
+        # replayed identically in the SQL oracle
+        d = _docs(spark, sf_dir).withColumn(
+            "host",
+            F.when(F.col("doc_id") % 10 < 4, F.lit("big.example.com")).otherwise(
+                F.concat(F.lit("host"), (F.col("doc_id") % 23).cast("string"))
+            ),
+        )
+        out = cap_per_host(
+            d,
+            5,
+            host_column="host",
+            order_by=[F.col("n_chars").desc()],
+            tiebreak_column="doc_id",
+            salt_buckets=8,
+        )
+        return out.select(
+            "doc_id", "host", F.col("n_chars").cast("long").alias("n_chars")
+        )
 
     def q_repetition_signals(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.repetition import (
@@ -869,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "embedding_near_dup": q_embedding_near_dup,
         "pages_pipeline": q_pages_pipeline,
+        "html_extract": q_html_extract,
         # -- quality-filter / analysis operators --
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
@@ -910,13 +942,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "host_filter": q_host_filter,
         "char_class_stats": q_char_class_stats,
-        "stopword_ratio_by_lang": q_stopword_ratio_by_lang,
-        "length_quantiles": q_length_quantiles,
+        "cap_per_host": q_cap_per_host,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "salted_host_counts": q_salted_host_counts,
         # ---- driver window boundary (entries below are demos/aux;
         #      still oracle-checked by tools/check_oracle.py) ----
+        "length_quantiles": q_length_quantiles,
+        "stopword_ratio_by_lang": q_stopword_ratio_by_lang,
         "doc_length_histogram": q_doc_length_histogram,
         "resize_images": q_resize_images,
         "cosine_topk_bucketed": q_cosine_topk_bucketed,
@@ -1087,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_diagnosis": _frozen("spell_diagnosis"),
         "tokenize_stats": _frozen("tokenize_stats"),
         "perplexity": _frozen("perplexity"),
+        "html_extract": _frozen("html_extract"),
         "perplexity_bigram": _frozen("perplexity_bigram"),
         "embedding_near_dup": _frozen("embedding_near_dup"),
         "pages_pipeline": _frozen("pages_pipeline"),
@@ -1496,6 +1530,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT u AS canonical_url, count(*) AS n_docs,
                min(doc_id) AS canonical_id
         FROM canon GROUP BY u
+    """
+    # per-host document cap: deterministic skewed host assignment, global
+    # top-5 per host by (n_chars DESC, doc_id) — the two-phase salted
+    # Spark plan must equal the naive window result exactly
+    sqls["cap_per_host"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 < 4 THEN 'big.example.com'
+                      ELSE 'host' || CAST(doc_id % 23 AS VARCHAR) END AS host,
+                 n_chars
+          FROM documents
+        ), r AS (
+          SELECT doc_id, host, n_chars,
+                 row_number() OVER (
+                   PARTITION BY host ORDER BY n_chars DESC, doc_id
+                 ) AS rn
+          FROM d
+        )
+        SELECT doc_id, host, CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE rn <= 5
     """
     # corpus length profile: exact linear-interpolated percentiles
     sqls["length_quantiles"] = """

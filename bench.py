@@ -252,6 +252,28 @@ def main() -> int:
 
     timed_extra("corpus_prep", _corpus_prep)
 
+    from dss_plugin_nlp_preparation_spark.operators.html_extract import (
+        extract_text as html_extract,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.urls import cap_per_host
+
+    timed_extra(
+        "html_extract",
+        lambda: html_extract(pages, drop_payload=True)
+        .select(F.sum(F.length("extracted_text")))
+        .collect(),
+    )
+    extras["html_extract_docs_per_sec"] = round(
+        n_pages / extras["html_extract_sec"], 1
+    )
+
+    timed_extra(
+        "cap_per_host",
+        lambda: cap_per_host(
+            pages, 10, url_column="url", tiebreak_column="url"
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,107 @@
+# -*- coding: utf-8 -*-
+"""Deterministic HTML -> text extraction kernel.
+
+The north-star pipeline ingests Common-Crawl-style pages with an
+``html binary`` payload column (BASELINE.json input_hint) and must
+preserve **byte-identical extracted text per url**. This kernel is the
+single-process reference implementation of that extraction; the Spark
+operator (:mod:`..operators.html_extract`) runs it over Arrow batches.
+
+Design: a deterministic regex cascade (the approach of production
+Common-Crawl text extractors in their fast path — strip non-content
+subtrees, turn block boundaries into newlines, drop residual tags,
+decode entities, normalise vertical whitespace). It is intentionally
+NOT a full HTML5 tree parser: a tree parser's error-recovery rules make
+output depend on parser version, which breaks the byte-identical
+contract. The cascade below is closed under its own spec:
+
+1. decode bytes as UTF-8 (errors="replace");
+2. drop ``<!-- ... -->`` comments;
+3. drop non-content subtrees wholesale: ``head``, ``script``,
+   ``style``, ``noscript``, ``svg``, ``template``;
+4. drop boilerplate landmark subtrees: ``nav``, ``header``,
+   ``footer``, ``aside`` (top-level occurrences; nested same-tag
+   landmarks are out of spec for the cascade and documented as such);
+5. every remaining *block-level* open/close tag becomes a newline
+   (``p div br li ul ol h1..h6 table tr td th section article main
+   blockquote pre form figure figcaption hr dl dt dd``);
+6. every other tag is dropped with no replacement (inline markup:
+   ``a b i em strong span code small sub sup u mark ...``);
+7. HTML entities are decoded (``html.unescape`` — the full HTML5
+   named-entity table, numeric refs included);
+8. vertical whitespace is normalised: every run of newlines — and any
+   whitespace-ONLY lines inside the run (markup pretty-printing
+   indentation) — collapses to one newline; leading/trailing newlines
+   are stripped. Horizontal whitespace on a line that carries text is
+   preserved byte-for-byte, leading AND trailing (``<p> a </p>`` keeps
+   both spaces: without a render tree, spacing adjacent to author text
+   is indistinguishable from author text, and the contract resolves
+   every tie toward preserving bytes; genuinely significant cases —
+   ``<pre>`` — need exactly this behaviour anyway).
+
+Step 8 makes extraction an exact inverse of per-line paragraph markup:
+``<p>a</p><p>b</p>`` -> ``\\na\\n\\nb\\n`` -> ``a\\nb``. The one shape
+that cannot round-trip is a blank line inside author text (markup has
+no visible encoding of "empty paragraph" that survives collapse) —
+callers storing text with ``\\n\\n`` must normalise before comparing.
+
+Reference behaviour note: dss-plugin-nlp-preparation consumes an
+already-extracted text column (python-lib/*/recipe.py reads a text
+column, never markup), so this stage is additive — it feeds the
+reference surface, it does not change it.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+# non-content subtrees removed wholesale (content inside is invisible)
+_DROP_SUBTREES = ("head", "script", "style", "noscript", "svg", "template")
+# boilerplate landmark subtrees removed wholesale
+_BOILERPLATE_SUBTREES = ("nav", "header", "footer", "aside")
+
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|table|thead|tbody|tr|td|th|"
+    "section|article|main|blockquote|pre|form|figure|figcaption|hr|dl|dt|dd"
+)
+
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_RE_DROP = {
+    tag: re.compile(rf"<{tag}\b.*?</{tag}\s*>", re.DOTALL | re.IGNORECASE)
+    for tag in _DROP_SUBTREES + _BOILERPLATE_SUBTREES
+}
+_RE_BLOCK = re.compile(rf"</?(?:{_BLOCK_TAGS})\b[^>]*>", re.IGNORECASE)
+_RE_TAG = re.compile(r"<[^>]*>")
+_RE_VSPACE = re.compile(r"\n(?:[ \t]*\n)+")
+
+
+def extract_text(payload: bytes | str | None, drop_boilerplate: bool = True) -> str:
+    """Extract visible text from an HTML payload (see module doc for the
+    exact cascade). Deterministic: same bytes -> same string, always."""
+    if payload is None:
+        return ""
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        s = bytes(payload).decode("utf-8", errors="replace")
+    else:
+        s = str(payload)
+    if not s:
+        return ""
+    s = _RE_COMMENT.sub("", s)
+    for tag in _DROP_SUBTREES:
+        s = _RE_DROP[tag].sub("", s)
+    if drop_boilerplate:
+        for tag in _BOILERPLATE_SUBTREES:
+            s = _RE_DROP[tag].sub("", s)
+    s = _RE_BLOCK.sub("\n", s)
+    s = _RE_TAG.sub("", s)
+    s = _html.unescape(s)
+    s = _RE_VSPACE.sub("\n", s)
+    return s.strip("\n")
+
+
+def escape_text(text: str) -> str:
+    """Inverse-direction helper used by the synthetic pages source:
+    entity-escape text so that ``extract_text`` round-trips it exactly
+    (``&``, ``<``, ``>`` — the three characters the cascade consumes)."""
+    return _html.escape(text, quote=False)

@@ -1,0 +1,85 @@
+# -*- coding: utf-8 -*-
+"""HTML -> text extraction over the pages table (north-star ingest stage).
+
+The pipeline's input is an Iceberg table of Common-Crawl-style pages
+``(url, warc_ts, html binary, text, lang)`` (BASELINE.json input_hint).
+This operator materialises the ``text`` column from the ``html`` payload
+with the deterministic kernel in :mod:`..nlp.html_text`, preserving the
+byte-identical-extracted-text-per-url contract the north star requires.
+
+Scale notes (100 TB):
+- The html payload is by far the widest column of the table. The UDF
+  projects ONLY (key, html); Spark's column pruning keeps the payload
+  out of every downstream exchange — after extraction, drop it
+  (``drop_payload=True``) before any shuffle-bearing stage.
+- Extraction is embarrassingly parallel: no shuffle, no state, one
+  Arrow round-trip per batch. Throughput scales linearly with input
+  splits; there is nothing to skew.
+- The kernel is pure (same bytes -> same string), so speculative
+  re-execution and AQE replans cannot produce divergent outputs.
+
+Reference parity: dss-plugin-nlp-preparation starts from an extracted
+text column (custom-recipes/*/recipe.py read a user-selected text
+column); this stage feeds that surface rather than altering it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..nlp.html_text import extract_text as _extract_kernel
+
+
+def extract_text(
+    df: DataFrame,
+    html_column: str = "html",
+    output_column: str = "extracted_text",
+    drop_boilerplate: bool = True,
+    drop_payload: bool = False,
+) -> DataFrame:
+    """Add ``output_column`` = deterministic visible-text extraction of
+    ``html_column`` (binary or string). Arrow-batched pandas UDF; the
+    kernel never touches other columns, so Catalyst prunes the payload
+    from every plan node that does not need it."""
+
+    @F.pandas_udf("string")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda b: _extract_kernel(b, drop_boilerplate))
+
+    out = df.withColumn(output_column, _udf(F.col(html_column)))
+    if drop_payload:
+        out = out.drop(html_column)
+    return out
+
+
+def verify_extraction(
+    df: DataFrame,
+    html_column: str = "html",
+    text_column: str = "text",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Audit relation for the byte-identical contract: one row per page
+    with the extracted text's md5 and a ``byte_identical`` flag vs the
+    stored ``text_column`` (optionally its first ``prefix_chars`` chars,
+    for sources that store truncated payloads). Leading/trailing
+    newlines are stripped from the expected side — the one shape markup
+    cannot represent (nlp/html_text.py step 8). Pure narrow plan —
+    usable as a data-quality gate at any scale."""
+    extracted = extract_text(df, html_column, "__extracted")
+    expected = (
+        F.col(text_column)
+        if prefix_chars is None
+        else F.substring(F.col(text_column), 1, prefix_chars)
+    )
+    expected = F.regexp_replace(expected, r"^\n+|\n+$", "")
+    return extracted.select(
+        "url",
+        F.md5(F.col("__extracted")).alias("extracted_md5"),
+        (F.col("__extracted") == expected).alias("byte_identical"),
+        F.length("__extracted").cast("long").alias("n_extracted_chars"),
+    )

@@ -148,3 +148,78 @@ def filter_hosts(
     probe = df.withColumn("__dh", host_of(F.col(url_column)))
     how = "left_anti" if mode == "deny" else "left_semi"
     return probe.join(hl, probe["__dh"] == hl["__h"], how).drop("__dh")
+
+
+def cap_per_host(
+    df: DataFrame,
+    max_per_host: int,
+    host_column: str | None = None,
+    url_column: str = "url",
+    order_by: list | None = None,
+    tiebreak_column: str | None = None,
+    salt_buckets: int = 16,
+    keep_flag: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_per_host`` documents per host — the standard
+    crawl-balance step (a handful of mega-hosts otherwise dominate the
+    corpus; FineWeb-style pipelines cap or downweight them).
+
+    Selection is deterministic: rows rank by ``order_by`` (default: the
+    tiebreak column ascending), and the global per-host top-k survives.
+
+    Scale path — the naive single window over ``host`` puts a hot host's
+    entire row set (hundreds of millions of rows for a mega-host at
+    crawl scale) into ONE task's sort buffer. Instead, two phases:
+
+      phase 1: rank within (host, salt) where salt = deterministic hash
+               of the tiebreak column into ``salt_buckets`` -> each hot
+               host sorts in parallel across S tasks; only the top
+               ``max_per_host`` of each bucket survive (the global
+               top-k per host is provably a subset of the union of
+               per-bucket top-ks);
+      phase 2: rank the <= S*k survivors per host -> exact result, with
+               the heaviest single-task sort bounded by S*k rows
+               regardless of host skew.
+
+    Cold hosts pay one extra narrow shuffle of pre-filtered rows —
+    negligible next to the phase-1 reduction on hot hosts. Deterministic
+    under retry/AQE: salt comes from a column hash, never RNG.
+
+    ``keep_flag``: if set, return ALL rows with a boolean column instead
+    of filtering (lets callers audit what the cap would drop).
+    """
+    if tiebreak_column is None:
+        tiebreak_column = url_column
+    host_col = (
+        F.col(host_column) if host_column else host_of(F.col(url_column))
+    )
+    order = list(order_by) if order_by else []
+    order.append(F.col(tiebreak_column).asc())
+    out = df.withColumn("__host", host_col)
+
+    from pyspark.sql.window import Window
+
+    salt = F.pmod(F.xxhash64(tiebreak_column), F.lit(salt_buckets)).cast("int")
+    w1 = Window.partitionBy("__host", "__salt").orderBy(*order)
+    pruned = (
+        out.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= max_per_host)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy("__host").orderBy(*order)
+    ranked = pruned.withColumn("__r2", F.row_number().over(w2))
+    if keep_flag:
+        # audit mode: flag instead of filter. Rows pruned in phase 1 are
+        # provably outside the global top-k, so a left join against the
+        # survivor keys (<= k rows per host — tiny vs the corpus) labels
+        # every original row correctly.
+        survivors = ranked.where(F.col("__r2") <= max_per_host).select(
+            F.col(tiebreak_column).alias("__k")
+        )
+        return (
+            out.join(survivors, out[tiebreak_column] == survivors["__k"], "left")
+            .withColumn(keep_flag, F.col("__k").isNotNull())
+            .drop("__k", "__host")
+        )
+    return ranked.where(F.col("__r2") <= max_per_host).drop("__host", "__r2")

@@ -2,6 +2,7 @@
 """The flagship quality-filter pipeline (Stages A–F, SURVEY.md §7.1).
 
     pages(url, warc_ts, html, text, lang)
+      -> Stage 0  html -> text extraction (fill missing text)    [north_rule ingest]
       -> Stage A  language detection (fill missing lang)         [M1]
       -> Stage D  quality signals (native exprs)                 [north_rule]
       ->          perplexity (pandas UDF, executor-singleton LM) [north_rule]
@@ -97,6 +98,7 @@ def quality_filter_pipeline(
     pages: DataFrame,
     thresholds: KeepDropThresholds = DEFAULT_THRESHOLDS,
     detect_missing_lang: bool = True,
+    extract_missing_text: bool = False,
     with_perplexity: bool = True,
     language_scope=None,
     min_lid_score: float = 0.0,
@@ -124,6 +126,24 @@ def quality_filter_pipeline(
             _unigram_model(lang, None)
 
     df = pages
+    if extract_missing_text:
+        # Stage 0 ingest: rows arriving with no extracted text get it
+        # materialised from the html payload. Masking happens in the UDF
+        # *input* (JVM-side), so rows that already carry text feed NULL
+        # into the extractor (constant-time path) and the wide payload
+        # column never crosses to Python for them.
+        from dss_plugin_nlp_preparation_spark.operators.html_extract import (
+            extract_text as _extract_stage,
+        )
+
+        has_text = F.col("text").isNotNull() & (F.col("text") != "")
+        df = df.withColumn(
+            "__ext_input", F.when(has_text, F.lit(None)).otherwise(F.col("html"))
+        )
+        df = _extract_stage(df, html_column="__ext_input", output_column="__extracted")
+        df = df.withColumn(
+            "text", F.when(has_text, F.col("text")).otherwise(F.col("__extracted"))
+        ).drop("__ext_input", "__extracted")
     lang_score_col = None
     if detect_missing_lang and with_perplexity:
         # fused Stage A + LM scoring: one Arrow round trip (see

@@ -114,9 +114,38 @@ def _make_row(i: int) -> tuple:
             text = base[3] + " extra."
         if kind == 6 and i > 50:  # exact duplicate of an earlier doc
             text = _make_row(i - 50)[3]
-    html = f"<html><body>{text[:200]}</body></html>".encode()
+    html = _make_html(i, text, r)
     labeled = r[7] % 4 != 0  # 25% unlabeled
     return (i, url, html, text, lang if labeled else None)
+
+
+def _make_html(i: int, text: str, r: list) -> bytes:
+    """Realistic page markup whose visible content is exactly
+    ``text[:200]`` under the nlp.html_text extraction cascade: head with
+    title/style/script, nav + footer boilerplate, comments, entity
+    escaping, per-line <p> blocks, deterministic inline markup. The
+    round-trip (``extract_text(_make_html(...)) == text[:200]``) is the
+    north-star byte-identical contract and is pinned by
+    tests/test_html_extract.py. (Blank lines are not representable in
+    markup-visible text — synthetic texts never contain ``\\n\\n``.)"""
+    from dss_plugin_nlp_preparation_spark.nlp.html_text import escape_text
+
+    parts = []
+    for j, par in enumerate(text[:200].split("\n")):
+        esc = escape_text(par)
+        if esc and r[(8 + j) % 40] % 3 == 0:
+            # wrap the first word in inline markup (stripped without trace)
+            cut = esc.find(" ")
+            cut = len(esc) if cut < 0 else cut
+            esc = f"<b>{esc[:cut]}</b>{esc[cut:]}"
+        parts.append(f"<p>{esc}</p>")
+    return (
+        f"<html><head><title>Doc {i}</title><style>body{{margin:0}}</style>"
+        f"<script>var n={i};</script></head><body><nav><ul><li>Home</li>"
+        f'<li>About</li></ul></nav><!-- generated page {i} --><main>'
+        f'<div class="content">{"".join(parts)}</div></main>'
+        f"<footer>&copy; 2026 example.org</footer></body></html>"
+    ).encode()
 
 
 def synthesize_pages(spark: SparkSession, n_rows: int = 5000, partitions: int = 32) -> DataFrame:

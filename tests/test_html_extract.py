@@ -1,0 +1,132 @@
+# -*- coding: utf-8 -*-
+"""HTML -> text extraction: kernel cascade semantics, the north-star
+byte-identical round-trip over the synthetic pages table, and the Spark
+operator (Arrow-batched, payload-pruned)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.nlp.html_text import extract_text as kernel
+from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+
+# ---------------------------------------------------------------------------
+# kernel cascade
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "payload,want",
+    [
+        (b"<p>Hello</p><p>World</p>", "Hello\nWorld"),
+        (b"<p>a </p><p>b</p>", "a \nb"),  # text-trailing space preserved
+        (b"<div>\n  <p>A</p>\n  <p>B</p>\n</div>", "A\nB"),  # pretty-printing collapses
+        (b"<p>keep <b>bold</b> and <a href='x'>link</a></p>", "keep bold and link"),
+        (b"<head><title>T</title></head><body><p>body</p></body>", "body"),
+        (b"<script>var x = '<p>no</p>';</script><p>yes</p>", "yes"),
+        (b"<style>p{color:red}</style><p>yes</p>", "yes"),
+        (b"<!-- c --><p>a<!-- d -->b</p>", "ab"),
+        (b"<nav>Home | About</nav><p>content</p><footer>(c)</footer>", "content"),
+        (b"<p>&amp; &lt;tag&gt; &#233; &copy;</p>", "& <tag> é ©"),
+        (b"line1<br>line2", "line1\nline2"),
+        (b"<ul><li>a</li><li>b</li></ul>", "a\nb"),
+        (b"<table><tr><td>x</td></tr></table>", "x"),
+        (b"plain text no tags", "plain text no tags"),
+        (b"", ""),
+        (None, ""),
+    ],
+)
+def test_kernel_cases(payload, want):
+    assert kernel(payload) == want
+
+
+def test_kernel_keeps_boilerplate_when_asked():
+    html = b"<nav>menu</nav><p>content</p><footer>foot</footer>"
+    assert kernel(html, drop_boilerplate=False) == "menu\ncontent\nfoot"
+    assert kernel(html, drop_boilerplate=True) == "content"
+
+
+def test_kernel_invalid_utf8_is_deterministic():
+    payload = b"<p>ok \xff\xfe broken</p>"
+    out1, out2 = kernel(payload), kernel(payload)
+    assert out1 == out2
+    assert "ok" in out1 and "broken" in out1
+
+
+def test_kernel_indentation_on_content_line_preserved():
+    # leading whitespace on a line that carries text is author-visible (<pre>)
+    assert kernel(b"<pre>  indented\n  code</pre>") == "  indented\n  code"
+
+
+# ---------------------------------------------------------------------------
+# north-star round-trip: extract(html) == text[:200] (modulo edge newlines)
+# ---------------------------------------------------------------------------
+
+def _expected(text: str) -> str:
+    return re.sub(r"^\n+|\n+$", "", text[:200])
+
+
+def test_round_trip_over_synthetic_pages_kernel():
+    for i in range(1500):
+        _, _, html, text, _ = _make_row(i)
+        assert kernel(html) == _expected(text), f"row {i}"
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+def test_spark_extract_matches_kernel(spark):
+    from dss_plugin_nlp_preparation_spark.operators.html_extract import extract_text
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 300, 8)
+    out = extract_text(pages, drop_payload=True).select("url", "text", "extracted_text")
+    assert "html" not in out.columns
+    rows = out.collect()
+    assert len(rows) == 300
+    for r in rows:
+        assert r["extracted_text"] == _expected(r["text"])
+
+
+def test_spark_verify_extraction_contract(spark):
+    from dss_plugin_nlp_preparation_spark.operators.html_extract import (
+        verify_extraction,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 300, 8)
+    audit = verify_extraction(pages, prefix_chars=200)
+    assert audit.where("NOT byte_identical").count() == 0
+    assert audit.count() == 300
+
+
+def test_pipeline_stage0_extracts_missing_text(spark):
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 200, 8).withColumn(
+        # drop stored text on half the rows -> Stage 0 must refill from html
+        "text",
+        F.when(F.col("warc_ts").cast("long") % 2 == 0, F.col("text")),
+    )
+    out = quality_filter_pipeline(
+        pages, extract_missing_text=True, with_perplexity=False
+    )
+    refilled = out.where(
+        (F.col("warc_ts").cast("long") % 2 != 0) & (F.length("text") > 0)
+    )
+    # every odd row whose html carries visible content got text back
+    assert refilled.count() > 50
+    # and the refilled text matches the kernel extraction byte-for-byte
+    sample = out.where(F.col("warc_ts").cast("long") % 2 != 0).limit(20).collect()
+    from dss_plugin_nlp_preparation_spark.nlp.html_text import extract_text as k
+
+    for r in sample:
+        assert r["text"] == k(bytes(r["html"]))

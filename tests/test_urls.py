@@ -170,3 +170,93 @@ def test_add_host_verdict_column(spark):
         for r in add_host_verdict(_host_corpus(spark), hosts).collect()
     }
     assert out == {0: True, 1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+def _skewed_docs(spark, n=400):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 4, F.lit("big.example.com"))
+            .otherwise(F.concat(F.lit("host"), (F.col("id") % 23).cast("string")))
+            .alias("host"),
+            (F.xxhash64(F.col("id")) % 1000).alias("score"),
+        )
+    )
+
+
+def test_cap_per_host_matches_naive_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import cap_per_host
+
+    docs = _skewed_docs(spark)
+    k = 7
+    got = cap_per_host(
+        docs,
+        k,
+        host_column="host",
+        order_by=[F.col("score").desc()],
+        tiebreak_column="doc_id",
+        salt_buckets=4,
+    )
+    w = Window.partitionBy("host").orderBy(F.col("score").desc(), F.col("doc_id"))
+    want = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # cap honored per host, including the hot one
+    per_host = got.groupBy("host").count().collect()
+    assert all(r["count"] <= k for r in per_host)
+    assert {r["count"] for r in per_host if r["host"] == "big.example.com"} == {k}
+
+
+def test_cap_per_host_keep_flag_audits_all_rows(spark):
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import cap_per_host
+
+    docs = _skewed_docs(spark, 200)
+    out = cap_per_host(
+        docs,
+        5,
+        host_column="host",
+        order_by=[F.col("score").desc()],
+        tiebreak_column="doc_id",
+        keep_flag="host_kept",
+    )
+    assert out.count() == 200
+    kept = out.where("host_kept")
+    filtered = cap_per_host(
+        docs,
+        5,
+        host_column="host",
+        order_by=[F.col("score").desc()],
+        tiebreak_column="doc_id",
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in filtered.collect()
+    )
+
+
+def test_cap_per_host_from_url_column(spark):
+    from dss_plugin_nlp_preparation_spark.operators.urls import cap_per_host
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import host_of
+
+    pages = synthesize_pages(spark, 300, 8)
+    out = cap_per_host(pages, 3, url_column="url", tiebreak_column="url")
+    counts = out.groupBy(host_of(F.col("url")).alias("h")).count().collect()
+    assert all(r["count"] <= 3 for r in counts)
+    # the dominant synthetic host (~30% of urls) was actually capped
+    assert {r["count"] for r in counts if r["h"] == "big-host.example.com"} == {3}

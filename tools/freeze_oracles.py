@@ -415,6 +415,28 @@ def freeze_pages_pipeline() -> None:
     )
 
 
+def freeze_html_extract() -> None:
+    """Expected (url, extracted_md5, byte_identical, n_extracted_chars)
+    for verify_extraction over the 500-row synthetic pages table — the
+    north-star byte-identical extraction contract, kernel-computed."""
+    from dss_plugin_nlp_preparation_spark.nlp.html_text import extract_text
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    recs = []
+    for i in range(500):
+        _i, url, html, text, _lang = _make_row(i)
+        ext = extract_text(html)
+        want = re.sub(r"^\n+|\n+$", "", text[:200])
+        recs.append(
+            (url, hashlib.md5(ext.encode()).hexdigest(), ext == want, len(ext))
+        )
+    out = pd.DataFrame(
+        recs, columns=["url", "extracted_md5", "byte_identical", "n_extracted_chars"]
+    )
+    out["n_extracted_chars"] = out["n_extracted_chars"].astype("int64")
+    _write("html_extract", out)
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -431,6 +453,7 @@ def main() -> int:
     freeze_embedding_near_dup(embs)
     freeze_cosine_topk_ivf(embs)
     freeze_pages_pipeline()
+    freeze_html_extract()
     return 0
 
 
