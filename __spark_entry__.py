@@ -663,6 +663,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "effective_lang", "keep", "drop_reason", "quality_score"
         )
 
+    def q_semantic_dedup(spark, sf_dir):
+        from dss_plugin_nlp_preparation_spark.operators.semantic import (
+            semantic_dedup,
+        )
+
+        # threshold 0.3: the synthetic embeddings are near-orthogonal
+        # (max pairwise cosine ~0.5), so the production-style 0.95+ would
+        # be a no-op; 0.3 exercises the full cluster/pair/greedy path
+        return semantic_dedup(
+            _embs(spark, sf_dir), n_clusters=16, n_iters=3, threshold=0.3
+        )
+
     def q_html_extract(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.html_extract import (
             verify_extraction,
@@ -941,7 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
         "host_filter": q_host_filter,
-        "char_class_stats": q_char_class_stats,
+        "semantic_dedup": q_semantic_dedup,
         "cap_per_host": q_cap_per_host,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
@@ -949,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entries below are demos/aux;
         #      still oracle-checked by tools/check_oracle.py) ----
         "length_quantiles": q_length_quantiles,
+        "char_class_stats": q_char_class_stats,
         "stopword_ratio_by_lang": q_stopword_ratio_by_lang,
         "doc_length_histogram": q_doc_length_histogram,
         "resize_images": q_resize_images,
@@ -1121,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_stats": _frozen("tokenize_stats"),
         "perplexity": _frozen("perplexity"),
         "html_extract": _frozen("html_extract"),
+        "semantic_dedup": _frozen("semantic_dedup"),
         "perplexity_bigram": _frozen("perplexity_bigram"),
         "embedding_near_dup": _frozen("embedding_near_dup"),
         "pages_pipeline": _frozen("pages_pipeline"),

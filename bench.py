@@ -274,6 +274,15 @@ def main() -> int:
         ).count(),
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.semantic import semantic_dedup
+
+    timed_extra(
+        "semantic_dedup",
+        lambda: semantic_dedup(embs, n_clusters=16, n_iters=3, threshold=0.3)
+        .where("NOT sem_keep")
+        .count(),
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

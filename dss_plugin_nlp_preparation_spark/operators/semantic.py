@@ -1,0 +1,245 @@
+# -*- coding: utf-8 -*-
+"""SemDeDup-style semantic deduplication over embedding columns.
+
+Pipeline (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540):
+
+  1. k-means-cluster the corpus embeddings (k chosen so clusters stay
+     small: k ~ n / target_cluster_size);
+  2. within each cluster, find pairs above a high cosine threshold —
+     semantically-duplicate documents that no lexical dedup catches
+     (paraphrases, translations of boilerplate, templated rewrites);
+  3. keep one representative per duplicate group, drop the rest.
+
+Determinism is the design center — every step must replay bit-identically
+under retry, AQE re-planning, different partition counts, and in the
+single-process oracle kernel (tools/freeze_oracles.py):
+
+- **Init**: the k dataset vectors with the smallest md5(id) — a uniform
+  pseudo-random sample with no RNG state (same device as IVF,
+  similarity.py:78-99).
+- **Assignment**: cosine scores rounded to 6 decimals, ties broken by
+  centroid index — a total order independent of evaluation order; the
+  distributed UDF and the oracle kernel share ONE function
+  (:func:`assign_kernel`), so they execute identical float ops.
+- **Centroid update**: the mean is computed over vector components
+  quantised to integers (``floor(x * 1e6 + 0.5)`` — identical IEEE ops
+  in Spark and numpy) and summed as int64. Integer addition is
+  associative, so the shuffled distributed sum equals the kernel's sum
+  EXACTLY no matter the partitioning — float-mean nondeterminism (the
+  classic reason distributed k-means diverges between runs) is
+  eliminated by construction, at the cost of 1e-6 quantisation noise,
+  far below embedding precision.
+
+Scale notes (10^9+ vectors):
+- Each Lloyd iteration is ONE shuffle of (cid, dim, int64) triples —
+  k * dim rows out of the aggregation regardless of corpus size — plus
+  a broadcast of k * dim doubles back out. Centroids live on the
+  driver between iterations (k * dim * 8 bytes; k <= ~10^5 at dim
+  <= ~10^3 stays well under a gigabyte).
+- Pair generation self-joins ONLY within a cluster, and candidacy is
+  capped at ``max_cluster_size`` members per cluster (ranked by id via
+  the salted two-phase cap — no hot-cluster single-task sort), so the
+  worst-case pair count per cluster is bounded; members past the cap
+  are conservatively kept, never dropped. Pick k so the cap rarely
+  binds (k ~ n / 200 in the paper's regime).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine_expr
+
+_QUANT = 1e6
+
+
+def assign_kernel(V, centroids: list):
+    """THE assignment function — shared verbatim by the distributed
+    operator (inside the Arrow UDF below), the frozen-oracle kernel
+    (tools/freeze_oracles.py) and the tests, so Spark and oracle execute
+    the same float ops on the same values: cosine to every centroid,
+    rounded to 6 decimals, argmax with first-max tie-break (= smallest
+    centroid index). Returns (cid int array, sims matrix).
+
+    An earlier revision built this as a JVM expression with centroids as
+    literals; Catalyst planning/codegen scaled with k * dim (seconds of
+    driver time per iteration, unusable at k ~ 10^5). A centroid MATRIX
+    captured by a vectorized UDF ships once per executor and makes
+    assignment one numpy matmul per Arrow batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+    sims = np.round(
+        (V @ C.T)
+        / (
+            np.linalg.norm(V, axis=1)[:, None]
+            * np.linalg.norm(C, axis=1)[None, :]
+        ),
+        6,
+    )
+    return sims.argmax(axis=1), sims
+
+
+def _assign_udf(centroids: list):
+    @F.pandas_udf("struct<cid:int, sim:double>")
+    def _a(emb: pd.Series) -> pd.DataFrame:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        if len(V) == 0:
+            return pd.DataFrame({"cid": pd.array([], dtype="int32"), "sim": []})
+        cid, sims = assign_kernel(V, centroids)
+        return pd.DataFrame(
+            {
+                "cid": cid.astype("int32"),
+                "sim": sims[np.arange(len(cid)), cid],
+            }
+        )
+
+    return _a
+
+
+def kmeans_init(
+    df: DataFrame,
+    n_clusters: int,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> list:
+    """Deterministic init: the ``n_clusters`` vectors with the smallest
+    md5(id). One tiny driver collect."""
+    rows = (
+        df.select(
+            F.md5(F.col(id_column).cast("string")).alias("__h"),
+            F.col(embedding_column).cast("array<double>").alias("__v"),
+        )
+        .orderBy("__h")
+        .limit(n_clusters)
+        .collect()
+    )
+    return [list(r["__v"]) for r in rows]
+
+
+def train_kmeans(
+    df: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 4,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> list:
+    """Lloyd's k-means with exact-integer centroid updates (module doc).
+    Returns the centroid list (plain Python — broadcastable as literals).
+
+    Empty clusters keep their previous centroid (deterministic; no
+    re-seeding, which would need an order-dependent choice)."""
+    centroids = kmeans_init(df, n_clusters, embedding_column, id_column)
+    emb = F.col(embedding_column).cast("array<double>")
+    for _ in range(n_iters):
+        assigned = df.select(
+            _assign_udf(centroids)(F.col(embedding_column))["cid"].alias("cid"),
+            F.transform(
+                emb, lambda x: F.floor(x * F.lit(_QUANT) + F.lit(0.5)).cast("long")
+            ).alias("q"),
+        )
+        # ONE shuffle: (cid, dim) int64 sums + per-cid counts via grouping
+        # on the exploded components; k*dim rows come back to the driver.
+        sums = (
+            assigned.select("cid", F.posexplode("q").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in sums:
+            new_c[r["cid"]][r["d"]] = (r["s"] / r["n"]) / _QUANT
+        centroids = new_c
+    return centroids
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> DataFrame:
+    """df + ``cluster_id`` + ``centroid_sim`` (rounded cosine to the
+    assigned centroid). Narrow map — one Arrow round-trip of the
+    embedding column; the centroid matrix ships once per executor."""
+    best = _assign_udf(centroids)(F.col(embedding_column))
+    return df.withColumn("__b", best).select(
+        "*",
+        F.col("__b")["cid"].alias("cluster_id"),
+        F.col("__b")["sim"].alias("centroid_sim"),
+    ).drop("__b")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 4,
+    threshold: float = 0.97,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    max_cluster_size: int = 256,
+    centroids: list | None = None,
+    checkpoint_candidates: bool = True,
+) -> DataFrame:
+    """(id, cluster_id, centroid_sim, sem_keep, dup_of): SemDeDup verdict
+    per vector. A vector is dropped (``sem_keep=false``) iff some
+    SMALLER-id vector in its cluster has cosine > ``threshold`` with it;
+    ``dup_of`` is the smallest such id (the group representative chain).
+    Greedy-by-id is the deterministic relaxation of the paper's
+    keep-lowest-centroid-sim rule — representative choice differs, the
+    kept-set size semantics match.
+
+    Candidacy for the within-cluster self-join is capped at
+    ``max_cluster_size`` members per cluster (smallest ids first, ranked
+    by the salted two-phase cap — no hot-cluster task). Members past the
+    cap are always kept and never compared; size k to make that rare.
+    """
+    from .urls import cap_per_host
+
+    if centroids is None:
+        centroids = train_kmeans(
+            df, n_clusters, n_iters, embedding_column, id_column
+        )
+    a = assign_clusters(df, centroids, embedding_column, id_column).select(
+        F.col(id_column).alias("id"),
+        "cluster_id",
+        "centroid_sim",
+        F.col(embedding_column).cast("array<double>").alias("__e"),
+    )
+    cand = cap_per_host(
+        a.withColumn("__cid_s", F.col("cluster_id").cast("string")),
+        max_cluster_size,
+        host_column="__cid_s",
+        tiebreak_column="id",
+    ).drop("__cid_s")
+    if checkpoint_candidates:
+        # the candidate relation feeds BOTH sides of the self-join; without
+        # lineage truncation Spark recomputes the scan + two-phase cap
+        # twice. (Swap for reliable checkpoint() on a real cluster — same
+        # note as the connected-components operators in dedup.py.)
+        cand = cand.localCheckpoint(eager=False)
+    lo = cand.select(
+        F.col("cluster_id").alias("c"),
+        F.col("id").alias("id_a"),
+        F.col("__e").alias("ea"),
+    )
+    hi = cand.select(
+        F.col("cluster_id").alias("c"),
+        F.col("id").alias("id_b"),
+        F.col("__e").alias("eb"),
+    )
+    pairs = (
+        lo.join(hi, "c")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_expr(F.col("ea"), F.col("eb")), 6) > threshold)
+        .select("id_b", "id_a")
+    )
+    dup = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        a.drop("__e")
+        .join(dup, a["id"] == dup["id_b"], "left")
+        .drop("id_b")
+        .withColumn("sem_keep", F.col("dup_of").isNull())
+    )

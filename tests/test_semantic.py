@@ -1,0 +1,114 @@
+# -*- coding: utf-8 -*-
+"""SemDeDup-style semantic dedup: deterministic distributed k-means
+(bit-exact vs a single-process numpy kernel), cluster assignment, and
+within-cluster duplicate pruning with planted duplicates."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.semantic import (
+    assign_clusters,
+    kmeans_init,
+    semantic_dedup,
+    train_kmeans,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def _kernel_train(pdf, k, iters):
+    """Single-process replica of train_kmeans (same quantised-integer
+    centroid update, same md5 init, same rounded-cosine assignment)."""
+    ids = pdf["vec_id"].to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    hs = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+    order = np.argsort(hs, kind="stable")
+    C = [V[j].tolist() for j in order[:k]]
+    for _ in range(iters):
+        Cm = np.array(C)
+        sims = np.round(
+            (V @ Cm.T)
+            / (np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(Cm, axis=1)[None, :]),
+            6,
+        )
+        cid = sims.argmax(axis=1)
+        Q = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        newC = [list(c) for c in C]
+        for c in range(k):
+            m = cid == c
+            n = int(m.sum())
+            if n:
+                newC[c] = [(int(s) / n) / 1e6 for s in Q[m].sum(axis=0)]
+        C = newC
+    return C
+
+
+def test_train_kmeans_bit_exact_vs_kernel(spark, embs):
+    import duckdb
+
+    got = train_kmeans(embs, n_clusters=6, n_iters=3)
+    pdf = duckdb.sql(f"SELECT * FROM '{SF_DIR}/embeddings.parquet'").df()
+    want = _kernel_train(pdf, 6, 3)
+    assert got == want  # bit-exact: integer-sum centroid updates
+
+
+def test_train_kmeans_partitioning_invariant(spark, embs):
+    a = train_kmeans(embs.repartition(2), n_clusters=4, n_iters=2)
+    b = train_kmeans(embs.repartition(13), n_clusters=4, n_iters=2)
+    assert a == b  # associative integer sums: layout cannot change result
+
+
+def test_kmeans_init_is_sample_of_dataset(spark, embs):
+    init = kmeans_init(embs, 5)
+    assert len(init) == 5
+    assert all(len(v) == len(init[0]) for v in init)
+
+
+def test_assign_clusters_total(spark, embs):
+    cent = train_kmeans(embs, n_clusters=4, n_iters=2)
+    out = assign_clusters(embs, cent)
+    n = embs.count()
+    assert out.count() == n
+    assert out.where(F.col("cluster_id").between(0, 3)).count() == n
+    assert out.where(F.col("centroid_sim").between(-1.000001, 1.000001)).count() == n
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark, embs):
+    # plant exact copies of 8 vectors under new ids -> cosine 1.0 with
+    # their originals, must be dropped with dup_of = original id
+    originals = embs.where(F.col("vec_id") < 8)
+    copies = originals.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = embs.unionByName(copies)
+    out = semantic_dedup(corpus, n_clusters=4, n_iters=2, threshold=0.99)
+    dropped = {r["id"]: r["dup_of"] for r in out.where(~F.col("sem_keep")).collect()}
+    for vid in range(8):
+        assert dropped.get(vid + 100000) == vid
+    # originals themselves stay (greedy keeps the smallest id)
+    kept_ids = {r["id"] for r in out.where(F.col("sem_keep")).collect()}
+    assert set(range(8)) <= kept_ids
+
+
+def test_semantic_dedup_cap_members_never_dropped(spark, embs):
+    # with a tiny cap, members beyond it must be kept, never compared
+    out = semantic_dedup(embs, n_clusters=2, n_iters=1, threshold=0.0,
+                         max_cluster_size=3)
+    # every cluster can drop at most (cap - 1) members even at threshold 0
+    per_cluster_dropped = (
+        out.where(~F.col("sem_keep")).groupBy("cluster_id").count().collect()
+    )
+    assert all(r["count"] <= 2 for r in per_cluster_dropped)
+    assert out.count() == embs.count()

@@ -198,6 +198,54 @@ def main() -> int:
         )
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.html_extract import extract_text
+    from dss_plugin_nlp_preparation_spark.operators.semantic import (
+        assign_clusters,
+        kmeans_init,
+        semantic_dedup,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.urls import cap_per_host
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 200, 4)
+    sections.append(
+        (
+            "html_extract (one ArrowEvalPython over the source, payload"
+            " dropped after — NO Exchange, nothing downstream sees the"
+            " binary column)",
+            _explain(
+                extract_text(pages, drop_payload=True).select(
+                    "url", F.length("extracted_text").alias("n")
+                )
+            ),
+        )
+    )
+    sections.append(
+        (
+            "cap_per_host (salted two-phase top-k: Window over (host,salt)"
+            " then Window over host on <=S*k survivors — hot-host sort"
+            " bounded, two narrow exchanges, no Python)",
+            _explain(cap_per_host(pages, 3, url_column="url", tiebreak_column="url")),
+        )
+    )
+    cents = kmeans_init(embs, 4)
+    sections.append(
+        (
+            "semantic_dedup assignment (centroid matrix captured by ONE"
+            " vectorized Arrow UDF — Scan -> ArrowEvalPython -> Project,"
+            " no Exchange; scales in k where literal expressions cannot)",
+            _explain(assign_clusters(embs, cents).select("vec_id", "cluster_id")),
+        )
+    )
+    sections.append(
+        (
+            "semantic_dedup full (capped within-cluster self-join on"
+            " cluster_id over a lineage-checkpointed candidate relation;"
+            " greedy min-id group agg; pair cosines stay in the JVM)",
+            _explain(semantic_dedup(embs.limit(100), n_clusters=4, n_iters=1)),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text in sections:
         out.append(f"\n## {title}\n\n```\n{text}\n```\n")

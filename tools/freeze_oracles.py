@@ -437,6 +437,78 @@ def freeze_html_extract() -> None:
     _write("html_extract", out)
 
 
+def freeze_semantic_dedup(embs: pd.DataFrame) -> None:
+    """Expected SemDeDup verdict (id, cluster_id, centroid_sim, dup_of,
+    sem_keep) for the sf0.01 embeddings: single-process replica of the
+    distributed pipeline — identical md5 init, rounded-cosine assignment
+    (HALF_UP like Spark's F.round), quantised-integer centroid updates
+    (bit-exact by construction), greedy smallest-id duplicate rule."""
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.operators.semantic import assign_kernel
+
+    k, iters, threshold = 16, 3, 0.3
+    ids = embs["vec_id"].to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in embs["embedding"]])
+
+    def _r6(x: float) -> float:
+        return _round_half_up(x, 6)
+
+    hs = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+    order = np.argsort(hs, kind="stable")
+    C = [V[j].tolist() for j in order[:k]]
+    norms = np.linalg.norm(V, axis=1)
+
+    # assignment is the operator's own assign_kernel — the distributed
+    # Arrow UDF and this replay execute the SAME float ops on the SAME
+    # values, so assignment agreement is by construction, not by luck
+    _assign = lambda C: assign_kernel(V, C)  # noqa: E731
+
+    for _ in range(iters):
+        cid, _ = _assign(C)
+        Q = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        newC = [list(c) for c in C]
+        for c in range(k):
+            m = cid == c
+            n = int(m.sum())
+            if n:
+                newC[c] = [(int(s) / n) / 1e6 for s in Q[m].sum(axis=0)]
+        C = newC
+
+    cid, sims = _assign(C)
+    csim = sims[np.arange(len(ids)), cid]
+    # cluster sizes must stay under the operator's candidacy cap so the
+    # capped Spark path and this uncapped replay agree
+    assert max(np.bincount(cid)) <= 256
+
+    Vn = V / norms[:, None]
+    dup_of = {}
+    by_cluster: dict = {}
+    for idx in np.argsort(ids, kind="stable"):
+        by_cluster.setdefault(int(cid[idx]), []).append(idx)
+    for members in by_cluster.values():
+        for bi, b in enumerate(members):
+            best = None
+            for a in members[:bi]:
+                if _r6(float(Vn[a] @ Vn[b])) > threshold:
+                    best = int(ids[a]) if best is None else min(best, int(ids[a]))
+            if best is not None:
+                dup_of[int(ids[b])] = best
+
+    out = pd.DataFrame(
+        {
+            "id": ids.astype("int64"),
+            "cluster_id": cid.astype("int32"),
+            "centroid_sim": csim.astype("float64"),
+            "dup_of": pd.array(
+                [dup_of.get(int(i)) for i in ids], dtype="Int64"
+            ),
+        }
+    )
+    out["sem_keep"] = out["dup_of"].isna()
+    _write("semantic_dedup", out)
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -454,6 +526,7 @@ def main() -> int:
     freeze_cosine_topk_ivf(embs)
     freeze_pages_pipeline()
     freeze_html_extract()
+    freeze_semantic_dedup(embs)
     return 0
 
 
