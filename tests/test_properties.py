@@ -134,3 +134,60 @@ def test_connected_components_matches_union_find(spark):
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {r["id"]: r["component"] for r in connected_components(df).collect()}
         assert got == expected, (seed, got, expected)
+
+
+# ---------------------------------------------------------------------------
+# html extraction round-trip (the north-star byte-identity contract)
+# ---------------------------------------------------------------------------
+
+_VISIBLE = st.text(
+    alphabet="abcdefgHIJKL Zéü0123456789.,!?#@'\"()-:/&<>  子曰カタ💩",
+    max_size=80,
+)
+
+
+def _representable(lines):
+    """Drop the shapes markup cannot encode (nlp/html_text.py step 8):
+    blank and whitespace-only lines (indistinguishable from markup
+    pretty-printing, so the cascade collapses them)."""
+    return [l for l in lines if l.strip() != ""]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_VISIBLE, max_size=6))
+def test_html_round_trip_paragraph_markup(lines):
+    from dss_plugin_nlp_preparation_spark.nlp.html_text import (
+        escape_text,
+        extract_text,
+    )
+
+    lines = _representable(lines)
+    text = "\n".join(lines)
+    html = (
+        "<html><head><title>t</title><script>var x='<p>no</p>';</script>"
+        "</head><body><nav>skip</nav>"
+        + "".join(f"<p>{escape_text(l)}</p>" for l in lines)
+        + "<footer>skip</footer></body></html>"
+    ).encode()
+    assert extract_text(html) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_VISIBLE, max_size=5), st.booleans())
+def test_html_round_trip_with_pretty_printing_and_inline(lines, pretty):
+    from dss_plugin_nlp_preparation_spark.nlp.html_text import (
+        escape_text,
+        extract_text,
+    )
+
+    lines = _representable(lines)
+    text = "\n".join(lines)
+    sep = "\n  " if pretty else ""
+    parts = []
+    for i, l in enumerate(lines):
+        esc = escape_text(l)
+        if i % 2 == 0 and esc:
+            esc = f"<em>{esc}</em>"  # inline markup strips without trace
+        parts.append(f"<p>{esc}</p>")
+    html = f"<div>{sep}{sep.join(parts)}{sep}</div>".encode()
+    assert extract_text(html) == text
