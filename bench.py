@@ -274,6 +274,13 @@ def main() -> int:
         ).count(),
     )
 
+    # production hash family for MinHash LSH (same estimator, native
+    # 64-bit hashes instead of oracle-portable md5 hex windows)
+    timed_extra(
+        "near_dup_pairs_xxhash64",
+        lambda: near_dup_pairs(docs, hash_fn="xxhash64").count(),
+    )
+
     from dss_plugin_nlp_preparation_spark.operators.semantic import semantic_dedup
 
     timed_extra(

@@ -56,38 +56,70 @@ def minhash_bands(
     id_column: str = "doc_id",
     shingle_k: int = 5,
     num_bands: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, band_id, band_min): per-band MinHash signature.
 
-    Band b's per-shingle hash is the b-th disjoint 8-hex-char window of a
-    widened digest (md5(s) || md5('0'||s) || …): ceil(num_bands/4) md5
-    calls per shingle instead of num_bands, and the shingle/digest arrays
-    are materialized ONCE per row (a real projection, not an expression
-    inlined per band — Catalyst does not CSE across lambda bodies). The min
-    of a uniform hash window is the classic MinHash estimator; banding
-    gives LSH. Portable: the DuckDB oracle replays the same formula.
+    ``hash_fn="md5"`` (default, oracle-portable): band b's per-shingle
+    hash is the b-th disjoint 8-hex-char window of a widened digest
+    (md5(s) || md5('0'||s) || …) — ceil(num_bands/4) md5 calls per
+    shingle instead of num_bands, and the shingle/digest arrays are
+    materialized ONCE per row (a real projection, not an expression
+    inlined per band — Catalyst does not CSE across lambda bodies). The
+    min of a uniform hash window is the classic MinHash estimator;
+    banding gives LSH. DuckDB replays the same formula exactly.
+
+    ``hash_fn="xxhash64"`` (production fast path): band b's per-shingle
+    hash is ``xxhash64(b, shingle)`` — a native 64-bit long, no hex
+    strings, no concat; per-shingle cost drops from 2 cryptographic
+    digests + substrings to ``num_bands`` xxhash64 rounds, and band_min
+    becomes a long min (cheaper shuffle key, too). Same estimator, same
+    banding math, different (equally uniform) hash family — candidate
+    RECALL is statistically identical but the concrete pair set differs,
+    so the correctness gate pins the md5 variant and the xxhash64 one is
+    pinned by equivalence tests (exact duplicates always collide in all
+    bands under any hash family).
+
+    At 10^12 docs, shingle hashing is the dominant map cost of the
+    near-dup stage — the fast path is the one to run at scale.
     """
-    n_digests = (num_bands * 8 + 31) // 32
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     sh = _shingles(F.col(text_column), shingle_k)
-    digest = lambda s: F.concat(  # noqa: E731
-        *[F.md5(s) if i == 0 else F.md5(F.concat(F.lit(str(i)), s)) for i in range(n_digests)]
-    )
-    hashed = df.select(
-        F.col(id_column).alias("id"),
-        F.transform(sh, digest).alias("__digests"),
-    )
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.array_min(
-                F.transform(
-                    F.col("__digests"),
-                    lambda h: h.substr(b.cast("int") * 8 + 1, F.lit(8)),
-                )
-            ).alias("band_min"),
-        ),
-    )
+    if hash_fn == "xxhash64":
+        hashed = df.select(
+            F.col(id_column).alias("id"), sh.alias("__shingles")
+        )
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.array_min(
+                    F.transform(F.col("__shingles"), lambda s: F.xxhash64(b, s))
+                ).alias("band_min"),
+            ),
+        )
+    else:
+        n_digests = (num_bands * 8 + 31) // 32
+        digest = lambda s: F.concat(  # noqa: E731
+            *[F.md5(s) if i == 0 else F.md5(F.concat(F.lit(str(i)), s)) for i in range(n_digests)]
+        )
+        hashed = df.select(
+            F.col(id_column).alias("id"),
+            F.transform(sh, digest).alias("__digests"),
+        )
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.array_min(
+                    F.transform(
+                        F.col("__digests"),
+                        lambda h: h.substr(b.cast("int") * 8 + 1, F.lit(8)),
+                    )
+                ).alias("band_min"),
+            ),
+        )
     return hashed.select("id", F.explode(bands).alias("b")).select(
         "id", F.col("b.band_id").alias("band_id"), F.col("b.band_min").alias("band_min")
     )
@@ -100,8 +132,11 @@ def near_dup_pairs(
     shingle_k: int = 5,
     num_bands: int = 8,
     max_bucket_size: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
+    ``hash_fn="xxhash64"`` selects the production hash family (see
+    :func:`minhash_bands`).
 
     groupBy(band signature) + in-group pairing — the shuffle is on the band
     signature (uniform), and pair explosion only happens inside buckets.
@@ -122,7 +157,7 @@ def near_dup_pairs(
     """
     from pyspark.sql import Window
 
-    bands = minhash_bands(df, text_column, id_column, shingle_k, num_bands)
+    bands = minhash_bands(df, text_column, id_column, shingle_k, num_bands, hash_fn)
     w = Window.partitionBy("band_id", "band_min")
     kept = bands.withColumn("__n", F.count(F.lit(1)).over(w)).where(
         (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)

@@ -356,3 +356,33 @@ def test_connected_components_star_self_pairs_only(spark):
     got = {(r["id"], r["component"]) for r in connected_components_star(pairs).collect()}
     assert got == expected
     assert (7, 7) in got and (3, 3) in got
+
+
+def test_minhash_xxhash64_fast_path_equivalence(spark):
+    """The xxhash64 hash family must (a) always pair exact duplicates —
+    identical shingle sets collide in every band under ANY hash family —
+    (b) be deterministic under repartitioning, and (c) find a candidate
+    set of the same order as the md5 family on a real corpus slice."""
+    docs = _docs(spark)
+    xx = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(docs, hash_fn="xxhash64").collect()}
+    md = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(docs, hash_fn="md5").collect()}
+    # (a) the exact duplicate (0,1) pairs under both families
+    assert (0, 1) in xx and (0, 1) in md
+    # (b) deterministic under re-evaluation and repartitioning
+    xx2 = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(docs.repartition(7), hash_fn="xxhash64").collect()
+    }
+    assert xx == xx2
+    # (c) candidate volume of the same order on the sf corpus
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_xx = near_dup_pairs(corpus, hash_fn="xxhash64").count()
+    n_md = near_dup_pairs(corpus, hash_fn="md5").count()
+    assert 0.5 < (n_xx + 1) / (n_md + 1) < 2.0
+
+
+def test_minhash_bad_hash_fn(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_bands(_docs(spark), hash_fn="sha1")
