@@ -24,7 +24,6 @@ operator broadcasts nothing heavier than folder paths.
 from __future__ import annotations
 
 import math
-import unicodedata
 from collections import Counter
 from functools import lru_cache
 

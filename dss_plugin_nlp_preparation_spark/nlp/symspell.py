@@ -28,7 +28,6 @@ import hashlib
 import marshal
 import os
 import re
-import tempfile
 from functools import lru_cache
 
 from dss_plugin_nlp_preparation_spark.nlp import resources

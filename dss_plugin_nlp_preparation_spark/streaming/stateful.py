@@ -18,7 +18,7 @@ custom per-host quality monitor via ``applyInPandasWithState``.
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -2,7 +2,6 @@
 """Flagship pipeline: F1 vs reference labels, byte identity, resume, and
 the multimodal/streaming plumbing."""
 
-import os
 
 from pyspark.sql import functions as F
 
