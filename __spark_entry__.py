@@ -775,6 +775,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "host", F.col("n_chars").cast("long").alias("n_chars")
         )
 
+    def q_incremental_dedup(spark, sf_dir):
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            incremental_exact_dedup,
+            incremental_near_dup,
+        )
+
+        # steady-state crawl ingestion: the doc_id%3==0 slice is the new
+        # increment, the rest is the already-ingested corpus whose hash
+        # and band indexes are persisted
+        docs = _docs(spark, sf_dir)
+        inc = docs.where(F.col("doc_id") % 3 == 0)
+        seen = docs.where(F.col("doc_id") % 3 != 0)
+        flagged = incremental_exact_dedup(
+            inc, exact_dedup(seen).select("text_hash"), flag_column="unseen_exact"
+        )
+        out = incremental_near_dup(
+            flagged,
+            minhash_bands(seen, shingle_k=_SHINGLE_K, num_bands=_NUM_BANDS),
+            shingle_k=_SHINGLE_K,
+            num_bands=_NUM_BANDS,
+        )
+        return out.select("doc_id", "unseen_exact", "near_dup_seen")
+
     def q_repetition_signals(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.repetition import (
             add_repetition_signals,
@@ -960,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_host_counts": q_salted_host_counts,
         # ---- driver window boundary (entries below are demos/aux;
         #      still oracle-checked by tools/check_oracle.py) ----
+        "incremental_dedup": q_incremental_dedup,
         "length_quantiles": q_length_quantiles,
         "char_class_stats": q_char_class_stats,
         "stopword_ratio_by_lang": q_stopword_ratio_by_lang,
@@ -1564,6 +1588,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, host, CAST(n_chars AS BIGINT) AS n_chars
         FROM r WHERE rn <= 5
+    """
+    # incremental ingestion: the doc_id%3==0 increment probes the hash
+    # and band indexes of the rest of the corpus (EXISTS avoids NOT IN's
+    # NULL semantics so the flags are total booleans)
+    sqls["incremental_dedup"] = f"""
+        WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+             seen AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+             idx AS (SELECT DISTINCT md5(text) AS h FROM seen),
+             probe AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM inc),
+             bands_all AS ({_MINHASH_SQL}),
+             nb AS (SELECT id, band_id, band_min FROM bands_all WHERE id % 3 = 0),
+             sb AS (SELECT DISTINCT band_id, band_min FROM bands_all
+                    WHERE id % 3 <> 0),
+             hits AS (SELECT DISTINCT nb.id FROM nb
+                      JOIN sb USING (band_id, band_min))
+        SELECT p.doc_id,
+               NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = p.h) AS unseen_exact,
+               EXISTS (SELECT 1 FROM hits WHERE hits.id = p.doc_id)
+                 AS near_dup_seen
+        FROM probe p
     """
     # corpus length profile: exact linear-interpolated percentiles
     sqls["length_quantiles"] = """

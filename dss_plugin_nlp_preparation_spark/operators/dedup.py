@@ -700,3 +700,86 @@ def remove_duplicate_spans(
             F.coalesce("n_removed_spans", F.lit(0)).cast("long").alias("n_removed_spans"),
         )
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    hash_column: str = "text_hash",
+    flag_column: str | None = None,
+) -> DataFrame:
+    """Dedup a NEW crawl increment against the hash index of everything
+    already ingested — the steady-state shape of crawl ingestion (you
+    never re-dedup 10^12 historical docs; you probe the increment
+    against a persisted index and append the survivors).
+
+    ``seen_hashes``: relation with ``hash_column`` — e.g. the stored
+    output of :func:`exact_dedup` over the historical corpus. Returns
+    the unseen rows (plus their hash, ready to append to the index), or
+    with ``flag_column`` set, ALL increment rows with a boolean.
+
+    Scale: an anti/left join on md5 keys — uniform by construction, no
+    salting needed. The increment (≪ index) is the streamed side; on a
+    bucketed index table the join is shuffle-free on the index side.
+    NULL/empty text hashes as md5('') so the decision is total.
+    """
+    hashed = new_docs.withColumn(
+        hash_column, F.md5(F.coalesce(F.col(text_column), F.lit("")))
+    )
+    idx = seen_hashes.select(F.col(hash_column).alias("__seen_h")).distinct()
+    if flag_column is None:
+        return hashed.join(
+            idx, hashed[hash_column] == idx["__seen_h"], "left_anti"
+        )
+    return (
+        hashed.join(idx, hashed[hash_column] == idx["__seen_h"], "left")
+        .withColumn(flag_column, F.col("__seen_h").isNull())
+        .drop("__seen_h")
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_k: int = 5,
+    num_bands: int = 8,
+    hash_fn: str = "md5",
+    flag_column: str = "near_dup_seen",
+) -> DataFrame:
+    """Near-dup screen of a new increment against the PERSISTED band
+    index of the historical corpus (``seen_bands`` = stored
+    :func:`minhash_bands` output; only (band_id, band_min) is read, so
+    the index can be laid out partitioned by band_id for pruning).
+
+    A new doc is flagged when ANY of its bands collides with a stored
+    band — the same candidate criterion as :func:`near_dup_pairs`, but
+    one-sided: no pair enumeration, no bucket caps needed, because the
+    probe is a semi-join (collisions collapse per doc). Returns ALL
+    increment rows + ``flag_column``; callers filter or route flagged
+    docs to exact verification.
+
+    Scale: increment bands (num_bands rows/doc) semi-join the index on
+    uniform signature keys; the full-width documents never shuffle —
+    the flag joins back by id.
+    """
+    bands_new = minhash_bands(
+        new_docs, text_column, id_column, shingle_k, num_bands, hash_fn
+    )
+    hits = (
+        bands_new.join(
+            seen_bands.select("band_id", "band_min"),
+            ["band_id", "band_min"],
+            "left_semi",
+        )
+        .select(F.col("id").alias("__hit_id"))
+        .distinct()
+    )
+    return (
+        new_docs.join(hits, new_docs[id_column] == hits["__hit_id"], "left")
+        .withColumn(flag_column, F.col("__hit_id").isNotNull())
+        .drop("__hit_id")
+    )

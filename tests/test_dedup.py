@@ -386,3 +386,53 @@ def test_minhash_bad_hash_fn(spark):
 
     with _pytest.raises(ValueError):
         minhash_bands(_docs(spark), hash_fn="sha1")
+
+
+def test_incremental_exact_dedup(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    seen = spark.createDataFrame(
+        [(0, BASE), (1, "old news article")], ["doc_id", "text"]
+    )
+    inc = spark.createDataFrame(
+        [(10, BASE), (11, "fresh content"), (12, None), (13, "")],
+        "doc_id long, text string",
+    )
+    idx = exact_dedup(seen).select("text_hash")
+    unseen = incremental_exact_dedup(inc, idx)
+    assert sorted(r["doc_id"] for r in unseen.collect()) == [11, 12, 13]
+    # flag mode labels every increment row and agrees with filter mode
+    flagged = incremental_exact_dedup(inc, idx, flag_column="unseen")
+    got = {r["doc_id"]: r["unseen"] for r in flagged.collect()}
+    assert got == {10: False, 11: True, 12: True, 13: True}
+    # NULL and '' both hash as md5('') -> dedup against an '' in the index
+    idx2 = exact_dedup(
+        spark.createDataFrame([(5, "")], "doc_id long, text string")
+    ).select("text_hash")
+    left = incremental_exact_dedup(inc, idx2)
+    assert sorted(r["doc_id"] for r in left.collect()) == [10, 11]
+
+
+def test_incremental_near_dup(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    seen = spark.createDataFrame(
+        [(0, BASE), (1, "an unrelated historical document about astronomy")],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, BASE + " extra tail"),  # near dup of seen doc 0
+            (11, "completely novel text on quantum chemistry topics"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_near_dup(inc, minhash_bands(seen))
+    got = {r["doc_id"]: r["near_dup_seen"] for r in out.collect()}
+    assert got[10] is True
+    assert got[11] is False
+    assert set(out.columns) == {"doc_id", "text", "near_dup_seen"}
