@@ -131,6 +131,10 @@ def train_kmeans(
 
     Empty clusters keep their previous centroid (deterministic; no
     re-seeding, which would need an order-dependent choice)."""
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
     centroids = kmeans_init(df, n_clusters, embedding_column, id_column)
     emb = F.col(embedding_column).cast("array<double>")
     for _ in range(n_iters):
@@ -198,6 +202,12 @@ def semantic_dedup(
     """
     from .urls import cap_per_host
 
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be a cosine in [-1, 1], got {threshold}")
+    if max_cluster_size < 2:
+        raise ValueError(
+            f"max_cluster_size must be >= 2 (pairs need 2), got {max_cluster_size}"
+        )
     if centroids is None:
         centroids = train_kmeans(
             df, n_clusters, n_iters, embedding_column, id_column

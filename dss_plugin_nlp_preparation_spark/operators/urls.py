@@ -188,6 +188,10 @@ def cap_per_host(
     ``keep_flag``: if set, return ALL rows with a boolean column instead
     of filtering (lets callers audit what the cap would drop).
     """
+    if max_per_host < 1:
+        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     if tiebreak_column is None:
         tiebreak_column = url_column
     host_col = (

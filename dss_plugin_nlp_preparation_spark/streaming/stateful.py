@@ -164,3 +164,34 @@ def stream_host_quality_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_incremental_dedup(
+    pages_stream: DataFrame,
+    seen_hashes: DataFrame,
+    text_column: str = "text",
+    hash_column: str = "text_hash",
+    flag_column: str = "unseen",
+) -> DataFrame:
+    """Stream-static incremental dedup: flag each streamed page against
+    the PERSISTED hash index of the already-ingested corpus (the batch
+    counterpart is ``operators.dedup.incremental_exact_dedup``; combine
+    with :func:`stream_exact_dedup` to also collapse duplicates arriving
+    within the stream itself).
+
+    ``seen_hashes`` is a STATIC relation (e.g. the stored index table).
+    Structured Streaming supports stream-static joins natively: each
+    micro-batch left-joins the static side with no streaming state at
+    all — the index is re-read per batch (or served from its cache), so
+    a concurrently-appended index is picked up batch by batch. State
+    cost: zero; shuffle: only the micro-batch side moves.
+    """
+    idx = seen_hashes.select(F.col(hash_column).alias("__seen_h")).distinct()
+    hashed = pages_stream.withColumn(
+        hash_column, F.md5(F.coalesce(F.col(text_column), F.lit("")))
+    )
+    return (
+        hashed.join(idx, hashed[hash_column] == idx["__seen_h"], "left")
+        .withColumn(flag_column, F.col("__seen_h").isNull())
+        .drop("__seen_h")
+    )

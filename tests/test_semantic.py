@@ -112,3 +112,14 @@ def test_semantic_dedup_cap_members_never_dropped(spark, embs):
     )
     assert all(r["count"] <= 2 for r in per_cluster_dropped)
     assert out.count() == embs.count()
+
+
+def test_param_validation(spark, embs):
+    with pytest.raises(ValueError):
+        train_kmeans(embs, n_clusters=0)
+    with pytest.raises(ValueError):
+        train_kmeans(embs, n_clusters=2, n_iters=-1)
+    with pytest.raises(ValueError):
+        semantic_dedup(embs, threshold=1.5)
+    with pytest.raises(ValueError):
+        semantic_dedup(embs, max_cluster_size=1)

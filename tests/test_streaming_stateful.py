@@ -155,3 +155,32 @@ def test_stream_windowed_host_counts(spark, tmp_path):
     assert agg.get(("a.example.com", "2024-01-01 00:05:00")) == 1
     # b.example.com: 00:01 and 00:02 in the same window
     assert agg.get(("b.example.com", "2024-01-01 00:00:00")) == 2
+
+
+def test_stream_incremental_dedup(spark, tmp_path):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import exact_dedup
+    from dss_plugin_nlp_preparation_spark.streaming.stateful import (
+        stream_incremental_dedup,
+    )
+
+    src = str(tmp_path / "pages_inc")
+    _write_pages(spark, src)
+    # persisted index: "same text" was already ingested
+    seen = exact_dedup(
+        spark.createDataFrame([(0, "same text")], ["doc_id", "text"])
+    ).select("text_hash")
+    stream = spark.readStream.schema(PAGES_DDL).parquet(src)
+    flagged = stream_incremental_dedup(stream, seen)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("inc_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["url"]: r["unseen"] for r in spark.sql("SELECT url, unseen FROM inc_sink").collect()}
+    assert out["https://a.example.com/1"] is False  # seen in the index
+    assert out["https://a.example.com/2"] is False  # also matches the index
+    assert out["https://a.example.com/3"] is True
+    assert out["https://b.example.com/1"] is True
+    assert len(out) == 5  # stream-static join labels, never drops

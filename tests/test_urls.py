@@ -260,3 +260,15 @@ def test_cap_per_host_from_url_column(spark):
     assert all(r["count"] <= 3 for r in counts)
     # the dominant synthetic host (~30% of urls) was actually capped
     assert {r["count"] for r in counts if r["h"] == "big-host.example.com"} == {3}
+
+
+def test_cap_per_host_param_validation(spark):
+    import pytest as _pytest
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import cap_per_host
+
+    docs = _skewed_docs(spark, 10)
+    with _pytest.raises(ValueError):
+        cap_per_host(docs, 0, host_column="host", tiebreak_column="doc_id")
+    with _pytest.raises(ValueError):
+        cap_per_host(docs, 3, host_column="host", tiebreak_column="doc_id", salt_buckets=0)

@@ -246,6 +246,31 @@ def main() -> int:
         )
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        exact_dedup as _ed,
+        incremental_exact_dedup,
+        incremental_near_dup,
+        minhash_bands as _mb,
+    )
+
+    inc = docs.where(F.col("doc_id") % 3 == 0)
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    sections.append(
+        (
+            "incremental_exact_dedup (increment anti-joins the persisted"
+            " hash index on uniform md5 keys; index side stays put)",
+            _explain(incremental_exact_dedup(inc, _ed(seen).select("text_hash"))),
+        )
+    )
+    sections.append(
+        (
+            "incremental_near_dup (band semi-join probe of the stored"
+            " minhash index; full-width docs never shuffle — the flag"
+            " joins back by id)",
+            _explain(incremental_near_dup(inc, _mb(seen))),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text in sections:
         out.append(f"\n## {title}\n\n```\n{text}\n```\n")
