@@ -1,0 +1,14 @@
+# -*- coding: utf-8 -*-
+from .codecs import (  # noqa: F401
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_frames,
+    decode_ppm,
+    decode_wav,
+    detect_media_type,
+    encode_bmp,
+    encode_frames,
+    encode_ppm,
+    encode_wav,
+    resize_nearest,
+)

@@ -1,0 +1,214 @@
+# -*- coding: utf-8 -*-
+"""Pure-Python/numpy codecs for UNCOMPRESSED media formats.
+
+The sandbox has no image/audio libraries (PIL, librosa, ffmpeg), so the
+round-2 multimodal operators stubbed *all* decoding. The uncompressed
+formats, however, need no codec library at all — they are plain headers
+over raw sample/pixel arrays — so this module implements them for real:
+
+- **BMP** (24-bit uncompressed BI_RGB, the baseline Windows bitmap),
+- **PPM** (P6 binary, the netpbm interchange format),
+- **WAV** (RIFF PCM 16-bit, the baseline audio container),
+- a trivial length-prefixed frame container (``FRMS``) so frame-sampling
+  has a real multi-frame payload to decode (a stand-in for a video
+  container; real MP4/MKV demuxing still needs ffmpeg and stays stubbed).
+
+Everything is deterministic byte-in/array-out (no RNG, no platform
+variation: explicit little-endian, explicit row padding), so decoded
+features are oracle-replayable. Compressed formats (JPEG/PNG/MP3/MP4)
+raise :class:`UnsupportedMediaError` and the operators fall back to the
+documented hash stub.
+
+Encoders exist so tests and synthetic tables can fabricate real payloads
+without external tools.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class UnsupportedMediaError(ValueError):
+    """Payload is not one of the supported uncompressed formats."""
+
+
+# ---------------------------------------------------------------------------
+# sniffing
+# ---------------------------------------------------------------------------
+
+def detect_media_type(payload: bytes | None) -> str | None:
+    """'bmp' | 'ppm' | 'wav' | 'frames' | None by magic bytes."""
+    if not payload:
+        return None
+    b = bytes(payload[:16])
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == b"FRMS":
+        return "frames"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# BMP (24bpp uncompressed, bottom-up)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 24-bit BI_RGB bottom-up BMP bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects HxWx3 uint8")
+    h, w, _ = px.shape
+    row_len = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_len - len(row))
+    size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes -> HxWx3 uint8 RGB array (top-down)."""
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    if bpp != 24 or compression != 0:
+        raise UnsupportedMediaError(f"unsupported BMP variant: {bpp}bpp c={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) // 4 * 4
+    if len(b) < data_offset + row_len * h:
+        raise UnsupportedMediaError("truncated BMP payload")
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_len * h, offset=data_offset)
+    rows = rows.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6 binary)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    b = bytes(payload)
+    if b[:2] != b"P6":
+        raise UnsupportedMediaError("not a P6 PPM payload")
+    # header: magic, whitespace-separated w h maxval, single whitespace
+    parts, i, token = [], 2, b""
+    while len(parts) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c.isspace():
+            if token:
+                parts.append(int(token))
+                token = b""
+        elif c == b"#":  # comment to EOL
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+        else:
+            token += c
+        i += 1
+    if len(parts) < 3:
+        raise UnsupportedMediaError("truncated PPM header")
+    w, h, maxval = parts
+    if maxval != 255:
+        raise UnsupportedMediaError("only maxval 255 PPM supported")
+    need = w * h * 3
+    if len(b) < i + need:
+        raise UnsupportedMediaError("truncated PPM payload")
+    return np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# image ops
+# ---------------------------------------------------------------------------
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure index math — the same
+    pixels selected on every machine, unlike interpolation whose float
+    rounding can vary by BLAS/SIMD path)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """int16 sample array (frames*channels interleaved) -> PCM WAV bytes."""
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    data = struct.pack("<4sI", b"data", len(s)) + s
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV bytes -> (samples int16 array, sample_rate, channels)."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a WAV payload")
+    i, sample_rate, channels, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid, clen = struct.unpack_from("<4sI", b, i)
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise UnsupportedMediaError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if sample_rate is None or data is None:
+        raise UnsupportedMediaError("truncated WAV payload")
+    return np.frombuffer(data, dtype="<i2").copy(), sample_rate, channels
+
+
+# ---------------------------------------------------------------------------
+# trivial frame container (video stand-in; real demuxing stays stubbed)
+# ---------------------------------------------------------------------------
+
+def encode_frames(frames: list) -> bytes:
+    """List of encoded frame payloads (e.g. BMP bytes) -> 'FRMS' container:
+    magic, uint32 count, then length-prefixed frames."""
+    out = bytearray(b"FRMS") + struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + bytes(f)
+    return bytes(out)
+
+
+def decode_frames(payload: bytes) -> list:
+    b = bytes(payload)
+    if b[:4] != b"FRMS":
+        raise UnsupportedMediaError("not a FRMS container")
+    (n,) = struct.unpack_from("<I", b, 4)
+    frames, i = [], 8
+    for _ in range(n):
+        if i + 4 > len(b):
+            raise UnsupportedMediaError("truncated FRMS container")
+        (ln,) = struct.unpack_from("<I", b, i)
+        frames.append(b[i + 4 : i + 4 + ln])
+        i += 4 + ln
+    return frames

@@ -3,10 +3,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs in ``mapInPandas`` batches.
-The actual decoders are STUBBED (image/audio libraries are not available in
-this environment) behind ``decode_stub`` — a deterministic fake that hashes
-the payload into a fixed-length feature vector — while the Spark-side
-plumbing (schema, batching, partition behaviour) is real and tested.
+
+Decoding is REAL for the uncompressed formats (BMP, P6 PPM, PCM WAV, and
+the FRMS frame container — pure-numpy codecs in ``..media.codecs``):
+payloads are sniffed by magic bytes and decoded to pixel/sample arrays,
+features/resizes/frame-samples computed from the actual content.
+Compressed codecs (JPEG/PNG/MP3/MP4) need libraries absent from this
+environment, so those payloads fall back to ``decode_stub`` — a
+deterministic md5 fake, clearly marked — keeping the operators total.
 
 At 100 TB scale binary payloads dominate row width: the operators here
 project metadata early (column pruning drops the payload as soon as
@@ -45,13 +49,86 @@ MEDIA_FEATURE_SCHEMA = StructType(
 def decode_stub(payload: bytes) -> list:
     """Deterministic fake decoder: 16 floats derived from md5(payload).
 
-    Replace with a real decoder (PIL/librosa/ffmpeg) in production:
-    raise NotImplementedError there when the codec is unsupported.
+    The fallback for payloads whose codec is unavailable here (JPEG/PNG/
+    MP3/MP4 …); uncompressed formats take the real path in
+    :func:`decode_features`. In production, plug a real codec stack in
+    and keep this as the total-function fallback.
     """
     if payload is None:
         payload = b""
     h = hashlib.md5(bytes(payload)).digest()
     return [b / 255.0 for b in h]
+
+
+def _image_features(img) -> list:
+    """16 real floats from an HxWx3 uint8 array: dimensions, per-channel
+    mean/std, and a 4x2 grayscale thumbnail (deterministic nearest-
+    neighbor sampling, pure integer index math)."""
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.media import resize_nearest
+
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3).astype(np.float64)
+    feats = [w / 4096.0, h / 4096.0]
+    feats += list(flat.mean(axis=0) / 255.0)
+    feats += list(flat.std(axis=0) / 255.0)
+    thumb = resize_nearest(img, 4, 2).astype(np.float64).mean(axis=2) / 255.0
+    feats += list(thumb.reshape(-1))
+    return [float(round(x, 6)) for x in feats]
+
+
+def _audio_features(samples, rate: int, channels: int) -> list:
+    """16 real floats from PCM samples: duration, rate, channels, rms,
+    peak, zero-crossing rate, and 10 windowed rms values."""
+    import numpy as np
+
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    if n == 0:
+        return [0.0] * 16
+    dur = n / channels / rate
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    feats = [
+        dur,
+        rate / 48000.0,
+        float(channels),
+        float(np.sqrt(np.mean(x * x))),
+        float(np.max(np.abs(x))),
+        zc,
+    ]
+    feats += [float(np.sqrt(np.mean(c * c))) if len(c) else 0.0 for c in np.array_split(x, 10)]
+    return [float(round(v, 6)) for v in feats]
+
+
+def decode_features(payload: bytes) -> tuple:
+    """(detected_type | None, 16 floats): REAL features for supported
+    uncompressed formats, md5 stub otherwise. Total: never raises on
+    arbitrary bytes (a truncated/cropped crawl payload falls back)."""
+    from dss_plugin_nlp_preparation_spark.media import (
+        UnsupportedMediaError,
+        decode_bmp,
+        decode_frames,
+        decode_ppm,
+        decode_wav,
+        detect_media_type,
+    )
+
+    t = detect_media_type(payload)
+    try:
+        if t == "bmp":
+            return t, _image_features(decode_bmp(payload))
+        if t == "ppm":
+            return t, _image_features(decode_ppm(payload))
+        if t == "wav":
+            return t, _audio_features(*decode_wav(payload))
+        if t == "frames":
+            frames = decode_frames(payload)
+            if frames:
+                return t, decode_features(frames[0])[1]
+    except UnsupportedMediaError:
+        pass
+    return None, decode_stub(payload)
 
 
 def extract_media_features(
@@ -69,12 +146,15 @@ def extract_media_features(
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_column]
+            decoded = payloads.map(decode_features)
             yield pd.DataFrame(
                 {
                     "url": pdf[url_column].astype(str),
-                    "media_type": media_type,
+                    # sniffed real type when the payload decodes; the
+                    # caller's label otherwise
+                    "media_type": decoded.map(lambda d: d[0] or media_type),
                     "byte_len": payloads.map(lambda b: 0 if b is None else len(b)).astype("int32"),
-                    "feature": payloads.map(decode_stub),
+                    "feature": decoded.map(lambda d: d[1]),
                 }
             )
 
@@ -95,10 +175,9 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_stub(payload: bytes, width: int, height: int) -> tuple:
-    """Deterministic fake resize: a real implementation decodes with PIL,
-    resizes to (width, height) and re-encodes; the stub derives a fake
+    """Deterministic fake resize for undecodable payloads: derives a fake
     thumbnail whose length and digest are md5-determined, so the Spark
-    plumbing is hash-verifiable in any engine. The salt is the ASCII
+    plumbing stays hash-verifiable in any engine. The salt is the ASCII
     'WxH' string (replayable: md5(payload || 'WxH'))."""
     if payload is None:
         payload = b""
@@ -106,6 +185,33 @@ def resize_stub(payload: bytes, width: int, height: int) -> tuple:
     # fake thumbnail size: bounded by the target area, derived from digest
     thumb_len = int(digest[:4], 16) % (width * height) if width * height else 0
     return thumb_len, digest
+
+
+def resize_payload(payload: bytes, width: int, height: int) -> tuple:
+    """(thumb_len, thumb_digest): REAL decode -> nearest-neighbor resize
+    -> re-encode for BMP/PPM payloads (digest/length of the actual
+    re-encoded thumbnail bytes); md5 stub for anything else."""
+    from dss_plugin_nlp_preparation_spark.media import (
+        UnsupportedMediaError,
+        decode_bmp,
+        decode_ppm,
+        detect_media_type,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    t = detect_media_type(payload)
+    try:
+        if t == "bmp":
+            thumb = encode_bmp(resize_nearest(decode_bmp(payload), width, height))
+            return len(thumb), hashlib.md5(thumb).hexdigest()
+        if t == "ppm":
+            thumb = encode_ppm(resize_nearest(decode_ppm(payload), width, height))
+            return len(thumb), hashlib.md5(thumb).hexdigest()
+    except UnsupportedMediaError:
+        pass
+    return resize_stub(payload, width, height)
 
 
 def resize_images(
@@ -126,7 +232,7 @@ def resize_images(
         for pdf in batches:
             lens, digests = [], []
             for payload in pdf[payload_column]:
-                tl, dg = resize_stub(payload, width, height)
+                tl, dg = resize_payload(payload, width, height)
                 lens.append(tl)
                 digests.append(dg)
             yield pd.DataFrame(
@@ -153,13 +259,33 @@ FRAME_SCHEMA = StructType(
 
 def sample_frames_stub(payload: bytes, n_frames: int) -> list:
     """Deterministic fake frame sampler: n_frames feature vectors derived
-    from md5(payload || ascii(frame_index)). A real implementation decodes
-    with ffmpeg and samples every k-th keyframe; the Spark-side contract
-    (one output row per (url, frame)) is identical. The ASCII salt keeps
-    the stub replayable in any engine with md5 over strings."""
+    from md5(payload || ascii(frame_index)). Fallback for containers that
+    need a real demuxer (MP4/MKV — ffmpeg, unavailable here). The ASCII
+    salt keeps the stub replayable in any engine with md5 over strings."""
     if payload is None:
         payload = b""
     return [decode_stub(bytes(payload) + str(i).encode()) for i in range(n_frames)]
+
+
+def sample_frames_payload(payload: bytes, n_frames: int) -> list:
+    """REAL frame sampling for FRMS containers: pick n_frames evenly
+    spaced actual frames (index i*len//n — deterministic integer math)
+    and compute real image features for each; stub for anything else."""
+    from dss_plugin_nlp_preparation_spark.media import (
+        UnsupportedMediaError,
+        decode_frames,
+        detect_media_type,
+    )
+
+    if detect_media_type(payload) == "frames":
+        try:
+            frames = decode_frames(payload)
+            if frames:
+                picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
+                return [decode_features(f)[1] for f in picks]
+        except UnsupportedMediaError:
+            pass
+    return sample_frames_stub(payload, n_frames)
 
 
 def sample_video_frames(
@@ -176,7 +302,7 @@ def sample_video_frames(
         for pdf in batches:
             urls, idxs, feats = [], [], []
             for url, payload in zip(pdf[url_column], pdf[payload_column]):
-                for i, feat in enumerate(sample_frames_stub(payload, n_frames)):
+                for i, feat in enumerate(sample_frames_payload(payload, n_frames)):
                     urls.append(str(url))
                     idxs.append(i)
                     feats.append(feat)

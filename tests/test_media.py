@@ -1,0 +1,150 @@
+# -*- coding: utf-8 -*-
+"""Real uncompressed-format codecs (media/codecs.py) and their use by the
+multimodal operators: BMP/PPM/WAV round-trips, real features, real
+resize, real frame sampling — plus the documented stub fallback for
+payloads whose codec is unavailable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dss_plugin_nlp_preparation_spark.media import (
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_frames,
+    decode_ppm,
+    decode_wav,
+    detect_media_type,
+    encode_bmp,
+    encode_frames,
+    encode_ppm,
+    encode_wav,
+    resize_nearest,
+)
+from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+    decode_features,
+    decode_stub,
+    resize_payload,
+    sample_frames_payload,
+)
+
+
+def _img(h, w, seed=0):
+    return ((np.arange(h * w * 3, dtype=np.int64) * 37 + seed) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 4), (5, 7), (16, 9)])
+def test_bmp_round_trip_with_row_padding(h, w):
+    img = _img(h, w)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_ppm_round_trip():
+    img = _img(6, 10)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+def test_wav_round_trip():
+    s = (np.sin(np.arange(800) / 10) * 20000).astype(np.int16)
+    d, sr, ch = decode_wav(encode_wav(s, 8000))
+    assert (d == s).all() and sr == 8000 and ch == 1
+
+
+def test_frames_round_trip():
+    fr = [encode_bmp(_img(4, 4, i)) for i in range(3)]
+    assert decode_frames(encode_frames(fr)) == fr
+
+
+def test_detect_media_type():
+    assert detect_media_type(encode_bmp(_img(2, 2))) == "bmp"
+    assert detect_media_type(encode_ppm(_img(2, 2))) == "ppm"
+    assert detect_media_type(encode_wav(np.zeros(4, np.int16))) == "wav"
+    assert detect_media_type(encode_frames([b"x"])) == "frames"
+    assert detect_media_type(b"\xff\xd8\xff jpeg") is None
+    assert detect_media_type(None) is None
+
+
+def test_decode_rejects_junk_and_unsupported():
+    with pytest.raises(UnsupportedMediaError):
+        decode_bmp(b"JUNKJUNKJUNK")
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(b"RIFF....WAVEnope")
+    # magic-prefixed but invalid -> operators fall back to the stub
+    t, feats = decode_features(b"BM but not a real bitmap at all.....")
+    assert t is None and feats == decode_stub(b"BM but not a real bitmap at all.....")
+
+
+def test_real_image_features():
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :, 0] = 255  # pure red
+    t, feats = decode_features(encode_bmp(img))
+    assert t == "bmp" and len(feats) == 16
+    assert feats[0] == round(8 / 4096, 6) and feats[1] == round(8 / 4096, 6)
+    assert feats[2] == 1.0 and feats[3] == 0.0 and feats[4] == 0.0  # channel means
+    # grayscale thumbnail of a solid image: all cells equal
+    assert len(set(feats[8:])) == 1
+
+
+def test_real_audio_features():
+    s = np.array([20000, -20000] * 400, np.int16)  # square wave
+    t, feats = decode_features(encode_wav(s, 16000))
+    assert t == "wav" and len(feats) == 16
+    assert feats[0] == round(800 / 16000, 6)  # duration
+    assert feats[2] == 1.0  # channels
+    assert feats[5] > 0.9  # zero-crossing rate of an alternating signal
+
+
+def test_real_resize_and_digest_determinism():
+    img = _img(16, 12)
+    payload = encode_bmp(img)
+    ln, dg = resize_payload(payload, 4, 4)
+    want = encode_bmp(resize_nearest(img, 4, 4))
+    assert ln == len(want)
+    import hashlib
+
+    assert dg == hashlib.md5(want).hexdigest()
+    assert resize_payload(payload, 4, 4) == (ln, dg)  # deterministic
+
+
+def test_real_frame_sampling():
+    frames = [encode_bmp(_img(4, 4, i * 11)) for i in range(6)]
+    payload = encode_frames(frames)
+    feats = sample_frames_payload(payload, 3)
+    assert len(feats) == 3
+    # evenly spaced picks: frames 0, 2, 4
+    for got, idx in zip(feats, (0, 2, 4)):
+        assert got == decode_features(frames[idx])[1]
+
+
+def test_spark_media_features_mixed_real_and_stub(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    rows = [
+        ("img", bytearray(encode_bmp(_img(8, 8)))),
+        ("wav", bytearray(encode_wav(np.zeros(160, np.int16)))),
+        ("junk", bytearray(b"not media at all")),
+        ("vid", bytearray(encode_frames([encode_bmp(_img(4, 4))]))),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {
+        r["url"]: r
+        for r in extract_media_features(
+            df, payload_column="payload", media_type="unknown"
+        ).collect()
+    }
+    assert out["img"]["media_type"] == "bmp"
+    assert out["wav"]["media_type"] == "wav"
+    assert out["vid"]["media_type"] == "frames"
+    assert out["junk"]["media_type"] == "unknown"
+    # the feature column is array<float> (float32): compare at that precision
+    assert out["junk"]["feature"] == [
+        float(np.float32(v)) for v in decode_stub(b"not media at all")
+    ]
+    assert out["img"]["feature"] == [
+        float(np.float32(v)) for v in decode_features(encode_bmp(_img(8, 8)))[1]
+    ]
