@@ -775,6 +775,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "host", F.col("n_chars").cast("long").alias("n_chars")
         )
 
+    def q_media_real_decode(spark, sf_dir):
+        # REAL uncompressed-format decoding (BMP/PPM/WAV/FRMS + stub
+        # fallback) over the deterministic synthetic media table; the
+        # frozen oracle fabricates byte-identical payloads and decodes
+        # them with the same kernels. Features render as a rounded CSV
+        # string (the driver's canonicalizer cannot sort array cells).
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+            extract_media_features,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.media import synthesize_media
+
+        out = extract_media_features(
+            synthesize_media(spark, 500, 8), payload_column="payload"
+        )
+        # features as scaled-integer CSV: all feature values are >= 0, so
+        # HALF_UP == floor(x+0.5) and integer rendering sidesteps every
+        # cross-engine float-formatting divergence (Java scientific
+        # notation, rounding-mode ties)
+        return out.select(
+            "url",
+            "media_type",
+            F.col("byte_len").cast("long").alias("byte_len"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x.cast("double") * 10000)
+                    .cast("long")
+                    .cast("string"),
+                ),
+            ).alias("feature_csv"),
+        )
+
     def q_incremental_dedup(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.dedup import (
             incremental_exact_dedup,
@@ -984,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entries below are demos/aux;
         #      still oracle-checked by tools/check_oracle.py) ----
         "incremental_dedup": q_incremental_dedup,
+        "media_real_decode": q_media_real_decode,
         "length_quantiles": q_length_quantiles,
         "char_class_stats": q_char_class_stats,
         "stopword_ratio_by_lang": q_stopword_ratio_by_lang,
@@ -1159,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity": _frozen("perplexity"),
         "html_extract": _frozen("html_extract"),
         "semantic_dedup": _frozen("semantic_dedup"),
+        "media_real_decode": _frozen("media_real_decode"),
         "perplexity_bigram": _frozen("perplexity_bigram"),
         "embedding_near_dup": _frozen("embedding_near_dup"),
         "pages_pipeline": _frozen("pages_pipeline"),

@@ -1,0 +1,84 @@
+# -*- coding: utf-8 -*-
+"""Deterministic synthetic media table: (media_id, url, payload binary).
+
+Payload mix per ``media_id % 5``: real 24-bit BMP, real P6 PPM, real
+PCM-16 WAV, real FRMS multi-frame container, and undecodable bytes (the
+compressed-codec stand-in, exercising the documented stub fallback).
+Content is a pure function of the id (``_rng_ints``-style chained md5 —
+no RNG state), so the Spark relation and the single-process oracle
+kernel fabricate byte-identical payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+from dss_plugin_nlp_preparation_spark.media import (
+    encode_bmp,
+    encode_frames,
+    encode_ppm,
+    encode_wav,
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("url", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _seed_bytes(i: int, n: int) -> np.ndarray:
+    """n deterministic bytes from chained md5 of the id."""
+    out = bytearray()
+    h = f"media:{i}".encode()
+    while len(out) < n:
+        h = hashlib.md5(h).digest()
+        out += h
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+
+
+def make_payload(i: int) -> bytes:
+    """The payload for media_id ``i`` — shared by the Spark synthesizer
+    and the frozen-oracle kernel (tools/freeze_oracles.py)."""
+    kind = i % 5
+    if kind == 0:  # BMP, varying odd/even dims to exercise row padding
+        h, w = 4 + i % 5, 3 + i % 7
+        return encode_bmp(_seed_bytes(i, h * w * 3).reshape(h, w, 3))
+    if kind == 1:  # PPM
+        h, w = 2 + i % 4, 2 + i % 6
+        return encode_ppm(_seed_bytes(i, h * w * 3).reshape(h, w, 3))
+    if kind == 2:  # WAV (int16 from byte pairs)
+        n = 64 + (i % 50) * 2
+        raw = _seed_bytes(i, n * 2)
+        return encode_wav(raw.view("<i2"), 8000 + (i % 3) * 4000)
+    if kind == 3:  # FRMS container of 2-4 BMP frames
+        frames = []
+        for f in range(2 + i % 3):
+            h, w = 3 + f, 3 + (i + f) % 4
+            frames.append(encode_bmp(_seed_bytes(i * 31 + f, h * w * 3).reshape(h, w, 3)))
+        return encode_frames(frames)
+    # kind 4: undecodable bytes (compressed-codec stand-in)
+    return bytes(_seed_bytes(i, 40 + i % 60))
+
+
+def synthesize_media(spark: SparkSession, n_rows: int = 500, partitions: int = 8) -> DataFrame:
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "url": [f"https://media.example.org/item/{i}" for i in ids],
+                    "payload": [bytearray(make_payload(i)) for i in ids],
+                }
+            )
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(_gen, _SCHEMA)

@@ -509,6 +509,33 @@ def freeze_semantic_dedup(embs: pd.DataFrame) -> None:
     _write("semantic_dedup", out)
 
 
+def freeze_media_real_decode() -> None:
+    """Expected (url, media_type, byte_len, feature_csv) for the real
+    uncompressed-format decode over the 500-row synthetic media table —
+    the SAME make_payload/decode_features kernels the Spark operator
+    runs, so agreement is by construction. Features render as scaled
+    integers (floor(float32(v)*1e4 + 0.5); all values nonnegative, so
+    this equals Spark's HALF_UP round)."""
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import decode_features
+    from dss_plugin_nlp_preparation_spark.sources.media import make_payload
+
+    recs = []
+    for i in range(500):
+        p = make_payload(i)
+        t, feats = decode_features(p)
+        csv = ",".join(
+            str(int(math.floor(float(np.float32(v)) * 10000 + 0.5))) for v in feats
+        )
+        recs.append(
+            (f"https://media.example.org/item/{i}", t or "binary", len(p), csv)
+        )
+    out = pd.DataFrame(recs, columns=["url", "media_type", "byte_len", "feature_csv"])
+    out["byte_len"] = out["byte_len"].astype("int64")
+    _write("media_real_decode", out)
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -527,6 +554,7 @@ def main() -> int:
     freeze_pages_pipeline()
     freeze_html_extract()
     freeze_semantic_dedup(embs)
+    freeze_media_real_decode()
     return 0
 
 
