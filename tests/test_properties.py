@@ -191,3 +191,38 @@ def test_html_round_trip_with_pretty_printing_and_inline(lines, pretty):
         parts.append(f"<p>{esc}</p>")
     html = f"<div>{sep}{sep.join(parts)}{sep}</div>".encode()
     assert extract_text(html) == text
+
+
+# ---------------------------------------------------------------------------
+# media codec round-trips (pure-numpy uncompressed-format codecs)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**31 - 1))
+def test_bmp_ppm_round_trip_property(h, w, seed):
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    img = ((np.arange(h * w * 3, dtype=np.int64) * 2654435761 + seed) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 500), st.sampled_from([8000, 16000, 44100]))
+def test_wav_round_trip_property(n, rate):
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.media import decode_wav, encode_wav
+
+    s = ((np.arange(n, dtype=np.int64) * 40503 + 7) % 65536 - 32768).astype(np.int16)
+    d, sr, ch = decode_wav(encode_wav(s, rate))
+    assert (d == s).all() and sr == rate and ch == 1
