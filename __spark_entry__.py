@@ -1011,13 +1011,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_filter": q_host_filter,
         "semantic_dedup": q_semantic_dedup,
         "cap_per_host": q_cap_per_host,
-        "media_features": q_media_features,
+        "media_real_decode": q_media_real_decode,
         "video_frames": q_video_frames,
         "salted_host_counts": q_salted_host_counts,
-        # ---- driver window boundary (entries below are demos/aux;
-        #      still oracle-checked by tools/check_oracle.py) ----
+        # ---- driver window boundary (entries below are demos/aux or
+        #      subsumed variants; still oracle-checked by
+        #      tools/check_oracle.py) ----
         "incremental_dedup": q_incremental_dedup,
-        "media_real_decode": q_media_real_decode,
+        "media_features": q_media_features,
         "length_quantiles": q_length_quantiles,
         "char_class_stats": q_char_class_stats,
         "stopword_ratio_by_lang": q_stopword_ratio_by_lang,
