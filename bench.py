@@ -290,6 +290,24 @@ def main() -> int:
         .count(),
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import synthesize_media
+
+    media = synthesize_media(spark, 10000, int(CPUS)).persist()
+    n_media = media.count()
+    timed_extra(
+        "media_real_decode",
+        lambda: extract_media_features(media, payload_column="payload")
+        .select(F.sum("byte_len"))
+        .collect(),
+    )
+    extras["media_real_decode_docs_per_sec"] = round(
+        n_media / extras["media_real_decode_sec"], 1
+    )
+    media.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
