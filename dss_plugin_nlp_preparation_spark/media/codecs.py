@@ -87,6 +87,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"unsupported BMP variant: {bpp}bpp c={compression}")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise UnsupportedMediaError(f"degenerate BMP dimensions: {w}x{h}")
     row_len = (w * 3 + 3) // 4 * 4
     if len(b) < data_offset + row_len * h:
         raise UnsupportedMediaError("truncated BMP payload")
@@ -117,6 +119,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         c = b[i : i + 1]
         if c.isspace():
             if token:
+                if not token.isdigit():
+                    raise UnsupportedMediaError(f"malformed PPM header token: {token!r}")
                 parts.append(int(token))
                 token = b""
         elif c == b"#":  # comment to EOL
@@ -130,6 +134,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = parts
     if maxval != 255:
         raise UnsupportedMediaError("only maxval 255 PPM supported")
+    if w == 0 or h == 0:
+        raise UnsupportedMediaError(f"degenerate PPM dimensions: {w}x{h}")
     need = w * h * 3
     if len(b) < i + need:
         raise UnsupportedMediaError("truncated PPM payload")
@@ -174,16 +180,23 @@ def decode_wav(payload: bytes):
         cid, clen = struct.unpack_from("<4sI", b, i)
         body = b[i + 8 : i + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise UnsupportedMediaError("truncated WAV fmt chunk")
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or bits != 16:
                 raise UnsupportedMediaError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+            if channels == 0 or sample_rate == 0:
+                raise UnsupportedMediaError(
+                    f"degenerate WAV fmt: channels={channels} rate={sample_rate}"
+                )
         elif cid == b"data":
             data = body
         i += 8 + clen + (clen & 1)
     if sample_rate is None or data is None:
         raise UnsupportedMediaError("truncated WAV payload")
-    return np.frombuffer(data, dtype="<i2").copy(), sample_rate, channels
+    # odd-length data chunk: drop the trailing half-sample byte
+    return np.frombuffer(data, dtype="<i2", count=len(data) // 2).copy(), sample_rate, channels
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +216,8 @@ def decode_frames(payload: bytes) -> list:
     b = bytes(payload)
     if b[:4] != b"FRMS":
         raise UnsupportedMediaError("not a FRMS container")
+    if len(b) < 8:
+        raise UnsupportedMediaError("truncated FRMS container")
     (n,) = struct.unpack_from("<I", b, 4)
     frames, i = [], 8
     for _ in range(n):

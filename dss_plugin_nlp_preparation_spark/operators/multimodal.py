@@ -21,6 +21,7 @@ features are extracted) and cap Arrow batch bytes via
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,6 +36,13 @@ from pyspark.sql.types import (
 )
 
 FEATURE_DIM = 16
+
+# what a malformed-but-magic-prefixed crawl payload can raise out of the
+# codecs: UnsupportedMediaError (a ValueError subclass) is the codecs' own
+# verdict, and the rest guard against parser edge cases the validators
+# miss — a crawl payload must NEVER kill a Spark task (retries would hit
+# the same bytes deterministically)
+_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, OverflowError, IndexError)
 
 MEDIA_FEATURE_SCHEMA = StructType(
     [
@@ -106,7 +114,6 @@ def decode_features(payload: bytes) -> tuple:
     uncompressed formats, md5 stub otherwise. Total: never raises on
     arbitrary bytes (a truncated/cropped crawl payload falls back)."""
     from dss_plugin_nlp_preparation_spark.media import (
-        UnsupportedMediaError,
         decode_bmp,
         decode_frames,
         decode_ppm,
@@ -126,7 +133,7 @@ def decode_features(payload: bytes) -> tuple:
             frames = decode_frames(payload)
             if frames:
                 return t, decode_features(frames[0])[1]
-    except UnsupportedMediaError:
+    except _DECODE_ERRORS:
         pass
     return None, decode_stub(payload)
 
@@ -192,7 +199,6 @@ def resize_payload(payload: bytes, width: int, height: int) -> tuple:
     -> re-encode for BMP/PPM payloads (digest/length of the actual
     re-encoded thumbnail bytes); md5 stub for anything else."""
     from dss_plugin_nlp_preparation_spark.media import (
-        UnsupportedMediaError,
         decode_bmp,
         decode_ppm,
         detect_media_type,
@@ -209,7 +215,7 @@ def resize_payload(payload: bytes, width: int, height: int) -> tuple:
         if t == "ppm":
             thumb = encode_ppm(resize_nearest(decode_ppm(payload), width, height))
             return len(thumb), hashlib.md5(thumb).hexdigest()
-    except UnsupportedMediaError:
+    except _DECODE_ERRORS:
         pass
     return resize_stub(payload, width, height)
 
@@ -272,7 +278,6 @@ def sample_frames_payload(payload: bytes, n_frames: int) -> list:
     spaced actual frames (index i*len//n — deterministic integer math)
     and compute real image features for each; stub for anything else."""
     from dss_plugin_nlp_preparation_spark.media import (
-        UnsupportedMediaError,
         decode_frames,
         detect_media_type,
     )
@@ -283,7 +288,7 @@ def sample_frames_payload(payload: bytes, n_frames: int) -> list:
             if frames:
                 picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
                 return [decode_features(f)[1] for f in picks]
-        except UnsupportedMediaError:
+        except _DECODE_ERRORS:
             pass
     return sample_frames_stub(payload, n_frames)
 

@@ -30,6 +30,16 @@ single-process oracle kernel (tools/freeze_oracles.py):
   classic reason distributed k-means diverges between runs) is
   eliminated by construction, at the cost of 1e-6 quantisation noise,
   far below embedding precision.
+- **Pair cosines** (the within-cluster stage) are EMPIRICALLY aligned,
+  not shared-kernel: the engine evaluates the JVM ``cosine_expr``
+  aggregate (sequential sum) while the frozen oracle computes numpy
+  pre-normalized dots (pairwise/SIMD summation). Both round to 6
+  decimals before the threshold compare, which absorbs the summation-
+  order ulp differences on every observed input; a cosine within an ulp
+  of a rounding boundary AT the threshold could in principle diverge on
+  a refreeze under a different BLAS. Assignment — the step that feeds
+  centroid state forward — IS by-construction identical (one shared
+  ``assign_kernel``).
 
 Scale notes (10^9+ vectors):
 - Each Lloyd iteration is ONE shuffle of (cid, dim, int64) triples —
@@ -71,14 +81,12 @@ def assign_kernel(V, centroids: list):
     captured by a vectorized UDF ships once per executor and makes
     assignment one numpy matmul per Arrow batch."""
     C = np.asarray(centroids, dtype=np.float64)
-    sims = np.round(
-        (V @ C.T)
-        / (
-            np.linalg.norm(V, axis=1)[:, None]
-            * np.linalg.norm(C, axis=1)[None, :]
-        ),
-        6,
-    )
+    # zero-norm clamp: an all-zero embedding (or a degenerate centroid)
+    # must yield sims of 0.0 and a deterministic argmax (centroid 0), not
+    # NaN propagating into centroid_sim and the quantised sums
+    vn = np.maximum(np.linalg.norm(V, axis=1), 1e-30)
+    cn = np.maximum(np.linalg.norm(C, axis=1), 1e-30)
+    sims = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), 6)
     return sims.argmax(axis=1), sims
 
 

@@ -40,7 +40,9 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm clamp (mirrors semantic.assign_kernel): a zero vector
+    # yields cosine 0.0 instead of an ANSI divide-by-zero task failure
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-30))
 
 
 def cosine_topk(

@@ -80,11 +80,22 @@ def url_dedup(
     )
 
 
+def _host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host: 'a.b.c' -> ['a.b.c', 'b.c', 'c'].
+    Pure codegen (split + slice + array_join); a host has <10 labels."""
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
+    )
+
+
 def add_host_verdict(
     df: DataFrame,
     hosts: DataFrame,
     url_column: str = "url",
     include_subdomains: bool = True,
+    max_driver_rows: int = 2_000_000,
 ) -> DataFrame:
     """Append ``host_listed boolean``: does the document's host (or, with
     ``include_subdomains``, any of its domain suffixes — ``a.b.c`` matches
@@ -97,12 +108,44 @@ def add_host_verdict(
     shuffle, zero explode of the corpus (a doc host has <10 labels). The
     corpus-side host extraction is the same codegen regexp used by
     ``host_of``.
+
+    ``max_driver_rows`` guards the driver collect (same contract as
+    perplexity's broadcast guard): a list with more distinct hosts routes
+    through a fully-distributed join instead — distinct doc hosts explode
+    into their suffixes, semi-join the list, and the surviving hosts join
+    back onto the corpus by host equality. Exact same verdict, no driver
+    materialization.
     """
     from pyspark.sql.types import BooleanType
 
-    listed = {r["__h"] for r in hosts.select(F.lower(F.col("host")).alias("__h")).distinct().collect()}
-    bc = df.sparkSession.sparkContext.broadcast(listed)
+    hosts_norm = hosts.select(F.lower(F.col("host")).alias("__h")).distinct()
     sub = bool(include_subdomains)
+    n_hosts = hosts_norm.limit(max_driver_rows + 1).count()
+    if n_hosts > max_driver_rows:
+        # join path: verdict per DISTINCT doc host (tiny vs the corpus),
+        # then one equi-join back. No collect at any size.
+        doc_host = host_of(F.col(url_column))
+        dh = df.select(doc_host.alias("__dh")).where(F.col("__dh") != "").distinct()
+        probe = (
+            dh.select("__dh", F.explode(_host_suffixes(F.col("__dh"))).alias("__sfx"))
+            if sub
+            else dh.select("__dh", F.col("__dh").alias("__sfx"))
+        )
+        listed = (
+            probe.join(hosts_norm, probe["__sfx"] == hosts_norm["__h"], "left_semi")
+            .select("__dh")
+            .distinct()
+            .withColumn("__listed", F.lit(True))
+        )
+        out = df.withColumn("__dh", doc_host)
+        return (
+            out.join(listed, "__dh", "left")
+            .withColumn("host_listed", F.coalesce(F.col("__listed"), F.lit(False)))
+            .drop("__dh", "__listed")
+        )
+
+    listed_set = {r["__h"] for r in hosts_norm.collect()}
+    bc = df.sparkSession.sparkContext.broadcast(listed_set)
 
     @F.pandas_udf(BooleanType())
     def _verdict(doc_hosts: pd.Series) -> pd.Series:
@@ -217,13 +260,20 @@ def cap_per_host(
         # audit mode: flag instead of filter. Rows pruned in phase 1 are
         # provably outside the global top-k, so a left join against the
         # survivor keys (<= k rows per host — tiny vs the corpus) labels
-        # every original row correctly.
+        # every original row correctly. The join keys on (host, tiebreak):
+        # the ranking only guarantees tiebreak uniqueness WITHIN a host, so
+        # a tiebreak value repeated under two hosts must not cross-match.
         survivors = ranked.where(F.col("__r2") <= max_per_host).select(
-            F.col(tiebreak_column).alias("__k")
+            F.col("__host").alias("__kh"), F.col(tiebreak_column).alias("__k")
         )
         return (
-            out.join(survivors, out[tiebreak_column] == survivors["__k"], "left")
+            out.join(
+                survivors,
+                (out["__host"] == survivors["__kh"])
+                & (out[tiebreak_column] == survivors["__k"]),
+                "left",
+            )
             .withColumn(keep_flag, F.col("__k").isNotNull())
-            .drop("__k", "__host")
+            .drop("__k", "__kh", "__host")
         )
     return ranked.where(F.col("__r2") <= max_per_host).drop("__host", "__r2")

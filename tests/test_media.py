@@ -148,3 +148,40 @@ def test_spark_media_features_mixed_real_and_stub(spark):
     assert out["img"]["feature"] == [
         float(np.float32(v)) for v in decode_features(encode_bmp(_img(8, 8)))[1]
     ]
+
+
+def test_malformed_magic_prefixed_payloads_fall_back_to_stub():
+    """ADVICE r3: any magic-prefixed junk must take the stub path, never
+    raise out of the UDF (a deterministic crawl payload would kill the
+    task on every retry)."""
+    cases = [
+        b"FRMS",  # truncated container header (was struct.error)
+        b"P6 \xff\xff\xff\xff\xff\xff\xff\xff",  # non-digit header token (was ValueError)
+        b"RIFF\x10\x00\x00\x00WAVEfmt \x04\x00\x00\x00\x01\x00",  # short fmt chunk
+        b"BM" + b"\x00" * 60,  # zero-dimension bitmap
+        b"P6\n0 0\n255\n",  # degenerate PPM dims
+    ]
+    # zero-channel / zero-rate WAV fmt chunk (was ZeroDivisionError)
+    import struct as _struct
+
+    bad_fmt = _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 0, 0, 0, 0, 16)
+    data = _struct.pack("<4sI", b"data", 4) + b"\x00" * 4
+    cases.append(
+        _struct.pack("<4sI4s", b"RIFF", 4 + len(bad_fmt) + len(data), b"WAVE")
+        + bad_fmt
+        + data
+    )
+    for payload in cases:
+        t, feats = decode_features(payload)
+        assert t is None and feats == decode_stub(payload), payload[:12]
+        assert resize_payload(payload, 4, 4) is not None
+        assert len(sample_frames_payload(payload, 2)) == 2
+
+
+def test_codecs_raise_unsupported_on_malformed_input():
+    with pytest.raises(UnsupportedMediaError):
+        decode_frames(b"FRMS")
+    with pytest.raises(UnsupportedMediaError):
+        decode_ppm(b"P6 \xff\xff\xff\xff\xff\xff")
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(b"RIFF\x10\x00\x00\x00WAVEfmt \x04\x00\x00\x00\x01\x00")

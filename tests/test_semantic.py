@@ -123,3 +123,26 @@ def test_param_validation(spark, embs):
         semantic_dedup(embs, threshold=1.5)
     with pytest.raises(ValueError):
         semantic_dedup(embs, max_cluster_size=1)
+
+
+def test_assign_kernel_zero_norm_vector_is_total():
+    """ADVICE r3: an all-zero embedding must not produce NaN sims."""
+    from dss_plugin_nlp_preparation_spark.operators.semantic import assign_kernel
+
+    V = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    C = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    cid, sims = assign_kernel(V, C)
+    assert np.isfinite(sims).all()
+    assert sims[0].tolist() == [0.0, 0.0]
+    assert cid[0] == 0  # deterministic first-max tie-break
+    assert cid[1] == 0 and sims[1, 0] == 1.0
+
+
+def test_semantic_dedup_with_zero_vector(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(8)]
+    rows.append((8, [0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, n_clusters=2, n_iters=1, threshold=0.9).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["centroid_sim"] is not None and r["centroid_sim"] == r["centroid_sim"]

@@ -272,3 +272,51 @@ def test_cap_per_host_param_validation(spark):
         cap_per_host(docs, 0, host_column="host", tiebreak_column="doc_id")
     with _pytest.raises(ValueError):
         cap_per_host(docs, 3, host_column="host", tiebreak_column="doc_id", salt_buckets=0)
+
+
+def test_cap_per_host_keep_flag_cross_host_tiebreak(spark):
+    """ADVICE r3: the audit join must key on (host, tiebreak) — the same
+    tiebreak value under two hosts must not cross-flag or duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import cap_per_host
+
+    # tiebreak 'rank' repeats across hosts; rank r survives on host a
+    # (cap 1 keeps the best rank) but NOT on host b for r >= 1
+    rows = [("a", r, 100 - r) for r in range(4)] + [("b", r, r) for r in range(4)]
+    docs = spark.createDataFrame(rows, "host string, rank long, score long")
+    out = cap_per_host(
+        docs,
+        1,
+        host_column="host",
+        order_by=[F.col("score").desc()],
+        tiebreak_column="rank",
+        keep_flag="kept",
+    )
+    got = {(r["host"], r["rank"]): r["kept"] for r in out.collect()}
+    assert out.count() == 8  # no duplicated output rows
+    assert got[("a", 0)] is True and got[("b", 3)] is True
+    assert got[("b", 0)] is False  # rank 0 survives on a, must not leak to b
+    assert sum(got.values()) == 2
+
+
+def test_add_host_verdict_join_path_matches_broadcast(spark):
+    """Above max_driver_rows the verdict routes through the distributed
+    join — exact same output as the broadcast-set path."""
+    from dss_plugin_nlp_preparation_spark.operators.urls import add_host_verdict
+
+    hosts = spark.createDataFrame([("spam.org",), ("example.com",)], ["host"])
+    corpus = _host_corpus(spark)
+    for sub in (True, False):
+        small = {
+            (r["doc_id"], r["host_listed"])
+            for r in add_host_verdict(corpus, hosts, include_subdomains=sub).collect()
+        }
+        joined = {
+            (r["doc_id"], r["host_listed"])
+            for r in add_host_verdict(
+                corpus, hosts, include_subdomains=sub, max_driver_rows=1
+            ).collect()
+        }
+        assert small == joined
+        assert len(joined) == 6
