@@ -309,11 +309,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_minhash_bands(spark, sf_dir):
-        return minhash_bands(_docs(spark, sf_dir), shingle_k=_SHINGLE_K, num_bands=_NUM_BANDS).select(
-            "id", F.col("band_id").cast("long").alias("band_id"), "band_min"
-        )
+        # hash_fn="md5" pinned: this is THE dedicated query that pins the
+        # md5 MinHash formula via a pure-SQL DuckDB replay (engine
+        # portability); the production xxhash64 family is pinned by the
+        # frozen-oracle near_dup_pairs query below
+        return minhash_bands(
+            _docs(spark, sf_dir),
+            shingle_k=_SHINGLE_K,
+            num_bands=_NUM_BANDS,
+            hash_fn="md5",
+        ).select("id", F.col("band_id").cast("long").alias("band_id"), "band_min")
 
     def q_near_dup_pairs(spark, sf_dir):
+        # production default (xxhash64) — the same variant bench.py times;
+        # oracle = frozen replay via the pure-Python xxHash64
+        # (functions/xxh64.py, bit-for-bit pinned against F.xxhash64)
         return near_dup_pairs(_docs(spark, sf_dir), shingle_k=_SHINGLE_K, num_bands=_NUM_BANDS)
 
     def q_near_dup_clusters(spark, sf_dir):
@@ -321,8 +331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             near_dup_clusters,
         )
 
+        # md5 family: the oracle is a recursive-CTE DuckDB replay over the
+        # md5 band formula
         return near_dup_clusters(
-            _docs(spark, sf_dir), shingle_k=_SHINGLE_K, num_bands=_NUM_BANDS
+            _docs(spark, sf_dir),
+            shingle_k=_SHINGLE_K,
+            num_bands=_NUM_BANDS,
+            hash_fn="md5",
         )
 
     def q_near_dup_clusters_star(spark, sf_dir):
@@ -335,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shingle_k=_SHINGLE_K,
             num_bands=_NUM_BANDS,
             algorithm="star",
+            hash_fn="md5",
         )
 
     def q_simhash(spark, sf_dir):
@@ -351,8 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ngram_jaccard(spark, sf_dir):
+        # md5 candidates: SQL-replayable end to end
         return ngram_jaccard_pairs(
-            _docs(spark, sf_dir), shingle_k=_SHINGLE_K, num_bands=_NUM_BANDS
+            _docs(spark, sf_dir),
+            shingle_k=_SHINGLE_K,
+            num_bands=_NUM_BANDS,
+            hash_fn="md5",
         )
 
     def q_cosine_topk(spark, sf_dir):
@@ -825,9 +845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = incremental_near_dup(
             flagged,
-            minhash_bands(seen, shingle_k=_SHINGLE_K, num_bands=_NUM_BANDS),
+            minhash_bands(
+                seen, shingle_k=_SHINGLE_K, num_bands=_NUM_BANDS, hash_fn="md5"
+            ),
             shingle_k=_SHINGLE_K,
             num_bands=_NUM_BANDS,
+            hash_fn="md5",
         )
         return out.select("doc_id", "unseen_exact", "near_dup_seen")
 
@@ -1293,18 +1316,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
         """,
         "minhash_bands": _MINHASH_SQL,
-        "near_dup_pairs": f"""
-            WITH bands AS ({_MINHASH_SQL}),
-            ok AS (
-              SELECT band_id, band_min FROM bands
-              GROUP BY band_id, band_min
-              HAVING count(*) BETWEEN 2 AND {_MAX_BUCKET}
-            ),
-            kept AS (SELECT b.* FROM bands b JOIN ok USING (band_id, band_min))
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM kept a JOIN kept b
-              ON a.band_id = b.band_id AND a.band_min = b.band_min AND a.id < b.id
-        """,
+        # production xxhash64 family — frozen replay via the pure-Python
+        # xxHash64 kernel (functions/xxh64.py); the md5 band formula stays
+        # SQL-pinned by minhash_bands above
+        "near_dup_pairs": _frozen("near_dup_pairs"),
         "near_dup_clusters": f"""
             WITH RECURSIVE
             bands AS ({_MINHASH_SQL}),

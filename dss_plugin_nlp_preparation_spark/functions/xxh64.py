@@ -1,0 +1,147 @@
+# -*- coding: utf-8 -*-
+"""Pure-Python xxHash64 matching Spark's ``F.xxhash64`` bit-for-bit.
+
+xxHash64 is a public, stable algorithm (Yann Collet's xxHash spec);
+Spark's SQL ``xxhash64(...)`` applies it per column with the running hash
+as the next column's seed, starting from seed 42, with a per-type
+primitive mapping (ints hash as 4-byte values, longs as 8-byte,
+strings as their UTF-8 bytes). This module re-derives that contract from
+the public spec so the single-process oracle freezer
+(``tools/freeze_oracles.py``) can replay queries built on the engine's
+production 64-bit hash family (``operators/dedup.py`` ``hash_fn=
+"xxhash64"``) without running Spark — the same role md5 plays for the
+DuckDB-replayable oracles. Parity with the JVM implementation is pinned
+empirically by ``tests/test_xxh64.py`` across type/length/unicode cases.
+
+Everything is arbitrary-precision Python int arithmetic masked to 64
+bits; results are returned SIGNED (two's complement) to match Spark's
+``bigint`` output and the JVM's signed ``min``/comparison semantics.
+"""
+
+from __future__ import annotations
+
+_M = (1 << 64) - 1
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+SPARK_SEED = 42
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def hash_int(i: int, seed: int = SPARK_SEED) -> int:
+    """xxHash64 of one 4-byte value — Spark's mapping for byte/short/int
+    columns. Returns an UNSIGNED 64-bit int (chainable as the next seed)."""
+    h = (seed + _P5 + 4) & _M
+    h ^= ((i & 0xFFFFFFFF) * _P1) & _M
+    h = (_rotl(h, 23) * _P2 + _P3) & _M
+    return _fmix(h)
+
+
+def hash_long(v: int, seed: int = SPARK_SEED) -> int:
+    """xxHash64 of one 8-byte value — Spark's mapping for long columns."""
+    h = (seed + _P5 + 8) & _M
+    h ^= (_rotl((v & _M) * _P2 & _M, 31) * _P1) & _M
+    h = (_rotl(h, 27) * _P1 + _P4) & _M
+    return _fmix(h)
+
+
+def hash_bytes(data: bytes, seed: int = SPARK_SEED) -> int:
+    """xxHash64 of a byte string — Spark's mapping for string/binary
+    columns (strings hash their UTF-8 bytes). Standard XXH64 body:
+    32-byte stripes with four accumulators, then 8-byte words, one
+    4-byte word, then trailing bytes; all reads little-endian."""
+    length = len(data)
+    off = 0
+    if length >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        limit = length - 32
+        while off <= limit:
+            k = int.from_bytes(data[off : off + 8], "little")
+            v1 = (_rotl((v1 + k * _P2) & _M, 31) * _P1) & _M
+            k = int.from_bytes(data[off + 8 : off + 16], "little")
+            v2 = (_rotl((v2 + k * _P2) & _M, 31) * _P1) & _M
+            k = int.from_bytes(data[off + 16 : off + 24], "little")
+            v3 = (_rotl((v3 + k * _P2) & _M, 31) * _P1) & _M
+            k = int.from_bytes(data[off + 24 : off + 32], "little")
+            v4 = (_rotl((v4 + k * _P2) & _M, 31) * _P1) & _M
+            off += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = (h * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + length) & _M
+    while off + 8 <= length:
+        k = int.from_bytes(data[off : off + 8], "little")
+        h ^= (_rotl((k * _P2) & _M, 31) * _P1) & _M
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        off += 8
+    if off + 4 <= length:
+        k = int.from_bytes(data[off : off + 4], "little")
+        h ^= (k * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        off += 4
+    while off < length:
+        h ^= (data[off] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        off += 1
+    return _fmix(h)
+
+
+def _to_signed(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def spark_xxhash64(*values) -> int:
+    """Replay of Spark's ``F.xxhash64(col1, col2, ...)`` over Python
+    values: seed 42, each column's hash seeds the next, SIGNED result.
+
+    Type mapping per value (must match the Spark column types!):
+      - ``("int", i)`` / plain int -> 4-byte hash (IntegerType)
+      - ``("long", v)`` -> 8-byte hash (LongType)
+      - str -> UTF-8 bytes (StringType); bytes -> as-is (BinaryType)
+    Plain Python ints default to IntegerType because that is what
+    ``F.sequence``/int literals produce; pass ``("long", v)`` for
+    LongType columns.
+    """
+    h = SPARK_SEED
+    for v in values:
+        if isinstance(v, tuple):
+            kind, val = v
+            if kind == "int":
+                h = hash_int(val, h)
+            elif kind == "long":
+                h = hash_long(val, h)
+            else:
+                raise ValueError(f"unknown xxhash64 kind: {kind!r}")
+        elif isinstance(v, bool):
+            raise TypeError("boolean columns are not supported here")
+        elif isinstance(v, int):
+            h = hash_int(v, h)
+        elif isinstance(v, str):
+            h = hash_bytes(v.encode("utf-8"), h)
+        elif isinstance(v, (bytes, bytearray)):
+            h = hash_bytes(bytes(v), h)
+        else:
+            raise TypeError(f"unsupported value type: {type(v)!r}")
+    return _to_signed(h)

@@ -56,32 +56,36 @@ def minhash_bands(
     id_column: str = "doc_id",
     shingle_k: int = 5,
     num_bands: int = 8,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, band_id, band_min): per-band MinHash signature.
 
-    ``hash_fn="md5"`` (default, oracle-portable): band b's per-shingle
-    hash is the b-th disjoint 8-hex-char window of a widened digest
-    (md5(s) || md5('0'||s) || …) — ceil(num_bands/4) md5 calls per
-    shingle instead of num_bands, and the shingle/digest arrays are
-    materialized ONCE per row (a real projection, not an expression
-    inlined per band — Catalyst does not CSE across lambda bodies). The
-    min of a uniform hash window is the classic MinHash estimator;
-    banding gives LSH. DuckDB replays the same formula exactly.
+    ``hash_fn="xxhash64"`` (DEFAULT — the production fast path): band
+    b's per-shingle hash is ``xxhash64(b, shingle)`` — a native 64-bit
+    long, no hex strings, no concat; per-shingle cost is ``num_bands``
+    xxhash64 rounds instead of cryptographic digests + substrings, and
+    band_min is a long min (cheaper shuffle key, too). Measured 2-4x
+    faster AND far more run-to-run stable than the md5 family at sf0.1
+    (BASELINE.md); the gate pins it with a frozen oracle computed by the
+    pure-Python xxHash64 replay (``functions/xxh64.py``, itself pinned
+    bit-for-bit against ``F.xxhash64`` by tests/test_xxh64.py).
 
-    ``hash_fn="xxhash64"`` (production fast path): band b's per-shingle
-    hash is ``xxhash64(b, shingle)`` — a native 64-bit long, no hex
-    strings, no concat; per-shingle cost drops from 2 cryptographic
-    digests + substrings to ``num_bands`` xxhash64 rounds, and band_min
-    becomes a long min (cheaper shuffle key, too). Same estimator, same
-    banding math, different (equally uniform) hash family — candidate
-    RECALL is statistically identical but the concrete pair set differs,
-    so the correctness gate pins the md5 variant and the xxhash64 one is
-    pinned by equivalence tests (exact duplicates always collide in all
-    bands under any hash family).
+    ``hash_fn="md5"`` (oracle-portable variant): band b's per-shingle
+    hash is the b-th disjoint 8-hex-char window of a widened digest
+    (md5(s) || md5('1'||s) || …) — ceil(num_bands/4) md5 calls per
+    shingle, shingle/digest arrays materialized ONCE per row (a real
+    projection, not inlined per band — Catalyst does not CSE across
+    lambda bodies). The min of a uniform hash window is the classic
+    MinHash estimator; banding gives LSH. Kept because DuckDB replays
+    the exact formula in SQL (the ``minhash_bands`` gate query pins it).
+
+    Same estimator, same banding math, two (equally uniform) hash
+    families — candidate RECALL is statistically identical but the
+    concrete pair sets differ; exact duplicates collide in all bands
+    under either family (equivalence tests pin that).
 
     At 10^12 docs, shingle hashing is the dominant map cost of the
-    near-dup stage — the fast path is the one to run at scale.
+    near-dup stage — the 64-bit path is the one to run at scale.
     """
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
@@ -132,11 +136,11 @@ def near_dup_pairs(
     shingle_k: int = 5,
     num_bands: int = 8,
     max_bucket_size: int = 64,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
-    ``hash_fn="xxhash64"`` selects the production hash family (see
-    :func:`minhash_bands`).
+    ``hash_fn`` selects the hash family (see :func:`minhash_bands`;
+    default is the production xxhash64 path).
 
     groupBy(band signature) + in-group pairing — the shuffle is on the band
     signature (uniform), and pair explosion only happens inside buckets.
@@ -523,6 +527,7 @@ def near_dup_clusters(
     num_bands: int = 8,
     max_bucket_size: int = 64,
     algorithm: str = "label_prop",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, cluster_id, is_canonical): every document labeled with its
     near-duplicate cluster (cluster_id = min doc id in the component;
@@ -532,12 +537,12 @@ def near_dup_clusters(
     ``algorithm``: "label_prop" (pointer-doubled min-label propagation —
     fastest on the tiny-clique graphs LSH actually produces) or "star"
     (alternating large-star/small-star — diameter-independent scale path).
-    Both yield identical output.
+    Both yield identical output. ``hash_fn`` per :func:`minhash_bands`.
     """
     if algorithm not in ("label_prop", "star"):
         raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
     pairs = near_dup_pairs(
-        df, text_column, id_column, shingle_k, num_bands, max_bucket_size
+        df, text_column, id_column, shingle_k, num_bands, max_bucket_size, hash_fn
     )
     cc = connected_components if algorithm == "label_prop" else connected_components_star
     comps = cc(pairs)
@@ -556,15 +561,17 @@ def ngram_jaccard_pairs(
     num_bands: int = 8,
     min_jaccard: float = 0.0,
     max_bucket_size: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exact shingle-Jaccard for LSH candidate pairs:
-    (id_a, id_b, jaccard). Verification stage of the dedup pipeline."""
+    (id_a, id_b, jaccard). Verification stage of the dedup pipeline.
+    ``hash_fn`` selects the candidate-generation family."""
     sh = df.select(
         F.col(id_column).alias("id"),
         _shingles(F.col(text_column), shingle_k).alias("shingles"),
     )
     pairs = near_dup_pairs(
-        df, text_column, id_column, shingle_k, num_bands, max_bucket_size
+        df, text_column, id_column, shingle_k, num_bands, max_bucket_size, hash_fn
     )
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")
@@ -747,7 +754,7 @@ def incremental_near_dup(
     id_column: str = "doc_id",
     shingle_k: int = 5,
     num_bands: int = 8,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
     flag_column: str = "near_dup_seen",
 ) -> DataFrame:
     """Near-dup screen of a new increment against the PERSISTED band

@@ -1,0 +1,61 @@
+# -*- coding: utf-8 -*-
+"""Parity of the pure-Python xxHash64 with Spark's F.xxhash64 —
+the contract that lets the oracle freezer replay the production
+64-bit MinHash family without running Spark."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.functions.xxh64 import spark_xxhash64
+
+STRINGS = [
+    "",
+    "a",
+    "abc",
+    "exact",  # 5 bytes: the shingle length
+    "12345678",  # one full word
+    "123456789012345",  # 8 + 4 + 3
+    "this string is exactly thirty-two!",  # > 32 -> stripe path
+    "x" * 31,
+    "y" * 32,
+    "z" * 100,
+    "héllo wörld",  # multi-byte UTF-8
+    "日本語のテキスト",
+    "mixed 混合 text 🙂",
+]
+
+
+def test_string_parity_with_spark(spark):
+    df = spark.createDataFrame([(s,) for s in STRINGS], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in STRINGS:
+        assert got[s] == spark_xxhash64(s), repr(s)
+
+
+def test_int_and_long_parity_with_spark(spark):
+    vals = [0, 1, -1, 7, 2**31 - 1, -(2**31)]
+    df = spark.createDataFrame([(v, v) for v in vals], "i int, l long")
+    rows = df.select(
+        "i",
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64("l").alias("hl"),
+    ).collect()
+    for r in rows:
+        assert r["hi"] == spark_xxhash64(("int", r["i"]))
+        assert r["hl"] == spark_xxhash64(("long", r["i"]))
+
+
+def test_multi_column_seed_chaining(spark):
+    rows = [(b, s) for b in range(8) for s in ("abc", "shingle text", "")]
+    df = spark.createDataFrame(rows, "b int, s string")
+    got = df.select("b", "s", F.xxhash64("b", "s").alias("h")).collect()
+    for r in got:
+        assert r["h"] == spark_xxhash64(r["b"], r["s"]), (r["b"], r["s"])
+
+
+def test_binary_parity_with_spark(spark):
+    payloads = [b"", b"\x00\xff", b"binary payload bytes" * 3]
+    df = spark.createDataFrame([(bytearray(p),) for p in payloads], "p binary")
+    got = [r["h"] for r in df.select(F.xxhash64("p").alias("h")).collect()]
+    assert got == [spark_xxhash64(p) for p in payloads]

@@ -509,6 +509,51 @@ def freeze_semantic_dedup(embs: pd.DataFrame) -> None:
     _write("semantic_dedup", out)
 
 
+def freeze_near_dup_pairs(docs: pd.DataFrame) -> None:
+    """Production xxhash64 MinHash-LSH candidate pairs — replays
+    operators/dedup.py minhash_bands(hash_fn="xxhash64") + near_dup_pairs
+    with the pure-Python xxHash64 (functions/xxh64.py, bit-for-bit pinned
+    against F.xxhash64 by tests/test_xxh64.py). Spark-side semantics
+    mirrored exactly: Java-\\s whitespace collapse (re.ASCII matches
+    Java's [ \\t\\n\\x0B\\f\\r]), distinct char 5-grams, per-band signed
+    long min of xxhash64(band, shingle), bucket cap 2..64, distinct
+    ordered pairs."""
+    from dss_plugin_nlp_preparation_spark.functions.xxh64 import (
+        hash_bytes,
+        hash_int,
+    )
+
+    shingle_k, num_bands, max_bucket = 5, 8, 64
+    ws = re.compile(r"\s+", re.ASCII)
+    # hash_int(b, 42) is the chained seed for every shingle in band b
+    band_seeds = [hash_int(b) for b in range(num_bands)]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        t = ws.sub(" ", text or "").lower()
+        if len(t) < shingle_k:
+            shingles = [t]
+        else:
+            shingles = list({t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)})
+        enc = [s.encode("utf-8") for s in shingles]
+        for b, seed in enumerate(band_seeds):
+            hs = [hash_bytes(e, seed) for e in enc]
+            # signed 64-bit min (matches the JVM long min)
+            m = min(h - (1 << 64) if h >= (1 << 63) else h for h in hs)
+            buckets.setdefault((b, m), []).append(int(doc_id))
+    pairs = set()
+    for ids in buckets.values():
+        if 2 <= len(ids) <= max_bucket:
+            ids = sorted(set(ids))
+            for i, a in enumerate(ids):
+                for bb in ids[i + 1 :]:
+                    pairs.add((a, bb))
+    out = pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"])
+    _write(
+        "near_dup_pairs",
+        out.astype({"id_a": "int64", "id_b": "int64"}),
+    )
+
+
 def freeze_media_real_decode() -> None:
     """Expected (url, media_type, byte_len, feature_csv) for the real
     uncompressed-format decode over the 500-row synthetic media table —
@@ -555,6 +600,7 @@ def main() -> int:
     freeze_html_extract()
     freeze_semantic_dedup(embs)
     freeze_media_real_decode()
+    freeze_near_dup_pairs(docs)
     return 0
 
 
