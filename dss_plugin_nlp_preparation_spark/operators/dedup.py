@@ -91,17 +91,60 @@ def minhash_bands(
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     sh = _shingles(F.col(text_column), shingle_k)
     if hash_fn == "xxhash64":
-        hashed = df.select(
-            F.col(id_column).alias("id"), sh.alias("__shingles")
+        # WHOLE-STAGE-CODEGEN shape: higher-order functions (transform/
+        # array_min lambdas) evaluate interpreted in Spark, and their
+        # per-element virtual dispatch goes megamorphic in a long-lived
+        # session (measured 5-10x degradation once other queries had
+        # polluted the call sites). Instead: explode the shingle
+        # positions (GenerateExec, codegen), hash with PLAIN column
+        # expressions, and take per-band mins through a hash aggregate —
+        # partial (map-side) min combine means the shuffle carries only
+        # num_bands longs per document regardless of document length.
+        #
+        # Per shingle the STRING is hashed once (pre = xxhash64(s)); band
+        # b chains two fixed-size mixes, xxhash64(b, pre). Uniform family,
+        # same MinHash estimator; replayed by functions/xxh64.py in the
+        # frozen oracle. Min over the shingle MULTISET equals min over the
+        # set, so no distinct pass is needed. NULL text hashes as "".
+        t = F.lower(
+            F.regexp_replace(F.coalesce(F.col(text_column), F.lit("")), r"\s+", " ")
         )
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(num_bands - 1)),
-            lambda b: F.struct(
-                b.alias("band_id"),
-                F.array_min(
-                    F.transform(F.col("__shingles"), lambda s: F.xxhash64(b, s))
-                ).alias("band_min"),
-            ),
+        n = F.length(t)
+        ex = df.select(
+            F.col(id_column).alias("id"),
+            t.alias("__t"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(n - shingle_k + 1, F.lit(1)))
+            ).alias("__i"),
+        )
+        pre = F.xxhash64(F.substring(F.col("__t"), F.col("__i"), shingle_k))
+        mins = (
+            ex.select("id", pre.alias("__p"))
+            .groupBy("id")
+            .agg(
+                *[
+                    F.min(F.xxhash64(F.lit(b), F.col("__p"))).alias(f"__m{b}")
+                    for b in range(num_bands)
+                ]
+            )
+        )
+        return mins.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"__m{b}").alias("band_min"),
+                        )
+                        for b in range(num_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(
+            "id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_min").alias("band_min"),
         )
     else:
         n_digests = (num_bands * 8 + 31) // 32

@@ -144,25 +144,58 @@ def train_kmeans(
     if n_iters < 0:
         raise ValueError(f"n_iters must be >= 0, got {n_iters}")
     centroids = kmeans_init(df, n_clusters, embedding_column, id_column)
-    emb = F.col(embedding_column).cast("array<double>")
+    emb_df = df.select(F.col(embedding_column).cast("array<double>").alias("__e"))
     for _ in range(n_iters):
-        assigned = df.select(
-            _assign_udf(centroids)(F.col(embedding_column))["cid"].alias("cid"),
-            F.transform(
-                emb, lambda x: F.floor(x * F.lit(_QUANT) + F.lit(0.5)).cast("long")
-            ).alias("q"),
-        )
-        # ONE shuffle: (cid, dim) int64 sums + per-cid counts via grouping
-        # on the exploded components; k*dim rows come back to the driver.
-        sums = (
-            assigned.select("cid", F.posexplode("q").alias("d", "v"))
+        # ONE fused Arrow pass per partition: assignment (shared
+        # assign_kernel) + quantisation + per-cluster int64 partial sums —
+        # the shuffle carries at most partitions * k rows of (cid, sums,
+        # n), never the corpus (an earlier revision posexploded every
+        # vector into n*dim rows; same exact integer totals, associative
+        # int64 addition, so the result is bit-identical).
+        cs = centroids
+
+        def _partials(batches):
+            sums: dict[int, np.ndarray] = {}
+            counts: dict[int, int] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__e"]])
+                cid, _ = assign_kernel(V, cs)
+                Q = np.floor(V * _QUANT + 0.5).astype(np.int64)
+                for c in np.unique(cid):
+                    mask = cid == c
+                    s = Q[mask].sum(axis=0)
+                    c = int(c)
+                    if c in sums:
+                        sums[c] += s
+                        counts[c] += int(mask.sum())
+                    else:
+                        sums[c] = s
+                        counts[c] = int(mask.sum())
+            if sums:
+                yield pd.DataFrame(
+                    {
+                        "cid": list(sums),
+                        "s": [s.tolist() for s in sums.values()],
+                        "n": [counts[c] for c in sums],
+                    }
+                )
+
+        # associative JVM reduction of the partials: explode the k·dim
+        # partial sums (partitions * k rows in, NOT the corpus) and
+        # groupBy(cid, d) — every partition contributes its count once per
+        # dim, so sum(n) per (cid, d) is the exact cluster count
+        rows = (
+            emb_df.mapInPandas(_partials, "cid int, s array<long>, n long")
+            .select("cid", "n", F.posexplode("s").alias("d", "v"))
             .groupBy("cid", "d")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("v").alias("s"), F.sum("n").alias("nn"))
             .collect()
         )
         new_c = [list(c) for c in centroids]
-        for r in sums:
-            new_c[r["cid"]][r["d"]] = (r["s"] / r["n"]) / _QUANT
+        for r in rows:
+            new_c[r["cid"]][r["d"]] = (r["s"] / r["nn"]) / _QUANT
         centroids = new_c
     return centroids
 

@@ -36,7 +36,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — size the heap for 32
+        # concurrent tasks' shuffle/window/cache state (8g measurably
+        # full-GC-thrashed mid-bench: pure-JVM queries degraded 3-10x once
+        # the page/doc caches filled the old gen). On a real cluster this
+        # maps to spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # whole-stage codegen emits one class per stage; a many-query
+        # session overflows the JVM's default 240MB code cache, after
+        # which NEW generated code runs interpreted (observed as 10x
+        # slowdowns on whichever queries happen to run late)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
+            ),
+        )
+        # persistent python UDF workers (the default, pinned explicitly):
+        # per-worker NLP model singletons rely on worker reuse across jobs
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -521,11 +521,13 @@ def freeze_near_dup_pairs(docs: pd.DataFrame) -> None:
     from dss_plugin_nlp_preparation_spark.functions.xxh64 import (
         hash_bytes,
         hash_int,
+        hash_long,
     )
 
     shingle_k, num_bands, max_bucket = 5, 8, 64
     ws = re.compile(r"\s+", re.ASCII)
-    # hash_int(b, 42) is the chained seed for every shingle in band b
+    # per minhash_bands: pre = xxhash64(shingle) hashed once, then band
+    # b's hash = xxhash64(b, pre) = hash_long(pre, hash_int(b, 42))
     band_seeds = [hash_int(b) for b in range(num_bands)]
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
@@ -534,9 +536,9 @@ def freeze_near_dup_pairs(docs: pd.DataFrame) -> None:
             shingles = [t]
         else:
             shingles = list({t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)})
-        enc = [s.encode("utf-8") for s in shingles]
+        pres = [hash_bytes(s.encode("utf-8")) for s in shingles]
         for b, seed in enumerate(band_seeds):
-            hs = [hash_bytes(e, seed) for e in enc]
+            hs = [hash_long(p, seed) for p in pres]
             # signed 64-bit min (matches the JVM long min)
             m = min(h - (1 << 64) if h >= (1 << 63) else h for h in hs)
             buckets.setdefault((b, m), []).append(int(doc_id))
