@@ -3,11 +3,13 @@ from .codecs import (  # noqa: F401
     UnsupportedMediaError,
     decode_bmp,
     decode_frames,
+    decode_png,
     decode_ppm,
     decode_wav,
     detect_media_type,
     encode_bmp,
     encode_frames,
+    encode_png,
     encode_ppm,
     encode_wav,
     resize_nearest,

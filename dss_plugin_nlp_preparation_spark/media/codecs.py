@@ -6,6 +6,9 @@ round-2 multimodal operators stubbed *all* decoding. The uncompressed
 formats, however, need no codec library at all — they are plain headers
 over raw sample/pixel arrays — so this module implements them for real:
 
+- **PNG** (8-bit gray/RGB/RGBA, non-interlaced — stdlib ``zlib`` plus
+  the five filter types of the public spec, RFC 2083; no codec library
+  needed, and it is the dominant lossless format on the real web),
 - **BMP** (24-bit uncompressed BI_RGB, the baseline Windows bitmap),
 - **PPM** (P6 binary, the netpbm interchange format),
 - **WAV** (RIFF PCM 16-bit, the baseline audio container),
@@ -14,10 +17,11 @@ over raw sample/pixel arrays — so this module implements them for real:
   container; real MP4/MKV demuxing still needs ffmpeg and stays stubbed).
 
 Everything is deterministic byte-in/array-out (no RNG, no platform
-variation: explicit little-endian, explicit row padding), so decoded
-features are oracle-replayable. Compressed formats (JPEG/PNG/MP3/MP4)
-raise :class:`UnsupportedMediaError` and the operators fall back to the
-documented hash stub.
+variation: explicit little-endian, explicit row padding; zlib inflate is
+bit-exact for any conformant stream), so decoded features are
+oracle-replayable. Formats needing external codec libraries (JPEG/MP3/
+MP4) raise :class:`UnsupportedMediaError` and the operators fall back to
+the documented hash stub.
 
 Encoders exist so tests and synthetic tables can fabricate real payloads
 without external tools.
@@ -39,10 +43,12 @@ class UnsupportedMediaError(ValueError):
 # ---------------------------------------------------------------------------
 
 def detect_media_type(payload: bytes | None) -> str | None:
-    """'bmp' | 'ppm' | 'wav' | 'frames' | None by magic bytes."""
+    """'png' | 'bmp' | 'ppm' | 'wav' | 'frames' | None by magic bytes."""
     if not payload:
         return None
     b = bytes(payload[:16])
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if b[:2] == b"BM":
         return "bmp"
     if b[:2] == b"P6":
@@ -140,6 +146,133 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if len(b) < i + need:
         raise UnsupportedMediaError("truncated PPM payload")
     return np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit gray/RGB/RGBA, non-interlaced) — stdlib zlib + the five
+# filter types per the public PNG spec (RFC 2083); no codec library
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 8-bit truecolor PNG (filter type 0 rows)."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    h, w, _ = px.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit gray/RGB/RGBA non-interlaced PNG -> HxWx3 uint8 RGB array.
+
+    Grayscale replicates into 3 channels; RGBA drops alpha (the features
+    operators only consume color planes). Anything else — palette,
+    16-bit, interlaced, malformed zlib/chunks — raises
+    :class:`UnsupportedMediaError` so the operators fall back."""
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != _PNG_MAGIC:
+        raise UnsupportedMediaError("not a PNG payload")
+    i, idat, hdr = 8, bytearray(), None
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, i)
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            raise UnsupportedMediaError("truncated PNG chunk")
+        if tag == b"IHDR":
+            if ln != 13:
+                raise UnsupportedMediaError("malformed PNG IHDR")
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if hdr is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    if depth != 8 or ctype not in (0, 2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise UnsupportedMediaError(
+            f"unsupported PNG variant: depth={depth} color={ctype} interlace={interlace}"
+        )
+    if w == 0 or h == 0:
+        raise UnsupportedMediaError(f"degenerate PNG dimensions: {w}x{h}")
+    channels = {0: 1, 2: 3, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise UnsupportedMediaError(f"bad PNG zlib stream: {e}") from None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise UnsupportedMediaError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = row
+        elif ftype == 2:  # Up
+            out[y] = row + prev  # uint8 wraps mod 256 per spec
+        elif ftype == 1:  # Sub — sequential along the row
+            cur = row.astype(np.int32)
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = row.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + (left + pv[x]) // 2) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            cur = row.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                ul = pv[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + _paeth(int(left), int(pv[x]), int(ul))) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        else:
+            raise UnsupportedMediaError(f"unknown PNG filter type: {ftype}")
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
 
 
 # ---------------------------------------------------------------------------

@@ -4,13 +4,14 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs in ``mapInPandas`` batches.
 
-Decoding is REAL for the uncompressed formats (BMP, P6 PPM, PCM WAV, and
-the FRMS frame container — pure-numpy codecs in ``..media.codecs``):
-payloads are sniffed by magic bytes and decoded to pixel/sample arrays,
-features/resizes/frame-samples computed from the actual content.
-Compressed codecs (JPEG/PNG/MP3/MP4) need libraries absent from this
-environment, so those payloads fall back to ``decode_stub`` — a
-deterministic md5 fake, clearly marked — keeping the operators total.
+Decoding is REAL for PNG (stdlib zlib + the five PNG filters — the
+dominant lossless web image format) and the uncompressed formats (BMP,
+P6 PPM, PCM WAV, and the FRMS frame container) — pure-numpy codecs in
+``..media.codecs``: payloads are sniffed by magic bytes and decoded to
+pixel/sample arrays, features/resizes/frame-samples computed from the
+actual content. Codecs needing libraries absent from this environment
+(JPEG/MP3/MP4) fall back to ``decode_stub`` — a deterministic md5 fake,
+clearly marked — keeping the operators total.
 
 At 100 TB scale binary payloads dominate row width: the operators here
 project metadata early (column pruning drops the payload as soon as
@@ -116,6 +117,7 @@ def decode_features(payload: bytes) -> tuple:
     from dss_plugin_nlp_preparation_spark.media import (
         decode_bmp,
         decode_frames,
+        decode_png,
         decode_ppm,
         decode_wav,
         detect_media_type,
@@ -123,6 +125,8 @@ def decode_features(payload: bytes) -> tuple:
 
     t = detect_media_type(payload)
     try:
+        if t == "png":
+            return t, _image_features(decode_png(payload))
         if t == "bmp":
             return t, _image_features(decode_bmp(payload))
         if t == "ppm":
@@ -200,15 +204,20 @@ def resize_payload(payload: bytes, width: int, height: int) -> tuple:
     re-encoded thumbnail bytes); md5 stub for anything else."""
     from dss_plugin_nlp_preparation_spark.media import (
         decode_bmp,
+        decode_png,
         decode_ppm,
         detect_media_type,
         encode_bmp,
+        encode_png,
         encode_ppm,
         resize_nearest,
     )
 
     t = detect_media_type(payload)
     try:
+        if t == "png":
+            thumb = encode_png(resize_nearest(decode_png(payload), width, height))
+            return len(thumb), hashlib.md5(thumb).hexdigest()
         if t == "bmp":
             thumb = encode_bmp(resize_nearest(decode_bmp(payload), width, height))
             return len(thumb), hashlib.md5(thumb).hexdigest()

@@ -1,9 +1,10 @@
 # -*- coding: utf-8 -*-
 """Deterministic synthetic media table: (media_id, url, payload binary).
 
-Payload mix per ``media_id % 5``: real 24-bit BMP, real P6 PPM, real
-PCM-16 WAV, real FRMS multi-frame container, and undecodable bytes (the
-compressed-codec stand-in, exercising the documented stub fallback).
+Payload mix per ``media_id % 6``: real 24-bit BMP, real P6 PPM, real
+PCM-16 WAV, real FRMS multi-frame container, undecodable bytes (the
+unsupported-codec stand-in, exercising the documented stub fallback),
+and real 8-bit truecolor PNG.
 Content is a pure function of the id (``_rng_ints``-style chained md5 —
 no RNG state), so the Spark relation and the single-process oracle
 kernel fabricate byte-identical payloads.
@@ -22,6 +23,7 @@ from pyspark.sql.types import BinaryType, LongType, StringType, StructField, Str
 from dss_plugin_nlp_preparation_spark.media import (
     encode_bmp,
     encode_frames,
+    encode_png,
     encode_ppm,
     encode_wav,
 )
@@ -48,7 +50,7 @@ def _seed_bytes(i: int, n: int) -> np.ndarray:
 def make_payload(i: int) -> bytes:
     """The payload for media_id ``i`` — shared by the Spark synthesizer
     and the frozen-oracle kernel (tools/freeze_oracles.py)."""
-    kind = i % 5
+    kind = i % 6
     if kind == 0:  # BMP, varying odd/even dims to exercise row padding
         h, w = 4 + i % 5, 3 + i % 7
         return encode_bmp(_seed_bytes(i, h * w * 3).reshape(h, w, 3))
@@ -65,8 +67,11 @@ def make_payload(i: int) -> bytes:
             h, w = 3 + f, 3 + (i + f) % 4
             frames.append(encode_bmp(_seed_bytes(i * 31 + f, h * w * 3).reshape(h, w, 3)))
         return encode_frames(frames)
-    # kind 4: undecodable bytes (compressed-codec stand-in)
-    return bytes(_seed_bytes(i, 40 + i % 60))
+    if kind == 4:  # undecodable bytes (unsupported-codec stand-in)
+        return bytes(_seed_bytes(i, 40 + i % 60))
+    # kind 5: PNG (zlib-compressed truecolor)
+    h, w = 3 + i % 6, 2 + i % 5
+    return encode_png(_seed_bytes(i, h * w * 3).reshape(h, w, 3))
 
 
 def synthesize_media(spark: SparkSession, n_rows: int = 500, partitions: int = 8) -> DataFrame:

@@ -185,3 +185,147 @@ def test_codecs_raise_unsupported_on_malformed_input():
         decode_ppm(b"P6 \xff\xff\xff\xff\xff\xff")
     with pytest.raises(UnsupportedMediaError):
         decode_wav(b"RIFF\x10\x00\x00\x00WAVEfmt \x04\x00\x00\x00\x01\x00")
+
+
+def _filter_png_rows(px, ftypes):
+    """Forward-filter an HxWx3 image with a chosen filter type per row and
+    wrap it into a PNG container — the inverse-pair check for decode_png's
+    unfiltering (round-trip through each of the five filter types)."""
+    import struct as _st
+    import zlib
+
+    from dss_plugin_nlp_preparation_spark.media.codecs import _paeth
+
+    h, w, _ = px.shape
+    bpp = 3
+    stride = w * bpp
+    flat = px.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y, ft in enumerate(ftypes):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else [0] * stride
+        row = bytearray([ft])
+        for x in range(stride):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                v = cur[x]
+            elif ft == 1:
+                v = cur[x] - left
+            elif ft == 2:
+                v = cur[x] - up
+            elif ft == 3:
+                v = cur[x] - (left + up) // 2
+            else:
+                v = cur[x] - _paeth(int(left), int(up), int(ul))
+            row.append(v & 0xFF)
+        raw += row
+
+    def chunk(tag, data):
+        return (
+            _st.pack(">I", len(data))
+            + tag
+            + data
+            + _st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip():
+    from dss_plugin_nlp_preparation_spark.media import decode_png, encode_png
+
+    img = _img(7, 5)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert detect_media_type(encode_png(img)) == "png"
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    from dss_plugin_nlp_preparation_spark.media import decode_png
+
+    img = _img(5, 4, seed=3)
+    for ftypes in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [1, 1, 4, 4, 2]):
+        payload = _filter_png_rows(img, ftypes)
+        assert np.array_equal(decode_png(payload), img), ftypes
+
+
+def test_png_gray_and_rgba():
+    import struct as _st
+    import zlib
+
+    from dss_plugin_nlp_preparation_spark.media import decode_png
+
+    def chunk(tag, data):
+        return (
+            _st.pack(">I", len(data))
+            + tag
+            + data
+            + _st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # 2x2 grayscale: values replicate across channels
+    raw = b"\x00\x10\x20" + b"\x00\x30\x40"
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(p)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [0x10] * 3 and got[1, 1].tolist() == [0x40] * 3
+    # 1x1 RGBA: alpha dropped
+    raw = b"\x00\x01\x02\x03\xff"
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _st.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(p)[0, 0].tolist() == [1, 2, 3]
+
+
+def test_png_malformed_falls_back_to_stub():
+    from dss_plugin_nlp_preparation_spark.media import (
+        UnsupportedMediaError,
+        decode_png,
+        encode_png,
+    )
+
+    bad = [
+        b"\x89PNG\r\n\x1a\n",  # no chunks
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,  # junk chunks
+        encode_png(_img(4, 4))[:40],  # truncated IDAT
+    ]
+    for payload in bad:
+        with pytest.raises(UnsupportedMediaError):
+            decode_png(payload)
+        t, feats = decode_features(payload)
+        assert t is None and feats == decode_stub(payload)
+
+
+def test_png_real_features_and_resize():
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    img = _img(12, 9, seed=7)
+    payload = encode_png(img)
+    t, feats = decode_features(payload)
+    assert t == "png" and len(feats) == 16
+    # identical pixels -> identical features as the BMP encoding of it
+    assert feats == decode_features(encode_bmp(img))[1]
+    ln, dg = resize_payload(payload, 4, 4)
+    want = encode_png(resize_nearest(img, 4, 4))
+    import hashlib
+
+    assert ln == len(want) and dg == hashlib.md5(want).hexdigest()

@@ -226,3 +226,38 @@ def test_wav_round_trip_property(n, rate):
     s = ((np.arange(n, dtype=np.int64) * 40503 + 7) % 65536 - 32768).astype(np.int16)
     d, sr, ch = decode_wav(encode_wav(s, rate))
     assert (d == s).all() and sr == rate and ch == 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**31 - 1))
+def test_png_round_trip_property(h, w, seed):
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.media import decode_png, encode_png
+
+    img = ((np.arange(h * w * 3, dtype=np.int64) * 2654435761 + seed) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(2, 8),
+    st.integers(2, 8),
+    st.integers(0, 2**31 - 1),
+    st.lists(st.integers(0, 4), min_size=2, max_size=8),
+)
+def test_png_filter_unfiltering_property(h, w, seed, ftypes):
+    """decode_png inverts every per-row filter type: forward-filter with
+    arbitrary filter choices, decode, expect the original pixels."""
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.media import decode_png
+    from tests.test_media import _filter_png_rows
+
+    img = ((np.arange(h * w * 3, dtype=np.int64) * 2654435761 + seed) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    rows = [ftypes[y % len(ftypes)] for y in range(h)]
+    assert (decode_png(_filter_png_rows(img, rows)) == img).all()
