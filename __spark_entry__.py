@@ -888,7 +888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(spark, sf_dir)
         bench = docs.where(F.col("doc_id") % 20 == 0)
-        return fuzzy_decontaminate(docs, bench).select(
+        # md5 family: the oracle is a pure-SQL DuckDB replay of the band
+        # formula (the production xxhash64 family is gate-pinned through
+        # near_dup_pairs' frozen oracle)
+        return fuzzy_decontaminate(docs, bench, hash_fn="md5").select(
             "doc_id", "fuzzy_contaminated"
         )
 

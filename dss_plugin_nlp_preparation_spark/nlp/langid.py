@@ -203,6 +203,23 @@ def _script_counts(doc: str) -> Counter:
 # stopword list available. Built lazily, once per process.
 _PROFILE_NGRAM = 3
 
+# Serbian is written in BOTH Cyrillic and Latin (Gaj's alphabet) with a
+# standard, deterministic 1:1 transliteration — the bundled sr stopword
+# list is Cyrillic while the sr frequency dictionary is Latin, so the
+# profile builder mirrors the stopwords into Latin to give the Latin-
+# script half of the language its function-word signal.
+_SR_CYR2LAT = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "đ", "е": "e",
+    "ж": "ž", "з": "z", "и": "i", "ј": "j", "к": "k", "л": "l", "љ": "lj",
+    "м": "m", "н": "n", "њ": "nj", "о": "o", "п": "p", "р": "r", "с": "s",
+    "т": "t", "ћ": "ć", "у": "u", "ф": "f", "х": "h", "ц": "c", "ч": "č",
+    "џ": "dž", "ш": "š",
+}
+
+
+def _sr_translit(word: str) -> str:
+    return "".join(_SR_CYR2LAT.get(ch, ch) for ch in word)
+
 
 @lru_cache(maxsize=1)
 def _profiles() -> dict:
@@ -218,37 +235,74 @@ def _profiles() -> dict:
         langs = {"en", "fr", "es", "de"}
     for lang in sorted(langs):
         stops = {w.lower() for w in resources.load_stopwords(lang)}
-        corpus_terms: list[tuple[str, int]] = [(w, 1000) for w in stops]
+        if lang == "sr":
+            stops |= {_sr_translit(w) for w in stops}
+        corpus_terms: list[tuple[str, int]] = [(w, 1000) for w in sorted(stops)]
         freqs = resources.load_frequency_dict(lang)
         if freqs:
             top = sorted(freqs.items(), key=lambda kv: -kv[1])[:3000]
             corpus_terms.extend(top)
+        # gram mass is accumulated PER SCRIPT and each gram's probability
+        # normalizes against its own script's total. For a mono-script
+        # language this equals a global normalization; for a bi-script
+        # one (sr: Cyrillic stopwords + Latin dictionary) it stops the
+        # scripts taxing each other — a document is script-routed before
+        # scoring, so cross-script probability mass never competes and
+        # normalizing across it only diluted both halves (the former
+        # global total cost Latin-Serbian ~log(2) per gram vs hr).
         grams: Counter = Counter()
-        total = 0
+        gram_script: dict = {}
+        script_totals: Counter = Counter()
         for term, weight in corpus_terms:
             padded = f" {term.lower()} "
             w = max(1, int(math.log10(weight + 1)))
+            t_counts: Counter = Counter(_char_script(ch) for ch in term)
+            t_counts.pop("other", None)
+            t_script = t_counts.most_common(1)[0][0] if t_counts else "latin"
             for i in range(len(padded) - _PROFILE_NGRAM + 1):
-                grams[padded[i : i + _PROFILE_NGRAM]] += w
-                total += w
+                g = padded[i : i + _PROFILE_NGRAM]
+                grams[g] += w
+                gram_script.setdefault(g, t_script)
+                script_totals[t_script] += w
         if not grams:
             continue
         # cap profile size: top grams by weight (plenty for LID, keeps the
         # per-executor inverted matrix small)
         if len(grams) > _MAX_GRAMS_PER_LANG:
             grams = Counter(dict(grams.most_common(_MAX_GRAMS_PER_LANG)))
-        logp = {g: math.log(c / total) for g, c in grams.items()}
+        logp = {
+            g: math.log(c / script_totals[gram_script[g]])
+            for g, c in grams.items()
+        }
         # fixed miss penalty: comparable across languages regardless of
         # profile size (a size-dependent default lets sparse profiles win)
         default = _MISS_LOGPROB
-        # dominant script of this language's profile corpus, used to gate
-        # candidates by document script
-        script_counts: Counter = Counter()
-        for term, _ in corpus_terms[:500]:
-            for ch in term:
-                script_counts[_char_script(ch)] += 1
-        script = script_counts.most_common(1)[0][0] if script_counts else "latin"
-        profiles[lang] = (frozenset(stops), logp, default, script)
+        # scripts of this language's profile corpus, used to gate
+        # candidates by document script. A language whose resources carry
+        # a MEANINGFUL share (>= 20%) of a second script is a candidate
+        # for both — Serbian is the live case: Cyrillic stopword list,
+        # Latin-script frequency dictionary (both real usage; sr is
+        # bi-script), and gating it to Cyrillic alone made Latin-Serbian
+        # undetectable (LID benchmark r4: sr accuracy 0.0 -> fixed).
+        def _dominant(terms) -> str | None:
+            counts: Counter = Counter()
+            for term in terms:
+                for ch in term:
+                    counts[_char_script(ch)] += 1
+            counts.pop("other", None)
+            return counts.most_common(1)[0][0] if counts else None
+
+        lang_scripts = tuple(
+            dict.fromkeys(  # ordered union, stopword script first
+                s
+                for s in (
+                    _dominant(list(stops)[:500]),
+                    _dominant([t for t, _ in corpus_terms[len(stops) :][:500]]),
+                )
+                if s
+            )
+        ) or ("latin",)
+        profiles[lang] = (frozenset(stops), logp, default, lang_scripts)
     return profiles
 
 
@@ -270,6 +324,7 @@ def _cache_signature() -> str:
             parts.append(f"{folder}:{st.st_mtime_ns}:{len(os.listdir(folder))}")
         else:
             parts.append("none")
+    parts.append("model-v5-sr-translit")  # bump on model-format/logic changes
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
 
 
@@ -526,7 +581,7 @@ class LanguageIdentifier:
             return (family[0] if family else "un", 0.5 * purity)
         # latin / other alphabetic: profile vote among same-script languages
         _langs, lang_idx, _M, _gi, _S, _wi, scripts = _matrix()
-        candidates = [l for l in scope if l in lang_idx and scripts[l] == script]
+        candidates = [l for l in scope if l in lang_idx and script in scripts[l]]
         scores = _profile_scores(doc, candidates, len(doc) <= ROUTER_NUM_CHAR_THRESHOLD)
         if not scores:
             return ("un", 0.0)

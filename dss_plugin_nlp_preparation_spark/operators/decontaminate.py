@@ -106,9 +106,11 @@ def fuzzy_decontaminate(
     id_column: str = "doc_id",
     shingle_k: int = 5,
     num_bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Append ``fuzzy_contaminated boolean``: does the document share a
-    MinHash band signature with any benchmark document?
+    MinHash band signature with any benchmark document? ``hash_fn``
+    selects the MinHash family per :func:`~...dedup.minhash_bands`.
 
     Exact n-gram decontamination (``decontaminate``) misses paraphrased or
     lightly-edited benchmark leakage; LSH banding catches documents whose
@@ -122,9 +124,11 @@ def fuzzy_decontaminate(
     """
     from dss_plugin_nlp_preparation_spark.operators.dedup import minhash_bands
 
-    corpus_bands = minhash_bands(df, text_column, id_column, shingle_k, num_bands)
+    corpus_bands = minhash_bands(
+        df, text_column, id_column, shingle_k, num_bands, hash_fn
+    )
     bench_sigs = F.broadcast(
-        minhash_bands(benchmark, text_column, id_column, shingle_k, num_bands)
+        minhash_bands(benchmark, text_column, id_column, shingle_k, num_bands, hash_fn)
         .select("band_id", "band_min")
         .distinct()
     )

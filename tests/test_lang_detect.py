@@ -87,3 +87,23 @@ def test_multilingual_wide_coverage():
     }
     for expected, text in cases.items():
         assert det.detect(text)[0] == expected, text
+
+
+def test_wili_style_accuracy_floor():
+    """Committed LID accuracy on the WiLI-style sample (BASELINE.md):
+    regression floor well under the measured 0.97 overall / 0.985 long.
+    hr/sr share a language continuum (the bundled sr resources are
+    Cyrillic stopwords + a Latin dictionary) and th's dictionary carries
+    Latin/mojibake noise — those three are floored separately."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from tools.lid_benchmark import evaluate
+
+    res = evaluate()
+    assert res["overall"] >= 0.94, res["overall"]
+    assert res["long"] >= 0.96, res["long"]
+    confusables = {"hr", "sr", "th"}
+    for lang, acc in res["per_lang"].items():
+        floor = 0.45 if lang in confusables else 0.9
+        assert acc >= floor, (lang, acc)

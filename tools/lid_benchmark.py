@@ -1,0 +1,137 @@
+# -*- coding: utf-8 -*-
+"""WiLI-style LID accuracy benchmark over a deterministic multilingual
+sample.
+
+The reference validates its language detector against WiLI (Wikipedia
+language identification — per-language prose paragraphs;
+/root/reference/tests/python/integration/test_language_detection.py:6)
+but publishes no score. This sandbox has no network, so the realistic
+sample is synthesized from the repo's 38 bundled per-language frequency
+dictionaries (real word inventories with real corpus frequencies —
+public word-frequency resources): paragraphs are frequency-weighted word
+draws, which reproduces exactly the signals the detector consumes
+(character n-gram statistics + stopword mass) at WiLI-like paragraph
+lengths, including short paragraphs under the 140-char router threshold.
+
+Everything is deterministic (chained-md5 pseudo-randomness, no RNG
+state): the committed accuracy table in BASELINE.md is reproducible with
+``python tools/lid_benchmark.py`` and pinned by a floor assertion in
+tests/test_lang_detect.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PARAGRAPHS_PER_LANG = 60
+SHORT_FRACTION = 3  # every 3rd paragraph is short (router <= 140 chars)
+LONG_WORDS = 30
+SHORT_WORDS = 6
+TOP_TERMS = 4000
+
+
+def _dictionary_langs() -> list:
+    from dss_plugin_nlp_preparation_spark.nlp import resources
+
+    folder = resources.dictionary_folder()
+    return sorted(
+        f[:-4] for f in os.listdir(folder) if f.endswith(".txt")
+    )
+
+
+def _sampler(lang: str):
+    """(terms, cumulative counts) for frequency-weighted deterministic
+    draws from the language's bundled dictionary."""
+    from dss_plugin_nlp_preparation_spark.nlp import resources
+
+    freq = resources.load_frequency_dict(lang, resources.dictionary_folder())
+    items = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_TERMS]
+    terms = [t for t, _ in items]
+    counts = np.array([c for _, c in items], dtype=np.float64)
+    cum = np.cumsum(counts)
+    return terms, cum
+
+
+def _rand64(*parts) -> int:
+    h = hashlib.md5(":".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def make_sample(langs=None) -> list:
+    """[(lang, text)] — the deterministic WiLI-style evaluation sample."""
+    rows = []
+    for lang in langs or _dictionary_langs():
+        terms, cum = _sampler(lang)
+        total = cum[-1]
+        for p in range(PARAGRAPHS_PER_LANG):
+            n_words = SHORT_WORDS if p % SHORT_FRACTION == 0 else LONG_WORDS
+            words = []
+            for w in range(n_words):
+                r = _rand64("lid", lang, p, w) % int(total)
+                words.append(terms[int(np.searchsorted(cum, r, side="right"))])
+            rows.append((lang, " ".join(words)))
+    return rows
+
+
+def evaluate(langs=None) -> dict:
+    """Per-language and overall accuracy of nlp/langid.py on the sample.
+
+    Returns {"overall": float, "short": float, "long": float,
+    "per_lang": {lang: acc}, "n": int}.
+    """
+    from dss_plugin_nlp_preparation_spark.nlp.langid import LanguageIdentifier
+
+    det = LanguageIdentifier()
+    sample = make_sample(langs)
+    per = {}
+    short_hits = short_n = long_hits = long_n = 0
+    for lang, text in sample:
+        code, _name, _score = det.detect(text)
+        hit = code == lang
+        a, b = per.get(lang, (0, 0))
+        per[lang] = (a + (1 if hit else 0), b + 1)
+        if len(text) <= 140:
+            short_hits += 1 if hit else 0
+            short_n += 1
+        else:
+            long_hits += 1 if hit else 0
+            long_n += 1
+    per_lang = {lang: round(a / b, 3) for lang, (a, b) in sorted(per.items())}
+    overall = sum(a for a, _ in per.values()) / sum(b for _, b in per.values())
+    return {
+        "overall": round(overall, 4),
+        "short": round(short_hits / short_n, 4) if short_n else None,
+        "long": round(long_hits / long_n, 4) if long_n else None,
+        "per_lang": per_lang,
+        "n": len(sample),
+    }
+
+
+def main() -> int:
+    res = evaluate()
+    print(
+        f"LID accuracy on the WiLI-style sample ({res['n']} paragraphs, "
+        f"{len(res['per_lang'])} languages): overall={res['overall']}, "
+        f"long={res['long']}, short(<=140 chars)={res['short']}"
+    )
+    worst = sorted(res["per_lang"].items(), key=lambda kv: kv[1])[:8]
+    print("weakest languages:", ", ".join(f"{l}={a}" for l, a in worst))
+    print("| lang | acc | " * 4)
+    items = list(res["per_lang"].items())
+    for i in range(0, len(items), 4):
+        print(
+            "| "
+            + " | ".join(f"{l} | {a}" for l, a in items[i : i + 4])
+            + " |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
