@@ -187,11 +187,14 @@ def _script_counts(doc: str) -> Counter:
         _RANGE_NAMES = names
     cps = np.frombuffer(doc.encode("utf-32-le"), dtype=np.uint32)
     idx = np.searchsorted(_RANGE_STARTS, cps, side="right")
+    # bincount, not unique: idx lives in a tiny fixed range, so counting
+    # beats unique's sort (profiled at ~17% of detect() per document)
+    bc = np.bincount(idx, minlength=len(_RANGE_NAMES))
     counts: Counter = Counter()
-    for i, n in zip(*np.unique(idx, return_counts=True)):
+    for i in np.nonzero(bc)[0]:
         name = _RANGE_NAMES[i]
         if name != "__gap__":
-            counts[name] += int(n)
+            counts[name] += int(bc[i])
         else:
             # outside every named range: resolve per UNIQUE codepoint
             for cp, m in zip(*np.unique(cps[idx == i], return_counts=True)):
@@ -595,6 +598,16 @@ class LanguageIdentifier:
             return (self.fallback_language, None)
         return (lang_id, lang_probability)
 
+    def _finish(self, lang_id: str, prob) -> tuple:
+        """Shared post-processing: code remap, scope/score filter, name
+        enrichment, 3-decimal rounding, 0.0-as-None truthiness (parity:
+        language_detector.py:72-110)."""
+        lang_id = CODE_REMAP.get(lang_id, lang_id)[:2] if lang_id else lang_id
+        lang_id, prob = self._detection_filter(lang_id, prob)
+        name = language_name(lang_id)
+        prob = round(prob, 3) if prob else None
+        return (lang_id, name, prob)
+
     def detect(self, doc) -> tuple:
         """(language_code, language_name, language_score) for one document.
 
@@ -616,9 +629,33 @@ class LanguageIdentifier:
             if len(doc) <= ROUTER_NUM_CHAR_THRESHOLD
             else list(LANGUAGE_NAMES.keys())
         )
-        lang_id, prob = self._detect_raw(doc, scope)
-        lang_id = CODE_REMAP.get(lang_id, lang_id)[:2] if lang_id else lang_id
-        lang_id, prob = self._detection_filter(lang_id, prob)
-        name = language_name(lang_id)
-        prob = round(prob, 3) if prob else None
-        return (lang_id, name, prob)
+        return self._finish(*self._detect_raw(doc, scope))
+
+    def detect_batch(self, docs) -> list:
+        """detect() over a whole Arrow batch, output-identical per row —
+        the entry point the Spark UDFs call once per batch.
+
+        An experimental fully-batched scorer (concatenated grams, one
+        searchsorted, segmented reduceat/cumsum reductions) measured
+        SLOWER than the per-document path — the per-doc scorer is already
+        numpy-vectorized end to end (packed-trigram searchsorted +
+        gather-sum), so batching only added large gathered intermediates
+        (grams x 114-language int rows) that blew the cache. What batching
+        does buy is hoisting the model/scope lookups out of the row loop;
+        the heavy per-row numpy kernels stay as profiled fastest.
+        """
+        full_scope = list(LANGUAGE_NAMES.keys())
+        short_scope = self._short_scope
+        out = []
+        for doc in docs:
+            if doc is None or doc != doc or str(doc) == "":
+                out.append(("", "", None))
+                continue
+            d = str(doc)
+            scope = (
+                short_scope
+                if len(d) <= ROUTER_NUM_CHAR_THRESHOLD
+                else full_scope
+            )
+            out.append(self._finish(*self._detect_raw(d, scope)))
+        return out

@@ -71,7 +71,11 @@ def detect_language(
     @F.pandas_udf(_RESULT_TYPE)
     def _detect(texts: pd.Series) -> pd.DataFrame:
         det = _identifier(scope, minimum_score, fallback_language)
-        rows = [det.detect(t) for t in texts]
+        # one batched scorer call per Arrow batch: Latin-script documents
+        # (the bulk of a web corpus) share a single segmented gather-sum
+        # instead of a per-document matrix pass (langid.detect_batch —
+        # output-identical to per-document detect())
+        rows = det.detect_batch(list(texts))
         return pd.DataFrame(rows, columns=["language_code", "language_name", "language_score"])
 
     out_names = {

@@ -63,15 +63,21 @@ def _fused_lid_ppl_udf(language_scope, minimum_score, fallback_language):
         )
 
         det = _identifier(scope, minimum_score, fallback_language)
-        codes, scores = [], []
-        for t, given in zip(texts, langs):
+        codes, scores, todo_pos, todo_txt = [], [], [], []
+        for j, (t, given) in enumerate(zip(texts, langs)):
             if given is not None and given == given and given != "":
                 codes.append(given)
                 scores.append(1.0)  # trusted label
             else:
-                code, _name, score = det.detect(t)
-                codes.append(code)
-                scores.append(score)
+                codes.append("")
+                scores.append(None)
+                todo_pos.append(j)
+                todo_txt.append(t)
+        # unlabeled rows share ONE batched scorer call (detect_batch —
+        # output-identical to per-document detect())
+        for j, (code, _name, score) in zip(todo_pos, det.detect_batch(todo_txt)):
+            codes[j] = code
+            scores[j] = score
         codes_s = pd.Series(codes, index=texts.index)
         ppl = pd.Series(np.nan, index=texts.index, dtype="float64")
         eff = codes_s.replace("", "en")

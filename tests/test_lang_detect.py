@@ -107,3 +107,30 @@ def test_wili_style_accuracy_floor():
     for lang, acc in res["per_lang"].items():
         floor = 0.45 if lang in confusables else 0.9
         assert acc >= floor, (lang, acc)
+
+
+def test_detect_batch_identical_to_detect():
+    """detect_batch must be row-for-row identical to detect() — the UDFs
+    ride the batched path, the frozen oracles the per-document one."""
+    import duckdb
+
+    det = LanguageIdentifier()
+    docs = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    ]
+    edge = [None, float("nan"), "", "1", "Comment est votre blanquette ?",
+            "子曰：學而不思則罔", "Привет как дела", "مرحبا كيف حالك",
+            "mixed 混合 text", "a" * 700]
+    batch = det.detect_batch(docs + edge)
+    single = [det.detect(t) for t in docs + edge]
+    assert batch == single
+    # and under scope/min-score/fallback configuration
+    det2 = LanguageIdentifier(
+        language_scope=["en", "fr", "es"], minimum_score=0.2, fallback_language="es"
+    )
+    assert det2.detect_batch(docs[:100] + edge) == [
+        det2.detect(t) for t in docs[:100] + edge
+    ]
