@@ -141,68 +141,96 @@ def main() -> int:
         _warm_worker, "n long"
     ).count()
 
+    # JVM/JIT warm (still untimed setup): run every headline query shape
+    # once over a ~200-row slice. Whole-stage codegen classes compile and
+    # the hot Spark paths C2-compile here instead of inside the first
+    # timed run — a long-running cluster job amortizes JIT exactly like
+    # the one-time model builds above (measured: the first execution of a
+    # freshly-generated plan pays 4-25 s of compile/JIT at sf0.1 that
+    # never recurs).
+    tiny = docs.limit(200).cache()
+    tiny.count()
+    warm_queries = [
+        lambda: near_dup_pairs(tiny).count(),
+        lambda: near_dup_pairs(tiny, hash_fn="md5").count(),
+        lambda: simhash(tiny).count(),
+        lambda: exact_dedup(tiny).count(),
+        lambda: add_keep_drop(add_quality_signals(tiny)).where("keep").count(),
+        lambda: scrub_text(tiny).select(F.sum("pii_email_count")).collect(),
+        lambda: detect_language(tiny, "text").groupBy("text_language_code").count().collect(),
+        lambda: clean_text(
+            tiny, "text", language_column="lang",
+            token_filters=frozenset({"is_stop", "is_punct", "like_num"}),
+        ).select(F.sum(F.length("text_cleaned"))).collect(),
+        lambda: check_spelling(
+            tiny.where("lang = 'en'"), "text", language="en"
+        ).select(F.sum("text_misspelling_count")).collect(),
+    ]
+    for wq in warm_queries:
+        wq()
+    tiny.unpersist()
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
-
-    def timed(name: str, fn, runs: int = 2, stat: str = "min"):
-        """Report steady-state timing: best of ``runs`` by default (worker
-        model loads amortize over a long job), or the median with
-        ``stat="median"`` for shuffle-heavy queries whose min would hide
-        real variance; the cold time lands in extras for transparency."""
-        times = []
-        for i in range(runs):
-            t0 = time.perf_counter()
-            out = fn()
-            times.append(round(time.perf_counter() - t0, 3))
-        best = min(times)
-        timings[name] = sorted(times)[len(times) // 2] if stat == "median" else best
-        if runs > 1 and times[0] > best * 1.5:
-            extras[f"{name}_cold_sec"] = times[0]
-        return out
 
     # flagship: full pipeline over synthesized pages
     pages = synthesize_pages(spark, PAGES_ROWS, int(CPUS) * 2)
     pages = pages.persist()
     n_pages = pages.count()  # materialize input outside the timed window
+    # JIT-compile the pipeline's generated stages on a 500-page slice
+    # (untimed, same rationale as the headline-query warm above)
+    quality_filter_pipeline(
+        synthesize_pages(spark, 500, 8), with_perplexity=True
+    ).select(F.sum(F.col("keep").cast("long"))).collect()
 
     def run_pipeline():
         res = quality_filter_pipeline(pages, with_perplexity=True)
         return res.select(F.sum(F.col("keep").cast("long"))).collect()[0][0]
 
-    n_keep = timed("pages_pipeline", run_pipeline)
-    extras["pipeline_docs_per_sec"] = round(n_pages / timings["pages_pipeline"], 1)
-    extras["pipeline_rows"] = n_pages
-    extras["pipeline_kept"] = int(n_keep)
-
-    timed("keep_drop", lambda: add_keep_drop(add_quality_signals(docs)).where("keep").count())
-    timed("scrub", lambda: scrub_text(docs).select(F.sum("pii_email_count")).collect())
-    timed("exact_dedup", lambda: exact_dedup(docs).count())
-    # production xxhash64 hash family (the operator default since r4; the
-    # md5 oracle-portable variant is timed in extras). Median-of-3: this
-    # is the shuffle-heaviest headline query — the median is the honest
-    # steady-state number on a noisy box (VERDICT r3 item 7).
-    timed("near_dup_pairs", lambda: near_dup_pairs(docs).count(), runs=3, stat="median")
-    timed("simhash", lambda: simhash(docs).count())
-    timed(
-        "lang_detect",
-        lambda: detect_language(docs, "text").groupBy("text_language_code").count().collect(),
-    )
-    timed(
-        "clean_text",
-        lambda: clean_text(
+    en_docs = docs.where("lang = 'en'")
+    qvec = embs.where("vec_id = 0").select("embedding").collect()[0][0]
+    headline = [
+        ("pages_pipeline", run_pipeline),
+        ("keep_drop", lambda: add_keep_drop(add_quality_signals(docs)).where("keep").count()),
+        ("scrub", lambda: scrub_text(docs).select(F.sum("pii_email_count")).collect()),
+        ("exact_dedup", lambda: exact_dedup(docs).count()),
+        # production xxhash64 hash family (the operator default since r4;
+        # the md5 oracle-portable variant is timed in extras)
+        ("near_dup_pairs", lambda: near_dup_pairs(docs).count()),
+        ("simhash", lambda: simhash(docs).count()),
+        ("lang_detect", lambda: detect_language(docs, "text").groupBy("text_language_code").count().collect()),
+        ("clean_text", lambda: clean_text(
             docs, "text", language_column="lang",
             token_filters=frozenset({"is_stop", "is_punct", "like_num"}),
-        ).select(F.sum(F.length("text_cleaned"))).collect(),
-    )
-    en_docs = docs.where("lang = 'en'")
-    timed(
-        "spellcheck",
-        lambda: check_spelling(en_docs, "text", language="en")
-        .select(F.sum("text_misspelling_count"))
-        .collect(),
-    )
-    qvec = embs.where("vec_id = 0").select("embedding").collect()[0][0]
-    timed("cosine_topk", lambda: cosine_topk(embs, qvec, k=10).collect())
+        ).select(F.sum(F.length("text_cleaned"))).collect()),
+        ("spellcheck", lambda: check_spelling(en_docs, "text", language="en")
+            .select(F.sum("text_misspelling_count")).collect()),
+        ("cosine_topk", lambda: cosine_topk(embs, qvec, k=10).collect()),
+    ]
+
+    # INTERLEAVED passes over the whole headline set (3 full rounds).
+    # This VM shows multi-second contention windows; running one query's
+    # repeats back-to-back lets a single bad window poison every sample
+    # of that query, while interleaving spreads a window across one pass
+    # of many queries and the per-query min/median recovers. Reported
+    # stat: median-of-3 for near_dup_pairs (the shuffle-heaviest query;
+    # VERDICT r3 item 7), min across passes otherwise; pass-0 times land
+    # in extras as *_cold_sec when they exceed 1.5x the best pass.
+    pass_times: dict[str, list] = {name: [] for name, _ in headline}
+    last_out: dict = {}
+    for _p in range(3):
+        for name, fn in headline:
+            t0 = time.perf_counter()
+            last_out[name] = fn()
+            pass_times[name].append(round(time.perf_counter() - t0, 3))
+    for name, ts in pass_times.items():
+        best = min(ts)
+        timings[name] = sorted(ts)[len(ts) // 2] if name == "near_dup_pairs" else best
+        if ts[0] > best * 1.5:
+            extras[f"{name}_cold_sec"] = ts[0]
+    extras["pipeline_docs_per_sec"] = round(n_pages / timings["pages_pipeline"], 1)
+    extras["pipeline_rows"] = n_pages
+    extras["pipeline_kept"] = int(last_out["pages_pipeline"])
 
     # newer operators, timed as extras (headline set stays comparable
     # across rounds)
