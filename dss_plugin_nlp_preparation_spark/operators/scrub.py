@@ -17,10 +17,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (name, pattern, replacement) — ordered; applied left to right.
+# credit_card precedes phone (the looser phone shape would otherwise eat
+# fragments of a formatted card number); ipv6 precedes ipv4 so a scrubbed
+# v4 tail cannot break a mixed-notation address first.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv6", r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\b", "[IP]"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("credit_card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CARD]"),
     ("phone", r"\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{2,4}", "[PHONE]"),
 ]
 

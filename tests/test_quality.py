@@ -84,3 +84,19 @@ def test_perplexity(spark):
     garbage = by_text["zzz qqq xxx jjj vvv www"]["log_ppl"]
     assert fluent is not None and garbage is not None and fluent < garbage
     assert by_text[""]["log_ppl"] is None
+
+
+def test_scrub_credit_card_and_ipv6(spark):
+    rows = [
+        (0, "pay with 4111-1111 1111-1111 now"),  # mixed separators
+        (1, "card 4111-1111-1111-1111 and phone +1-555-123-4567"),
+        (2, "host at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 and 10.0.0.1"),
+        (3, "fe80:0:0:0:a00:27ff:fe4e:66a1 short form"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["scrubbed_text"] for r in scrub_text(df).collect()}
+    assert "[CARD]" in got[1] and "4111" not in got[1]
+    assert "[PHONE]" in got[1]
+    assert got[2].count("[IP]") == 2  # ipv6 AND ipv4, independently
+    assert "7334" not in got[2]
+    assert "[IP]" in got[3]
