@@ -246,14 +246,12 @@ def main() -> int:
         add_bpe_token_count,
     )
 
+    # extras register here and run in interleaved passes at the end
+    # (same contention-window defense as the headline set)
+    extra_queries: list = []
+
     def timed_extra(name: str, fn, runs: int = 2):
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn()
-            dt = round(time.perf_counter() - t0, 3)
-            best = dt if best is None or dt < best else best
-        extras[f"{name}_sec"] = best
+        extra_queries.append((name, fn))
 
     from dss_plugin_nlp_preparation_spark.operators.dedup import near_dup_clusters
 
@@ -356,9 +354,6 @@ def main() -> int:
         .select(F.sum(F.length("extracted_text")))
         .collect(),
     )
-    extras["html_extract_docs_per_sec"] = round(
-        n_pages / extras["html_extract_sec"], 1
-    )
 
     timed_extra(
         "cap_per_host",
@@ -396,6 +391,19 @@ def main() -> int:
         lambda: extract_media_features(media, payload_column="payload")
         .select(F.sum("byte_len"))
         .collect(),
+    )
+
+    # two interleaved passes over every registered extra; report the min
+    extra_times: dict[str, list] = {n: [] for n, _ in extra_queries}
+    for _p in range(2):
+        for name, fn in extra_queries:
+            t0 = time.perf_counter()
+            fn()
+            extra_times[name].append(round(time.perf_counter() - t0, 3))
+    for name, ts in extra_times.items():
+        extras[f"{name}_sec"] = min(ts)
+    extras["html_extract_docs_per_sec"] = round(
+        n_pages / extras["html_extract_sec"], 1
     )
     extras["media_real_decode_docs_per_sec"] = round(
         n_media / extras["media_real_decode_sec"], 1
