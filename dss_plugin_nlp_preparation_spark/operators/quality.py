@@ -46,17 +46,18 @@ def non_empty_lines(text: Column) -> Column:
 
 
 def stopword_hits(words: Column, lang: Column) -> Column:
-    """Count of tokens in the per-language function-word set."""
-    default_lit = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS[DEFAULT_QUALITY_LANG]])
-    default_hits = F.size(
-        F.filter(words, lambda w: F.array_contains(default_lit, F.lower(w)))
-    )
-    out = default_hits
+    """Count of tokens in the per-language function-word set.
+
+    The per-language set is SELECTED first (a when-chain over literal
+    arrays) and the words array is scanned ONCE — an earlier revision
+    filtered the array once per language and when-selected the counts,
+    six interpreted passes over every token for the same result."""
+    sw_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS[DEFAULT_QUALITY_LANG]])
     for code, sw in QUALITY_STOPWORDS.items():
-        lit = F.array(*[F.lit(w) for w in sw])
-        hits = F.size(F.filter(words, lambda w: F.array_contains(lit, F.lower(w))))
-        out = F.when(lang == F.lit(code), hits).otherwise(out)
-    return out
+        sw_arr = F.when(
+            lang == F.lit(code), F.array(*[F.lit(w) for w in sw])
+        ).otherwise(sw_arr)
+    return F.size(F.filter(words, lambda w: F.array_contains(sw_arr, F.lower(w))))
 
 
 def add_quality_signals(
@@ -75,10 +76,11 @@ def add_quality_signals(
     lines = non_empty_lines(text)
 
     n_chars = F.length(text)
-    n_words = F.size(words)
-    sum_word_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-    )
+    # pure-regexp counts, no array lambdas: a run of non-whitespace IS a
+    # token of the \s+ split (identical integers), and the sum of token
+    # lengths IS the count of non-whitespace characters
+    n_words = F.regexp_count(text, F.lit(r"\S+"))
+    sum_word_len = F.length(F.regexp_replace(text, r"\s", ""))
     mean_word_len = F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(0.0))
 
     sw_hits = stopword_hits(words, lang)
