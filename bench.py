@@ -56,6 +56,13 @@ def main() -> int:
     # load average relative to CPUS, making a noisy window diagnosable
     # from the JSON alone (VERDICT r3 item 7)
     loadavg_start = os.getloadavg()
+    setup_sec: dict[str, float] = {}
+    _t_section = time.perf_counter()
+
+    def _mark(section: str):
+        nonlocal _t_section
+        setup_sec[section] = round(time.perf_counter() - _t_section, 2)
+        _t_section = time.perf_counter()
 
     # the sf parquet ships as one tiny file -> 1 input split; a 100 TB table
     # arrives in thousands of splits, so spread rows across cores up front
@@ -84,6 +91,7 @@ def main() -> int:
     from dss_plugin_nlp_preparation_spark.nlp.bpe import get_tokenizer
 
     get_tokenizer("en")
+    _mark("driver_warm")
 
     # Worker-side warm (still untimed setup): the driver-side builds above
     # wrote the disk caches, but each of the CPUS persistent Python UDF
@@ -140,6 +148,7 @@ def main() -> int:
     spark.range(int(CPUS), numPartitions=int(CPUS)).mapInPandas(
         _warm_worker, "n long"
     ).count()
+    _mark("worker_warm")
 
     # JVM/JIT warm (still untimed setup): run every headline query shape
     # once over a ~200-row slice. Whole-stage codegen classes compile and
@@ -169,6 +178,7 @@ def main() -> int:
     for wq in warm_queries:
         wq()
     tiny.unpersist()
+    _mark("jit_warm")
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -182,6 +192,7 @@ def main() -> int:
     quality_filter_pipeline(
         synthesize_pages(spark, 500, 8), with_perplexity=True
     ).select(F.sum(F.col("keep").cast("long"))).collect()
+    _mark("pages_and_pipeline_warm")
 
     def run_pipeline():
         res = quality_filter_pipeline(pages, with_perplexity=True)
@@ -430,6 +441,12 @@ def main() -> int:
                     "adaptive_enabled": spark.conf.get(
                         "spark.sql.adaptive.enabled", "true"
                     ),
+                    "setup_sec": setup_sec,
+                    # every individual sample, in execution order — a
+                    # contention window is visible as a vertical stripe
+                    # across queries in the same pass
+                    "headline_pass_times": pass_times,
+                    "extra_pass_times": extra_times,
                 },
             }
         )
