@@ -56,6 +56,44 @@ def main() -> int:
     # load average relative to CPUS, making a noisy window diagnosable
     # from the JSON alone (VERDICT r3 item 7)
     loadavg_start = os.getloadavg()
+
+    # -- storm detection ---------------------------------------------------
+    # This VM sits on an overcommitted hypervisor: /proc/stat sampling
+    # during degraded benches shows 10-120 s windows with user ~1%,
+    # sys 60-98%, steal 14-21% — the lock-holder-preemption convoy (a
+    # vCPU holding a kernel spinlock is preempted by the host; every
+    # other vCPU spins in kernel). A timed query overlapping such a
+    # window reports 5-20x its true cost with ZERO signal in the query
+    # itself. Defense: sample kernel+steal CPU fraction across each
+    # timed window; a sample with (sys+steal)/total above STORM_MAX is
+    # CONTAMINATED — retried in bounded extra sweeps, and excluded from
+    # the reported stat when any clean sample exists. Healthy runs of
+    # the heaviest shuffle queries measure sys+steal < 0.25 end-to-end;
+    # storm windows measure >= 0.75, so 0.35 separates cleanly.
+    STORM_MAX = 0.35
+
+    def _cpu_ticks():
+        try:
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:]))
+        except Exception:
+            return None
+
+    def _storm_frac(before, after):
+        if before is None or after is None:
+            return 0.0
+        d = [y - x for x, y in zip(before, after)]
+        tot = sum(d) or 1
+        steal = d[7] if len(d) > 7 else 0
+        return (d[2] + steal) / tot
+
+    def _timed(fn):
+        """(seconds, storm_frac, result) for one query execution."""
+        c0 = _cpu_ticks()
+        t0 = time.perf_counter()
+        out = fn()
+        sec = round(time.perf_counter() - t0, 3)
+        return sec, round(_storm_frac(c0, _cpu_ticks()), 3), out
     setup_sec: dict[str, float] = {}
     _t_section = time.perf_counter()
 
@@ -223,21 +261,61 @@ def main() -> int:
     # This VM shows multi-second contention windows; running one query's
     # repeats back-to-back lets a single bad window poison every sample
     # of that query, while interleaving spreads a window across one pass
-    # of many queries and the per-query min/median recovers. Reported
-    # stat: median-of-3 for near_dup_pairs (the shuffle-heaviest query;
-    # VERDICT r3 item 7), min across passes otherwise; pass-0 times land
-    # in extras as *_cold_sec when they exceed 1.5x the best pass.
+    # of many queries. Interleaving alone is not enough when a storm
+    # outlasts a whole pass (observed: near_dup_pairs 23.3/21.1/4.4 s
+    # with the first two passes inside one hypervisor convoy), so each
+    # sample also carries its measured storm fraction: contaminated
+    # samples are excluded from the reported stat when a clean sample
+    # exists, and queries with no clean sample get up to two bounded
+    # retry sweeps. Reported stat: median of clean samples for
+    # near_dup_pairs (the shuffle-heaviest query; VERDICT r3 item 7),
+    # min of clean samples otherwise; pass-0 times land in extras as
+    # *_cold_sec when they exceed 1.5x the best pass.
+    # A storm can only SLOW a sample down, so for min-stat queries the
+    # min over all samples is already storm-robust — the storm fraction
+    # drives RETRIES only (a query whose every sample was stormy gets
+    # another chance in a calmer window). Short shuffle queries spend
+    # 0.3-0.4 of their own window in sys (shuffle file I/O), so
+    # threshold-EXCLUSION would wrongly discard their fastest samples;
+    # only the median-stat near_dup_pairs filters by storm fraction,
+    # because a median is not self-healing: it retries until 3 clean
+    # samples exist (bounded), then reports the median of clean.
     pass_times: dict[str, list] = {name: [] for name, _ in headline}
+    pass_storms: dict[str, list] = {name: [] for name, _ in headline}
+    storm_retries = 0
     last_out: dict = {}
     for _p in range(3):
         for name, fn in headline:
-            t0 = time.perf_counter()
-            last_out[name] = fn()
-            pass_times[name].append(round(time.perf_counter() - t0, 3))
+            sec, storm, last_out[name] = _timed(fn)
+            pass_times[name].append(sec)
+            pass_storms[name].append(storm)
+
+    def _n_clean(name: str) -> int:
+        return sum(1 for s in pass_storms[name] if s < STORM_MAX)
+
+    for _sweep in range(4):
+        dirty = [
+            (name, fn)
+            for name, fn in headline
+            if _n_clean(name) == 0
+            or (name == "near_dup_pairs" and _n_clean(name) < 3)
+        ]
+        if not dirty:
+            break
+        for name, fn in dirty:
+            sec, storm, last_out[name] = _timed(fn)
+            pass_times[name].append(sec)
+            pass_storms[name].append(storm)
+            storm_retries += 1
     for name, ts in pass_times.items():
-        best = min(ts)
-        timings[name] = sorted(ts)[len(ts) // 2] if name == "near_dup_pairs" else best
-        if ts[0] > best * 1.5:
+        if name == "near_dup_pairs":
+            clean = [
+                t for t, s in zip(ts, pass_storms[name]) if s < STORM_MAX
+            ] or ts
+            timings[name] = sorted(clean)[len(clean) // 2]
+        else:
+            timings[name] = min(ts)
+        if ts[0] > timings[name] * 1.5:
             extras[f"{name}_cold_sec"] = ts[0]
     extras["pipeline_docs_per_sec"] = round(n_pages / timings["pages_pipeline"], 1)
     extras["pipeline_rows"] = n_pages
@@ -405,12 +483,21 @@ def main() -> int:
     )
 
     # two interleaved passes over every registered extra; report the min
+    # (storm-robust: contention only slows samples), with one bounded
+    # retry sweep for extras whose every sample overlapped a storm
     extra_times: dict[str, list] = {n: [] for n, _ in extra_queries}
+    extra_storms: dict[str, list] = {n: [] for n, _ in extra_queries}
     for _p in range(2):
         for name, fn in extra_queries:
-            t0 = time.perf_counter()
-            fn()
-            extra_times[name].append(round(time.perf_counter() - t0, 3))
+            sec, storm, _ = _timed(fn)
+            extra_times[name].append(sec)
+            extra_storms[name].append(storm)
+    for name, fn in extra_queries:
+        if all(s >= STORM_MAX for s in extra_storms[name]):
+            sec, storm, _ = _timed(fn)
+            extra_times[name].append(sec)
+            extra_storms[name].append(storm)
+            storm_retries += 1
     for name, ts in extra_times.items():
         extras[f"{name}_sec"] = min(ts)
     extras["html_extract_docs_per_sec"] = round(
@@ -444,9 +531,16 @@ def main() -> int:
                     "setup_sec": setup_sec,
                     # every individual sample, in execution order — a
                     # contention window is visible as a vertical stripe
-                    # across queries in the same pass
+                    # across queries in the same pass; *_storms carries
+                    # each sample's measured (sys+steal)/total CPU
+                    # fraction (>= 0.35 = hypervisor convoy, sample
+                    # excluded from the reported stat when a clean
+                    # sample exists)
                     "headline_pass_times": pass_times,
+                    "headline_pass_storms": pass_storms,
                     "extra_pass_times": extra_times,
+                    "extra_pass_storms": extra_storms,
+                    "storm_retries": storm_retries,
                 },
             }
         )

@@ -250,47 +250,42 @@ def simhash(
     """
     assert 1 <= bits <= 64
     n_digests = (bits + 31) // 32
-    # WHOLE-STAGE-CODEGEN shape (same rationale as the xxhash64 minhash
-    # path above: higher-order-function lambdas evaluate interpreted and
-    # their call sites degrade in long-lived sessions): explode tokens,
-    # hash each token's widened digest ONCE as a plain projection, vote
-    # per bit with 64 plain WHEN/substring columns, and majority-reduce
-    # through a map-side-combined hash aggregate — the shuffle carries 64
-    # small ints per document. explode_outer keeps token-less documents
-    # (empty/NULL text), whose votes are all zero -> simhash 0, exactly
-    # the prior per-row semantics; values are bit-identical (same digest
-    # formula, same majority rule), so the SQL oracle is unchanged.
     words = F.filter(
         F.split(F.lower(F.col(text_column)), r"\s+"), lambda w: w != ""
     )
-    ex = df.select(F.col(id_column).alias("id"), F.explode_outer(words).alias("__w"))
-    digest = F.concat(
-        *[
-            F.md5("__w") if i == 0 else F.md5(F.concat(F.lit(str(i)), F.col("__w")))
-            for i in range(n_digests)
-        ]
+    digest = lambda w: F.concat(  # noqa: E731
+        *[F.md5(w) if i == 0 else F.md5(F.concat(F.lit(str(i)), w)) for i in range(n_digests)]
     )
-    hashed = ex.select("id", digest.alias("__h"))
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.col("__h").isNull(), F.lit(0)).otherwise(
-                    F.when(
-                        F.substring("__h", b + 1, 1).isin(*_HI_HEX), F.lit(1)
-                    ).otherwise(F.lit(-1))
-                )
-            ).alias(f"__v{b}")
-            for b in range(bits)
-        ]
+    # materialize the per-token digests ONCE (a real projection): Catalyst
+    # does not CSE across lambda bodies, so inlining would md5 every token
+    # `bits` times over
+    hashed = df.select(
+        F.col(id_column).alias("id"), F.transform(words, digest).alias("__hs")
     )
     sign_bit = bits - 1 if bits == 64 else None
-    sim = F.lit(0).cast("bigint")
-    for b in range(bits):
-        weight = -(2**63) if b == sign_bit else 2**b
-        sim = sim + F.when(
-            F.col(f"__v{b}") > 0, F.lit(weight).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return votes.select("id", sim.alias("simhash"))
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                F.col("__hs"),
+                F.lit(0),
+                lambda a, h: a
+                + F.when(F.substring(h, b + 1, 1).isin(*_HI_HEX), F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            > 0,
+            # two's complement: bit 63 contributes -2^63, others +2^b
+            F.when(b == F.lit(sign_bit), F.lit(-(2**63)).cast("bigint")).otherwise(
+                F.pow(F.lit(2.0), b).cast("bigint")
+            )
+            if sign_bit is not None
+            else F.pow(F.lit(2.0), b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return hashed.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dup(

@@ -39,9 +39,12 @@ def get_spark(
         # local mode: the driver JVM IS the executor — size the heap for 32
         # concurrent tasks' shuffle/window/cache state (8g measurably
         # full-GC-thrashed mid-bench: pure-JVM queries degraded 3-10x once
-        # the page/doc caches filled the old gen). On a real cluster this
+        # the page/doc caches filled the old gen). 30g, not 32g: heaps
+        # >= ~31.5g silently disable CompressedOops (verified with
+        # -XX:+PrintFlagsFinal on this JDK), doubling every object
+        # pointer — 30g keeps oops compressed. On a real cluster this
         # maps to spark.executor.memory.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "30g"))
         # whole-stage codegen emits one class per stage; a many-query
         # session overflows the JVM's default 240MB code cache, after
         # which NEW generated code runs interpreted (observed as 10x
