@@ -14,3 +14,4 @@ from .codecs import (  # noqa: F401
     encode_wav,
     resize_nearest,
 )
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401

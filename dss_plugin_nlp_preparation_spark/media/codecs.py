@@ -19,9 +19,11 @@ over raw sample/pixel arrays — so this module implements them for real:
 Everything is deterministic byte-in/array-out (no RNG, no platform
 variation: explicit little-endian, explicit row padding; zlib inflate is
 bit-exact for any conformant stream), so decoded features are
-oracle-replayable. Formats needing external codec libraries (JPEG/MP3/
-MP4) raise :class:`UnsupportedMediaError` and the operators fall back to
-the documented hash stub.
+oracle-replayable. Baseline JPEG (the dominant lossy web format) is
+implemented from the public spec in the sibling :mod:`.jpeg` module;
+formats still needing external codec libraries (progressive JPEG, MP3,
+MP4) raise :class:`UnsupportedMediaError` and the operators fall back
+to the documented hash stub.
 
 Encoders exist so tests and synthetic tables can fabricate real payloads
 without external tools.
@@ -43,10 +45,12 @@ class UnsupportedMediaError(ValueError):
 # ---------------------------------------------------------------------------
 
 def detect_media_type(payload: bytes | None) -> str | None:
-    """'png' | 'bmp' | 'ppm' | 'wav' | 'frames' | None by magic bytes."""
+    """'jpeg'|'png'|'bmp'|'ppm'|'wav'|'frames'|None by magic bytes."""
     if not payload:
         return None
     b = bytes(payload[:16])
+    if b[:3] == b"\xFF\xD8\xFF":
+        return "jpeg"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if b[:2] == b"BM":

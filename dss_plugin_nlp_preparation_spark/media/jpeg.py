@@ -1,0 +1,699 @@
+# -*- coding: utf-8 -*-
+"""Pure-Python/numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+JPEG is the dominant image format on the real web, and this sandbox has
+no codec library — so the baseline sequential-DCT profile is implemented
+here from the public spec, the same way ``codecs.py`` implements PNG
+from RFC 2083:
+
+- **decoder** (the production path): SOI/APPn/COM/DQT/SOF0|SOF1/DHT/
+  DRI/SOS parsing, Huffman entropy decode with byte-destuffing and
+  restart markers, dequantization, zigzag, vectorized 8x8 IDCT (one
+  einsum over all blocks of a component), chroma upsampling for 4:4:4 /
+  4:2:2 / 4:2:0 (and grayscale), JFIF full-range YCbCr -> RGB.
+  Progressive (SOF2), arithmetic-coded, hierarchical, and 12-bit
+  streams raise :class:`~.codecs.UnsupportedMediaError` so the
+  operators fall back to the documented stub.
+- **encoder** (so tests and synthetic tables can fabricate real
+  payloads without external tools): Annex K quantization tables scaled
+  by libjpeg's quality formula, Annex K standard Huffman tables,
+  4:4:4 or 4:2:0 subsampling, no restarts.
+
+Everything is deterministic byte-in/array-out: integer quantization,
+fixed table order, explicit rounding — decode(encode(img)) is bit-stable
+across platforms, so media features stay oracle-replayable (the frozen
+oracle imports this same kernel).
+
+Reference behavior parity target: the reference plugin has no media
+path at all (dss-plugin-nlp-preparation is text-only); this module
+belongs to the engine's LLM-training-data extensions (SURVEY.md
+"multimodal columns").
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import UnsupportedMediaError
+
+# ---------------------------------------------------------------------------
+# shared constants (public spec, Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (natural order)
+QTABLE_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+QTABLE_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.3 standard Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# 8x8 DCT-II basis matrix: M[u, x] = c(u) * cos((2x+1) u pi / 16) / 2.
+# Forward: C = M @ B @ M.T ; inverse: B = M.T @ C @ M — both vectorized
+# over stacked blocks with einsum.
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _M[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _build_huffman_decode(bits: list, vals: list) -> dict:
+    """{(length, code_int): symbol} per the spec's canonical assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_huffman_encode(bits: list, vals: list) -> dict:
+    """{symbol: (code_int, length)} — inverse of the decode table."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _build_huffman_decode(bits, vals).items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy-coded bytes."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise UnsupportedMediaError("jpeg: entropy stream truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_huffman_symbol(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMediaError("jpeg: invalid Huffman code")
+
+
+def _destuff(scan: bytes) -> list:
+    """Entropy bytes -> list of restart-interval segments, 0xFF00 unstuffed.
+
+    Returns the segments in scan order; RST0-7 markers delimit them.
+    Any other marker ends the scan."""
+    segments = []
+    cur = bytearray()
+    i = 0
+    n = len(scan)
+    while i < n:
+        b = scan[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = scan[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next header marker: scan is over
+            break
+    segments.append(bytes(cur))
+    return segments
+
+
+#: crafted-header allocation guard: a 2-byte-field SOF can claim a
+#: 65535x65535 frame (17 GB of int32 coefficients) — refuse anything a
+#: crawl pipeline would never feature-extract anyway
+MAX_PIXELS = 64_000_000
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> HxWx3 uint8 RGB (grayscale replicated).
+
+    TOTAL over arbitrary bytes: progressive / arithmetic / 12-bit /
+    malformed / truncated / bomb-header streams all raise
+    :class:`UnsupportedMediaError` (operators fall back to the stub);
+    no other exception escapes (fuzzed with truncations, random
+    corruptions, and junk-after-magic)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except UnsupportedMediaError:
+        raise
+    except (
+        struct.error,
+        IndexError,
+        OverflowError,
+        ValueError,
+        MemoryError,
+        ZeroDivisionError,
+    ) as e:
+        raise UnsupportedMediaError(f"jpeg: malformed stream ({type(e).__name__})")
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
+    b = bytes(payload)
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise UnsupportedMediaError("not a JPEG (no SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, comps) ; comps = [(cid, hi, vi, tq)]
+    restart_interval = 0
+    i = 2
+    n = len(b)
+    scan_info = None
+    scan_data_start = None
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            raise UnsupportedMediaError("jpeg: marker expected")
+        marker = b[i + 1]
+        if marker == 0xD8:  # stray SOI
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        seg = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    q = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    j += 64
+                elif pq == 1:
+                    q = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int32)
+                    j += 128
+                else:
+                    raise UnsupportedMediaError("jpeg: bad DQT precision")
+                if len(q) < 64:
+                    raise UnsupportedMediaError("jpeg: truncated DQT")
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = q  # tables are stored in zigzag order
+                qtables[tq] = nat
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            if seg[0] != 8:
+                raise UnsupportedMediaError("jpeg: only 8-bit precision")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if h == 0 or w == 0 or nc not in (1, 3):
+                raise UnsupportedMediaError("jpeg: unsupported frame")
+            if h * w > MAX_PIXELS:
+                raise UnsupportedMediaError("jpeg: frame exceeds MAX_PIXELS")
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                if hv >> 4 not in (1, 2) or hv & 0x0F not in (1, 2):
+                    raise UnsupportedMediaError("jpeg: bad sampling factor")
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError("jpeg: non-baseline SOF")
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                cnt = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + cnt])
+                if len(vals) < cnt:
+                    raise UnsupportedMediaError("jpeg: truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman_decode(
+                    bits, vals
+                )
+                j += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                tt = seg[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            scan_info = scan
+            scan_data_start = i + 2 + seglen
+            break
+        # APPn / COM / others: skip
+        i += 2 + seglen
+    if frame is None or scan_info is None:
+        raise UnsupportedMediaError("jpeg: missing SOF/SOS")
+    h, w, comps = frame
+    if len(scan_info) != len(comps):
+        raise UnsupportedMediaError("jpeg: interleaved scan expected")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise UnsupportedMediaError("jpeg: unsupported subsampling")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component block grids
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    order = []  # (cid, dc_table, ac_table, qtable, hi, vi)
+    for cs, td, ta in scan_info:
+        if cs not in by_id:
+            raise UnsupportedMediaError("jpeg: scan references unknown component")
+        hi, vi, tq = by_id[cs]
+        if td not in huff_dc or ta not in huff_ac or tq not in qtables:
+            raise UnsupportedMediaError("jpeg: missing table")
+        order.append((cs, huff_dc[td], huff_ac[ta], qtables[tq], hi, vi))
+    segments = _destuff(b[scan_data_start:])
+    # decode coefficients: per component, a (mcuy*vi*8, mcux*hi*8) plane
+    coefs = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.int32)
+        for cid, _, _, _, hi, vi in order
+    }
+    n_mcu = mcux * mcuy
+    mcu_idx = 0
+    pred = {cid: 0 for cid, *_ in order}
+    for seg_bytes in segments:
+        r = _BitReader(seg_bytes)
+        try:
+            while mcu_idx < n_mcu:
+                my, mx = divmod(mcu_idx, mcux)
+                for cid, dct, act, qt, hi, vi in order:
+                    plane = coefs[cid]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            blk = np.zeros(64, dtype=np.int32)
+                            t = _decode_huffman_symbol(r, dct)
+                            diff = _extend(r.receive(t), t)
+                            pred[cid] += diff
+                            blk[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_huffman_symbol(r, act)
+                                rl, sz = rs >> 4, rs & 0x0F
+                                if sz == 0:
+                                    if rl == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rl
+                                if k > 63:
+                                    raise UnsupportedMediaError(
+                                        "jpeg: AC run overflow"
+                                    )
+                                blk[k] = _extend(r.receive(sz), sz)
+                                k += 1
+                            deq = np.zeros(64, dtype=np.int32)
+                            deq[ZIGZAG] = blk  # blk is in zigzag order
+                            deq *= qt
+                            y0 = (my * vi + vy) * 8
+                            x0 = (mx * hi + vx) * 8
+                            plane[y0 : y0 + 8, x0 : x0 + 8] = deq.reshape(8, 8)
+                mcu_idx += 1
+                if (
+                    restart_interval
+                    and mcu_idx % restart_interval == 0
+                    and mcu_idx < n_mcu
+                ):
+                    break  # next restart segment resumes
+        except UnsupportedMediaError:
+            if mcu_idx == 0:
+                raise
+            break  # truncated tail: keep decoded MCUs (crawl tolerance)
+        if restart_interval and mcu_idx % restart_interval == 0:
+            for cid in pred:
+                pred[cid] = 0
+    # inverse DCT per component plane, vectorized over all blocks
+    planes = {}
+    for cid, _, _, _, hi, vi in order:
+        plane = coefs[cid].astype(np.float64)
+        ph, pw = plane.shape
+        blocks = (
+            plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        )  # (by, bx, 8, 8)
+        spatial = np.einsum("ux,yvuw,wz->yvxz", _M, blocks, _M, optimize=True)
+        img = spatial.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+        # upsample to full resolution (sample replication per JFIF)
+        if hi != hmax or vi != vmax:
+            img = np.repeat(np.repeat(img, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes[cid] = img[:h, :w]
+    if len(order) == 1:
+        y = np.clip(planes[order[0][0]], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    cy, cb, cr = (planes[c[0]] for c in order)
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            cy + 1.402 * cr,
+            cy - 0.344136 * cb - 0.714136 * cr,
+            cy + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> k) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality->scale mapping, clamped to [1, 255]."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _magnitude(v: int) -> tuple:
+    """(size, unsigned code) per T.81 F.1.2.1 for DC/AC coefficients."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, v if v >= 0 else v + (1 << t) - 1
+
+
+def _encode_block(
+    w: _BitWriter, blk: np.ndarray, pred: int, dc_tab: dict, ac_tab: dict
+) -> int:
+    """Huffman-encode one zigzag-quantized 64-vector; returns new DC pred."""
+    dc = int(blk[0])
+    t, code = _magnitude(dc - pred)
+    hc, hl = dc_tab[t]
+    w.write(hc, hl)
+    if t:
+        w.write(code, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_tab[0xF0]  # ZRL
+            w.write(zc, zl)
+            run -= 16
+        t, code = _magnitude(v)
+        hc, hl = ac_tab[(run << 4) | t]
+        w.write(hc, hl)
+        w.write(code, t)
+        run = 0
+    if run:
+        ec, el = ac_tab[0x00]  # EOB
+        w.write(ec, el)
+    return dc
+
+
+def _to_zigzag_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """float plane -> (rows, cols, 64) zigzag-order quantized int blocks."""
+    ph, pw = plane.shape
+    bh, bw = -(-ph // 8) * 8, -(-pw // 8) * 8
+    p = np.pad(plane, ((0, bh - ph), (0, bw - pw)), mode="edge") - 128.0
+    blocks = p.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ux,yvxz,zw->yvuw", _M, blocks, _M.T, optimize=True)
+    qz = np.round(coefs / qt.reshape(8, 8)).astype(np.int32)
+    flat = qz.reshape(qz.shape[0], qz.shape[1], 64)
+    return flat[:, :, ZIGZAG]  # natural -> zigzag order
+
+
+def _seg(marker: int, data: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+
+def _dqt_seg(tq: int, qt: np.ndarray) -> bytes:
+    return _seg(0xDB, bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG]))
+
+
+def _dht_seg(tc: int, th: int, bits: list, vals: list) -> bytes:
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+_APP0_JFIF = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+
+def _encode_jpeg_gray(px: np.ndarray, quality: int) -> bytes:
+    """HxW uint8 -> single-component baseline JPEG."""
+    h, w_ = px.shape
+    ql = _quality_scale(QTABLE_LUMA, quality)
+    yb = _to_zigzag_blocks(px.astype(np.float64), ql)
+    dc_l = _build_huffman_encode(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_huffman_encode(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw_ = _BitWriter()
+    pred = 0
+    for my in range(yb.shape[0]):
+        for mx in range(yb.shape[1]):
+            pred = _encode_block(bw_, yb[my, mx], pred, dc_l, ac_l)
+    bw_.flush()
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w_, 1) + bytes([1, 0x11, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xFF\xD8"
+        + _seg(0xE0, _APP0_JFIF)
+        + _dqt_seg(0, ql)
+        + sof
+        + _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + _dht_seg(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+        + sos
+        + bytes(bw_.out)
+        + b"\xFF\xD9"
+    )
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 75, subsampling: str = "4:2:0"
+) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF JPEG bytes.
+
+    ``subsampling``: ``"4:4:4"`` or ``"4:2:0"``. A 2-D ``HxW`` uint8
+    array encodes as a single-component grayscale JPEG. Deterministic:
+    integer quantization, Annex K tables scaled by the public quality
+    formula."""
+    px = np.asarray(pixels)
+    if px.ndim == 2 and px.dtype == np.uint8:
+        return _encode_jpeg_gray(px, quality)
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects HxWx3 (or HxW gray) uint8")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    h, w_, _ = px.shape
+    sub = 2 if subsampling == "4:2:0" else 1
+    ql = _quality_scale(QTABLE_LUMA, quality)
+    qc = _quality_scale(QTABLE_CHROMA, quality)
+    # RGB -> full-range YCbCr (JFIF)
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    bb = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * bb
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * bb + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * bb + 128.0
+    if sub == 2:
+        # pad to even, box-average 2x2
+        ph, pw = -(-h // 2) * 2, -(-w_ // 2) * 2
+        cbp = np.pad(cb, ((0, ph - h), (0, pw - w_)), mode="edge")
+        crp = np.pad(cr, ((0, ph - h), (0, pw - w_)), mode="edge")
+        cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    yb = _to_zigzag_blocks(y, ql)
+    cbb = _to_zigzag_blocks(cb, qc)
+    crb = _to_zigzag_blocks(cr, qc)
+
+    dc_l = _build_huffman_encode(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_huffman_encode(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _build_huffman_encode(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _build_huffman_encode(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    bw_ = _BitWriter()
+    mcux = cbb.shape[1]
+    mcuy = cbb.shape[0]
+    predy = predcb = predcr = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for vy in range(sub):
+                for vx in range(sub):
+                    yy = min(my * sub + vy, yb.shape[0] - 1)
+                    yx = min(mx * sub + vx, yb.shape[1] - 1)
+                    predy = _encode_block(bw_, yb[yy, yx], predy, dc_l, ac_l)
+            predcb = _encode_block(bw_, cbb[my, mx], predcb, dc_c, ac_c)
+            predcr = _encode_block(bw_, crb[my, mx], predcr, dc_c, ac_c)
+    bw_.flush()
+
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w_, 3)
+        + bytes([1, (sub << 4) | sub, 0])  # Y
+        + bytes([2, 0x11, 1])  # Cb
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xFF\xD8"
+        + _seg(0xE0, _APP0_JFIF)
+        + _dqt_seg(0, ql)
+        + _dqt_seg(1, qc)
+        + sof
+        + _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + _dht_seg(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+        + _dht_seg(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        + _dht_seg(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        + sos
+        + bytes(bw_.out)
+        + b"\xFF\xD9"
+    )

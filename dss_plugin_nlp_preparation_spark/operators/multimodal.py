@@ -4,14 +4,16 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs in ``mapInPandas`` batches.
 
-Decoding is REAL for PNG (stdlib zlib + the five PNG filters — the
-dominant lossless web image format) and the uncompressed formats (BMP,
-P6 PPM, PCM WAV, and the FRMS frame container) — pure-numpy codecs in
-``..media.codecs``: payloads are sniffed by magic bytes and decoded to
-pixel/sample arrays, features/resizes/frame-samples computed from the
-actual content. Codecs needing libraries absent from this environment
-(JPEG/MP3/MP4) fall back to ``decode_stub`` — a deterministic md5 fake,
-clearly marked — keeping the operators total.
+Decoding is REAL for baseline JPEG (the dominant lossy web image
+format — pure-numpy Huffman + IDCT codec in ``..media.jpeg``), PNG
+(stdlib zlib + the five PNG filters — the dominant lossless format)
+and the uncompressed formats (BMP, P6 PPM, PCM WAV, and the FRMS frame
+container) — ``..media.codecs``: payloads are sniffed by magic bytes
+and decoded to pixel/sample arrays, features/resizes/frame-samples
+computed from the actual content. Codecs needing libraries absent from
+this environment (progressive JPEG, MP3, MP4) fall back to
+``decode_stub`` — a deterministic md5 fake, clearly marked — keeping
+the operators total.
 
 At 100 TB scale binary payloads dominate row width: the operators here
 project metadata early (column pruning drops the payload as soon as
@@ -112,11 +114,13 @@ def _audio_features(samples, rate: int, channels: int) -> list:
 
 def decode_features(payload: bytes) -> tuple:
     """(detected_type | None, 16 floats): REAL features for supported
-    uncompressed formats, md5 stub otherwise. Total: never raises on
-    arbitrary bytes (a truncated/cropped crawl payload falls back)."""
+    formats (incl. baseline JPEG and PNG), md5 stub otherwise. Total:
+    never raises on arbitrary bytes (a truncated/cropped crawl payload
+    falls back)."""
     from dss_plugin_nlp_preparation_spark.media import (
         decode_bmp,
         decode_frames,
+        decode_jpeg,
         decode_png,
         decode_ppm,
         decode_wav,
@@ -125,6 +129,8 @@ def decode_features(payload: bytes) -> tuple:
 
     t = detect_media_type(payload)
     try:
+        if t == "jpeg":
+            return t, _image_features(decode_jpeg(payload))
         if t == "png":
             return t, _image_features(decode_png(payload))
         if t == "bmp":
@@ -200,14 +206,16 @@ def resize_stub(payload: bytes, width: int, height: int) -> tuple:
 
 def resize_payload(payload: bytes, width: int, height: int) -> tuple:
     """(thumb_len, thumb_digest): REAL decode -> nearest-neighbor resize
-    -> re-encode for BMP/PPM payloads (digest/length of the actual
-    re-encoded thumbnail bytes); md5 stub for anything else."""
+    -> re-encode for JPEG/PNG/BMP/PPM payloads (digest/length of the
+    actual re-encoded thumbnail bytes); md5 stub for anything else."""
     from dss_plugin_nlp_preparation_spark.media import (
         decode_bmp,
+        decode_jpeg,
         decode_png,
         decode_ppm,
         detect_media_type,
         encode_bmp,
+        encode_jpeg,
         encode_png,
         encode_ppm,
         resize_nearest,
@@ -215,6 +223,9 @@ def resize_payload(payload: bytes, width: int, height: int) -> tuple:
 
     t = detect_media_type(payload)
     try:
+        if t == "jpeg":
+            thumb = encode_jpeg(resize_nearest(decode_jpeg(payload), width, height))
+            return len(thumb), hashlib.md5(thumb).hexdigest()
         if t == "png":
             thumb = encode_png(resize_nearest(decode_png(payload), width, height))
             return len(thumb), hashlib.md5(thumb).hexdigest()

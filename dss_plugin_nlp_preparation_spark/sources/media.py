@@ -1,10 +1,11 @@
 # -*- coding: utf-8 -*-
 """Deterministic synthetic media table: (media_id, url, payload binary).
 
-Payload mix per ``media_id % 6``: real 24-bit BMP, real P6 PPM, real
+Payload mix per ``media_id % 7``: real 24-bit BMP, real P6 PPM, real
 PCM-16 WAV, real FRMS multi-frame container, undecodable bytes (the
 unsupported-codec stand-in, exercising the documented stub fallback),
-and real 8-bit truecolor PNG.
+real 8-bit truecolor PNG, and real baseline JPEG (rotating 4:4:4 /
+4:2:0 / grayscale).
 Content is a pure function of the id (``_rng_ints``-style chained md5 —
 no RNG state), so the Spark relation and the single-process oracle
 kernel fabricate byte-identical payloads.
@@ -23,6 +24,7 @@ from pyspark.sql.types import BinaryType, LongType, StringType, StructField, Str
 from dss_plugin_nlp_preparation_spark.media import (
     encode_bmp,
     encode_frames,
+    encode_jpeg,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -50,7 +52,15 @@ def _seed_bytes(i: int, n: int) -> np.ndarray:
 def make_payload(i: int) -> bytes:
     """The payload for media_id ``i`` — shared by the Spark synthesizer
     and the frozen-oracle kernel (tools/freeze_oracles.py)."""
-    kind = i % 6
+    kind = i % 7
+    if kind == 6:  # baseline JPEG, rotating 4:4:4 / 4:2:0 / grayscale
+        h, w = 9 + i % 12, 8 + i % 10
+        if i % 3 == 2:
+            return encode_jpeg(_seed_bytes(i, h * w).reshape(h, w), quality=80)
+        sub = "4:4:4" if i % 2 == 0 else "4:2:0"
+        return encode_jpeg(
+            _seed_bytes(i, h * w * 3).reshape(h, w, 3), quality=80, subsampling=sub
+        )
     if kind == 0:  # BMP, varying odd/even dims to exercise row padding
         h, w = 4 + i % 5, 3 + i % 7
         return encode_bmp(_seed_bytes(i, h * w * 3).reshape(h, w, 3))

@@ -63,7 +63,8 @@ def test_detect_media_type():
     assert detect_media_type(encode_ppm(_img(2, 2))) == "ppm"
     assert detect_media_type(encode_wav(np.zeros(4, np.int16))) == "wav"
     assert detect_media_type(encode_frames([b"x"])) == "frames"
-    assert detect_media_type(b"\xff\xd8\xff jpeg") is None
+    assert detect_media_type(b"\xff\xd8\xff\xe0 jpeg") == "jpeg"
+    assert detect_media_type(b"\xff\xd8 not quite") is None
     assert detect_media_type(None) is None
 
 
@@ -309,6 +310,95 @@ def test_png_malformed_falls_back_to_stub():
             decode_png(payload)
         t, feats = decode_features(payload)
         assert t is None and feats == decode_stub(payload)
+
+
+def _smooth_img(h, w):
+    """Low-frequency gradient — the content JPEG's DCT quantization is
+    designed for, so round-trip error stays within a few levels."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 5) % 256, (y * 7) % 256, ((x + y) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_round_trip_quality():
+    from dss_plugin_nlp_preparation_spark.media import decode_jpeg, encode_jpeg
+
+    img = _smooth_img(32, 48)
+    for sub in ("4:4:4", "4:2:0"):
+        payload = encode_jpeg(img, quality=80, subsampling=sub)
+        assert detect_media_type(payload) == "jpeg"
+        out = decode_jpeg(payload)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 12, (sub, int(err.max()))
+        assert err.mean() <= 3.0, (sub, float(err.mean()))
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    from dss_plugin_nlp_preparation_spark.media import decode_jpeg, encode_jpeg
+
+    # grayscale input decodes to HxWx3 with replicated channels
+    g = ((np.arange(12 * 11) * 3) % 256).astype(np.uint8).reshape(12, 11)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (12, 11, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 12
+    # non-multiple-of-8 (and of 16 for 4:2:0) dims crop correctly
+    for h, w in [(1, 1), (9, 8), (17, 13)]:
+        img = _smooth_img(h, w)
+        assert decode_jpeg(encode_jpeg(img, subsampling="4:2:0")).shape == (h, w, 3)
+
+
+def test_jpeg_determinism():
+    from dss_plugin_nlp_preparation_spark.media import decode_jpeg, encode_jpeg
+
+    img = _img(10, 14, seed=5)
+    p1, p2 = encode_jpeg(img), encode_jpeg(img)
+    assert p1 == p2
+    assert np.array_equal(decode_jpeg(p1), decode_jpeg(p2))
+
+
+def test_jpeg_features_and_resize_real_path():
+    import hashlib
+
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_jpeg,
+        encode_jpeg,
+        resize_nearest,
+    )
+
+    payload = encode_jpeg(_smooth_img(16, 12), quality=85)
+    t, feats = decode_features(payload)
+    assert t == "jpeg" and len(feats) == 16
+    # features computed from the decoded pixels, not a stub digest
+    assert feats == decode_features(encode_bmp(decode_jpeg(payload)))[1][:16]
+    ln, dg = resize_payload(payload, 4, 4)
+    want = encode_jpeg(resize_nearest(decode_jpeg(payload), 4, 4))
+    assert ln == len(want) and dg == hashlib.md5(want).hexdigest()
+
+
+def test_jpeg_malformed_and_progressive_fall_back_to_stub():
+    from dss_plugin_nlp_preparation_spark.media import (
+        UnsupportedMediaError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # progressive (SOF2) is out of the baseline profile -> stub fallback
+    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    bad = [
+        prog,
+        b"\xff\xd8\xff",
+        b"\xff\xd8\xff\xe0junkjunkjunkjunk",
+        encode_jpeg(_img(8, 8))[:40],  # truncated mid-header
+    ]
+    for payload in bad:
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(payload)
+        t, feats = decode_features(payload)
+        assert t is None and feats == decode_stub(payload)
+        assert resize_payload(payload, 4, 4) is not None
 
 
 def test_png_real_features_and_resize():

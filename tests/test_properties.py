@@ -261,3 +261,33 @@ def test_png_filter_unfiltering_property(h, w, seed, ftypes):
     ).reshape(h, w, 3)
     rows = [ftypes[y % len(ftypes)] for y in range(h)]
     assert (decode_png(_filter_png_rows(img, rows)) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from(["4:4:4", "4:2:0"]),
+    st.integers(50, 95),
+)
+def test_jpeg_shape_and_determinism_property(h, w, seed, sub, quality):
+    """decode(encode(img)) always yields the original HxWx3 uint8 shape
+    (crop of the MCU-padded plane), byte-identical across calls, and a
+    constant-color image — pure DC energy — survives within quantizer
+    rounding of one level."""
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.media import decode_jpeg, encode_jpeg
+
+    img = ((np.arange(h * w * 3, dtype=np.int64) * 2654435761 + seed) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    p = encode_jpeg(img, quality=quality, subsampling=sub)
+    assert p == encode_jpeg(img, quality=quality, subsampling=sub)
+    out = decode_jpeg(p)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, decode_jpeg(p))
+    flat = np.full((h, w, 3), (seed % 256), np.uint8)
+    got = decode_jpeg(encode_jpeg(flat, quality=quality, subsampling=sub))
+    assert np.abs(got.astype(int) - int(seed % 256)).max() <= 3
