@@ -65,15 +65,46 @@ def run():
     res = quality_filter_pipeline(pages, with_perplexity=True)
     return res.select(F.sum(F.col("keep").cast("long"))).collect()[0][0]
 run(); run()
-best, kept = None, 0
-for _ in range(2):
-    t0 = time.perf_counter()
+
+# Storm detection over OUR cores only (the process tree is affinity-
+# confined, so machine-wide /proc/stat would dilute a convoy hitting
+# our 2-core slice 16x): sum the per-cpu tick vectors of the affinity
+# set; a pass whose window spent >= 0.35 of those cores' time in
+# sys+steal overlapped a hypervisor lock-holder-preemption convoy
+# (user ~1% / sys 60-98% / steal 14-21% signature, see BASELINE.md)
+# and cannot be trusted as a throughput sample.
+AFF = set(os.sched_getaffinity(0))
+def cpu_ticks():
+    tot = None
+    with open("/proc/stat") as f:
+        for line in f:
+            p = line.split()
+            if p and p[0].startswith("cpu") and p[0][3:].isdigit() and int(p[0][3:]) in AFF:
+                v = list(map(int, p[1:]))
+                tot = v if tot is None else [a + b for a, b in zip(tot, v)]
+    return tot
+def storm_frac(c0, c1):
+    if not c0 or not c1:
+        return 0.0
+    d = [y - x for x, y in zip(c0, c1)]
+    t = sum(d) or 1
+    return (d[2] + (d[7] if len(d) > 7 else 0)) / t
+
+samples = []  # (seconds, storm_frac)
+kept = 0
+for _ in range(5):
+    c0 = cpu_ticks(); t0 = time.perf_counter()
     kept = run()
     dt = time.perf_counter() - t0
-    best = dt if best is None or dt < best else best
+    samples.append((dt, storm_frac(c0, cpu_ticks())))
+    if sum(1 for _, s in samples if s < 0.35) >= 2:
+        break
+best, best_storm = min(samples)
 print(json.dumps({{"cpus": cpus, "rows": n, "kept": int(kept),
                   "seconds": round(best, 3),
-                  "docs_per_sec": round(n / best, 1)}}))
+                  "docs_per_sec": round(n / best, 1),
+                  "best_pass_storm_frac": round(best_storm, 3),
+                  "n_stormy_passes": sum(1 for _, s in samples if s >= 0.35)}}))
 spark.stop()
 """
 
@@ -81,12 +112,20 @@ spark.stop()
 def run_level(cpus: int, rows: int, mode: str = "full") -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _CHILD.format(repo=repo)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(rows), mode],
-        capture_output=True, text=True, check=True,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # one full-level retry if every timed pass inside the child
+    # overlapped a contention convoy (best_pass_storm_frac >= 0.35):
+    # an efficiency ratio built from a convoy-poisoned level is noise
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", code, str(cpus), str(rows), mode],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        res = json.loads(line)
+        if res.get("best_pass_storm_frac", 0.0) < 0.35:
+            return res
+    res["level_retried_still_stormy"] = True
+    return res
 
 
 def main() -> int:
