@@ -531,6 +531,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "thumb_digest",
         )
 
+    def q_media_metadata(spark, sf_dir):
+        # ffprobe-style header-only probing (MP3 frame headers, MP4 box
+        # tree, image SOF/IHDR) over the deterministic synthetic media
+        # table; the frozen oracle runs the same make_payload/probe_media
+        # kernels single-process. NULL metadata renders as -1/'' so the
+        # driver's pandas canonicalizer never sees a nullable int column
+        # (which it would coerce to float64).
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+            probe_media_metadata,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.media import synthesize_media
+
+        out = probe_media_metadata(
+            synthesize_media(spark, 500, 8), payload_column="payload"
+        )
+        int_cols = [
+            "width",
+            "height",
+            "duration_ms",
+            "sample_rate",
+            "channels",
+            "bitrate_kbps",
+            "n_frames",
+        ]
+        return out.select(
+            "url",
+            F.coalesce(F.col("format"), F.lit("")).alias("format"),
+            *[
+                F.coalesce(F.col(c).cast("long"), F.lit(-1)).alias(c)
+                for c in int_cols
+            ],
+            F.coalesce(F.col("codec"), F.lit("")).alias("codec"),
+        )
+
     def q_video_frames(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.multimodal import (
             sample_video_frames,
@@ -1043,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entries below are demos/aux or
         #      subsumed variants; still oracle-checked by
         #      tools/check_oracle.py) ----
+        "media_metadata": q_media_metadata,
         "incremental_dedup": q_incremental_dedup,
         "media_features": q_media_features,
         "length_quantiles": q_length_quantiles,
@@ -1221,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _frozen("html_extract"),
         "semantic_dedup": _frozen("semantic_dedup"),
         "media_real_decode": _frozen("media_real_decode"),
+        "media_metadata": _frozen("media_metadata"),
         "perplexity_bigram": _frozen("perplexity_bigram"),
         "embedding_near_dup": _frozen("embedding_near_dup"),
         "pages_pipeline": _frozen("pages_pipeline"),

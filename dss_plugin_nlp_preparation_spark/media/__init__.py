@@ -15,3 +15,10 @@ from .codecs import (  # noqa: F401
     resize_nearest,
 )
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
+from .containers import (  # noqa: F401
+    encode_mp3,
+    encode_mp4,
+    probe_media,
+    probe_mp3,
+    probe_mp4,
+)

@@ -1,0 +1,548 @@
+# -*- coding: utf-8 -*-
+"""Container/metadata probing for web media — ffprobe-style, no decode.
+
+A crawl pipeline rarely needs pixels or samples from every asset; it
+needs *metadata* — format, dimensions, duration, sample rate, codec —
+to route, filter, and bucket media rows cheaply. This module reads that
+metadata straight from container headers, so it works even for formats
+whose entropy-coded payload this sandbox cannot decode (MP3's MDCT
+synthesis, MP4's H.264):
+
+- **MP3** (MPEG-1/2/2.5 audio layers I-III): skip an ID3v2 tag
+  (synchsafe size), then walk frame headers — version/layer/bitrate/
+  sample-rate fields give each frame's byte length and sample count
+  without touching the audio data. Duration, average bitrate, channel
+  mode, and frame count come out exact.
+- **MP4** (ISO BMFF, ISO 14496-12): walk the box tree — ftyp brand,
+  mvhd movie duration, per-trak tkhd dimensions, mdhd timescale, hdlr
+  handler type, stsd codec fourcc, stts sample counts.
+- **Images/audio the sibling codecs decode** (JPEG/PNG/BMP/PPM/WAV/
+  FRMS): header-only parses — e.g. JPEG dimensions come from the SOF
+  segment, which is readable even for progressive streams the baseline
+  decoder refuses.
+
+Everything is a pure function of the payload bytes (no RNG, no
+platform variation), so probed metadata is frozen-oracle-replayable.
+Synthesizers (:func:`encode_mp3`, :func:`encode_mp4`) fabricate
+structurally-valid payloads for tests and the synthetic media table;
+their entropy payloads are deterministic filler (a real encoder needs
+DSP libraries this environment lacks), which is irrelevant to header
+probing.
+
+Reference parity note: the reference plugin (dss-plugin-nlp-preparation)
+is text-only; this module belongs to the engine's LLM-training-data
+extensions (SURVEY.md "multimodal columns").
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .codecs import UnsupportedMediaError
+
+# ---------------------------------------------------------------------------
+# MP3
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, indexed [version_group][layer][bitrate_index];
+# index 0 = free-format, 15 = invalid (public spec, ISO 11172-3 / 13818-3)
+_BITRATES_V1 = {
+    1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_BITRATES_V2 = {
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_SAMPLE_RATES = {
+    # version key -> (idx0, idx1, idx2); idx 3 reserved
+    1: (44100, 48000, 32000),  # MPEG-1
+    2: (22050, 24000, 16000),  # MPEG-2
+    25: (11025, 12000, 8000),  # MPEG-2.5
+}
+_CHANNEL_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+
+def _id3v2_size(b: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 if none)."""
+    if len(b) < 10 or b[:3] != b"ID3":
+        return 0
+    if b[3] == 0xFF or b[4] == 0xFF:
+        return 0
+    size = 0
+    for k in b[6:10]:
+        if k & 0x80:  # synchsafe bytes must have the high bit clear
+            return 0
+        size = (size << 7) | k
+    total = 10 + size
+    if b[5] & 0x10:  # footer present flag
+        total += 10
+    return total
+
+
+def _parse_mp3_frame_header(hdr: int):
+    """32-bit big-endian frame header -> (frame_bytes, samples, rate,
+    channels, bitrate_kbps) or None if invalid."""
+    if (hdr >> 21) & 0x7FF != 0x7FF:
+        return None
+    ver_bits = (hdr >> 19) & 0x3
+    layer_bits = (hdr >> 17) & 0x3
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    layer = 4 - layer_bits  # 1, 2, 3
+    br_idx = (hdr >> 12) & 0xF
+    sr_idx = (hdr >> 10) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format unsupported; reserved rate invalid
+    if (hdr & 0x3) == 2:
+        return None  # reserved emphasis
+    bitrate = (_BITRATES_V1 if version == 1 else _BITRATES_V2)[layer][br_idx]
+    rate = _SAMPLE_RATES[version][sr_idx]
+    padding = (hdr >> 9) & 0x1
+    channels = 1 if ((hdr >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        samples = 384
+        frame_bytes = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or version == 1) else 576
+        frame_bytes = samples // 8 * bitrate * 1000 // rate + padding
+    if frame_bytes < 4:
+        return None
+    return frame_bytes, samples, rate, channels, bitrate
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Walk MP3 frame headers -> exact stream metadata, no audio decode.
+
+    Requires >= 2 consecutive valid frames starting at the first sync
+    (after any ID3v2 tag) — a single false sync in arbitrary bytes is
+    common, two chained frame-size-consistent syncs are not. A truncated
+    final frame ends the walk (crawl tolerance); a trailing 128-byte
+    ID3v1 "TAG" block is ignored.
+    """
+    b = bytes(payload or b"")
+    i = _id3v2_size(b)
+    n = len(b)
+    if n >= 128 and b[n - 128 : n - 125] == b"TAG":
+        n -= 128
+    frames = 0
+    total_samples = 0
+    total_bytes = 0
+    rate = channels = None
+    bitrates = set()
+    while i + 4 <= n:
+        hdr = struct.unpack(">I", b[i : i + 4])[0]
+        f = _parse_mp3_frame_header(hdr)
+        if f is None:
+            break
+        fb, samples, r, ch, br = f
+        if rate is None:
+            rate, channels = r, ch
+        elif r != rate:
+            break  # rate switch mid-stream: treat as end
+        if i + fb > n:
+            break  # truncated final frame
+        frames += 1
+        total_samples += samples
+        total_bytes += fb
+        bitrates.add(br)
+        i += fb
+    if frames < 2 or rate is None:
+        raise UnsupportedMediaError("not an MP3 frame stream")
+    duration = total_samples / rate
+    return {
+        "format": "mp3",
+        "duration_ms": round(duration * 1000),
+        "sample_rate": rate,
+        "channels": channels,
+        "bitrate_kbps": round(total_bytes * 8 / duration / 1000),
+        "n_frames": frames,
+        "codec": "mp3" if len(bitrates) == 1 else "mp3-vbr",
+    }
+
+
+def encode_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    mono: bool = True,
+    fill: bytes = b"\x00",
+    id3_title: str | None = None,
+) -> bytes:
+    """Structurally-valid MPEG-1 Layer III stream: correct frame headers
+    and sizes, deterministic filler audio data (header probing never
+    reads it). CBR, no padding, no CRC."""
+    br_idx = _BITRATES_V1[3].index(bitrate_kbps)
+    sr_idx = _SAMPLE_RATES[1].index(sample_rate)
+    hdr = (
+        (0x7FF << 21)
+        | (0x3 << 19)  # MPEG-1
+        | (0x1 << 17)  # Layer III
+        | (0x1 << 16)  # no CRC
+        | (br_idx << 12)
+        | (sr_idx << 10)
+        | ((0x3 if mono else 0x0) << 6)
+    )
+    frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
+    body = (fill * frame_bytes)[: frame_bytes - 4]
+    frame = struct.pack(">I", hdr) + body
+    out = bytearray()
+    if id3_title is not None:
+        t = id3_title.encode()
+        tag_frame = b"TIT2" + struct.pack(">I", len(t) + 1) + b"\x00\x00\x00" + t
+        size = len(tag_frame)
+        synchsafe = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3\x03\x00\x00" + synchsafe + tag_frame
+    out += frame * n_frames
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO base media file format)
+# ---------------------------------------------------------------------------
+
+_CONTAINER_BOXES = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for boxes in [start, end);
+    stops at the first malformed/truncated box header."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        typ = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def _fixed_16_16(v: int) -> int:
+    return v >> 16
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Box-tree walk -> movie metadata, no sample data touched.
+
+    Duration from mvhd (movie timescale), dimensions from the first
+    video trak's tkhd, codecs from each trak's stsd fourcc, frame count
+    from the video trak's stts. Truncated mdat is irrelevant — all the
+    metadata lives in moov.
+    """
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise UnsupportedMediaError("not an MP4 (no ftyp)")
+    brand = b[8:12].decode("latin-1")
+    duration_ms = None
+    width = height = None
+    n_video = n_audio = 0
+    n_frames = None
+    sample_rate = None
+    codecs: list[str] = []
+
+    def parse_mvhd(p0: int, p1: int) -> None:
+        nonlocal duration_ms
+        v = b[p0]
+        if v == 1 and p1 - p0 >= 32:
+            ts = struct.unpack(">I", b[p0 + 20 : p0 + 24])[0]
+            dur = struct.unpack(">Q", b[p0 + 24 : p0 + 32])[0]
+        elif p1 - p0 >= 20:
+            ts = struct.unpack(">I", b[p0 + 12 : p0 + 16])[0]
+            dur = struct.unpack(">I", b[p0 + 16 : p0 + 20])[0]
+        else:
+            return
+        if ts:
+            duration_ms = round(dur * 1000 / ts)
+
+    def parse_trak(t0: int, t1: int) -> None:
+        nonlocal width, height, n_video, n_audio, n_frames, sample_rate
+        handler = None
+        tk_w = tk_h = None
+        mdhd_ts = None
+        stsd_codec = None
+        stts_samples = None
+
+        def walk(lo: int, hi: int) -> None:
+            nonlocal handler, tk_w, tk_h, mdhd_ts, stsd_codec, stts_samples
+            for typ, p0, p1 in _walk_boxes(b, lo, hi):
+                if typ in _CONTAINER_BOXES:
+                    walk(p0, p1)
+                elif typ == b"tkhd" and p1 - p0 >= 8:
+                    # width/height: the final 8 bytes, 16.16 fixed point
+                    w_raw, h_raw = struct.unpack(">II", b[p1 - 8 : p1])
+                    tk_w, tk_h = _fixed_16_16(w_raw), _fixed_16_16(h_raw)
+                elif typ == b"mdhd" and p1 - p0 >= 20:
+                    v = b[p0]
+                    off = p0 + (20 if v == 1 else 12)
+                    if off + 4 <= p1:
+                        mdhd_ts = struct.unpack(">I", b[off : off + 4])[0]
+                elif typ == b"hdlr" and p1 - p0 >= 12:
+                    handler = b[p0 + 8 : p0 + 12]
+                elif typ == b"stsd" and p1 - p0 >= 16:
+                    stsd_codec = b[p0 + 12 : p0 + 16].decode("latin-1")
+                elif typ == b"stts" and p1 - p0 >= 8:
+                    cnt = struct.unpack(">I", b[p0 + 4 : p0 + 8])[0]
+                    total = 0
+                    for k in range(cnt):
+                        off = p0 + 8 + 8 * k
+                        if off + 8 > p1:
+                            break
+                        total += struct.unpack(">I", b[off : off + 4])[0]
+                    stts_samples = total
+
+        walk(t0, t1)
+        if stsd_codec:
+            codecs.append(stsd_codec)
+        if handler == b"vide":
+            n_video += 1
+            if width is None and tk_w:
+                width, height = tk_w, tk_h
+            if n_frames is None and stts_samples is not None:
+                n_frames = stts_samples
+        elif handler == b"soun":
+            n_audio += 1
+            # convention: an audio track's mdhd timescale is its rate
+            if sample_rate is None and mdhd_ts:
+                sample_rate = mdhd_ts
+
+    for typ, p0, p1 in _walk_boxes(b, 0, len(b)):
+        if typ == b"moov":
+            for t2, q0, q1 in _walk_boxes(b, p0, p1):
+                if t2 == b"mvhd":
+                    parse_mvhd(q0, q1)
+                elif t2 == b"trak":
+                    parse_trak(q0, q1)
+    if duration_ms is None and not codecs:
+        raise UnsupportedMediaError("mp4: no moov metadata")
+    return {
+        "format": "mp4",
+        "brand": brand,
+        "duration_ms": duration_ms,
+        "width": width,
+        "height": height,
+        "n_video_tracks": n_video,
+        "n_audio_tracks": n_audio,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "codec": ",".join(codecs) if codecs else None,
+    }
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def encode_mp4(
+    duration_ms: int = 2000,
+    width: int = 64,
+    height: int = 48,
+    n_frames: int = 48,
+    with_audio: bool = False,
+    audio_rate: int = 44100,
+    mdat_fill: bytes = b"\x00" * 64,
+) -> bytes:
+    """Minimal structurally-valid ISO BMFF file: ftyp + moov (mvhd, one
+    avc1 video trak with stts, optional mp4a audio trak) + mdat filler.
+    Sample data is deterministic filler — probing reads only moov."""
+    ts = 1000
+    dur = duration_ms * ts // 1000
+
+    def full(typ: bytes, body: bytes, version: int = 0) -> bytes:
+        return _box(typ, bytes([version, 0, 0, 0]) + body)
+
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, ts, dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 3),
+    )
+
+    def trak(handler: bytes, codec: bytes, w: int, h: int, media_ts: int, n_samp: int):
+        tkhd = full(
+            b"tkhd",
+            struct.pack(">IIIII", 0, 0, 1, 0, dur)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+            version=0,
+        )
+        mdhd = full(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, media_ts, dur * media_ts // ts)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + handler + b"\x00" * 12 + b"\x00")
+        entry = _box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70)
+        stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+        stts = full(b"stts", struct.pack(">III", 1, n_samp, max(media_ts // 25, 1)))
+        stbl = _box(b"stbl", stsd + stts)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    traks = trak(b"vide", b"avc1", width, height, ts, n_frames)
+    if with_audio:
+        traks += trak(b"soun", b"mp4a", 0, 0, audio_rate, duration_ms * audio_rate // 1000)
+    moov = _box(b"moov", mvhd + traks)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + _box(b"mdat", mdat_fill)
+
+
+# ---------------------------------------------------------------------------
+# unified header-only probe
+# ---------------------------------------------------------------------------
+
+_SOF_MARKERS = {0xC0: "jpeg-baseline", 0xC1: "jpeg-extended", 0xC2: "jpeg-progressive"}
+
+
+def _probe_jpeg(b: bytes) -> dict:
+    """Dimensions from the SOF segment — works for progressive streams
+    the baseline decoder (media/jpeg.py) refuses."""
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            seg = b[i + 4 : i + 2 + seglen]
+            if len(seg) >= 6:
+                h, w = struct.unpack(">HH", seg[1:5])
+                return {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "channels": seg[5],
+                    "codec": _SOF_MARKERS.get(marker, "jpeg-other"),
+                }
+        i += 2 + seglen
+    raise UnsupportedMediaError("jpeg: no SOF")
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _probe_png(b: bytes) -> dict:
+    if len(b) < 29 or b[12:16] != b"IHDR":
+        raise UnsupportedMediaError("png: no IHDR")
+    w, h = struct.unpack(">II", b[16:24])
+    color_type = b[25]
+    if color_type not in _PNG_CHANNELS:
+        raise UnsupportedMediaError("png: bad color type")
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "channels": _PNG_CHANNELS[color_type],
+        "codec": "png",
+    }
+
+
+def probe_media(payload: bytes | None) -> dict:
+    """Header-only metadata for any supported payload; TOTAL — junk or
+    unsupported bytes return ``{"format": None}`` rather than raising.
+
+    Keys (absent -> None): format, width, height, duration_ms,
+    sample_rate, channels, bitrate_kbps, n_frames, codec.
+    """
+    base = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "sample_rate": None,
+        "channels": None,
+        "bitrate_kbps": None,
+        "n_frames": None,
+        "codec": None,
+    }
+    b = bytes(payload or b"")
+    try:
+        if b[:3] == b"\xFF\xD8\xFF":
+            return {**base, **_probe_jpeg(b)}
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return {**base, **_probe_png(b)}
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return {
+                **base,
+                "format": "bmp",
+                "width": w,
+                "height": abs(h),
+                "channels": 3,
+                "codec": "bmp",
+            }
+        if b[:2] == b"P6":
+            toks = b[2:64].split()
+            w, h = int(toks[0]), int(toks[1])
+            return {
+                **base,
+                "format": "ppm",
+                "width": w,
+                "height": h,
+                "channels": 3,
+                "codec": "ppm",
+            }
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            from .codecs import decode_wav
+
+            samples, rate, channels = decode_wav(b)
+            return {
+                **base,
+                "format": "wav",
+                "duration_ms": round(len(samples) / max(rate, 1) / max(channels, 1) * 1000),
+                "sample_rate": rate,
+                "channels": channels,
+                "bitrate_kbps": round(rate * channels * 16 / 1000),
+                "n_frames": len(samples) // max(channels, 1),
+                "codec": "pcm_s16le",
+            }
+        if b[:4] == b"FRMS":
+            from .codecs import decode_frames
+
+            frames = decode_frames(b)
+            out = {**base, "format": "frames", "n_frames": len(frames), "codec": "frms"}
+            if frames:
+                first = probe_media(frames[0])
+                out["width"], out["height"] = first["width"], first["height"]
+            return out
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            m = probe_mp4(b)
+            return {
+                **base,
+                "format": "mp4",
+                "width": m["width"],
+                "height": m["height"],
+                "duration_ms": m["duration_ms"],
+                "sample_rate": m["sample_rate"],
+                "channels": (1 if m["n_audio_tracks"] else None),
+                "n_frames": m["n_frames"],
+                "codec": m["codec"],
+            }
+        if b[:3] == b"ID3" or (len(b) > 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+            return {**base, **probe_mp3(b)}
+    except (UnsupportedMediaError, struct.error, ValueError, IndexError, ZeroDivisionError):
+        pass
+    return base

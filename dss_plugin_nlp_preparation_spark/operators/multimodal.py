@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     ArrayType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -336,3 +337,66 @@ def sample_video_frames(
             )
 
     return df.select(url_column, payload_column).mapInPandas(_frames, FRAME_SCHEMA)
+
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+_METADATA_KEYS = (
+    "format",
+    "width",
+    "height",
+    "duration_ms",
+    "sample_rate",
+    "channels",
+    "bitrate_kbps",
+    "n_frames",
+    "codec",
+)
+
+
+def probe_media_metadata(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+) -> DataFrame:
+    """mapInPandas: ffprobe-style header-only metadata per payload.
+
+    Probing reads container headers only (MP3 frame headers, MP4 moov
+    boxes, image SOF/IHDR segments — see ``media/containers.py``), so it
+    stays cheap even for formats whose entropy payload has no decoder
+    here (MP3 audio, H.264 samples) and for progressive JPEGs the
+    baseline decoder refuses. The binary column is consumed inside the
+    UDF batch and pruned from the output — at 100 TB, downstream
+    routing/filtering on (format, dims, duration) never shuffles a blob.
+    Unrecognized payloads yield NULL metadata (total, like the other
+    media operators)."""
+    from dss_plugin_nlp_preparation_spark.media import probe_media
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [probe_media(p) for p in pdf[payload_column]]
+            out = {"url": pdf[url_column].astype(str)}
+            for key in _METADATA_KEYS:
+                dtype = {
+                    "format": None,
+                    "codec": None,
+                    "duration_ms": "Int64",
+                }.get(key, "Int32")
+                vals = [m[key] for m in metas]
+                out[key] = pd.array(vals, dtype=dtype) if dtype else vals
+            yield pd.DataFrame(out)
+
+    return df.select(url_column, payload_column).mapInPandas(_probe, METADATA_SCHEMA)

@@ -1,11 +1,13 @@
 # -*- coding: utf-8 -*-
 """Deterministic synthetic media table: (media_id, url, payload binary).
 
-Payload mix per ``media_id % 7``: real 24-bit BMP, real P6 PPM, real
+Payload mix per ``media_id % 9``: real 24-bit BMP, real P6 PPM, real
 PCM-16 WAV, real FRMS multi-frame container, undecodable bytes (the
 unsupported-codec stand-in, exercising the documented stub fallback),
-real 8-bit truecolor PNG, and real baseline JPEG (rotating 4:4:4 /
-4:2:0 / grayscale).
+real 8-bit truecolor PNG, real baseline JPEG (rotating 4:4:4 / 4:2:0 /
+grayscale), structurally-valid MP3 (metadata-probe path — frame
+headers real, audio data filler), and structurally-valid MP4 (ditto;
+rotating video-only / video+audio, some with ID3-tagged MP3s).
 Content is a pure function of the id (``_rng_ints``-style chained md5 —
 no RNG state), so the Spark relation and the single-process oracle
 kernel fabricate byte-identical payloads.
@@ -25,6 +27,8 @@ from dss_plugin_nlp_preparation_spark.media import (
     encode_bmp,
     encode_frames,
     encode_jpeg,
+    encode_mp3,
+    encode_mp4,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -52,7 +56,25 @@ def _seed_bytes(i: int, n: int) -> np.ndarray:
 def make_payload(i: int) -> bytes:
     """The payload for media_id ``i`` — shared by the Spark synthesizer
     and the frozen-oracle kernel (tools/freeze_oracles.py)."""
-    kind = i % 7
+    kind = i % 9
+    if kind == 7:  # MP3: real frame headers, deterministic filler audio
+        return encode_mp3(
+            n_frames=4 + i % 20,
+            bitrate_kbps=(64, 128, 192)[i % 3],
+            sample_rate=(44100, 48000, 32000)[(i // 3) % 3],
+            mono=i % 2 == 0,
+            fill=bytes(_seed_bytes(i, 16)),
+            id3_title=f"track {i}" if i % 4 == 0 else None,
+        )
+    if kind == 8:  # MP4: real box tree, filler mdat
+        return encode_mp4(
+            duration_ms=500 + (i % 40) * 100,
+            width=(160, 320, 640)[i % 3],
+            height=(120, 240, 360)[i % 3],
+            n_frames=12 + i % 50,
+            with_audio=i % 2 == 1,
+            mdat_fill=bytes(_seed_bytes(i, 32 + i % 64)),
+        )
     if kind == 6:  # baseline JPEG, rotating 4:4:4 / 4:2:0 / grayscale
         h, w = 9 + i % 12, 8 + i % 10
         if i % 3 == 2:

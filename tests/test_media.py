@@ -419,3 +419,133 @@ def test_png_real_features_and_resize():
     import hashlib
 
     assert ln == len(want) and dg == hashlib.md5(want).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# container metadata probing (media/containers.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_probe_round_trip():
+    from dss_plugin_nlp_preparation_spark.media import encode_mp3, probe_mp3
+
+    p = encode_mp3(38, bitrate_kbps=128, sample_rate=44100, id3_title="t")
+    m = probe_mp3(p)
+    assert m["format"] == "mp3" and m["n_frames"] == 38
+    assert m["sample_rate"] == 44100 and m["channels"] == 1
+    assert m["bitrate_kbps"] == 128 and m["codec"] == "mp3"
+    # duration = 38 * 1152 / 44100 s
+    assert m["duration_ms"] == round(38 * 1152 / 44100 * 1000)
+    # stereo, different rate, no ID3
+    m2 = probe_mp3(encode_mp3(10, bitrate_kbps=64, sample_rate=32000, mono=False))
+    assert (m2["channels"], m2["sample_rate"], m2["n_frames"]) == (2, 32000, 10)
+
+
+def test_mp3_probe_tolerates_truncation_and_id3v1():
+    from dss_plugin_nlp_preparation_spark.media import encode_mp3, probe_mp3
+
+    p = encode_mp3(10)
+    # truncated mid-final-frame: the complete frames still count
+    assert probe_mp3(p[:-30])["n_frames"] == 9
+    # trailing ID3v1 tag ignored
+    assert probe_mp3(p + b"TAG" + b"\x00" * 125)["n_frames"] == 10
+
+
+def test_mp3_probe_rejects_false_sync():
+    from dss_plugin_nlp_preparation_spark.media import (
+        UnsupportedMediaError,
+        probe_mp3,
+    )
+
+    # one plausible sync word followed by junk: < 2 chained frames
+    for junk in (b"\xff\xfb\x90\x00" + b"junk" * 10, b"ID3\x04\x00\x00\x00\x00\x00\x05abcde", b""):
+        with pytest.raises(UnsupportedMediaError):
+            probe_mp3(junk)
+
+
+def test_mp4_probe_round_trip():
+    from dss_plugin_nlp_preparation_spark.media import encode_mp4, probe_mp4
+
+    m = probe_mp4(encode_mp4(2500, 320, 240, 75, with_audio=True))
+    assert m["format"] == "mp4" and m["brand"] == "isom"
+    assert m["duration_ms"] == 2500
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["n_video_tracks"] == 1 and m["n_audio_tracks"] == 1
+    assert m["n_frames"] == 75 and m["sample_rate"] == 44100
+    assert m["codec"] == "avc1,mp4a"
+    v = probe_mp4(encode_mp4(1000, 64, 48, 25))
+    assert v["n_audio_tracks"] == 0 and v["codec"] == "avc1"
+
+
+def test_mp4_probe_ignores_truncated_mdat():
+    from dss_plugin_nlp_preparation_spark.media import encode_mp4, probe_mp4
+
+    p = encode_mp4(1000, 64, 48, 25)
+    # all metadata lives in moov: chopping the trailing mdat is harmless
+    assert probe_mp4(p[:-20])["duration_ms"] == 1000
+
+
+def test_probe_media_unified_and_total():
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.media import (
+        encode_jpeg,
+        encode_mp3,
+        encode_mp4,
+        encode_png,
+        probe_media,
+    )
+
+    img = np.zeros((24, 31, 3), np.uint8)
+    for payload, fmt, w in [
+        (encode_jpeg(img), "jpeg", 31),
+        (encode_png(img), "png", 31),
+        (encode_bmp(img), "bmp", 31),
+        (encode_mp3(5), "mp3", None),
+        (encode_mp4(1000, 64, 48, 25), "mp4", 64),
+    ]:
+        m = probe_media(payload)
+        assert m["format"] == fmt and m["width"] == w, fmt
+    # progressive JPEG: the baseline decoder refuses it, the probe reads
+    # dimensions from the SOF2 segment anyway
+    import struct as _st
+
+    prog = (
+        b"\xff\xd8\xff\xc2"
+        + _st.pack(">H", 11)
+        + bytes([8])
+        + _st.pack(">HH", 120, 80)
+        + bytes([3, 1, 0x11, 0])
+    )
+    m = probe_media(prog)
+    assert (m["format"], m["width"], m["height"], m["codec"]) == (
+        "jpeg",
+        80,
+        120,
+        "jpeg-progressive",
+    )
+    # totality on junk
+    assert probe_media(b"random junk")["format"] is None
+    assert probe_media(None)["format"] is None
+    assert probe_media(b"\xff\xfb\x00junk")["format"] is None
+
+
+def test_spark_probe_media_metadata(spark):
+    from dss_plugin_nlp_preparation_spark.media import encode_mp3, encode_mp4
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        probe_media_metadata,
+    )
+
+    rows = [
+        ("mp3", bytearray(encode_mp3(20, bitrate_kbps=192))),
+        ("mp4", bytearray(encode_mp4(3000, 640, 360, 90, with_audio=True))),
+        ("img", bytearray(encode_bmp(_img(8, 8)))),
+        ("junk", bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {r["url"]: r for r in probe_media_metadata(df, payload_column="payload").collect()}
+    assert out["mp3"]["format"] == "mp3" and out["mp3"]["bitrate_kbps"] == 192
+    assert out["mp4"]["format"] == "mp4" and out["mp4"]["width"] == 640
+    assert out["mp4"]["duration_ms"] == 3000 and out["mp4"]["n_frames"] == 90
+    assert out["img"]["format"] == "bmp" and out["img"]["width"] == 8
+    assert out["junk"]["format"] is None and out["junk"]["width"] is None

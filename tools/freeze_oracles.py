@@ -583,6 +583,41 @@ def freeze_media_real_decode() -> None:
     _write("media_real_decode", out)
 
 
+def freeze_media_metadata() -> None:
+    """Expected header-only probe output over the 500-row synthetic media
+    table — the SAME make_payload/probe_media kernels the Spark operator
+    runs. NULL metadata renders as -1 (ints) / '' (strings): the driver's
+    pandas canonicalizer turns nullable int columns into float64, which
+    the sentinel sidesteps."""
+    from dss_plugin_nlp_preparation_spark.media import probe_media
+    from dss_plugin_nlp_preparation_spark.sources.media import make_payload
+
+    int_keys = (
+        "width",
+        "height",
+        "duration_ms",
+        "sample_rate",
+        "channels",
+        "bitrate_kbps",
+        "n_frames",
+    )
+    recs = []
+    for i in range(500):
+        m = probe_media(make_payload(i))
+        recs.append(
+            (
+                f"https://media.example.org/item/{i}",
+                m["format"] or "",
+                *(int(m[k]) if m[k] is not None else -1 for k in int_keys),
+                m["codec"] or "",
+            )
+        )
+    out = pd.DataFrame(recs, columns=["url", "format", *int_keys, "codec"])
+    for k in int_keys:
+        out[k] = out[k].astype("int64")
+    _write("media_metadata", out)
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -602,6 +637,7 @@ def main() -> int:
     freeze_html_extract()
     freeze_semantic_dedup(embs)
     freeze_media_real_decode()
+    freeze_media_metadata()
     freeze_near_dup_pairs(docs)
     return 0
 
