@@ -14,7 +14,7 @@ from .codecs import (  # noqa: F401
     encode_wav,
     resize_nearest,
 )
-from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
+from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive  # noqa: F401
 from .containers import (  # noqa: F401
     encode_mp3,
     encode_mp4,

@@ -6,18 +6,24 @@ no codec library — so the baseline sequential-DCT profile is implemented
 here from the public spec, the same way ``codecs.py`` implements PNG
 from RFC 2083:
 
-- **decoder** (the production path): SOI/APPn/COM/DQT/SOF0|SOF1/DHT/
-  DRI/SOS parsing, Huffman entropy decode with byte-destuffing and
+- **decoder** (the production path): SOI/APPn/COM/DQT/SOF0|SOF1|SOF2/
+  DHT/DRI/SOS parsing, Huffman entropy decode with byte-destuffing and
   restart markers, dequantization, zigzag, vectorized 8x8 IDCT (one
   einsum over all blocks of a component), chroma upsampling for 4:4:4 /
-  4:2:2 / 4:2:0 (and grayscale), JFIF full-range YCbCr -> RGB.
-  Progressive (SOF2), arithmetic-coded, hierarchical, and 12-bit
-  streams raise :class:`~.codecs.UnsupportedMediaError` so the
+  4:2:2 / 4:2:0 (and grayscale), JFIF full-range YCbCr -> RGB. Both
+  web-dominant profiles decode: baseline/extended sequential AND
+  progressive (T.81 Annex G — spectral selection, EOB runs, successive
+  approximation with DC/AC refinement scans; a truncated progressive
+  tail yields the partially-refined image, which is exactly the
+  format's intended degradation). Arithmetic-coded, hierarchical, and
+  12-bit streams raise :class:`~.codecs.UnsupportedMediaError` so the
   operators fall back to the documented stub.
-- **encoder** (so tests and synthetic tables can fabricate real
+- **encoders** (so tests and synthetic tables can fabricate real
   payloads without external tools): Annex K quantization tables scaled
-  by libjpeg's quality formula, Annex K standard Huffman tables,
-  4:4:4 or 4:2:0 subsampling, no restarts.
+  by libjpeg's quality formula; sequential with the Annex K standard
+  Huffman tables, and progressive with libjpeg's standard scan script
+  (both produce the same quantized coefficients, so their decodes are
+  bit-identical — the cross-check the tests pin).
 
 Everything is deterministic byte-in/array-out: integer quantization,
 fixed table order, explicit rounding — decode(encode(img)) is bit-stable
@@ -288,12 +294,11 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, comps) ; comps = [(cid, hi, vi, tq)]
+    frame = None  # (h, w, comps, progressive) ; comps = [(cid, hi, vi, tq)]
     restart_interval = 0
+    scans = []  # (scan_info, Ss, Se, Ah, Al, dc_snap, ac_snap, ri, entropy_bytes)
     i = 2
     n = len(b)
-    scan_info = None
-    scan_data_start = None
     while i + 4 <= n:
         if b[i] != 0xFF:
             raise UnsupportedMediaError("jpeg: marker expected")
@@ -301,7 +306,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
         if marker == 0xD8:  # stray SOI
             i += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
         seg = b[i + 4 : i + 2 + seglen]
@@ -323,7 +328,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 nat = np.zeros(64, dtype=np.int32)
                 nat[ZIGZAG] = q  # tables are stored in zigzag order
                 qtables[tq] = nat
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise UnsupportedMediaError("jpeg: only 8-bit precision")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -339,10 +344,10 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 if hv >> 4 not in (1, 2) or hv & 0x0F not in (1, 2):
                     raise UnsupportedMediaError("jpeg: bad sampling factor")
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (h, w, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError("jpeg: non-baseline SOF")
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may be redefined between scans)
             j = 0
             while j + 17 <= len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0x0F
@@ -357,116 +362,80 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 j += 17 + cnt
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: record scan, skip entropy to next marker
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 tt = seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            scan_info = scan
-            scan_data_start = i + 2 + seglen
-            break
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            start = i + 2 + seglen
+            j = start
+            while j + 1 < n:
+                if b[j] == 0xFF and b[j + 1] != 0x00 and not (0xD0 <= b[j + 1] <= 0xD7):
+                    break
+                j += 1
+            else:
+                j = n
+            scans.append(
+                (scan, ss, se, a >> 4, a & 0x0F, dict(huff_dc), dict(huff_ac),
+                 restart_interval, b[start:j])
+            )
+            i = j
+            continue
         # APPn / COM / others: skip
         i += 2 + seglen
-    if frame is None or scan_info is None:
+    if frame is None or not scans:
         raise UnsupportedMediaError("jpeg: missing SOF/SOS")
-    h, w, comps = frame
-    if len(scan_info) != len(comps):
-        raise UnsupportedMediaError("jpeg: interleaved scan expected")
+    h, w, comps, progressive = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax not in (1, 2) or vmax not in (1, 2):
         raise UnsupportedMediaError("jpeg: unsupported subsampling")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # per-component block grids
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    order = []  # (cid, dc_table, ac_table, qtable, hi, vi)
-    for cs, td, ta in scan_info:
-        if cs not in by_id:
-            raise UnsupportedMediaError("jpeg: scan references unknown component")
-        hi, vi, tq = by_id[cs]
-        if td not in huff_dc or ta not in huff_ac or tq not in qtables:
-            raise UnsupportedMediaError("jpeg: missing table")
-        order.append((cs, huff_dc[td], huff_ac[ta], qtables[tq], hi, vi))
-    segments = _destuff(b[scan_data_start:])
-    # decode coefficients: per component, a (mcuy*vi*8, mcux*hi*8) plane
+    # quantized-coefficient planes, natural order; dequantize at the end
     coefs = {
         cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.int32)
-        for cid, _, _, _, hi, vi in order
+        for cid, hi, vi, tq in comps
     }
-    n_mcu = mcux * mcuy
-    mcu_idx = 0
-    pred = {cid: 0 for cid, *_ in order}
-    for seg_bytes in segments:
-        r = _BitReader(seg_bytes)
+    decoded_units = 0
+    for scan in scans:
         try:
-            while mcu_idx < n_mcu:
-                my, mx = divmod(mcu_idx, mcux)
-                for cid, dct, act, qt, hi, vi in order:
-                    plane = coefs[cid]
-                    for vy in range(vi):
-                        for vx in range(hi):
-                            blk = np.zeros(64, dtype=np.int32)
-                            t = _decode_huffman_symbol(r, dct)
-                            diff = _extend(r.receive(t), t)
-                            pred[cid] += diff
-                            blk[0] = pred[cid]
-                            k = 1
-                            while k < 64:
-                                rs = _decode_huffman_symbol(r, act)
-                                rl, sz = rs >> 4, rs & 0x0F
-                                if sz == 0:
-                                    if rl == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += rl
-                                if k > 63:
-                                    raise UnsupportedMediaError(
-                                        "jpeg: AC run overflow"
-                                    )
-                                blk[k] = _extend(r.receive(sz), sz)
-                                k += 1
-                            deq = np.zeros(64, dtype=np.int32)
-                            deq[ZIGZAG] = blk  # blk is in zigzag order
-                            deq *= qt
-                            y0 = (my * vi + vy) * 8
-                            x0 = (mx * hi + vx) * 8
-                            plane[y0 : y0 + 8, x0 : x0 + 8] = deq.reshape(8, 8)
-                mcu_idx += 1
-                if (
-                    restart_interval
-                    and mcu_idx % restart_interval == 0
-                    and mcu_idx < n_mcu
-                ):
-                    break  # next restart segment resumes
+            decoded_units += _decode_jpeg_scan(
+                scan, by_id, coefs, w, h, hmax, vmax, mcux, mcuy, progressive
+            )
         except UnsupportedMediaError:
-            if mcu_idx == 0:
+            if decoded_units == 0:
                 raise
-            break  # truncated tail: keep decoded MCUs (crawl tolerance)
-        if restart_interval and mcu_idx % restart_interval == 0:
-            for cid in pred:
-                pred[cid] = 0
-    # inverse DCT per component plane, vectorized over all blocks
+            break  # truncated tail: keep what's accumulated (crawl tolerance)
+    if decoded_units == 0:
+        raise UnsupportedMediaError("jpeg: empty entropy stream")
+    # dequantize + inverse DCT per component plane, vectorized over blocks
     planes = {}
-    for cid, _, _, _, hi, vi in order:
+    comp_order = [c[0] for c in comps]
+    for cid, hi, vi, tq in comps:
+        if tq not in qtables:
+            raise UnsupportedMediaError("jpeg: missing quant table")
+        qt8 = qtables[tq].reshape(8, 8).astype(np.float64)
         plane = coefs[cid].astype(np.float64)
         ph, pw = plane.shape
         blocks = (
             plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
         )  # (by, bx, 8, 8)
+        blocks = blocks * qt8[None, None, :, :]
         spatial = np.einsum("ux,yvuw,wz->yvxz", _M, blocks, _M, optimize=True)
         img = spatial.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
         # upsample to full resolution (sample replication per JFIF)
         if hi != hmax or vi != vmax:
             img = np.repeat(np.repeat(img, vmax // vi, axis=0), hmax // hi, axis=1)
         planes[cid] = img[:h, :w]
-    if len(order) == 1:
-        y = np.clip(planes[order[0][0]], 0, 255)
+    if len(comp_order) == 1:
+        y = np.clip(planes[comp_order[0]], 0, 255)
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
-    cy, cb, cr = (planes[c[0]] for c in order)
+    cy, cb, cr = (planes[c] for c in comp_order)
     cb = cb - 128.0
     cr = cr - 128.0
     rgb = np.stack(
@@ -478,6 +447,175 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_scan(scan, by_id, coefs, w, h, hmax, vmax, mcux, mcuy, progressive):
+    """Decode one entropy-coded scan into the quantized-coef planes.
+
+    Baseline sequential is the degenerate case: a single interleaved
+    scan with Ss=0, Se=63, Ah=Al=0 — the same DC + AC-first code paths
+    run, with the EOB-run count always landing on zero. Progressive
+    (T.81 Annex G) adds spectral selection (per-scan [Ss, Se] bands),
+    successive approximation (Ah/Al bit-plane passes with refinement
+    scans), and EOB runs spanning blocks. Returns decoded unit count
+    (MCUs for interleaved scans, blocks otherwise); raises on a
+    malformed/truncated stream with nothing decoded.
+    """
+    scan_info, ss, se, ah, al, dc_tabs, ac_tabs, ri, data = scan
+    if ss > se or se > 63:
+        raise UnsupportedMediaError("jpeg: bad spectral band")
+    if progressive and len(scan_info) > 1 and not (ss == 0 and se == 0):
+        raise UnsupportedMediaError("jpeg: interleaved AC scan")
+    order = []  # (cid, dc_table|None, ac_table|None, hi, vi)
+    for cs, td, ta in scan_info:
+        if cs not in by_id:
+            raise UnsupportedMediaError("jpeg: scan references unknown component")
+        hi, vi, _tq = by_id[cs]
+        dct = act = None
+        if ss == 0 and ah == 0:  # DC-first needs a DC table
+            if td not in dc_tabs:
+                raise UnsupportedMediaError("jpeg: missing DC table")
+            dct = dc_tabs[td]
+        if se > 0:  # any AC pass needs the AC table
+            if ta not in ac_tabs:
+                raise UnsupportedMediaError("jpeg: missing AC table")
+            act = ac_tabs[ta]
+        order.append((cs, dct, act, hi, vi))
+    interleaved = len(scan_info) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        cid, _, _, hi, vi = order[0]
+        cw = -(-(w * hi) // hmax)  # ceil(w * hi / hmax): sampled width
+        ch = -(-(h * vi) // vmax)
+        bw_ = -(-cw // 8)
+        bh_ = -(-ch // 8)
+        n_units = bw_ * bh_
+    p1 = 1 << al
+    m1 = -1 << al
+    unit_idx = 0
+    pred = {cid: 0 for cid, *_ in order}
+    eobrun = 0
+    segments = _destuff(data)
+
+    def decode_block(plane, y0, x0, dct, act, cid, r):
+        nonlocal eobrun
+        if ss == 0:
+            if ah == 0:  # DC first (or baseline)
+                t = _decode_huffman_symbol(r, dct)
+                pred[cid] += _extend(r.receive(t), t)
+                plane[y0, x0] = pred[cid] << al
+            else:  # DC refinement: one raw bit
+                if r.read_bit():
+                    plane[y0, x0] |= p1
+        if se == 0:
+            return
+        if ah == 0:  # AC first pass (baseline shares this path)
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = max(ss, 1)
+            while k <= se:
+                rs = _decode_huffman_symbol(r, act)
+                rl, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if rl != 15:
+                        eobrun = (1 << rl) - 1
+                        if rl:
+                            eobrun += r.receive(rl)
+                        break  # EOB for this block (+ eobrun more)
+                    k += 16
+                    continue
+                k += rl
+                if k > se:
+                    raise UnsupportedMediaError("jpeg: AC run overflow")
+                zz = int(ZIGZAG[k])
+                plane[y0 + zz // 8, x0 + zz % 8] = _extend(r.receive(sz), sz) << al
+                k += 1
+            return
+        # AC refinement pass (T.81 G.1.2.3)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huffman_symbol(r, act)
+                rl, sz = rs >> 4, rs & 0x0F
+                val = 0
+                if sz:
+                    if sz != 1:
+                        raise UnsupportedMediaError("jpeg: bad refinement size")
+                    val = p1 if r.read_bit() else m1
+                elif rl != 15:
+                    eobrun = 1 << rl
+                    if rl:
+                        eobrun += r.receive(rl)
+                    break
+                # advance past rl still-zero coefficients, emitting
+                # correction bits for every already-nonzero one passed
+                while k <= se:
+                    zz = int(ZIGZAG[k])
+                    cur = int(plane[y0 + zz // 8, x0 + zz % 8])
+                    if cur != 0:
+                        if r.read_bit() and (cur & p1) == 0:
+                            plane[y0 + zz // 8, x0 + zz % 8] = (
+                                cur + p1 if cur >= 0 else cur + m1
+                            )
+                    else:
+                        rl -= 1
+                        if rl < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    zz = int(ZIGZAG[k])
+                    plane[y0 + zz // 8, x0 + zz % 8] = val
+                k += 1
+        if eobrun > 0:
+            # band tail: correction bits only for already-nonzero coefs
+            while k <= se:
+                zz = int(ZIGZAG[k])
+                cur = int(plane[y0 + zz // 8, x0 + zz % 8])
+                if cur != 0:
+                    if r.read_bit() and (cur & p1) == 0:
+                        plane[y0 + zz // 8, x0 + zz % 8] = (
+                            cur + p1 if cur >= 0 else cur + m1
+                        )
+                k += 1
+            eobrun -= 1
+
+    for seg_bytes in segments:
+        r = _BitReader(seg_bytes)
+        try:
+            while unit_idx < n_units:
+                if interleaved:
+                    my, mx = divmod(unit_idx, mcux)
+                    for cid, dct, act, hi, vi in order:
+                        plane = coefs[cid]
+                        for vy in range(vi):
+                            for vx in range(hi):
+                                decode_block(
+                                    plane,
+                                    (my * vi + vy) * 8,
+                                    (mx * hi + vx) * 8,
+                                    dct,
+                                    act,
+                                    cid,
+                                    r,
+                                )
+                else:
+                    cid, dct, act, hi, vi = order[0]
+                    by, bx = divmod(unit_idx, bw_)
+                    decode_block(coefs[cid], by * 8, bx * 8, dct, act, cid, r)
+                unit_idx += 1
+                if ri and unit_idx % ri == 0 and unit_idx < n_units:
+                    break  # next restart segment resumes
+        except UnsupportedMediaError:
+            if unit_idx == 0:
+                raise
+            return unit_idx  # truncated tail: keep decoded units
+        if ri and unit_idx % ri == 0:  # restart: reset predictors + EOB run
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+    return unit_idx
 
 
 # ---------------------------------------------------------------------------
@@ -697,3 +835,281 @@ def encode_jpeg(
         + bytes(bw_.out)
         + b"\xFF\xD9"
     )
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G) — so tests and the synthetic media
+# table can fabricate real progressive streams covering every decoder
+# scan type: spectral selection, EOB runs, successive approximation
+# ---------------------------------------------------------------------------
+
+# The Annex K AC tables lack the EOBn (n>0) symbols progressive scans
+# need for multi-block EOB runs, so progressive AC scans ship this
+# valid-but-unoptimized table instead: all 256 symbols, 255 at code
+# length 8 + one at length 9 (the all-ones 9-bit code stays unused, as
+# the spec's canonical generation requires).
+_AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_AC_FLAT_VALS = list(range(256))
+
+
+def _scan_dc_first(w, planes, al, dc_tabs, mcux, mcuy):
+    """Interleaved DC-first scan: planes = [(blocks, hi, vi)], Al shift."""
+    preds = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (blocks, hi, vi) in enumerate(planes):
+                dc_tab = dc_tabs[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        yy = min(my * vi + vy, blocks.shape[0] - 1)
+                        yx = min(mx * hi + vx, blocks.shape[1] - 1)
+                        temp = int(blocks[yy, yx, 0]) >> al
+                        t, code = _magnitude(temp - preds[ci])
+                        preds[ci] = temp
+                        hc, hl = dc_tab[t]
+                        w.write(hc, hl)
+                        if t:
+                            w.write(code, t)
+
+
+def _scan_dc_refine(w, planes, al, mcux, mcuy):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for blocks, hi, vi in planes:
+                for vy in range(vi):
+                    for vx in range(hi):
+                        yy = min(my * vi + vy, blocks.shape[0] - 1)
+                        yx = min(mx * hi + vx, blocks.shape[1] - 1)
+                        w.write((int(blocks[yy, yx, 0]) >> al) & 1, 1)
+
+
+def _emit_eobrun(w, ac_tab, state):
+    """Flush a pending EOB run symbol plus the correction bits buffered
+    for the blocks that run covers (the decoder reads those bits in each
+    covered block's band-tail pass, immediately after the EOB symbol's
+    appended run-length bits).
+
+    Two distinct bit buffers mirror libjpeg's BE/BR split: ``be_bits``
+    belong to already-EOB'd earlier blocks and flush here with the EOB
+    symbol; ``br_bits`` belong to the current block and flush only after
+    its next newly-nonzero symbol+sign (or ZRL), where the decoder's
+    walk-forward pass consumes them."""
+    if state["eobrun"] > 0:
+        nbits = state["eobrun"].bit_length() - 1
+        hc, hl = ac_tab[nbits << 4]
+        w.write(hc, hl)
+        if nbits:
+            w.write(state["eobrun"] & ((1 << nbits) - 1), nbits)
+        state["eobrun"] = 0
+        for bit in state["be_bits"]:
+            w.write(bit, 1)
+        state["be_bits"] = []
+
+
+def _scan_ac_first(w, blocks, ss, se, al, ac_tab):
+    """Non-interleaved AC-first scan over one component's block grid."""
+    state = {"eobrun": 0, "be_bits": [], "br_bits": []}
+    for by in range(blocks.shape[0]):
+        for bx in range(blocks.shape[1]):
+            blk = blocks[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                temp = int(blk[k])
+                if temp < 0:
+                    mag = (-temp) >> al
+                    code_bits = ~mag
+                else:
+                    mag = temp >> al
+                    code_bits = mag
+                if mag == 0:
+                    run += 1
+                    continue
+                _emit_eobrun(w, ac_tab, state)
+                while run > 15:
+                    zc, zl = ac_tab[0xF0]
+                    w.write(zc, zl)
+                    run -= 16
+                nbits = mag.bit_length()
+                hc, hl = ac_tab[(run << 4) | nbits]
+                w.write(hc, hl)
+                w.write(code_bits & ((1 << nbits) - 1), nbits)
+                run = 0
+            if run:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    _emit_eobrun(w, ac_tab, state)
+    _emit_eobrun(w, ac_tab, state)
+
+
+def _scan_ac_refine(w, blocks, ss, se, al, ac_tab):
+    """Non-interleaved AC-refinement scan (libjpeg jcphuff algorithm:
+    already-nonzero coefficients buffer one correction bit each, newly
+    nonzero ones emit a run/1 symbol + sign, EOB runs carry the covered
+    blocks' buffered bits across block boundaries)."""
+    state = {"eobrun": 0, "be_bits": [], "br_bits": []}
+    for by in range(blocks.shape[0]):
+        for bx in range(blocks.shape[1]):
+            blk = blocks[by, bx]
+            absval = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = 0  # index (relative) just past the last newly-nonzero coef
+            for j, a in enumerate(absval):
+                if a == 1:
+                    eob = j + 1
+            run = 0
+            for j, a in enumerate(absval):
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15 and j < eob:
+                    _emit_eobrun(w, ac_tab, state)
+                    zc, zl = ac_tab[0xF0]
+                    w.write(zc, zl)
+                    run -= 16
+                    for bit in state["br_bits"]:
+                        w.write(bit, 1)
+                    state["br_bits"] = []
+                if a > 1:  # previously nonzero: one buffered correction bit
+                    state["br_bits"].append(a & 1)
+                    continue
+                _emit_eobrun(w, ac_tab, state)
+                hc, hl = ac_tab[(run << 4) | 1]
+                w.write(hc, hl)
+                w.write(0 if int(blk[ss + j]) < 0 else 1, 1)
+                for bit in state["br_bits"]:
+                    w.write(bit, 1)
+                state["br_bits"] = []
+                run = 0
+            if run > 0 or state["br_bits"]:
+                # trailing zeros fold into an EOB run; this block's
+                # remaining correction bits ride along with it
+                state["eobrun"] += 1
+                state["be_bits"] += state["br_bits"]
+                state["br_bits"] = []
+                if state["eobrun"] == 0x7FFF:
+                    _emit_eobrun(w, ac_tab, state)
+    _emit_eobrun(w, ac_tab, state)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 75, subsampling: str = "4:2:0"
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW gray) -> progressive (SOF2) JFIF JPEG.
+
+    Uses libjpeg's standard simple-progression scan script — DC first at
+    Al=1, split AC bands at Al=1/2, then AC and DC refinement passes down
+    to Al=0 — so a progressive stream round-trips through every Annex G
+    decoder path. The quantized coefficients are identical to
+    :func:`encode_jpeg` at the same quality/subsampling, so both decode
+    to bit-identical pixels."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    if gray:
+        if px.dtype != np.uint8:
+            raise ValueError("encode_jpeg_progressive expects uint8")
+        h, w_ = px.shape
+        ql = _quality_scale(QTABLE_LUMA, quality)
+        yb = _to_zigzag_blocks(px.astype(np.float64), ql)
+        comps = [(yb, 1, 1)]
+        sof_comps = bytes([1, 0x11, 0])
+        dqt = _dqt_seg(0, ql)
+        dht = _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS) + _dht_seg(
+            1, 0, _AC_FLAT_BITS, _AC_FLAT_VALS
+        )
+        dc_tabs = [_build_huffman_encode(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+        # scan script: (comp_indices, Ss, Se, Ah, Al)
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+        nc = 1
+    else:
+        if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+            raise ValueError("encode_jpeg_progressive expects HxWx3 (or HxW) uint8")
+        if subsampling not in ("4:4:4", "4:2:0"):
+            raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+        h, w_, _ = px.shape
+        sub = 2 if subsampling == "4:2:0" else 1
+        ql = _quality_scale(QTABLE_LUMA, quality)
+        qc = _quality_scale(QTABLE_CHROMA, quality)
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        bb = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * bb
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bb + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bb + 128.0
+        if sub == 2:
+            ph, pw = -(-h // 2) * 2, -(-w_ // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w_)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w_)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        comps = [
+            (_to_zigzag_blocks(y, ql), sub, sub),
+            (_to_zigzag_blocks(cb, qc), 1, 1),
+            (_to_zigzag_blocks(cr, qc), 1, 1),
+        ]
+        sof_comps = (
+            bytes([1, (sub << 4) | sub, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+        )
+        dqt = _dqt_seg(0, ql) + _dqt_seg(1, qc)
+        dht = (
+            _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+            + _dht_seg(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+            + _dht_seg(1, 0, _AC_FLAT_BITS, _AC_FLAT_VALS)
+        )
+        dc_tabs = [
+            _build_huffman_encode(_DC_LUMA_BITS, _DC_LUMA_VALS),
+            _build_huffman_encode(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            _build_huffman_encode(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        ]
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),  # DC first, point transform 1
+            ([0], 1, 5, 0, 2),  # Y low-band AC
+            ([1], 1, 63, 0, 1),  # Cb full-band AC
+            ([2], 1, 63, 0, 1),  # Cr
+            ([0], 6, 63, 0, 2),  # Y high-band AC
+            ([0], 1, 63, 2, 1),  # Y refine Al 2 -> 1
+            ([0, 1, 2], 0, 0, 1, 0),  # DC refine
+            ([1], 1, 63, 1, 0),  # Cb refine
+            ([2], 1, 63, 1, 0),  # Cr refine
+            ([0], 1, 63, 1, 0),  # Y refine Al 1 -> 0
+        ]
+        nc = 3
+    ac_flat = _build_huffman_encode(_AC_FLAT_BITS, _AC_FLAT_VALS)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_ // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    out = bytearray(b"\xFF\xD8" + _seg(0xE0, _APP0_JFIF) + dqt)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w_, nc) + sof_comps)
+    out += dht
+    for comp_ids, ss, se, ah, al in script:
+        bw_ = _BitWriter()
+        if ss == 0:
+            planes = [comps[ci] for ci in comp_ids]
+            if ah == 0:
+                _scan_dc_first(bw_, planes, al, [dc_tabs[ci] for ci in comp_ids], mcux, mcuy)
+            else:
+                _scan_dc_refine(bw_, planes, al, mcux, mcuy)
+            # DC scan table ids: per-component DC table, AC id unused (0)
+            comp_hdr = b"".join(
+                bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0]) for ci in comp_ids
+            )
+        else:
+            ci = comp_ids[0]
+            blocks = comps[ci][0]
+            if ah == 0:
+                _scan_ac_first(bw_, blocks, ss, se, al, ac_flat)
+            else:
+                _scan_ac_refine(bw_, blocks, ss, se, al, ac_flat)
+            comp_hdr = bytes([ci + 1, 0x00])  # AC table 0 (the flat table)
+        bw_.flush()
+        out += _seg(
+            0xDA, bytes([len(comp_ids)]) + comp_hdr + bytes([ss, se, (ah << 4) | al])
+        )
+        out += bytes(bw_.out)
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -4,16 +4,18 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs in ``mapInPandas`` batches.
 
-Decoding is REAL for baseline JPEG (the dominant lossy web image
-format — pure-numpy Huffman + IDCT codec in ``..media.jpeg``), PNG
+Decoding is REAL for JPEG — baseline AND progressive, the dominant
+lossy web image format (pure-numpy Huffman + IDCT codec in
+``..media.jpeg``) — plus PNG
 (stdlib zlib + the five PNG filters — the dominant lossless format)
 and the uncompressed formats (BMP, P6 PPM, PCM WAV, and the FRMS frame
 container) — ``..media.codecs``: payloads are sniffed by magic bytes
 and decoded to pixel/sample arrays, features/resizes/frame-samples
 computed from the actual content. Codecs needing libraries absent from
-this environment (progressive JPEG, MP3, MP4) fall back to
+this environment (MP3 audio samples, MP4 video samples) fall back to
 ``decode_stub`` — a deterministic md5 fake, clearly marked — keeping
-the operators total.
+the operators total (their *metadata* still probes for real via
+``probe_media_metadata``).
 
 At 100 TB scale binary payloads dominate row width: the operators here
 project metadata early (column pruning drops the payload as soon as
@@ -115,7 +117,7 @@ def _audio_features(samples, rate: int, channels: int) -> list:
 
 def decode_features(payload: bytes) -> tuple:
     """(detected_type | None, 16 floats): REAL features for supported
-    formats (incl. baseline JPEG and PNG), md5 stub otherwise. Total:
+    formats (incl. baseline + progressive JPEG, and PNG), md5 stub otherwise. Total:
     never raises on arbitrary bytes (a truncated/cropped crawl payload
     falls back)."""
     from dss_plugin_nlp_preparation_spark.media import (

@@ -4,8 +4,8 @@
 Payload mix per ``media_id % 9``: real 24-bit BMP, real P6 PPM, real
 PCM-16 WAV, real FRMS multi-frame container, undecodable bytes (the
 unsupported-codec stand-in, exercising the documented stub fallback),
-real 8-bit truecolor PNG, real baseline JPEG (rotating 4:4:4 / 4:2:0 /
-grayscale), structurally-valid MP3 (metadata-probe path — frame
+real 8-bit truecolor PNG, real JPEG (rotating baseline/progressive x
+4:4:4 / 4:2:0 / grayscale), structurally-valid MP3 (metadata-probe path — frame
 headers real, audio data filler), and structurally-valid MP4 (ditto;
 rotating video-only / video+audio, some with ID3-tagged MP3s).
 Content is a pure function of the id (``_rng_ints``-style chained md5 —
@@ -27,6 +27,7 @@ from dss_plugin_nlp_preparation_spark.media import (
     encode_bmp,
     encode_frames,
     encode_jpeg,
+    encode_jpeg_progressive,
     encode_mp3,
     encode_mp4,
     encode_png,
@@ -75,12 +76,13 @@ def make_payload(i: int) -> bytes:
             with_audio=i % 2 == 1,
             mdat_fill=bytes(_seed_bytes(i, 32 + i % 64)),
         )
-    if kind == 6:  # baseline JPEG, rotating 4:4:4 / 4:2:0 / grayscale
+    if kind == 6:  # JPEG: rotating baseline/progressive x 4:4:4/4:2:0/gray
         h, w = 9 + i % 12, 8 + i % 10
+        enc = encode_jpeg_progressive if i % 5 < 2 else encode_jpeg
         if i % 3 == 2:
-            return encode_jpeg(_seed_bytes(i, h * w).reshape(h, w), quality=80)
+            return enc(_seed_bytes(i, h * w).reshape(h, w), quality=80)
         sub = "4:4:4" if i % 2 == 0 else "4:2:0"
-        return encode_jpeg(
+        return enc(
             _seed_bytes(i, h * w * 3).reshape(h, w, 3), quality=80, subsampling=sub
         )
     if kind == 0:  # BMP, varying odd/even dims to exercise row padding

@@ -378,17 +378,16 @@ def test_jpeg_features_and_resize_real_path():
     assert ln == len(want) and dg == hashlib.md5(want).hexdigest()
 
 
-def test_jpeg_malformed_and_progressive_fall_back_to_stub():
+def test_jpeg_malformed_falls_back_to_stub():
     from dss_plugin_nlp_preparation_spark.media import (
         UnsupportedMediaError,
         decode_jpeg,
         encode_jpeg,
     )
 
-    # progressive (SOF2) is out of the baseline profile -> stub fallback
-    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     bad = [
-        prog,
+        # a progressive SOF with no scan data: headers alone don't decode
+        b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00",
         b"\xff\xd8\xff",
         b"\xff\xd8\xff\xe0junkjunkjunkjunk",
         encode_jpeg(_img(8, 8))[:40],  # truncated mid-header
@@ -399,6 +398,51 @@ def test_jpeg_malformed_and_progressive_fall_back_to_stub():
         t, feats = decode_features(payload)
         assert t is None and feats == decode_stub(payload)
         assert resize_payload(payload, 4, 4) is not None
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """Both encoders quantize to the same coefficients, so decoding the
+    progressive stream (spectral selection + EOB runs + successive
+    approximation, T.81 Annex G) must yield bit-identical pixels to the
+    sequential stream — the strongest cross-check the two entropy
+    codings allow."""
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for img, kwargs in [
+        (_smooth_img(32, 48), {"quality": 80, "subsampling": "4:4:4"}),
+        (_smooth_img(17, 13), {"quality": 80, "subsampling": "4:2:0"}),
+        (_img(24, 28, seed=9), {"quality": 45, "subsampling": "4:2:0"}),
+        (_img(9, 40, seed=2)[..., 0], {"quality": 90}),  # grayscale
+    ]:
+        pb = encode_jpeg(img, **kwargs)
+        pp = encode_jpeg_progressive(img, **kwargs)
+        assert pp[3] == 0xC2 or b"\xff\xc2" in pp  # really SOF2
+        assert np.array_equal(decode_jpeg(pb), decode_jpeg(pp)), kwargs
+
+
+def test_jpeg_progressive_real_feature_path_and_truncation():
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = _smooth_img(16, 12)
+    payload = encode_jpeg_progressive(img, quality=85)
+    t, feats = decode_features(payload)
+    assert t == "jpeg" and feats == decode_features(
+        encode_bmp(decode_jpeg(payload))
+    )[1][:16]
+    # a truncated progressive tail decodes to the partially-refined image
+    # (never an error) once at least the DC scan is in; use an image big
+    # enough that a 70% cut lands in scan data, not the fixed headers
+    big = _img(64, 64, seed=4)
+    p2 = encode_jpeg_progressive(big, quality=70)
+    partial = decode_jpeg(p2[: int(len(p2) * 0.7)])
+    assert partial.shape == (64, 64, 3)
 
 
 def test_png_real_features_and_resize():

@@ -291,3 +291,31 @@ def test_jpeg_shape_and_determinism_property(h, w, seed, sub, quality):
     flat = np.full((h, w, 3), (seed % 256), np.uint8)
     got = decode_jpeg(encode_jpeg(flat, quality=quality, subsampling=sub))
     assert np.abs(got.astype(int) - int(seed % 256)).max() <= 3
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from(["4:4:4", "4:2:0"]),
+    st.integers(30, 95),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, sub, quality):
+    """decode(progressive) == decode(baseline) bit-for-bit at any size,
+    quality, and subsampling — the two entropy codings carry identical
+    quantized coefficients."""
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = ((np.arange(h * w * 3, dtype=np.int64) * 2654435761 + seed) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    a = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    b = decode_jpeg(encode_jpeg_progressive(img, quality=quality, subsampling=sub))
+    assert np.array_equal(a, b)
