@@ -1072,12 +1072,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "cap_per_host": q_cap_per_host,
         "media_real_decode": q_media_real_decode,
-        "video_frames": q_video_frames,
+        "media_metadata": q_media_metadata,
         "salted_host_counts": q_salted_host_counts,
         # ---- driver window boundary (entries below are demos/aux or
         #      subsumed variants; still oracle-checked by
         #      tools/check_oracle.py) ----
-        "media_metadata": q_media_metadata,
+        "video_frames": q_video_frames,
         "incremental_dedup": q_incremental_dedup,
         "media_features": q_media_features,
         "length_quantiles": q_length_quantiles,
