@@ -484,6 +484,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lm = train_bigram_lm(d)
         return add_perplexity_bigram(d, lm).select("doc_id", "log_ppl")
 
+    def q_perplexity_kn(spark, sf_dir):
+        # KenLM's actual estimator, one order up: interpolated Kneser-Ney
+        # trigrams trained as a shrinking-aggregation cascade (one
+        # corpus-sized shuffle), scored by a broadcast Arrow UDF
+        from dss_plugin_nlp_preparation_spark.operators.perplexity_kn import (
+            add_perplexity_kn,
+            train_kn_lm,
+        )
+
+        d = _docs(spark, sf_dir)
+        lm = train_kn_lm(d)
+        return add_perplexity_kn(d, lm).select("doc_id", "log_ppl_kn")
+
     def q_media_features(spark, sf_dir):
         # multimodal plumbing over an opaque binary payload (UTF-8 bytes of
         # text here; a real table carries image/audio blobs) — the md5
@@ -1042,7 +1055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "near_dup_pairs": q_near_dup_pairs,
         "near_dup_clusters": q_near_dup_clusters,
-        "near_dup_clusters_star": q_near_dup_clusters_star,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "fingerprints": q_fingerprints,
@@ -1065,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bpe_token_count_v2": q_bpe_token_count_v2,
         "perplexity_bigram": q_perplexity_bigram,
+        "perplexity_kn": q_perplexity_kn,
         # -- urls / text analysis / multimodal / skew --
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
@@ -1077,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entries below are demos/aux or
         #      subsumed variants; still oracle-checked by
         #      tools/check_oracle.py) ----
+        "near_dup_clusters_star": q_near_dup_clusters_star,
         "video_frames": q_video_frames,
         "incremental_dedup": q_incremental_dedup,
         "media_features": q_media_features,
@@ -1258,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "media_real_decode": _frozen("media_real_decode"),
         "media_metadata": _frozen("media_metadata"),
         "perplexity_bigram": _frozen("perplexity_bigram"),
+        "perplexity_kn": _frozen("perplexity_kn"),
         "embedding_near_dup": _frozen("embedding_near_dup"),
         "pages_pipeline": _frozen("pages_pipeline"),
         "bpe_token_count_v2": _frozen("bpe_token_count_v2"),

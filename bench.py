@@ -355,6 +355,18 @@ def main() -> int:
         .collect(),
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.perplexity_kn import (
+        add_perplexity_kn,
+        train_kn_lm,
+    )
+
+    timed_extra(
+        "perplexity_kn",
+        lambda: add_perplexity_kn(docs, train_kn_lm(docs))
+        .select(F.sum("log_ppl_kn"))
+        .collect(),
+    )
+
     from dss_plugin_nlp_preparation_spark.operators.boilerplate import (
         remove_boilerplate,
     )

@@ -1,0 +1,474 @@
+# -*- coding: utf-8 -*-
+"""Interpolated Kneser-Ney trigram perplexity, trained as a Spark job.
+
+Completes the "KenLM-style n-gram perplexity" ask of the north rule with
+the estimator KenLM actually uses (Kneser-Ney), one order up from the
+interpolated bigram in ``operators/perplexity.py``. Reference parity
+target: the plugin's perplexity-style fluency scoring has no distributed
+analogue — this module is the scale path
+(dss-plugin-nlp-preparation has no LM; SURVEY §2 extensions).
+
+Training is the classic KenLM ``lmplz`` counting cascade, expressed as
+shrinking Spark aggregations (each one shuffle with map-side combine):
+
+1. tokenize once (Arrow UDF, shared with the bigram LM), emit full
+   trigrams via three aligned ``slice``/``arrays_zip`` views — O(tokens),
+   JVM-side, no Python in the explode;
+2. ``groupBy (lang,w1,w2,w3)`` → raw trigram counts c(w1w2w3) — the only
+   corpus-sized shuffle;
+3. every Kneser-Ney statistic derives from the *trigram type table* (far
+   smaller than the corpus):
+   - history counts  c(w1w2) = Σ_w3 c(w1w2w3)  and follower type counts
+     N1+(w1w2·)                       ← one groupBy on the type table
+   - middle type counts N1+(·w2w3)    ← one groupBy
+   - N1+(·w2·) = Σ_w3 N1+(·w2w3)  and N1+(w2·)   ← one groupBy on the
+     (w2,w3) type table
+   - continuation unigrams N1+(·w3), bigram-type totals N1+(··), and the
+     continuation vocabulary size V    ← two tiny groupBys.
+
+Pruning (top-K trigrams / middle types per language under the total order
+``count desc, words asc``) happens AFTER the statistics are taken — the
+smoothing stats describe the unpruned corpus, exactly as KenLM prunes.
+The two-phase salted top-K avoids pulling a whole language's type table
+through one window task (same scheme as ``train_bigram_lm``).
+
+Scoring (fixed discount D, interpolated):
+
+    P3(w3|w1,w2) = max(c(w1w2w3)-D,0)/c(w1w2)
+                   + D·N1+(w1w2·)/c(w1w2) · P2(w3|w2)
+    P2(w3|w2)    = max(N1+(·w2w3)-D,0)/N1+(·w2·)
+                   + D·N1+(w2·)/N1+(·w2·) · P1(w3)
+    P1(w3)       = (N1+(·w3) + α) / (N1+(··) + α·(V+1))
+
+with P3→P2→P1 fallback when the history is absent (pruned or unseen).
+Token 0 scores under P1, token 1 under P2, the rest under P3. The add-α
+floor at the continuation-unigram level keeps OOV tokens finite (KenLM
+reserves explicit <unk> mass; the α floor is this engine's deterministic
+equivalent, documented divergence). D is fixed at 0.75 rather than
+estimated from n1/n2 singleton counts (modified KN) — deterministic under
+any partitioning, and the standard textbook constant.
+
+Determinism / oracle strategy: ``train_kn_counts_py`` is a pure-Python
+replay of the distributed training (Counter == groupBy on exact integer
+counts; the prune order is total, and Python code-point string order ==
+Spark's UTF-8 binary order), and ``score_kn_pandas`` is shared verbatim
+by the Spark UDF and the frozen-oracle replay — agreement is by
+construction, not tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+    _PUNCT_STRIP,
+    _lm_tokens,
+)
+
+_D = 0.75  # fixed Kneser-Ney discount
+_ALPHA_U = 0.5  # add-α floor on the continuation unigram (OOV mass)
+
+# long-format `kind` codes for the counts relation
+_K_TOTALS = 0  # (lang):            n1 = N1+(··) bigram types, n2 = V
+_K_UNI = 1  # (lang, w1=w):         n1 = N1+(·w)
+_K_MIDHIST = 2  # (lang, w1=w2):    n1 = N1+(·w2·), n2 = N1+(w2·)
+_K_HIST = 3  # (lang, w1, w2):      n1 = c(w1w2),   n2 = N1+(w1w2·)
+_K_MID = 4  # (lang, w1=w2, w2=w3): n1 = N1+(·w2w3)
+_K_TRI = 5  # (lang, w1, w2, w3):   n1 = c(w1w2w3)
+
+_SEP = "\x00"  # key joiner (cannot appear in whitespace-split tokens)
+
+
+def _tok_py(t) -> list:
+    """Pure-Python twin of the Arrow tokenizer (same expression)."""
+    if t is None or (isinstance(t, float) and math.isnan(t)):
+        return []
+    return [w for w in (x.strip(_PUNCT_STRIP) for x in str(t).lower().split()) if w]
+
+
+# ---------------------------------------------------------------------------
+# Distributed training
+# ---------------------------------------------------------------------------
+
+
+def train_kn_lm(
+    df: DataFrame,
+    text_column: str = "text",
+    language_column: str | None = "lang",
+    max_trigrams_per_lang: int = 2_000_000,
+    max_midtypes_per_lang: int = 2_000_000,
+    cache_counts: bool = True,
+) -> DataFrame:
+    """Distributed KN training → long-format counts
+    ``(lang, kind, w1, w2, w3, n1, n2)`` (kinds documented at module top).
+
+    One corpus-sized shuffle (the trigram groupBy); everything after runs
+    on the type tables, which at web scale are orders of magnitude smaller
+    than the corpus and shrink at every step — the shape that survives a
+    100× scale-up. Documents shorter than 3 tokens contribute nothing
+    (trigram-only counting; documented divergence from sentence-padded
+    KenLM).
+    """
+    from pyspark.sql import Window
+
+    lang = (
+        F.coalesce(F.col(language_column), F.lit("en"))
+        if language_column
+        else F.lit("en")
+    )
+    toks = df.select(lang.alias("lang"), _lm_tokens(F.col(text_column)).alias("toks"))
+    n = F.size("toks")
+    m = F.greatest(n - 2, F.lit(0))  # number of full trigrams
+    tri_rows = (
+        toks.where(n >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, m).alias("w1"),
+                    F.slice(F.col("toks"), 2, m).alias("w2"),
+                    F.slice(F.col("toks"), 3, m).alias("w3"),
+                )
+            ).alias("t"),
+        )
+        .select("lang", "t.w1", "t.w2", "t.w3")
+    )
+    tri = tri_rows.groupBy("lang", "w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n1"))
+    if cache_counts:
+        # the type table feeds four separate aggregation branches below;
+        # without persisting it Spark re-tokenizes the corpus per branch
+        # (distinct PythonUDF instances defeat exchange reuse). At cluster
+        # scale write it to a table instead and read it back.
+        from pyspark.storagelevel import StorageLevel
+
+        tri = tri.persist(StorageLevel.MEMORY_AND_DISK)
+
+    hist = tri.groupBy("lang", "w1", "w2").agg(
+        F.sum("n1").alias("n1"),  # c(w1w2) as trigram-history mass
+        F.count(F.lit(1)).alias("n2"),  # N1+(w1w2·)
+    )
+    mid = tri.groupBy(
+        "lang", F.col("w2").alias("a"), F.col("w3").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n1"))  # N1+(·w2w3): distinct w1 per (w2,w3)
+    if cache_counts:
+        from pyspark.storagelevel import StorageLevel
+
+        mid = mid.persist(StorageLevel.MEMORY_AND_DISK)
+    midhist = mid.groupBy("lang", "a").agg(
+        F.sum("n1").alias("n1"),  # N1+(·w2·) = Σ_w3 N1+(·w2w3)
+        F.count(F.lit(1)).alias("n2"),  # N1+(w2·)
+    )
+    unic = mid.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("n1"))  # N1+(·w3)
+    totals = mid.groupBy("lang").agg(F.count(F.lit(1)).alias("n1"))  # N1+(··)
+    vocab = unic.groupBy("lang").agg(F.count(F.lit(1)).alias("n2"))  # V
+    totals = totals.join(vocab, "lang")  # ≤ one row per language
+
+    def _topk(rel: DataFrame, cols: list, k: int) -> DataFrame:
+        # two-phase salted top-k: per-(lang, salt-bucket) top-k is a
+        # provable superset of the global top-k under the same total
+        # order, so the single-task window only ranks ≤ 32·k survivors
+        order = [F.desc("n1")] + [F.asc(c) for c in cols]
+        w_salt = Window.partitionBy(
+            "lang", F.pmod(F.xxhash64(*cols), F.lit(32))
+        ).orderBy(*order)
+        w_lang = Window.partitionBy("lang").orderBy(*order)
+        return (
+            rel.withColumn("__r", F.row_number().over(w_salt))
+            .where(F.col("__r") <= k)
+            .withColumn("__r", F.row_number().over(w_lang))
+            .where(F.col("__r") <= k)
+            .drop("__r")
+        )
+
+    tri_kept = _topk(tri, ["w1", "w2", "w3"], max_trigrams_per_lang)
+    # keep exactly the histories of surviving trigrams (≤ K rows/lang →
+    # the semi-join's build side is broadcastable under AQE)
+    hist_kept = hist.join(
+        tri_kept.select("lang", "w1", "w2").distinct(),
+        ["lang", "w1", "w2"],
+        "left_semi",
+    )
+    mid_kept = _topk(mid, ["a", "b"], max_midtypes_per_lang)
+    # midhist / unic / totals stay unpruned: vocabulary-sized, needed for
+    # the backoff weights of pruned or unseen contexts
+
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+
+    def _row(rel, kind, w1, w2, w3, n1, n2):
+        return rel.select(
+            "lang",
+            F.lit(kind).alias("kind"),
+            w1.alias("w1"),
+            w2.alias("w2"),
+            w3.alias("w3"),
+            n1.cast("long").alias("n1"),
+            n2.cast("long").alias("n2"),
+        )
+
+    return (
+        _row(totals, _K_TOTALS, ns, ns, ns, F.col("n1"), F.col("n2"))
+        .unionByName(_row(unic, _K_UNI, F.col("b"), ns, ns, F.col("n1"), nl))
+        .unionByName(
+            _row(midhist, _K_MIDHIST, F.col("a"), ns, ns, F.col("n1"), F.col("n2"))
+        )
+        .unionByName(
+            _row(hist_kept, _K_HIST, F.col("w1"), F.col("w2"), ns, F.col("n1"), F.col("n2"))
+        )
+        .unionByName(_row(mid_kept, _K_MID, F.col("a"), F.col("b"), ns, F.col("n1"), nl))
+        .unionByName(
+            _row(
+                tri_kept,
+                _K_TRI,
+                F.col("w1"),
+                F.col("w2"),
+                F.col("w3"),
+                F.col("n1"),
+                nl,
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python replay (frozen oracle + tests) — same rows as train_kn_lm
+# ---------------------------------------------------------------------------
+
+
+def train_kn_counts_py(
+    texts,
+    langs,
+    max_trigrams_per_lang: int = 2_000_000,
+    max_midtypes_per_lang: int = 2_000_000,
+) -> list:
+    """Single-process replay of ``train_kn_lm``: identical long-format
+    rows (Counter == distributed groupBy on exact integers; the prune
+    order is total and Python string order == Spark UTF-8 binary order)."""
+    from collections import Counter
+
+    tri: Counter = Counter()
+    for t, lang in zip(texts, langs):
+        lang = lang if isinstance(lang, str) and lang else "en"
+        ws = _tok_py(t)
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            tri[(lang, a, b, c)] += 1
+
+    hist: Counter = Counter()
+    hist_fol: Counter = Counter()
+    mid: Counter = Counter()
+    for (lang, a, b, c), n in tri.items():
+        hist[(lang, a, b)] += n
+        hist_fol[(lang, a, b)] += 1
+        mid[(lang, b, c)] += 1
+    midhist: Counter = Counter()
+    midhist_fol: Counter = Counter()
+    unic: Counter = Counter()
+    totals: Counter = Counter()
+    for (lang, b, c), n in mid.items():
+        midhist[(lang, b)] += n
+        midhist_fol[(lang, b)] += 1
+        unic[(lang, c)] += 1
+        totals[lang] += 1
+    vocab: Counter = Counter()
+    for (lang, _c) in unic:
+        vocab[lang] += 1
+
+    def _topk(counter: Counter, k: int) -> dict:
+        per_lang: dict = {}
+        for key, n in counter.items():
+            per_lang.setdefault(key[0], []).append((key, n))
+        kept = {}
+        for lang, items in per_lang.items():
+            items.sort(key=lambda kn: (-kn[1],) + kn[0][1:])
+            for key, n in items[:k]:
+                kept[key] = n
+        return kept
+
+    tri_kept = _topk(tri, max_trigrams_per_lang)
+    kept_hists = {(lang, a, b) for (lang, a, b, _c) in tri_kept}
+    mid_kept = _topk(mid, max_midtypes_per_lang)
+
+    rows = []
+    for lang, n1 in totals.items():
+        rows.append((lang, _K_TOTALS, None, None, None, n1, vocab[lang]))
+    for (lang, w), n1 in unic.items():
+        rows.append((lang, _K_UNI, w, None, None, n1, None))
+    for (lang, w), n1 in midhist.items():
+        rows.append((lang, _K_MIDHIST, w, None, None, n1, midhist_fol[(lang, w)]))
+    for (lang, a, b), n1 in hist.items():
+        if (lang, a, b) in kept_hists:
+            rows.append((lang, _K_HIST, a, b, None, n1, hist_fol[(lang, a, b)]))
+    for (lang, a, b), n1 in mid_kept.items():
+        rows.append((lang, _K_MID, a, b, None, n1, None))
+    for (lang, a, b, c), n1 in tri_kept.items():
+        rows.append((lang, _K_TRI, a, b, c, n1, None))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Model build + scoring (shared verbatim by UDF and oracle replay)
+# ---------------------------------------------------------------------------
+
+
+def build_kn_model(rows: list) -> dict:
+    """Long-format rows → {lang: model dict}; all keys SEP-joined strings."""
+    models: dict = {}
+    for lang, kind, w1, w2, w3, n1, n2 in rows:
+        m = models.setdefault(
+            lang,
+            {
+                "tri": {},
+                "hist": {},
+                "mid": {},
+                "midhist": {},
+                "unic": {},
+                "bt": 0,
+                "V": 0,
+            },
+        )
+        if kind == _K_TOTALS:
+            m["bt"], m["V"] = n1, n2
+        elif kind == _K_UNI:
+            m["unic"][w1] = n1
+        elif kind == _K_MIDHIST:
+            m["midhist"][w1] = (n1, n2)
+        elif kind == _K_HIST:
+            m["hist"][f"{w1}{_SEP}{w2}"] = (n1, n2)
+        elif kind == _K_MID:
+            m["mid"][f"{w1}{_SEP}{w2}"] = n1
+        elif kind == _K_TRI:
+            m["tri"][f"{w1}{_SEP}{w2}{_SEP}{w3}"] = n1
+    return models
+
+
+def _p1(w: str, m: dict) -> float:
+    return (m["unic"].get(w, 0) + _ALPHA_U) / (m["bt"] + _ALPHA_U * (m["V"] + 1))
+
+
+def _p2(w2: str, w3: str, m: dict) -> float:
+    mh = m["midhist"].get(w2)
+    if not mh or mh[0] <= 0:
+        return _p1(w3, m)
+    ctr, fol = mh
+    c = m["mid"].get(f"{w2}{_SEP}{w3}", 0)
+    return max(c - _D, 0.0) / ctr + _D * fol / ctr * _p1(w3, m)
+
+
+def _p3(w1: str, w2: str, w3: str, m: dict) -> float:
+    h = m["hist"].get(f"{w1}{_SEP}{w2}")
+    if not h or h[0] <= 0:
+        return _p2(w2, w3, m)
+    c12, fol = h
+    c = m["tri"].get(f"{w1}{_SEP}{w2}{_SEP}{w3}", 0)
+    return max(c - _D, 0.0) / c12 + _D * fol / c12 * _p2(w2, w3, m)
+
+
+def score_tokens_kn(toks: list, m: dict) -> float | None:
+    """Interpolated-KN log-perplexity per token (P1 / P2 / full P3 for
+    positions 0 / 1 / 2+). Shared verbatim with the frozen-oracle replay."""
+    if not toks:
+        return None
+    total = 0.0
+    for i, w in enumerate(toks):
+        if i == 0:
+            p = _p1(w, m)
+        elif i == 1:
+            p = _p2(toks[0], w, m)
+        else:
+            p = _p3(toks[i - 2], toks[i - 1], w, m)
+        total += math.log(p)
+    return round(-total / len(toks), 4)
+
+
+def score_kn_pandas(texts: pd.Series, langs: pd.Series, models: dict) -> pd.Series:
+    import numpy as np
+
+    out = pd.Series(np.nan, index=texts.index, dtype="float64")
+    eff = langs.fillna("en").replace("", "en")
+    for i in texts.index:
+        m = models.get(eff[i])
+        if m is None:
+            m = models.get("en")
+        if m is None:
+            continue
+        s = score_tokens_kn(_tok_py(texts[i]), m)
+        if s is not None:
+            out[i] = s
+    return out
+
+
+@lru_cache(maxsize=4)
+def _load_kn_from_path(path: str) -> dict:
+    """Executor-side loader for the too-big-to-collect path (pyarrow read,
+    one build per Python worker process — executor-singleton pattern)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["lang", "kind", "w1", "w2", "w3", "n1", "n2"])
+    d = t.to_pydict()
+    return build_kn_model(
+        list(zip(d["lang"], d["kind"], d["w1"], d["w2"], d["w3"], d["n1"], d["n2"]))
+    )
+
+
+def add_perplexity_kn(
+    df: DataFrame,
+    kn_counts: DataFrame,
+    text_column: str = "text",
+    language_column: str | None = "lang",
+    max_driver_rows: int = 2_000_000,
+    model_path: str | None = None,
+) -> DataFrame:
+    """Append ``log_ppl_kn double`` scored against a trained KN trigram LM.
+
+    Model distribution mirrors ``add_perplexity_bigram``: broadcast when
+    the counts fit under ``max_driver_rows``; otherwise (or when
+    ``model_path`` is given) spill to parquet and let each executor's
+    Python workers read it directly — the driver never materializes the
+    model. On a cluster ``model_path`` must be shared storage.
+    """
+    spark = kn_counts.sparkSession
+    cols = ["lang", "kind", "w1", "w2", "w3", "n1", "n2"]
+    use_path = model_path is not None
+    rows = None
+    if not use_path:
+        # single materialization: the limited collect IS the size probe —
+        # training never runs twice on the common broadcast path
+        collected = kn_counts.select(*cols).limit(max_driver_rows + 1).collect()
+        if len(collected) > max_driver_rows:
+            import tempfile
+            import warnings
+
+            model_path = tempfile.mkdtemp(prefix="nlp_spark_kn_lm_")
+            warnings.warn(
+                f"KN LM counts exceed max_driver_rows={max_driver_rows}; "
+                f"spilling model to {model_path} for per-executor load. Pass "
+                "model_path= on shared storage when running on a cluster.",
+                stacklevel=2,
+            )
+            use_path = True
+        else:
+            rows = [tuple(r[c] for c in cols) for r in collected]
+
+    if use_path:
+        kn_counts.select(*cols).write.mode("overwrite").parquet(model_path)
+        path = model_path
+
+        @F.pandas_udf(DoubleType())
+        def _ppl(texts: pd.Series, langs: pd.Series) -> pd.Series:
+            return score_kn_pandas(texts, langs, _load_kn_from_path(path))
+
+    else:
+        models_bc = spark.sparkContext.broadcast(build_kn_model(rows))
+
+        @F.pandas_udf(DoubleType())
+        def _ppl(texts: pd.Series, langs: pd.Series) -> pd.Series:
+            return score_kn_pandas(texts, langs, models_bc.value)
+
+    lang_expr = F.col(language_column) if language_column else F.lit("en")
+    return df.withColumn("log_ppl_kn", _ppl(F.col(text_column), lang_expr))

@@ -1,0 +1,137 @@
+# -*- coding: utf-8 -*-
+"""Interpolated Kneser-Ney trigram LM: distributed training == pure-Python
+replay row-for-row, trigram context sensitivity beyond the bigram model,
+probability sanity, pruning, and the too-big-to-collect spill path."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.perplexity_kn import (
+    _p1,
+    _p2,
+    _p3,
+    add_perplexity_kn,
+    build_kn_model,
+    score_tokens_kn,
+    train_kn_counts_py,
+    train_kn_lm,
+)
+
+_SENT = "the quick brown fox jumps over the lazy dog"
+
+
+def _corpus_rows(n=40):
+    return [(i, _SENT + f" in field number {i % 7}", "en") for i in range(n)]
+
+
+def _corpus(spark, n=40):
+    return spark.createDataFrame(_corpus_rows(n), ["doc_id", "text", "lang"])
+
+
+def _collect_rows(lm):
+    cols = ["lang", "kind", "w1", "w2", "w3", "n1", "n2"]
+    return sorted(
+        tuple(r[c] for c in cols) for r in lm.collect()
+    )
+
+
+def test_distributed_training_matches_replay(spark):
+    rows = _corpus_rows(40)
+    lm = train_kn_lm(_corpus(spark, 40))
+    got = _collect_rows(lm)
+    want = sorted(
+        train_kn_counts_py([r[1] for r in rows], [r[2] for r in rows])
+    )
+    assert got == want
+
+
+def test_replay_matches_under_pruning(spark):
+    # prune to 5 trigrams / 5 middle types per language: the salted
+    # two-phase top-k must agree with the sorted pure-Python prune
+    rows = _corpus_rows(40)
+    lm = train_kn_lm(
+        _corpus(spark, 40), max_trigrams_per_lang=5, max_midtypes_per_lang=5
+    )
+    got = _collect_rows(lm)
+    want = sorted(
+        train_kn_counts_py(
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+            max_trigrams_per_lang=5,
+            max_midtypes_per_lang=5,
+        )
+    )
+    assert got == want
+
+
+def test_probabilities_sum_below_one():
+    # for a seen history, sum over the seen continuations + the backoff
+    # mass must stay <= 1 (discounting never creates probability)
+    rows = train_kn_counts_py(
+        [_SENT, _SENT + " again", "a quick brown cat sits"], ["en"] * 3
+    )
+    m = build_kn_model(rows)["en"]
+    vocab = {k for k in m["unic"]}
+    for hist_key in m["hist"]:
+        w1, w2 = hist_key.split("\x00")
+        total = sum(_p3(w1, w2, w, m) for w in vocab)
+        assert total <= 1.0 + 1e-9, (hist_key, total)
+
+
+def test_trigram_beats_bigram_on_context():
+    # "the lazy dog" vs "the lazy fox": a bigram model conditioned only on
+    # "lazy" cannot use "the"; KN trigram must prefer the attested one
+    rows = train_kn_counts_py([_SENT] * 10, ["en"] * 10)
+    m = build_kn_model(rows)["en"]
+    assert _p3("the", "lazy", "dog", m) > _p3("the", "lazy", "fox", m)
+    assert _p2("lazy", "dog", m) > _p1("dog", m)
+
+
+def test_score_orders_fluent_below_shuffled():
+    rows = train_kn_counts_py([_SENT] * 20, ["en"] * 20)
+    m = build_kn_model(rows)["en"]
+    fluent = score_tokens_kn(_SENT.lower().split(), m)
+    shuffled = score_tokens_kn(list(reversed(_SENT.lower().split())), m)
+    assert fluent < shuffled, (fluent, shuffled)
+    assert score_tokens_kn([], m) is None
+
+
+def test_add_perplexity_kn_end_to_end(spark):
+    d = _corpus(spark, 30)
+    lm = train_kn_lm(d)
+    out = add_perplexity_kn(d, lm).select("doc_id", "log_ppl_kn").collect()
+    assert len(out) == 30
+    vals = [r["log_ppl_kn"] for r in out]
+    assert all(v is not None and math.isfinite(v) and v > 0 for v in vals)
+
+
+def test_add_perplexity_kn_spill_path(spark, tmp_path):
+    # force the too-big-to-collect branch: executor-side parquet load must
+    # produce identical scores to the broadcast path
+    d = _corpus(spark, 20)
+    lm = train_kn_lm(d)
+    broadcast = {
+        r["doc_id"]: r["log_ppl_kn"]
+        for r in add_perplexity_kn(d, lm).select("doc_id", "log_ppl_kn").collect()
+    }
+    spilled = {
+        r["doc_id"]: r["log_ppl_kn"]
+        for r in add_perplexity_kn(d, lm, model_path=str(tmp_path / "kn_lm"))
+        .select("doc_id", "log_ppl_kn")
+        .collect()
+    }
+    assert broadcast == spilled
+
+
+def test_short_and_null_documents(spark):
+    d = spark.createDataFrame(
+        [(0, None, "en"), (1, "one two", "en"), (2, "", None), (3, _SENT, "en")],
+        ["doc_id", "text", "lang"],
+    )
+    lm = train_kn_lm(d)
+    out = {r["doc_id"]: r["log_ppl_kn"] for r in add_perplexity_kn(d, lm).collect()}
+    assert out[0] is None and out[2] is None  # nothing to score
+    assert out[1] is not None  # scored under P1/P2 despite no trigram
+    assert out[3] is not None

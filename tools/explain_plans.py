@@ -271,6 +271,17 @@ def main() -> int:
         )
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.perplexity_kn import train_kn_lm
+
+    sections.append(
+        (
+            "train_kn_lm (KN trigram counting cascade: ONE corpus-sized"
+            " shuffle — the trigram groupBy with map-side partial agg —"
+            " then type-table-only aggregations; prune windows salted)",
+            _explain(train_kn_lm(docs, cache_counts=False)),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text in sections:
         out.append(f"\n## {title}\n\n```\n{text}\n```\n")

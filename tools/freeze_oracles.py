@@ -216,6 +216,27 @@ def freeze_perplexity_bigram(docs: pd.DataFrame) -> None:
     )
 
 
+def freeze_perplexity_kn(docs: pd.DataFrame) -> None:
+    """Pure replay of train_kn_lm (Counter == distributed groupBy on exact
+    integer counts; the top-k prune order is total) + the verbatim-shared
+    scorer — agreement with the Spark query is by construction."""
+    from dss_plugin_nlp_preparation_spark.operators.perplexity_kn import (
+        build_kn_model,
+        score_kn_pandas,
+        train_kn_counts_py,
+    )
+
+    texts = pd.Series(list(docs["text"]), dtype=object)
+    langs = pd.Series(list(docs["lang"]), dtype=object)
+    rows = train_kn_counts_py(list(docs["text"]), list(docs["lang"]))
+    models = build_kn_model(rows)
+    ppl = score_kn_pandas(texts, langs, models)
+    _write(
+        "perplexity_kn",
+        pd.DataFrame({"doc_id": docs["doc_id"].values, "log_ppl_kn": ppl.values}),
+    )
+
+
 def freeze_bpe_token_count_v2(docs: pd.DataFrame) -> None:
     from dss_plugin_nlp_preparation_spark.nlp.bpe import get_tokenizer
 
@@ -630,6 +651,7 @@ def main() -> int:
     freeze_tokenize_stats(docs)
     freeze_perplexity(docs)
     freeze_perplexity_bigram(docs)
+    freeze_perplexity_kn(docs)
     freeze_bpe_token_count_v2(docs)
     freeze_embedding_near_dup(embs)
     freeze_cosine_topk_ivf(embs)
