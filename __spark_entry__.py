@@ -982,6 +982,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return remove_duplicate_spans(_docs(spark, sf_dir), window=16)
 
+    def q_dedup_paragraphs(spark, sf_dir):
+        # CCNet-style corpus-global paragraph dedup over the synthetic
+        # pages table (repeated-line docs + exact-duplicate docs share
+        # paragraphs corpus-wide); frozen pure-Python oracle
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            dedup_paragraphs,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        return dedup_paragraphs(
+            synthesize_pages(spark, 500, 8), text_column="text", id_column="url"
+        )
+
+    def q_perplexity_buckets(spark, sf_dir):
+        # CCNet head/middle/tail terciles per language, cutoffs from the
+        # bounded (lang, rounded log_ppl) histogram — replayed in SQL over
+        # the frozen perplexity scores
+        from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+            add_perplexity_buckets,
+        )
+
+        return add_perplexity_buckets(_docs(spark, sf_dir)).select(
+            "doc_id", "lang", "log_ppl", "ppl_bucket"
+        )
+
     def q_pack_sequences(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.sampling import (
             chunk_documents,
@@ -1049,8 +1074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": q_quality_signals,
         "keep_drop": q_keep_drop,
         "pii_scrub": q_pii_scrub,
-        "repeated_line_stats": q_repeated_line_stats,
-        "top_tokens": q_top_tokens,
         # -- dedup / similarity --
         "minhash_bands": q_minhash_bands,
         "near_dup_pairs": q_near_dup_pairs,
@@ -1063,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "duplicate_spans": q_duplicate_spans,
         "remove_duplicate_spans": q_remove_duplicate_spans,
+        "dedup_paragraphs": q_dedup_paragraphs,
         # -- corpus-prep pipeline --
         "decontaminate": q_decontaminate,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -1078,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count_v2": q_bpe_token_count_v2,
         "perplexity_bigram": q_perplexity_bigram,
         "perplexity_kn": q_perplexity_kn,
+        "perplexity_buckets": q_perplexity_buckets,
         # -- urls / text analysis / multimodal / skew --
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
@@ -1090,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entries below are demos/aux or
         #      subsumed variants; still oracle-checked by
         #      tools/check_oracle.py) ----
+        "repeated_line_stats": q_repeated_line_stats,
+        "top_tokens": q_top_tokens,
         "near_dup_clusters_star": q_near_dup_clusters_star,
         "video_frames": q_video_frames,
         "incremental_dedup": q_incremental_dedup,
@@ -1277,6 +1304,36 @@ def oracle_sql() -> dict[str, str]:
         "pages_pipeline": _frozen("pages_pipeline"),
         "bpe_token_count_v2": _frozen("bpe_token_count_v2"),
         "cosine_topk_ivf": _frozen("cosine_topk_ivf"),
+        "dedup_paragraphs": _frozen("dedup_paragraphs"),
+        # CCNet terciles replayed in SQL over the frozen perplexity scores:
+        # cutoffs from the bounded (lang, rounded log_ppl) histogram —
+        # cutoff_k = smallest value whose cumulative count reaches k/3 of
+        # the language's rows, ties stay together (histogram, not ntile)
+        "perplexity_buckets": f"""
+            WITH p AS (
+              SELECT d.doc_id, d.lang, f.log_ppl
+              FROM documents d JOIN ({_frozen("perplexity")}) f USING (doc_id)
+              WHERE f.log_ppl IS NOT NULL AND d.lang IS NOT NULL
+            ),
+            hist AS (SELECT lang, log_ppl, count(*) AS c FROM p GROUP BY lang, log_ppl),
+            cum AS (
+              SELECT lang, log_ppl,
+                     sum(c) OVER (PARTITION BY lang ORDER BY log_ppl) AS cum
+              FROM hist
+            ),
+            tot AS (SELECT lang, count(*) AS n FROM p GROUP BY lang),
+            cuts AS (
+              SELECT cum.lang,
+                     min(CASE WHEN cum * 3 >= n THEN log_ppl END) AS c1,
+                     min(CASE WHEN cum * 3 >= 2 * n THEN log_ppl END) AS c2
+              FROM cum JOIN tot USING (lang) GROUP BY cum.lang
+            )
+            SELECT p.doc_id, p.lang, p.log_ppl,
+                   CASE WHEN p.log_ppl <= c1 THEN 'head'
+                        WHEN p.log_ppl <= c2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM p JOIN cuts USING (lang)
+        """,
         # ---- multimodal stubs are md5-replayable directly in SQL ----
         "media_features": f"""
             WITH h AS (

@@ -833,3 +833,78 @@ def incremental_near_dup(
         .withColumn(flag_column, F.col("__hit_id").isNotNull())
         .drop("__hit_id")
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global paragraph deduplication (the CCNet/RefinedWeb
+    preprocessing step: Wenzek et al. 2020 dedup hashed paragraphs
+    across shards before LM filtering). Splits each document on newlines,
+    keeps the globally-first occurrence of every distinct trimmed
+    paragraph, and rebuilds the text from surviving paragraphs in
+    original order. Boilerplate lines repeated across a crawl (nav bars,
+    cookie banners, share footers) survive exactly once corpus-wide.
+
+    "First" = lexicographic min ``(doc id, paragraph index)`` — a pure
+    function of the data, so the keep decision is identical under any
+    partitioning, task retry, or AQE re-plan. Whitespace-only paragraphs
+    are dropped from the output (they carry no training signal and make
+    the rebuilt text a fixed point of a second pass).
+
+    Output: ``(id, text_dedup_paragraphs, n_paragraphs,
+    n_removed_paragraphs)`` — one row per input row; documents with no
+    non-empty paragraph get ``("", 0, 0)``.
+
+    Scale shape (same proven plan as :func:`remove_duplicate_spans`):
+    one posexplode, one groupBy on uniform md5 paragraph keys with a
+    map-side-combined ``min(struct)``, one join back keyed by paragraph
+    hash, one per-document agg bounded by document size. No windows over
+    corpus-scale partitions, no driver collection. Pure column
+    expressions end-to-end — whole-stage codegen, no Python.
+    """
+    pars = (
+        df.select(
+            F.col(id_column).alias("id"),
+            F.posexplode(F.split(F.coalesce(F.col(text_column), F.lit("")), "\n")).alias(
+                "par_id", "par"
+            ),
+        )
+        .withColumn("norm", F.trim(F.col("par")))
+        .where(F.col("norm") != "")
+        .withColumn("h", F.md5("norm"))
+    )
+    firsts = pars.groupBy("h").agg(F.min(F.struct("id", "par_id")).alias("first"))
+    marked = pars.join(firsts, "h").withColumn(
+        "keep_par",
+        (F.col("id") == F.col("first.id")) & (F.col("par_id") == F.col("first.par_id")),
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum((~F.col("keep_par")).cast("long")).alias("n_removed_paragraphs"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep_par"), F.struct("par_id", "norm"))
+                    )
+                ),
+                lambda s: s["norm"],
+            ),
+        ).alias("text_dedup_paragraphs"),
+    )
+    return (
+        df.select(F.col(id_column).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_column),
+            F.coalesce("text_dedup_paragraphs", F.lit("")).alias("text_dedup_paragraphs"),
+            F.coalesce("n_paragraphs", F.lit(0)).cast("long").alias("n_paragraphs"),
+            F.coalesce("n_removed_paragraphs", F.lit(0)).cast("long").alias(
+                "n_removed_paragraphs"
+            ),
+        )
+    )

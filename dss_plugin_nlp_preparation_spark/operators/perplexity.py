@@ -421,3 +421,83 @@ def score_bigram_pandas(texts: pd.Series, langs: pd.Series, models: dict) -> pd.
         per_doc = -lp.groupby(level=0).mean()
         out.loc[per_doc.index] = per_doc.round(4)
     return out
+
+
+def add_perplexity_buckets(
+    df: DataFrame,
+    text_column: str = "text",
+    language_column: str = "lang",
+    n_buckets: int = 3,
+    dictionary_folder: str | None = None,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020
+    split each language into head/middle/tail perplexity terciles; the
+    head is the cleanest training data). Scores every document with the
+    unigram LM (:func:`add_perplexity`), then assigns each non-null row
+    a bucket by comparing against exact per-language quantile cutoffs.
+
+    Cutoff semantics (histogram, not rank): ``cutoff_k`` = the smallest
+    scored value whose cumulative count reaches ``k/n_buckets`` of the
+    language's rows, and a document lands in bucket ``k`` iff its score
+    is <= ``cutoff_k``. Ties therefore stay together in one bucket — a
+    pure function of the value distribution, identical under any row
+    order, partitioning, or retry (unlike ``ntile``, which splits ties
+    by physical rank).
+
+    Scale shape: the corpus is scored in one Arrow pass, then reduced to
+    a ``(lang, log_ppl)`` histogram — ``log_ppl`` is rounded to 4
+    decimals, so the histogram is bounded by the distinct-value count
+    (~10^5 per language), NOT the corpus. The cumulative sum and cutoff
+    selection run over that tiny relation (a per-language window over
+    distinct values, never over documents), and the per-language cutoff
+    row joins back by broadcast. No corpus-wide window, no skewed
+    single-task language partitions at 10^12 docs.
+
+    Output: ``(<id cols...>, lang, log_ppl, ppl_bucket)`` for rows with a
+    non-null score and language; bucket labels are ``b1..bN`` with
+    ``("head", "middle", "tail")`` used when ``n_buckets == 3``.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    # a pre-scored input (the CCNet production shape: one scoring job
+    # materializes log_ppl, the bucketing job reads it back) is used
+    # as-is, so the Arrow scoring pass is not recomputed per branch
+    scored = (
+        df
+        if "log_ppl" in df.columns
+        else add_perplexity(df, text_column, language_column, dictionary_folder)
+    )
+    valid = scored.where(
+        F.col("log_ppl").isNotNull() & F.col(language_column).isNotNull()
+    )
+    hist = valid.groupBy(language_column, "log_ppl").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(language_column).orderBy("log_ppl")
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    # per-language totals fold out of the histogram — no second corpus pass
+    totals = hist.groupBy(language_column).agg(F.sum("__c").alias("__n"))
+    cut_aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") * n_buckets >= k * F.col("__n"), F.col("log_ppl")
+            )
+        ).alias(f"__cut{k}")
+        for k in range(1, n_buckets)
+    ]
+    cuts = cum.join(totals, language_column).groupBy(language_column).agg(*cut_aggs)
+    if n_buckets == 3:
+        labels = ["head", "middle", "tail"]
+    else:
+        labels = [f"b{k}" for k in range(1, n_buckets + 1)]
+    bucket = F.when(F.col("log_ppl") <= F.col("__cut1"), F.lit(labels[0]))
+    for k in range(2, n_buckets):
+        bucket = bucket.when(F.col("log_ppl") <= F.col(f"__cut{k}"), F.lit(labels[k - 1]))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return (
+        valid.join(F.broadcast(cuts), language_column)
+        .withColumn("ppl_bucket", bucket)
+        .drop(*[f"__cut{k}" for k in range(1, n_buckets)])
+    )

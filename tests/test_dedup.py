@@ -436,3 +436,45 @@ def test_incremental_near_dup(spark):
     assert got[10] is True
     assert got[11] is False
     assert set(out.columns) == {"doc_id", "text", "near_dup_seen"}
+
+
+def test_dedup_paragraphs(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import dedup_paragraphs
+
+    banner = "accept our cookies"
+    df = spark.createDataFrame(
+        [
+            (0, f"{banner}\nfirst article body"),
+            (1, f"{banner}\nsecond article body"),   # banner removed (doc 0 first)
+            (2, f"  {banner}  \nthird body"),        # trimmed -> same paragraph
+            (3, "second article body"),              # removed (doc 1 par is first)
+            (4, "\n\n  \n"),                         # whitespace-only -> empty
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[0]["text_dedup_paragraphs"] == f"{banner}\nfirst article body"
+    assert out[0]["n_removed_paragraphs"] == 0
+    assert out[1]["text_dedup_paragraphs"] == "second article body"
+    assert out[1]["n_removed_paragraphs"] == 1
+    assert out[2]["text_dedup_paragraphs"] == "third body"
+    assert out[2]["n_removed_paragraphs"] == 1
+    assert out[3]["text_dedup_paragraphs"] == "" and out[3]["n_paragraphs"] == 1
+    assert out[4]["n_paragraphs"] == 0 and out[4]["text_dedup_paragraphs"] == ""
+    assert out[5]["n_paragraphs"] == 0
+    assert len(out) == 6  # one row per input row
+
+
+def test_dedup_paragraphs_is_fixed_point(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(i, "shared line\nunique " + str(i)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    once = dedup_paragraphs(df).select(
+        "doc_id", F.col("text_dedup_paragraphs").alias("text")
+    )
+    twice = dedup_paragraphs(once)
+    assert all(r["n_removed_paragraphs"] == 0 for r in twice.collect())

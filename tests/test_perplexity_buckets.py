@@ -1,0 +1,51 @@
+# -*- coding: utf-8 -*-
+"""CCNet-style per-language perplexity bucketing (add_perplexity_buckets)."""
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+    add_perplexity_buckets,
+)
+
+
+def _docs(spark):
+    # 9 clean-ish english docs with distinct perplexities + one null-lang
+    rows = [
+        (i, f"the quick brown fox {'really ' * i}jumps over the lazy dog", "en")
+        for i in range(9)
+    ] + [(100, "the quick brown fox", None)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_buckets_are_terciles(spark):
+    out = add_perplexity_buckets(_docs(spark)).collect()
+    # null-lang row is excluded
+    assert {r["doc_id"] for r in out} == set(range(9))
+    counts = {}
+    for r in out:
+        counts[r["ppl_bucket"]] = counts.get(r["ppl_bucket"], 0) + 1
+    assert counts == {"head": 3, "middle": 3, "tail": 3}
+    # head has the lowest perplexities, tail the highest
+    by_bucket = {b: [r["log_ppl"] for r in out if r["ppl_bucket"] == b] for b in counts}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_ties_stay_in_one_bucket(spark):
+    # 6 identical docs + 3 distinct: every tied doc gets the same bucket
+    rows = [(i, "the quick brown fox jumps", "en") for i in range(6)] + [
+        (10, "the the the the", "en"),
+        (11, "zq zq zq zq zq zq", "en"),
+        (12, "over the lazy dog today", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = add_perplexity_buckets(df).collect()
+    tied = {r["ppl_bucket"] for r in out if r["doc_id"] < 6}
+    assert len(tied) == 1
+
+
+def test_n_buckets_param(spark):
+    out = add_perplexity_buckets(_docs(spark), n_buckets=2).collect()
+    assert {r["ppl_bucket"] for r in out} == {"b1", "b2"}
+    with pytest.raises(ValueError):
+        add_perplexity_buckets(_docs(spark), n_buckets=1)

@@ -83,3 +83,36 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     # partial agg -> one exchange on the hash -> final agg
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_min" in plan or "partial_count" in plan  # map-side combine
+
+
+def test_dedup_paragraphs_no_corpus_window(spark, sf_dir):
+    # paragraph dedup must stay window-free: min(struct) agg + joins,
+    # never a row_number over corpus-scale partitions
+    from dss_plugin_nlp_preparation_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = dedup_paragraphs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_perplexity_buckets_window_only_over_histogram(spark, sf_dir):
+    # the cumulative-count window must consume the (lang, log_ppl)
+    # histogram aggregate, not the scored corpus; and a pre-scored input
+    # must not trigger a second Arrow scoring pass
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        add_perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pre_scored = docs.select(
+        "doc_id", "lang", (F.col("doc_id") % 7).cast("double").alias("log_ppl")
+    )
+    out = add_perplexity_buckets(pre_scored)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "pythonUDF" not in plan
+    exec_plan = out._jdf.queryExecution().executedPlan().toString()
+    # window input is the histogram: its sort key pair, not raw rows
+    assert "Window" in exec_plan
+    out.collect()  # runs end-to-end

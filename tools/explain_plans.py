@@ -282,6 +282,28 @@ def main() -> int:
         )
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.dedup import dedup_paragraphs
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        add_perplexity_buckets,
+    )
+
+    sections.append(
+        (
+            "dedup_paragraphs (posexplode -> map-side-combined min(struct)"
+            " on md5 paragraph keys -> join back by hash -> per-doc agg;"
+            " pure codegen, no corpus-wide windows)",
+            _explain(dedup_paragraphs(docs)),
+        )
+    )
+    sections.append(
+        (
+            "add_perplexity_buckets (one Arrow scoring pass; cutoffs from"
+            " the bounded (lang, rounded ppl) histogram — window runs over"
+            " distinct values, never documents — broadcast back)",
+            _explain(add_perplexity_buckets(docs)),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text in sections:
         out.append(f"\n## {title}\n\n```\n{text}\n```\n")

@@ -639,6 +639,51 @@ def freeze_media_metadata() -> None:
     _write("media_metadata", out)
 
 
+def freeze_dedup_paragraphs() -> None:
+    """Expected (url, text_dedup_paragraphs, n_paragraphs,
+    n_removed_paragraphs) for corpus-global paragraph dedup over the
+    500-row synthetic pages table — pure-Python replay of the
+    min-(url, par_id) first-occurrence rule. Paragraph normalization is
+    ASCII-space strip (Spark ``trim`` semantics), matching
+    operators/dedup.py:dedup_paragraphs."""
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    pages = []
+    for i in range(500):
+        _i, url, _html, text, _lang = _make_row(i)
+        pages.append((url, text))
+
+    firsts: dict = {}
+    for url, text in pages:
+        for pid, par in enumerate((text or "").split("\n")):
+            norm = par.strip(" ")
+            if norm == "":
+                continue
+            cand = (url, pid)
+            if norm not in firsts or cand < firsts[norm]:
+                firsts[norm] = cand
+    recs = []
+    for url, text in pages:
+        kept, n, removed = [], 0, 0
+        for pid, par in enumerate((text or "").split("\n")):
+            norm = par.strip(" ")
+            if norm == "":
+                continue
+            n += 1
+            if firsts[norm] == (url, pid):
+                kept.append(norm)
+            else:
+                removed += 1
+        recs.append((url, "\n".join(kept), n, removed))
+    out = pd.DataFrame(
+        recs,
+        columns=["url", "text_dedup_paragraphs", "n_paragraphs", "n_removed_paragraphs"],
+    )
+    out["n_paragraphs"] = out["n_paragraphs"].astype("int64")
+    out["n_removed_paragraphs"] = out["n_removed_paragraphs"].astype("int64")
+    _write("dedup_paragraphs", out)
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -661,6 +706,7 @@ def main() -> int:
     freeze_media_real_decode()
     freeze_media_metadata()
     freeze_near_dup_pairs(docs)
+    freeze_dedup_paragraphs()
     return 0
 
 
