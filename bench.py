@@ -480,6 +480,27 @@ def main() -> int:
         .count(),
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.dedup import dedup_paragraphs
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        add_perplexity_buckets,
+    )
+
+    # CCNet-style corpus-global paragraph dedup over the pages table
+    timed_extra(
+        "dedup_paragraphs",
+        lambda: dedup_paragraphs(pages, text_column="text", id_column="url")
+        .select(F.sum("n_removed_paragraphs"))
+        .collect(),
+    )
+    # CCNet head/middle/tail terciles (scoring pass + histogram cutoffs)
+    timed_extra(
+        "perplexity_buckets",
+        lambda: add_perplexity_buckets(docs)
+        .groupBy("ppl_bucket")
+        .count()
+        .collect(),
+    )
+
     from dss_plugin_nlp_preparation_spark.operators.multimodal import (
         extract_media_features,
     )

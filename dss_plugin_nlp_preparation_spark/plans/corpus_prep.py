@@ -43,6 +43,7 @@ def annotate_corpus(
     val_frac: float = 0.01,
     fuzzy_dedup: bool = False,
     fuzzy_decontam: bool = False,
+    paragraph_dedup: bool = False,
 ) -> DataFrame:
     """One projection per doc with every prep decision as a flag:
 
@@ -56,7 +57,27 @@ def annotate_corpus(
                     with ``fuzzy_decontam`` additionally any MinHash band
                     signature (catches paraphrased leakage)
     split         — 'val' for the deterministic val_frac hash slice
+
+    With ``paragraph_dedup`` the text column is first rewritten by
+    :func:`~dss_plugin_nlp_preparation_spark.operators.dedup.dedup_paragraphs`
+    (CCNet order: corpus-global paragraph dedup runs BEFORE the
+    document-level decisions, so a doc that is a duplicate only because
+    of shared boilerplate lines is judged on its residual content), and
+    the annotation carries ``n_removed_paragraphs``. One extra id-keyed
+    join of the rewritten text back onto the row — the same shuffle
+    class as the exact-dedup hash-agg.
     """
+    if paragraph_dedup:
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            dedup_paragraphs,
+        )
+
+        rewritten = dedup_paragraphs(docs, text_column, id_column).select(
+            id_column,
+            F.col("text_dedup_paragraphs").alias(text_column),
+            "n_removed_paragraphs",
+        )
+        docs = docs.drop(text_column).join(rewritten, id_column)
     hashed = docs.withColumn(
         "__th", F.md5(F.coalesce(F.col(text_column), F.lit("")))
     )
@@ -146,6 +167,7 @@ def prepare_training_corpus(
     pack_shards: int = 256,
     fuzzy_dedup: bool = False,
     fuzzy_decontam: bool = False,
+    paragraph_dedup: bool = False,
 ) -> tuple:
     """(chunks, report): training-ready chunks + one-row stage counts.
 
@@ -165,6 +187,7 @@ def prepare_training_corpus(
     ann = annotate_corpus(
         docs, benchmark, text_column, id_column, decontam_n, val_frac,
         fuzzy_dedup=fuzzy_dedup, fuzzy_decontam=fuzzy_decontam,
+        paragraph_dedup=paragraph_dedup,
     )
     if cache_annotations:
         ann = ann.persist()
@@ -187,8 +210,14 @@ def prepare_training_corpus(
             n_shards=pack_shards,
             group_columns=("split",),
         )
+    report_aggs = []
+    if paragraph_dedup:
+        report_aggs.append(
+            F.sum("n_removed_paragraphs").alias("n_paragraphs_removed")
+        )
     report = ann.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        *report_aggs,
         F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
         F.sum(
             (F.col("is_canonical") & F.col("keep_gopher")).cast("long")

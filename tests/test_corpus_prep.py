@@ -155,3 +155,43 @@ def test_annotate_fuzzy_decontam(spark):
     # common max run < 12); fuzzy banding catches it
     assert exact[0] is False and exact[1] is False
     assert fuzzy[0] is True and fuzzy[1] is False
+
+
+def test_annotate_paragraph_dedup(spark):
+    banner = "subscribe to our newsletter"
+    body0 = " ".join(f"a{i}" for i in range(40))
+    body1 = " ".join(f"b{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner}\n{body0}"),
+            (1, f"{banner}\n{body1}"),   # banner stripped -> judged on body1
+            (2, f"{banner}\n{body0}"),   # after stripping == doc 0's residual
+        ],
+        "doc_id long, text string",
+    )
+    ann = {
+        r["doc_id"]: r
+        for r in annotate_corpus(docs, paragraph_dedup=True).collect()
+    }
+    assert ann[0]["n_removed_paragraphs"] == 0
+    assert ann[1]["n_removed_paragraphs"] == 1
+    assert ann[2]["n_removed_paragraphs"] == 2
+    # doc 2's residual is empty -> exact-dups with nothing; doc 1 survives
+    # because its residual body differs from doc 0's
+    assert ann[0]["text"] == f"{banner}\n{body0}"
+    assert ann[1]["text"] == body1
+    assert ann[1]["is_canonical"]
+
+
+def test_prepare_corpus_paragraph_dedup_report(spark):
+    docs = spark.createDataFrame(
+        [(i, "shared header line\n" + " ".join(f"w{i}_{j}" for j in range(40)))
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    chunks, report = prepare_training_corpus(
+        docs, paragraph_dedup=True, cache_annotations=False
+    )
+    rep = report.collect()[0]
+    assert rep["n_paragraphs_removed"] == 3
+    assert rep["n_docs"] == 4
