@@ -319,3 +319,70 @@ def test_jpeg_progressive_equals_baseline_property(h, w, seed, sub, quality):
     a = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
     b = decode_jpeg(encode_jpeg_progressive(img, quality=quality, subsampling=sub))
     assert np.array_equal(a, b)
+
+
+def test_dedup_paragraphs_matches_pure_replay(spark):
+    # randomized corpora vs a pure-python first-occurrence reference:
+    # kept paragraphs are globally unique, removal counts conserve, and
+    # the keep decision is min-(id, index) regardless of row order
+    import hashlib
+
+    from dss_plugin_nlp_preparation_spark.operators.dedup import dedup_paragraphs
+
+    def rng(seed, n):
+        out, h = [], str(seed).encode()
+        while len(out) < n:
+            h = hashlib.md5(h).digest()
+            out.extend(h)
+        return out[:n]
+
+    for seed in (7, 21):
+        bts = rng(seed, 200)
+        vocab = ["alpha", "beta", "gamma", " delta ", "", "  ", "epsilon zeta"]
+        rows = []
+        k = 0
+        for doc_id in range(12):
+            n_par = 1 + bts[k] % 5
+            k += 1
+            pars = [vocab[bts[k + j] % len(vocab)] for j in range(n_par)]
+            k += n_par
+            rows.append((doc_id, "\n".join(pars)))
+        # pure replay (Spark trim == ASCII-space strip on this alphabet)
+        firsts = {}
+        for doc_id, text in rows:
+            for pid, par in enumerate(text.split("\n")):
+                norm = par.strip(" ")
+                if norm and ((doc_id, pid) < firsts.get(norm, (1 << 60, 0))):
+                    firsts[norm] = (doc_id, pid)
+        expected = {}
+        for doc_id, text in rows:
+            kept, n, rem = [], 0, 0
+            for pid, par in enumerate(text.split("\n")):
+                norm = par.strip(" ")
+                if not norm:
+                    continue
+                n += 1
+                if firsts[norm] == (doc_id, pid):
+                    kept.append(norm)
+                else:
+                    rem += 1
+            expected[doc_id] = ("\n".join(kept), n, rem)
+        # shuffled row order must not change the outcome
+        shuffled = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+        df = spark.createDataFrame(shuffled, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["text_dedup_paragraphs"],
+                r["n_paragraphs"],
+                r["n_removed_paragraphs"],
+            )
+            for r in dedup_paragraphs(df).collect()
+        }
+        assert got == expected, seed
+        # global uniqueness of surviving paragraphs
+        seen = set()
+        for text, _, _ in got.values():
+            for par in text.split("\n"):
+                if par:
+                    assert par not in seen
+                    seen.add(par)
