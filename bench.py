@@ -71,6 +71,16 @@ def main() -> int:
     # the heaviest shuffle queries measure sys+steal < 0.25 end-to-end;
     # storm windows measure >= 0.75, so 0.35 separates cleanly.
     STORM_MAX = 0.35
+    # Second contamination mode (observed late r4): multi-minute windows
+    # where the same job runs 3-6x slower with the guest ~90% IDLE — no
+    # sys/steal signature, no GC pressure; tasks blocked, not preempted
+    # (host-side scheduling/IPC stalls; see BASELINE.md). Signature: a
+    # SLOW sample whose busy fraction (1 - idle/total) stayed tiny. Only
+    # samples that are both slow (>= STALL_MIN_SEC) and near-idle
+    # (busy <= STALL_BUSY_MAX) are flagged — short queries legitimately
+    # leave a 32-core box mostly idle.
+    STALL_BUSY_MAX = 0.25
+    STALL_MIN_SEC = 2.0
 
     def _cpu_ticks():
         try:
@@ -80,20 +90,28 @@ def main() -> int:
             return None
 
     def _storm_frac(before, after):
+        """(storm_frac, busy_frac) across a sample window."""
         if before is None or after is None:
-            return 0.0
+            return 0.0, 1.0
         d = [y - x for x, y in zip(before, after)]
         tot = sum(d) or 1
         steal = d[7] if len(d) > 7 else 0
-        return (d[2] + steal) / tot
+        idle = d[3] if len(d) > 3 else 0
+        return (d[2] + steal) / tot, 1.0 - idle / tot
+
+    def _contaminated(sec: float, storm: float, busy: float) -> bool:
+        return storm >= STORM_MAX or (
+            sec >= STALL_MIN_SEC and busy <= STALL_BUSY_MAX
+        )
 
     def _timed(fn):
-        """(seconds, storm_frac, result) for one query execution."""
+        """(seconds, storm_frac, busy_frac, result) for one execution."""
         c0 = _cpu_ticks()
         t0 = time.perf_counter()
         out = fn()
         sec = round(time.perf_counter() - t0, 3)
-        return sec, round(_storm_frac(c0, _cpu_ticks()), 3), out
+        storm, busy = _storm_frac(c0, _cpu_ticks())
+        return sec, round(storm, 3), round(busy, 3), out
     setup_sec: dict[str, float] = {}
     _t_section = time.perf_counter()
 
@@ -282,16 +300,22 @@ def main() -> int:
     # samples exist (bounded), then reports the median of clean.
     pass_times: dict[str, list] = {name: [] for name, _ in headline}
     pass_storms: dict[str, list] = {name: [] for name, _ in headline}
+    pass_busy: dict[str, list] = {name: [] for name, _ in headline}
     storm_retries = 0
     last_out: dict = {}
     for _p in range(3):
         for name, fn in headline:
-            sec, storm, last_out[name] = _timed(fn)
+            sec, storm, busy, last_out[name] = _timed(fn)
             pass_times[name].append(sec)
             pass_storms[name].append(storm)
+            pass_busy[name].append(busy)
 
     def _n_clean(name: str) -> int:
-        return sum(1 for s in pass_storms[name] if s < STORM_MAX)
+        return sum(
+            1
+            for t, s, b in zip(pass_times[name], pass_storms[name], pass_busy[name])
+            if not _contaminated(t, s, b)
+        )
 
     for _sweep in range(4):
         dirty = [
@@ -303,14 +327,17 @@ def main() -> int:
         if not dirty:
             break
         for name, fn in dirty:
-            sec, storm, last_out[name] = _timed(fn)
+            sec, storm, busy, last_out[name] = _timed(fn)
             pass_times[name].append(sec)
             pass_storms[name].append(storm)
+            pass_busy[name].append(busy)
             storm_retries += 1
     for name, ts in pass_times.items():
         if name == "near_dup_pairs":
             clean = [
-                t for t, s in zip(ts, pass_storms[name]) if s < STORM_MAX
+                t
+                for t, s, b in zip(ts, pass_storms[name], pass_busy[name])
+                if not _contaminated(t, s, b)
             ] or ts
             timings[name] = sorted(clean)[len(clean) // 2]
         else:
@@ -520,16 +547,24 @@ def main() -> int:
     # retry sweep for extras whose every sample overlapped a storm
     extra_times: dict[str, list] = {n: [] for n, _ in extra_queries}
     extra_storms: dict[str, list] = {n: [] for n, _ in extra_queries}
+    extra_busy: dict[str, list] = {n: [] for n, _ in extra_queries}
     for _p in range(2):
         for name, fn in extra_queries:
-            sec, storm, _ = _timed(fn)
+            sec, storm, busy, _ = _timed(fn)
             extra_times[name].append(sec)
             extra_storms[name].append(storm)
+            extra_busy[name].append(busy)
     for name, fn in extra_queries:
-        if all(s >= STORM_MAX for s in extra_storms[name]):
-            sec, storm, _ = _timed(fn)
+        if all(
+            _contaminated(t, s, b)
+            for t, s, b in zip(
+                extra_times[name], extra_storms[name], extra_busy[name]
+            )
+        ):
+            sec, storm, busy, _ = _timed(fn)
             extra_times[name].append(sec)
             extra_storms[name].append(storm)
+            extra_busy[name].append(busy)
             storm_retries += 1
     for name, ts in extra_times.items():
         extras[f"{name}_sec"] = min(ts)
@@ -571,8 +606,13 @@ def main() -> int:
                     # sample exists)
                     "headline_pass_times": pass_times,
                     "headline_pass_storms": pass_storms,
+                    # busy = 1 - idle/total per sample: a SLOW sample with
+                    # busy <= 0.25 marks the idle-stall degradation mode
+                    # (BASELINE.md) — also excluded via _contaminated
+                    "headline_pass_busy": pass_busy,
                     "extra_pass_times": extra_times,
                     "extra_pass_storms": extra_storms,
+                    "extra_pass_busy": extra_busy,
                     "storm_retries": storm_retries,
                 },
             }
