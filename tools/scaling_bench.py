@@ -84,27 +84,38 @@ def cpu_ticks():
                 tot = v if tot is None else [a + b for a, b in zip(tot, v)]
     return tot
 def storm_frac(c0, c1):
+    # (storm, busy) over the affinity set: storm = (sys+steal)/total,
+    # busy = 1 - idle/total. Contamination is EITHER a convoy (storm >=
+    # 0.35) OR the idle-stall mode (a pass that left our cores near-idle,
+    # busy <= 0.30; this UDF-bound job keeps its cores busy on a healthy
+    # box at every level, see BASELINE.md).
     if not c0 or not c1:
-        return 0.0
+        return 0.0, 1.0
     d = [y - x for x, y in zip(c0, c1)]
     t = sum(d) or 1
-    return (d[2] + (d[7] if len(d) > 7 else 0)) / t
+    idle = d[3] if len(d) > 3 else 0
+    return (d[2] + (d[7] if len(d) > 7 else 0)) / t, 1.0 - idle / t
 
-samples = []  # (seconds, storm_frac)
+def dirty(storm, busy):
+    return storm >= 0.35 or busy <= 0.30
+
+samples = []  # (seconds, storm_frac, busy_frac)
 kept = 0
 for _ in range(5):
     c0 = cpu_ticks(); t0 = time.perf_counter()
     kept = run()
     dt = time.perf_counter() - t0
-    samples.append((dt, storm_frac(c0, cpu_ticks())))
-    if sum(1 for _, s in samples if s < 0.35) >= 2:
+    st, bu = storm_frac(c0, cpu_ticks())
+    samples.append((dt, st, bu))
+    if sum(1 for _, s, b in samples if not dirty(s, b)) >= 2:
         break
-best, best_storm = min(samples)
+best, best_storm, best_busy = min(samples)
 print(json.dumps({{"cpus": cpus, "rows": n, "kept": int(kept),
                   "seconds": round(best, 3),
                   "docs_per_sec": round(n / best, 1),
                   "best_pass_storm_frac": round(best_storm, 3),
-                  "n_stormy_passes": sum(1 for _, s in samples if s >= 0.35)}}))
+                  "best_pass_busy_frac": round(best_busy, 3),
+                  "n_stormy_passes": sum(1 for _, s, b in samples if dirty(s, b))}}))
 spark.stop()
 """
 
@@ -122,7 +133,9 @@ def run_level(cpus: int, rows: int, mode: str = "full") -> dict:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         res = json.loads(line)
-        if res.get("best_pass_storm_frac", 0.0) < 0.35:
+        if res.get("best_pass_storm_frac", 0.0) < 0.35 and res.get(
+            "best_pass_busy_frac", 1.0
+        ) > 0.30:
             return res
     res["level_retried_still_stormy"] = True
     return res
