@@ -152,13 +152,32 @@ def main() -> int:
     # Pair A is therefore the faithful proxy for executor scaling; pair B
     # is reported for transparency together with the same-box JVM ceiling.
     pair_a_rows = max(ROWS // 4, 100_000)
-    a_n = run_level(2, pair_a_rows)
-    a_4n = run_level(8, pair_a_rows)
-    b_n = run_level(8, ROWS)
-    b_4n = run_level(32, ROWS)
-    # same-box ceiling: the identical N->4N pair with a ZERO-Python job
-    c_n = run_level(8, ROWS, "native")
-    c_4n = run_level(32, ROWS, "native")
+
+    # The box's throughput oscillates on level-sized (minutes) timescales
+    # even when per-pass storm/stall detectors stay quiet (observed: two
+    # 8-core levels minutes apart in ONE run measuring 26.7k vs 40.8k
+    # docs/s). An efficiency ratio built from levels sampled at different
+    # moments is then noise. Defense: run every level TWICE, temporally
+    # separated by the other levels (A-N, A-4N, B-N, ... then the whole
+    # sequence again), and take each level's best — contention can only
+    # slow a level down, so max-of-2 straddles the oscillation.
+    def best_level(cpus: int, rows: int, mode: str = "full", _cache={}):
+        res = run_level(cpus, rows, mode)
+        key = (cpus, rows, mode)
+        prev = _cache.get(key)
+        if prev is not None and prev["docs_per_sec"] > res["docs_per_sec"]:
+            res = prev
+        _cache[key] = res
+        return res
+
+    for _round in range(2):
+        a_n = best_level(2, pair_a_rows)
+        a_4n = best_level(8, pair_a_rows)
+        b_n = best_level(8, ROWS)
+        b_4n = best_level(32, ROWS)
+        # same-box ceiling: the identical N->4N pair with a ZERO-Python job
+        c_n = best_level(8, ROWS, "native")
+        c_4n = best_level(32, ROWS, "native")
     eff_a = round((a_4n["docs_per_sec"] / a_n["docs_per_sec"]) / 4.0, 3)
     eff_b = round((b_4n["docs_per_sec"] / b_n["docs_per_sec"]) / 4.0, 3)
     eff_c = round((c_4n["docs_per_sec"] / c_n["docs_per_sec"]) / 4.0, 3)
