@@ -429,6 +429,7 @@ def add_perplexity_buckets(
     language_column: str = "lang",
     n_buckets: int = 3,
     dictionary_folder: str | None = None,
+    cache_scores: bool = True,
 ) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020
     split each language into head/middle/tail perplexity terciles; the
@@ -444,14 +445,22 @@ def add_perplexity_buckets(
     order, partitioning, or retry (unlike ``ntile``, which splits ties
     by physical rank).
 
-    Scale shape: the corpus is scored in one Arrow pass, then reduced to
-    a ``(lang, log_ppl)`` histogram — ``log_ppl`` is rounded to 4
-    decimals, so the histogram is bounded by the distinct-value count
-    (~10^5 per language), NOT the corpus. The cumulative sum and cutoff
-    selection run over that tiny relation (a per-language window over
-    distinct values, never over documents), and the per-language cutoff
-    row joins back by broadcast. No corpus-wide window, no skewed
-    single-task language partitions at 10^12 docs.
+    Scale shape: the scored relation feeds BOTH the histogram (cutoff)
+    branch and the output join probe, so without materialization Spark
+    would re-run the Arrow scoring UDF once per branch (measured: 4
+    corpus passes per action). ``cache_scores`` (default) persists the
+    scored rows (MEMORY_AND_DISK) so the corpus is scored exactly once
+    per action; pass False when the caller manages its own persistence.
+    The CCNet production shape sidesteps this entirely: materialize
+    ``log_ppl`` in a prior scoring job and pass it in — a pre-scored
+    input is used as-is and never re-scored or persisted here. The
+    histogram itself is bounded by the distinct-value count of the
+    4-decimal-rounded ``log_ppl`` (~10^5 per language), NOT the corpus;
+    the cumulative sum and cutoff selection run over that tiny relation
+    (a per-language window over distinct values, never over documents),
+    and the per-language cutoff row joins back by broadcast. No
+    corpus-wide window, no skewed single-task language partitions at
+    10^12 docs.
 
     Output: ``(<id cols...>, lang, log_ppl, ppl_bucket)`` for rows with a
     non-null score and language; bucket labels are ``b1..bN`` with
@@ -461,14 +470,24 @@ def add_perplexity_buckets(
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    # a pre-scored input (the CCNet production shape: one scoring job
-    # materializes log_ppl, the bucketing job reads it back) is used
-    # as-is, so the Arrow scoring pass is not recomputed per branch
+    pre_scored = "log_ppl" in df.columns
     scored = (
         df
-        if "log_ppl" in df.columns
+        if pre_scored
         else add_perplexity(df, text_column, language_column, dictionary_folder)
     )
+    if cache_scores and not pre_scored:
+        # Three forces would otherwise multiply the Arrow scoring pass
+        # (measured: 4 corpus passes per action): the histogram branch
+        # and the output probe each recompute it, the cutoff broadcast
+        # runs as its own job before the main job fills a lazy cache,
+        # and the null-filter on the UDF column makes Catalyst evaluate
+        # the UDF once for the predicate and again for the projection.
+        # Persisting the UNFILTERED scored rows eagerly collapses all
+        # three: exactly one UDF evaluation per row, downstream branches
+        # read the cache.
+        scored = scored.persist()
+        scored.count()
     valid = scored.where(
         F.col("log_ppl").isNotNull() & F.col(language_column).isNotNull()
     )
