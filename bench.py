@@ -329,6 +329,12 @@ def main() -> int:
         ]
         if not dirty:
             break
+        # hypervisor convoys outlast back-to-back retries (observed:
+        # every sweep of a run landing storm_frac >= 0.33); an untimed
+        # settle pause between sweeps trades a little wall clock for a
+        # real chance that the next sweep samples a calm window
+        if _sweep:
+            time.sleep(15)
         for name, fn in dirty:
             sec, storm, busy, last_out[name] = _timed(fn)
             pass_times[name].append(sec)
