@@ -843,8 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_media_real_decode(spark, sf_dir):
-        # REAL uncompressed-format decoding (BMP/PPM/WAV/FRMS + stub
-        # fallback) over the deterministic synthetic media table; the
+        # REAL decoding (JPEG/PNG/GIF/BMP/PPM/WAV/FRMS + stub fallback
+        # for MP3/MP4/junk) over the deterministic synthetic media table; the
         # frozen oracle fabricates byte-identical payloads and decodes
         # them with the same kernels. Features render as a rounded CSV
         # string (the driver's canonicalizer cannot sort array cells).

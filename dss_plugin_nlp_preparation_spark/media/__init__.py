@@ -15,6 +15,7 @@ from .codecs import (  # noqa: F401
     resize_nearest,
 )
 from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive  # noqa: F401
+from .gif import decode_gif, encode_gif, probe_gif  # noqa: F401
 from .containers import (  # noqa: F401
     encode_mp3,
     encode_mp4,

@@ -19,11 +19,13 @@ over raw sample/pixel arrays — so this module implements them for real:
 Everything is deterministic byte-in/array-out (no RNG, no platform
 variation: explicit little-endian, explicit row padding; zlib inflate is
 bit-exact for any conformant stream), so decoded features are
-oracle-replayable. Baseline JPEG (the dominant lossy web format) is
-implemented from the public spec in the sibling :mod:`.jpeg` module;
-formats still needing external codec libraries (progressive JPEG, MP3,
-MP4) raise :class:`UnsupportedMediaError` and the operators fall back
-to the documented hash stub.
+oracle-replayable. Baseline AND progressive JPEG (the dominant lossy web
+format) are implemented from the public T.81 spec in the sibling
+:mod:`.jpeg` module, and GIF (real LZW, animation, interlace) in
+:mod:`.gif`; formats still needing external codec libraries (MP3, MP4
+entropy payloads — their container *headers* are probed for real in
+:mod:`.containers`) raise :class:`UnsupportedMediaError` and the
+operators fall back to the documented hash stub.
 
 Encoders exist so tests and synthetic tables can fabricate real payloads
 without external tools.
@@ -45,7 +47,7 @@ class UnsupportedMediaError(ValueError):
 # ---------------------------------------------------------------------------
 
 def detect_media_type(payload: bytes | None) -> str | None:
-    """'jpeg'|'png'|'bmp'|'ppm'|'wav'|'frames'|None by magic bytes."""
+    """'jpeg'|'png'|'gif'|'bmp'|'ppm'|'wav'|'frames'|None by magic bytes."""
     if not payload:
         return None
     b = bytes(payload[:16])
@@ -53,6 +55,8 @@ def detect_media_type(payload: bytes | None) -> str | None:
         return "jpeg"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if b[:2] == b"BM":
         return "bmp"
     if b[:2] == b"P6":

@@ -484,6 +484,10 @@ def probe_media(payload: bytes | None) -> dict:
             return {**base, **_probe_jpeg(b)}
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             return {**base, **_probe_png(b)}
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import probe_gif
+
+            return {**base, **probe_gif(b)}
         if b[:2] == b"BM" and len(b) >= 26:
             w, h = struct.unpack("<ii", b[18:26])
             return {

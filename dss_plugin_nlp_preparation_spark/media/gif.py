@@ -1,0 +1,405 @@
+# -*- coding: utf-8 -*-
+"""Pure-Python/numpy GIF codec (GIF87a/89a, real LZW).
+
+GIF is one of the most common image formats on the real web (and the only
+widely-deployed *animated* image container), so decoding it for real moves
+a large slice of crawl payloads off the hash-stub path — and gives the
+frame-sampling operator a genuine multi-frame web format next to the FRMS
+stand-in. Everything here is from the public GIF89a specification:
+
+- variable-width little-endian LZW with CLEAR/END codes, dictionary cap
+  4096, width growth after each dictionary add (decode handles the KwKwK
+  case; encode resets at the cap with a CLEAR),
+- global + local color tables, the 4-pass interlace row order,
+- animation: one canvas composited per image descriptor (left/top offsets,
+  Graphic Control Extension delays, transparent-index skipping, disposal
+  0/1 = leave, 2 = restore background),
+- strict-but-total parsing: any truncation or spec violation raises
+  :class:`UnsupportedMediaError`, which the multimodal operators catch to
+  fall back to the documented stub (never a task-killing exception).
+
+The encoder exists so tests and the synthetic media table can fabricate
+real GIF payloads deterministically (palette = sorted unique colors, so
+byte output is a pure function of the pixels); images with more than 256
+distinct colors are out of scope and raise.
+
+Reference behavior parity: dss-plugin-nlp-preparation has no media path
+at all (text-only plugin); this module belongs to the LLM-pipeline
+extension surface (SURVEY.md §2 multimodal rows).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import UnsupportedMediaError
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlaced_row_order(height: int) -> list:
+    rows = []
+    for start, step in _INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# LZW bitstreams
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavored LZW over palette indices -> packed code bytes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    def fresh() -> tuple:
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    seq: tuple = ()
+    for v in indices.tolist():
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == 1 << width and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        seq = (v,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nacc:
+        out_bits.append(acc & 0xFF)
+    return bytes(out_bits)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    """Packed code bytes -> exactly n_expected palette indices."""
+    if not 2 <= min_code_size <= 11:
+        raise UnsupportedMediaError("gif: bad LZW minimum code size")
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_expected, dtype=np.uint8)
+    n_out = 0
+    acc = 0
+    nacc = 0
+    pos = 0
+
+    table: list = []
+    width = 0
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                raise UnsupportedMediaError("gif: LZW stream truncated")
+            acc |= data[pos] << nacc
+            nacc += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise UnsupportedMediaError("gif: first LZW code not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise UnsupportedMediaError("gif: LZW code out of range")
+        if n_out + len(entry) > n_expected:
+            raise UnsupportedMediaError("gif: LZW output exceeds image size")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) == 1 << width and width < 12:
+            width += 1
+    if n_out != n_expected:
+        raise UnsupportedMediaError("gif: LZW output short of image size")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def _build_palette(frames: list) -> tuple:
+    """(palette Nx3 uint8 sorted, index frames) for <=256 distinct colors."""
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    if len(colors) > 256:
+        raise UnsupportedMediaError("gif: more than 256 distinct colors")
+    # map each pixel to its palette index via the sorted-unique order
+    keys = (
+        colors[:, 0].astype(np.int64) << 16
+        | colors[:, 1].astype(np.int64) << 8
+        | colors[:, 2].astype(np.int64)
+    )
+    index_frames = []
+    for f in frames:
+        fk = (
+            f[..., 0].astype(np.int64) << 16
+            | f[..., 1].astype(np.int64) << 8
+            | f[..., 2].astype(np.int64)
+        )
+        index_frames.append(np.searchsorted(keys, fk).astype(np.uint8))
+    return colors.astype(np.uint8), index_frames
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames,
+    delays_cs=None,
+    interlace: bool = False,
+) -> bytes:
+    """RGB frame(s) -> GIF bytes. ``frames`` is one HxWx3 uint8 array or a
+    list of same-shape arrays (an animation, one GCE+image per frame, all
+    drawn full-canvas at (0,0), disposal 1). ``delays_cs`` gives per-frame
+    delays in centiseconds (default 10). Deterministic: the palette is the
+    sorted unique color set."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise UnsupportedMediaError("gif: no frames")
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise UnsupportedMediaError("gif: frames must share an HxWx3 shape")
+    palette, index_frames = _build_palette(frames)
+    gct_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    gct_size = 1 << gct_bits
+    if delays_cs is None:
+        delays_cs = [10] * len(frames)
+
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, background index 0
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    out += palette.tobytes() + b"\x00\x00\x00" * (gct_size - len(palette))
+    animated = len(frames) > 1
+    for idx, delay in zip(index_frames, delays_cs):
+        if animated:
+            # GCE: disposal 1 (leave in place), no transparency
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay, 0) + b"\x00"
+        rows = idx
+        flags = 0
+        if interlace:
+            rows = idx[_interlaced_row_order(h)]
+            flags |= 0x40
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+        mcs = max(2, gct_bits)
+        out.append(mcs)
+        out += _sub_blocks(_lzw_encode(rows.reshape(-1), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _read_color_table(b: bytes, pos: int, bits: int) -> tuple:
+    n = 1 << (bits + 1)
+    end = pos + 3 * n
+    if end > len(b):
+        raise UnsupportedMediaError("gif: color table truncated")
+    return np.frombuffer(b[pos:end], dtype=np.uint8).reshape(n, 3), end
+
+
+def _skip_sub_blocks(b: bytes, pos: int) -> int:
+    while True:
+        if pos >= len(b):
+            raise UnsupportedMediaError("gif: sub-blocks truncated")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        pos += n
+        if pos > len(b):
+            raise UnsupportedMediaError("gif: sub-blocks truncated")
+
+
+def _collect_sub_blocks(b: bytes, pos: int) -> tuple:
+    parts = []
+    while True:
+        if pos >= len(b):
+            raise UnsupportedMediaError("gif: sub-blocks truncated")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        if pos + n > len(b):
+            raise UnsupportedMediaError("gif: sub-blocks truncated")
+        parts.append(b[pos : pos + n])
+        pos += n
+
+
+def _parse(payload: bytes, want_pixels: bool) -> dict:
+    """Shared walker for decode_gif (want_pixels) and probe_gif (headers
+    only — LZW data is skipped, not inflated)."""
+    b = bytes(payload or b"")
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise UnsupportedMediaError("gif: bad signature")
+    w, h, flags, bg_index, _ = struct.unpack("<HHBBB", b[6:13])
+    if w == 0 or h == 0:
+        raise UnsupportedMediaError("gif: zero logical screen dimension")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        gct, pos = _read_color_table(b, pos, flags & 0x07)
+
+    frames: list = []
+    delays: list = []
+    n_frames = 0
+    total_delay = 0
+    canvas = None
+    if want_pixels:
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        if gct is not None and bg_index < len(gct):
+            canvas[:] = gct[bg_index]
+    background = canvas.copy() if canvas is not None else None
+
+    transparent = None
+    disposal = 0
+    delay_cs = 0
+    while True:
+        if pos >= len(b):
+            raise UnsupportedMediaError("gif: missing trailer")
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(b):
+                raise UnsupportedMediaError("gif: extension truncated")
+            label = b[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                data, pos = _collect_sub_blocks(b, pos)
+                if len(data) >= 4:
+                    gflags, delay_cs = data[0], struct.unpack("<H", data[1:3])[0]
+                    disposal = (gflags >> 2) & 0x07
+                    transparent = data[3] if gflags & 0x01 else None
+            else:  # comment / app / plain text
+                pos = _skip_sub_blocks(b, pos)
+            continue
+        if block != 0x2C:
+            raise UnsupportedMediaError(f"gif: unknown block 0x{block:02x}")
+        if pos + 9 > len(b):
+            raise UnsupportedMediaError("gif: image descriptor truncated")
+        left, top, iw, ih, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+            raise UnsupportedMediaError("gif: image exceeds logical screen")
+        table = gct
+        if iflags & 0x80:
+            table, pos = _read_color_table(b, pos, iflags & 0x07)
+        if table is None:
+            raise UnsupportedMediaError("gif: no color table for image")
+        if pos >= len(b):
+            raise UnsupportedMediaError("gif: LZW header truncated")
+        mcs = b[pos]
+        pos += 1
+        data, pos = _collect_sub_blocks(b, pos)
+        n_frames += 1
+        total_delay += delay_cs * 10
+        if want_pixels:
+            idx = _lzw_decode(data, mcs, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # de-interlace
+                rows = np.empty_like(idx)
+                rows[_interlaced_row_order(ih)] = idx
+                idx = rows
+            if int(idx.max()) >= len(table):
+                raise UnsupportedMediaError("gif: palette index out of range")
+            region = canvas[top : top + ih, left : left + iw]
+            pix = table[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = pix[mask]
+            else:
+                region[:] = pix
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top : top + ih, left : left + iw] = background[
+                    top : top + ih, left : left + iw
+                ]
+        transparent = None
+        disposal = 0
+        delay_cs = 0
+    if n_frames == 0:
+        raise UnsupportedMediaError("gif: no image data")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "duration_ms": total_delay if n_frames > 1 else None,
+        "frames": frames,
+    }
+
+
+def decode_gif(payload: bytes) -> list:
+    """GIF bytes -> list of full-canvas HxWx3 uint8 frames (one per image
+    descriptor, composited per the GIF89a rules)."""
+    return _parse(payload, want_pixels=True)["frames"]
+
+
+def probe_gif(payload: bytes) -> dict:
+    """Header-only metadata (format/width/height/n_frames/duration_ms/
+    codec) — walks blocks but never inflates LZW data."""
+    meta = _parse(payload, want_pixels=False)
+    return {
+        "format": "gif",
+        "width": meta["width"],
+        "height": meta["height"],
+        "n_frames": meta["n_frames"],
+        "duration_ms": meta["duration_ms"],
+        "channels": 3,
+        "codec": "lzw",
+    }

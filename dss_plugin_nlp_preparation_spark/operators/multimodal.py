@@ -117,12 +117,14 @@ def _audio_features(samples, rate: int, channels: int) -> list:
 
 def decode_features(payload: bytes) -> tuple:
     """(detected_type | None, 16 floats): REAL features for supported
-    formats (incl. baseline + progressive JPEG, and PNG), md5 stub otherwise. Total:
-    never raises on arbitrary bytes (a truncated/cropped crawl payload
-    falls back)."""
+    formats (incl. baseline + progressive JPEG, PNG, and GIF — first
+    composited frame for animations), md5 stub otherwise. Total: never
+    raises on arbitrary bytes (a truncated/cropped crawl payload falls
+    back)."""
     from dss_plugin_nlp_preparation_spark.media import (
         decode_bmp,
         decode_frames,
+        decode_gif,
         decode_jpeg,
         decode_png,
         decode_ppm,
@@ -136,6 +138,8 @@ def decode_features(payload: bytes) -> tuple:
             return t, _image_features(decode_jpeg(payload))
         if t == "png":
             return t, _image_features(decode_png(payload))
+        if t == "gif":
+            return t, _image_features(decode_gif(payload)[0])
         if t == "bmp":
             return t, _image_features(decode_bmp(payload))
         if t == "ppm":
@@ -209,15 +213,19 @@ def resize_stub(payload: bytes, width: int, height: int) -> tuple:
 
 def resize_payload(payload: bytes, width: int, height: int) -> tuple:
     """(thumb_len, thumb_digest): REAL decode -> nearest-neighbor resize
-    -> re-encode for JPEG/PNG/BMP/PPM payloads (digest/length of the
-    actual re-encoded thumbnail bytes); md5 stub for anything else."""
+    -> re-encode for JPEG/PNG/GIF/BMP/PPM payloads (digest/length of the
+    actual re-encoded thumbnail bytes; a GIF thumbnail is its resized
+    first composited frame, re-encoded as a static GIF); md5 stub for
+    anything else."""
     from dss_plugin_nlp_preparation_spark.media import (
         decode_bmp,
+        decode_gif,
         decode_jpeg,
         decode_png,
         decode_ppm,
         detect_media_type,
         encode_bmp,
+        encode_gif,
         encode_jpeg,
         encode_png,
         encode_ppm,
@@ -231,6 +239,9 @@ def resize_payload(payload: bytes, width: int, height: int) -> tuple:
             return len(thumb), hashlib.md5(thumb).hexdigest()
         if t == "png":
             thumb = encode_png(resize_nearest(decode_png(payload), width, height))
+            return len(thumb), hashlib.md5(thumb).hexdigest()
+        if t == "gif":
+            thumb = encode_gif(resize_nearest(decode_gif(payload)[0], width, height))
             return len(thumb), hashlib.md5(thumb).hexdigest()
         if t == "bmp":
             thumb = encode_bmp(resize_nearest(decode_bmp(payload), width, height))
@@ -297,20 +308,33 @@ def sample_frames_stub(payload: bytes, n_frames: int) -> list:
 
 
 def sample_frames_payload(payload: bytes, n_frames: int) -> list:
-    """REAL frame sampling for FRMS containers: pick n_frames evenly
-    spaced actual frames (index i*len//n — deterministic integer math)
-    and compute real image features for each; stub for anything else."""
+    """REAL frame sampling for multi-frame containers — FRMS and animated
+    GIF: pick n_frames evenly spaced actual frames (index i*len//n —
+    deterministic integer math) and compute real image features for each;
+    stub for anything else. FRMS frames are embedded encoded images
+    (recursed through decode_features); GIF frames are composited pixel
+    arrays (featured directly)."""
     from dss_plugin_nlp_preparation_spark.media import (
         decode_frames,
+        decode_gif,
         detect_media_type,
     )
 
-    if detect_media_type(payload) == "frames":
+    t = detect_media_type(payload)
+    if t == "frames":
         try:
             frames = decode_frames(payload)
             if frames:
                 picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
                 return [decode_features(f)[1] for f in picks]
+        except _DECODE_ERRORS:
+            pass
+    if t == "gif":
+        try:
+            frames = decode_gif(payload)
+            if frames:
+                picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
+                return [_image_features(f) for f in picks]
         except _DECODE_ERRORS:
             pass
     return sample_frames_stub(payload, n_frames)

@@ -2,12 +2,14 @@
 """Deterministic synthetic media table: (media_id, url, payload binary).
 
 Payload mix per ``media_id % 9``: real 24-bit BMP, real P6 PPM, real
-PCM-16 WAV, real FRMS multi-frame container, undecodable bytes (the
-unsupported-codec stand-in, exercising the documented stub fallback),
-real 8-bit truecolor PNG, real JPEG (rotating baseline/progressive x
-4:4:4 / 4:2:0 / grayscale), structurally-valid MP3 (metadata-probe path — frame
-headers real, audio data filler), and structurally-valid MP4 (ditto;
-rotating video-only / video+audio, some with ID3-tagged MP3s).
+PCM-16 WAV, multi-frame containers (rotating real FRMS / real animated
+GIF, some interlaced), undecodable bytes (the unsupported-codec
+stand-in, exercising the documented stub fallback), real still images
+(rotating 8-bit truecolor PNG / static GIF), real JPEG (rotating
+baseline/progressive x 4:4:4 / 4:2:0 / grayscale), structurally-valid
+MP3 (metadata-probe path — frame headers real, audio data filler), and
+structurally-valid MP4 (ditto; rotating video-only / video+audio, some
+with ID3-tagged MP3s).
 Content is a pure function of the id (``_rng_ints``-style chained md5 —
 no RNG state), so the Spark relation and the single-process oracle
 kernel fabricate byte-identical payloads.
@@ -26,6 +28,7 @@ from pyspark.sql.types import BinaryType, LongType, StringType, StructField, Str
 from dss_plugin_nlp_preparation_spark.media import (
     encode_bmp,
     encode_frames,
+    encode_gif,
     encode_jpeg,
     encode_jpeg_progressive,
     encode_mp3,
@@ -95,7 +98,18 @@ def make_payload(i: int) -> bytes:
         n = 64 + (i % 50) * 2
         raw = _seed_bytes(i, n * 2)
         return encode_wav(raw.view("<i2"), 8000 + (i % 3) * 4000)
-    if kind == 3:  # FRMS container of 2-4 BMP frames
+    if kind == 3:  # multi-frame: FRMS of BMPs (even) / animated GIF (odd)
+        if i % 2 == 1:
+            h, w = 4 + i % 5, 3 + i % 6
+            frames = [
+                _seed_bytes(i * 31 + f, h * w * 3).reshape(h, w, 3)
+                for f in range(2 + i % 3)
+            ]
+            return encode_gif(
+                frames,
+                delays_cs=[5 + (i + f) % 10 for f in range(len(frames))],
+                interlace=i % 4 == 1,
+            )
         frames = []
         for f in range(2 + i % 3):
             h, w = 3 + f, 3 + (i + f) % 4
@@ -103,9 +117,14 @@ def make_payload(i: int) -> bytes:
         return encode_frames(frames)
     if kind == 4:  # undecodable bytes (unsupported-codec stand-in)
         return bytes(_seed_bytes(i, 40 + i % 60))
-    # kind 5: PNG (zlib-compressed truecolor)
+    # kind 5: still image — PNG (zlib truecolor) / static GIF (real LZW).
+    # kind-5 ids are all ≡5 (mod 9), so rotate on i//9 (which walks every
+    # residue), not on i itself
     h, w = 3 + i % 6, 2 + i % 5
-    return encode_png(_seed_bytes(i, h * w * 3).reshape(h, w, 3))
+    pixels = _seed_bytes(i, h * w * 3).reshape(h, w, 3)
+    if (i // 9) % 3 == 1:
+        return encode_gif(pixels, interlace=(i // 9) % 2 == 1)
+    return encode_png(pixels)
 
 
 def synthesize_media(spark: SparkSession, n_rows: int = 500, partitions: int = 8) -> DataFrame:

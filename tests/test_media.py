@@ -593,3 +593,152 @@ def test_spark_probe_media_metadata(spark):
     assert out["mp4"]["duration_ms"] == 3000 and out["mp4"]["n_frames"] == 90
     assert out["img"]["format"] == "bmp" and out["img"]["width"] == 8
     assert out["junk"]["format"] is None and out["junk"]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF (media/gif.py — real LZW, animation, interlace, transparency)
+# ---------------------------------------------------------------------------
+
+def _gif_mod():
+    from dss_plugin_nlp_preparation_spark.media import gif
+
+    return gif
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 4), (7, 5), (16, 9)])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_static_round_trip(h, w, interlace):
+    from dss_plugin_nlp_preparation_spark.media import decode_gif, encode_gif
+
+    img = _img(h, w, seed=h * 31 + w)
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert len(out) == 1 and (out[0] == img).all()
+
+
+def test_gif_animated_round_trip_and_probe():
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_gif,
+        encode_gif,
+        probe_gif,
+    )
+
+    frames = [_img(5, 6, seed=f) for f in range(4)]
+    g = encode_gif(frames, delays_cs=[2, 3, 4, 5], interlace=True)
+    out = decode_gif(g)
+    assert len(out) == 4
+    for a, b in zip(out, frames):
+        assert (a == b).all()
+    meta = probe_gif(g)
+    assert meta["format"] == "gif" and meta["codec"] == "lzw"
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (6, 5, 4)
+    assert meta["duration_ms"] == (2 + 3 + 4 + 5) * 10
+
+
+def test_gif_lzw_width_growth_and_dict_reset():
+    # long few-color runs force the dictionary through several code widths
+    # and past the 4096-entry reset; round trip must stay exact
+    from dss_plugin_nlp_preparation_spark.media import decode_gif, encode_gif
+
+    img = ((np.arange(180 * 240, dtype=np.int64) * 7919) % 5).astype(np.uint8)
+    img = np.stack([img * 50, img * 30, img * 10], axis=1).reshape(180, 240, 3)
+    assert (decode_gif(encode_gif(img))[0] == img).all()
+
+
+def test_gif_transparency_and_disposal_compositing():
+    # handcraft what our encoder never emits: a sub-frame at an offset with
+    # a transparent index, after a disposal-2 (restore background) frame
+    import struct as _struct
+
+    from dss_plugin_nlp_preparation_spark.media import decode_gif
+    from dss_plugin_nlp_preparation_spark.media.gif import _lzw_encode, _sub_blocks
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    g = bytearray(b"GIF89a")
+    g += _struct.pack("<HHBBB", 3, 3, 0x80 | 1, 0, 0)  # 4-color GCT, bg 0
+    g += pal.tobytes()
+    # frame 1: full canvas red, disposal 2 (restore to background after)
+    g += b"\x21\xf9\x04" + _struct.pack("<BHB", 2 << 2, 1, 0) + b"\x00"
+    g += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 3, 3, 0) + b"\x02"
+    g += _sub_blocks(_lzw_encode(np.full(9, 1, np.uint8), 2))
+    # frame 2: 2x2 at (1,1), green with index 3 transparent
+    g += b"\x21\xf9\x04" + _struct.pack("<BHB", (1 << 2) | 1, 1, 3) + b"\x00"
+    g += b"\x2c" + _struct.pack("<HHHHB", 1, 1, 2, 2, 0) + b"\x02"
+    g += _sub_blocks(_lzw_encode(np.array([2, 3, 3, 2], np.uint8), 2))
+    g += b"\x3b"
+
+    f1, f2 = decode_gif(bytes(g))
+    assert (f1 == [255, 0, 0]).all()
+    # after disposal 2 the canvas is background (palette 0 = black); the
+    # sub-frame paints green at (1,1) and (2,2), transparent elsewhere
+    expect = np.zeros((3, 3, 3), np.uint8)
+    expect[1, 1] = [0, 255, 0]
+    expect[2, 2] = [0, 255, 0]
+    assert (f2 == expect).all()
+
+
+def test_gif_malformed_falls_back_to_stub():
+    from dss_plugin_nlp_preparation_spark.media import (
+        UnsupportedMediaError,
+        decode_gif,
+        probe_media,
+    )
+
+    bad = [
+        b"GIF89a",  # header only
+        b"GIF89a" + b"\x03\x00\x03\x00\x00\x00\x00",  # no blocks, no trailer
+        b"GIF89a" + b"\x03\x00\x03\x00\x81\x00\x00" + b"\xff" * 4,  # GCT cut
+        b"GIF87a" + bytes(range(40)),  # junk body
+    ]
+    for payload in bad:
+        with pytest.raises(UnsupportedMediaError):
+            decode_gif(payload)
+        t, feats = decode_features(payload)
+        assert t is None and feats == decode_stub(payload)
+        meta = probe_media(payload)
+        assert meta["format"] is None
+
+
+def test_gif_palette_limit():
+    from dss_plugin_nlp_preparation_spark.media import UnsupportedMediaError, encode_gif
+
+    img = np.zeros((20, 20, 3), np.uint8)
+    img[..., 0] = np.arange(20)[:, None] * 12
+    img[..., 1] = np.arange(20)[None, :] * 12
+    with pytest.raises(UnsupportedMediaError):
+        encode_gif(img)
+
+
+def test_gif_real_feature_resize_and_frame_paths():
+    import hashlib
+
+    from dss_plugin_nlp_preparation_spark.media import decode_gif, encode_gif
+
+    img = _img(6, 8, seed=3)
+    g = encode_gif(img)
+    t, feats = decode_features(g)
+    assert t == "gif"
+    assert feats[:2] == [round(8 / 4096.0, 6), round(6 / 4096.0, 6)]
+    ln, digest = resize_payload(g, 4, 4)
+    thumb = encode_gif(
+        __import__(
+            "dss_plugin_nlp_preparation_spark.media", fromlist=["resize_nearest"]
+        ).resize_nearest(img, 4, 4)
+    )
+    assert (ln, digest) == (len(thumb), hashlib.md5(thumb).hexdigest())
+
+    frames = [_img(4, 4, seed=f) for f in range(3)]
+    anim = encode_gif(frames)
+    sampled = sample_frames_payload(anim, 2)
+    picks = [decode_gif(anim)[(i * 3) // 2] for i in range(2)]
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import _image_features
+
+    assert sampled == [_image_features(p) for p in picks]
+
+
+def test_gif_deferred_clear_tolerated():
+    # a conformant-but-thrifty encoder may keep using a full dictionary
+    # without emitting CLEAR; the decoder must not mis-sequence codes
+    from dss_plugin_nlp_preparation_spark.media.gif import _lzw_decode, _lzw_encode
+
+    data = ((np.arange(30000, dtype=np.int64) * 2654435761) % 4).astype(np.uint8)
+    assert (_lzw_decode(_lzw_encode(data, 2), 2, len(data)) == data).all()
