@@ -1,0 +1,64 @@
+# -*- coding: utf-8 -*-
+"""Executed evidence for the multi-executor harness behind
+BENCH_CLUSTER_SCALING.json (north rule: "spark-submit --py-files on a
+multi-executor cluster at two cluster sizes").
+
+Runs one small level through tools/cluster_scaling_bench.run_level —
+a real ``spark-submit --master local-cluster[1,8,...]`` subprocess whose
+only access to the engine is ``--py-files engine.zip`` — and pins the
+cross-harness invariant: the pipeline's ``kept`` count on separate
+executor JVMs equals the in-process local[] result on the same
+deterministic input (real serialization and RPC broadcast change nothing
+about the answer).
+"""
+
+import importlib.util
+import os
+import shutil
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+N_ROWS = 3000
+
+
+def _tool():
+    spec = importlib.util.spec_from_file_location(
+        "cluster_scaling_bench",
+        os.path.join(REPO, "tools", "cluster_scaling_bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this box"
+)
+def test_local_cluster_level_matches_in_process_pipeline(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, N_ROWS, 8)
+    expected_kept = (
+        quality_filter_pipeline(pages, with_perplexity=True)
+        .select(F.sum(F.col("keep").cast("long")))
+        .collect()[0][0]
+    )
+
+    mod = _tool()
+    dist = str(tmp_path / "dist")
+    driver = mod.build_bundle(dist)
+    workdir = str(tmp_path / "cwd")
+    os.makedirs(workdir)
+    res = mod.run_level(dist, driver, workdir, 1, N_ROWS, "full")
+
+    assert res["executors"] == 1 and res["rows"] == N_ROWS
+    assert res["kept"] == expected_kept
+    assert res["docs_per_sec"] > 0
