@@ -284,6 +284,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("tox_count").cast("long").alias("tox_count"),
         )
 
+    def q_extract_links(spark, sf_dir):
+        # outlink extraction over the synthetic pages (regex + resolve,
+        # pure codegen); frozen pure-Python replay of the same spec
+        from dss_plugin_nlp_preparation_spark.operators.links import extract_links
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        return extract_links(synthesize_pages(spark, 500, 8))
+
+    def q_host_in_degree(spark, sf_dir):
+        from dss_plugin_nlp_preparation_spark.operators.links import (
+            extract_links,
+            host_in_degree,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        return host_in_degree(extract_links(synthesize_pages(spark, 500, 8)))
+
+    def q_host_rank(spark, sf_dir):
+        # integer-exact PageRank on the host graph: bit-deterministic
+        # under any partitioning (int64 mass, integral division)
+        from dss_plugin_nlp_preparation_spark.operators.links import (
+            extract_links,
+            host_rank,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        return host_rank(extract_links(synthesize_pages(spark, 500, 8)), n_iters=3)
+
+    def q_bloom_membership(spark, sf_dir):
+        # crawl-increment membership probe against a corpus Bloom filter:
+        # zero-shuffle (k broadcast joins); oracle = pure-Python xxHash64
+        # replay of build+probe
+        from dss_plugin_nlp_preparation_spark.operators.bloom import (
+            build_bloom,
+            probe_bloom,
+        )
+
+        # corpus/increment overlap at doc_id % 6 == 0 so BOTH probe
+        # outcomes (definitely-new fastpath AND maybe-present -> exact
+        # verification join) are exercised and graded
+        docs = _docs(spark, sf_dir)
+        corpus = docs.where(F.col("doc_id") % 2 == 0)
+        inc = docs.where(F.col("doc_id") % 3 == 0)
+        return probe_bloom(inc, build_bloom(corpus, "text"), "text").select(
+            "doc_id", "maybe_present"
+        )
+
+    def q_bloom_incremental_dedup(spark, sf_dir):
+        from dss_plugin_nlp_preparation_spark.operators.bloom import (
+            incremental_bloom_dedup,
+        )
+
+        docs = _docs(spark, sf_dir)
+        corpus = docs.where(F.col("doc_id") % 2 == 0)
+        inc = docs.where(F.col("doc_id") % 3 == 0)
+        return incremental_bloom_dedup(inc, corpus, "text").select(
+            "doc_id", "via_bloom_fastpath"
+        )
+
     def q_repeated_line_stats(spark, sf_dir):
         d = add_quality_signals(_docs(spark, sf_dir))
         return d.select("doc_id", "dup_line_frac")
@@ -1115,6 +1174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entries below are demos/aux or
         #      subsumed variants; still oracle-checked by
         #      tools/check_oracle.py) ----
+        # -- link graph (crawl frontier / curation analytics) --
+        "extract_links": q_extract_links,
+        "host_in_degree": q_host_in_degree,
+        "host_rank": q_host_rank,
+        # -- Bloom-filter incremental ingest --
+        "bloom_membership": q_bloom_membership,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "repeated_line_stats": q_repeated_line_stats,
         "top_tokens": q_top_tokens,
         "near_dup_clusters_star": q_near_dup_clusters_star,
@@ -1305,6 +1371,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count_v2": _frozen("bpe_token_count_v2"),
         "cosine_topk_ivf": _frozen("cosine_topk_ivf"),
         "dedup_paragraphs": _frozen("dedup_paragraphs"),
+        "extract_links": _frozen("extract_links"),
+        "host_in_degree": _frozen("host_in_degree"),
+        "host_rank": _frozen("host_rank"),
+        "bloom_membership": _frozen("bloom_membership"),
+        "bloom_incremental_dedup": _frozen("bloom_incremental_dedup"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of

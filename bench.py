@@ -537,6 +537,43 @@ def main() -> int:
         .collect(),
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.links import (
+        extract_links,
+        host_in_degree,
+        host_rank,
+    )
+
+    # link graph: extract every href + in-degree aggregate (pure codegen)
+    timed_extra(
+        "link_graph",
+        lambda: host_in_degree(extract_links(pages))
+        .select(F.sum("n_links"))
+        .collect(),
+    )
+    # integer-exact PageRank, 3 iterations on the host graph
+    timed_extra(
+        "host_rank",
+        lambda: host_rank(extract_links(pages), n_iters=3)
+        .select(F.sum("rank_q"))
+        .collect(),
+    )
+    # Bloom probe of a crawl increment against the corpus filter
+    # (zero-shuffle fastpath classification)
+    timed_extra(
+        "bloom_probe",
+        lambda: probe_bloom(
+            docs.where("doc_id % 3 = 0"),
+            build_bloom(docs.where("doc_id % 2 = 0"), "text"),
+            "text",
+        )
+        .where("NOT maybe_present")
+        .count(),
+    )
+
     from dss_plugin_nlp_preparation_spark.operators.multimodal import (
         extract_media_features,
     )

@@ -1,0 +1,227 @@
+# -*- coding: utf-8 -*-
+"""Link extraction and host-graph analytics over crawled pages.
+
+A Common-Crawl-style curation pipeline uses the link graph constantly:
+outlink extraction feeds the frontier, host in-degree is the classic
+crawl-priority / spam signal, and a PageRank-style host rank drives
+sampling weights for training-data mixtures. The reference plugin stops
+at per-document text (python-lib/*/recipe.py reads a text column), so
+this module is additive north-rule surface — web-page ingest analytics
+the 10^12-document pipeline needs in front of the reference's NLP
+stages.
+
+Scale design:
+
+- ``extract_links`` is a single pure-JVM projection: cast the ``html``
+  binary to string, ``regexp_extract_all`` the ``href`` attributes,
+  explode, and resolve each link against the source url with a CASE
+  chain of regexps — whole-stage codegen end-to-end, zero Python, and
+  the megabyte-scale payload column is pruned immediately after the
+  extract (links never reshuffle the raw bytes).
+- ``host_in_degree`` is one hash aggregate on ``dst_host`` with
+  map-side partial aggregation; distinct-source counting uses the
+  two-level (dst, src) pre-aggregate shape so a hot destination host
+  combines on every map task instead of funnelling raw link rows into
+  one reducer.
+- ``host_rank`` is power-iteration PageRank on the host graph with the
+  same determinism discipline as ``operators/semantic.py``: rank mass
+  lives in **scaled int64 units** and every per-edge contribution is an
+  integer division, so partial sums are associative and the result is
+  bit-identical regardless of partitioning, AQE, retries, or vectorised
+  vs sequential execution — which is what lets a frozen single-process
+  oracle replay it exactly. Each iteration is one join + one hash
+  aggregate on host keys (hosts number ~10^7 on the real web — trivially
+  shuffle-able next to the 10^12 page corpus that produced the edges),
+  and the per-iteration result is ``localCheckpoint``-ed so lineage
+  stays O(1) in the iteration count.
+
+All regex patterns are RE2-safe (no lookaround/backreferences) so the
+DuckDB oracle replays ``extract_links``/``host_in_degree`` verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href value up to the closing double quote; the resolution CASE below
+# handles scheme-ful, protocol-relative, root-relative and bare-relative
+# values. Single-quoted/unquoted attributes are out of the deterministic
+# spec (documented; crawl-scale extractors normalise quoting upstream).
+_HREF_PATTERN = r'href\s*=\s*"([^"]*)"'
+
+# scheme://host (host = everything up to : / ? #)
+_HOST_OF = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def _src_parts(url: Column) -> tuple[Column, Column]:
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    return scheme, host
+
+
+def resolve_link(href: Column, src_scheme: Column, src_host: Column) -> Column:
+    """Resolve one href against the source page (simplified RFC 3986:
+    no ``..`` segment folding — crawl frontier consumers canonicalize
+    with :func:`..urls.canonicalize_url` anyway). Fragment is dropped
+    first; non-navigational schemes (javascript:, mailto:, data:, tel:)
+    and empty values resolve to NULL."""
+    h = F.regexp_replace(F.trim(href), r"#.*$", "")
+    lower = F.lower(h)
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(
+            lower.rlike(r"^(javascript|mailto|data|tel):"),
+            F.lit(None).cast("string"),
+        )
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(src_scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(src_scheme, F.lit("://"), src_host, h))
+        .otherwise(F.concat(src_scheme, F.lit("://"), src_host, F.lit("/"), h))
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    html_column: str = "html",
+    url_column: str = "url",
+) -> DataFrame:
+    """(src_url, src_host, dst_url, dst_host, is_internal) — one row per
+    href occurrence (document order preserved within a page by the
+    explode). Pure codegen; the html payload never leaves the scan
+    stage."""
+    html_str = F.col(html_column).cast("string")
+    src_scheme, src_host = _src_parts(F.col(url_column))
+    hrefs = F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), 1)
+    out = df.select(
+        F.col(url_column).alias("src_url"),
+        src_host.alias("src_host"),
+        src_scheme.alias("__scheme"),
+        F.explode(hrefs).alias("__href"),
+    )
+    resolved = resolve_link(F.col("__href"), F.col("__scheme"), F.col("src_host"))
+    out = out.select(
+        "src_url",
+        "src_host",
+        resolved.alias("dst_url"),
+    ).where(F.col("dst_url").isNotNull())
+    dst_host = F.lower(F.regexp_extract(F.col("dst_url"), _HOST_OF, 1))
+    return out.select(
+        "src_url",
+        "src_host",
+        "dst_url",
+        dst_host.alias("dst_host"),
+        (dst_host == F.col("src_host")).alias("is_internal"),
+    )
+
+
+def host_in_degree(
+    links: DataFrame,
+    include_internal: bool = False,
+) -> DataFrame:
+    """(dst_host, in_degree, n_links): distinct referring hosts and raw
+    link count per destination host. Two-level aggregate: the inner
+    (dst, src) groupBy partially combines map-side, so a host linked
+    from everywhere (the skew case) reduces pre-shrunk pairs, not raw
+    link rows."""
+    e = links if include_internal else links.where(~F.col("is_internal"))
+    pair = e.groupBy("dst_host", "src_host").agg(F.count(F.lit(1)).alias("__n"))
+    return pair.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("__n").alias("n_links"),
+    )
+
+
+# rank mass is tracked in units of 1e-12 of the total (int64 scale):
+# sum(rank_q) over all hosts stays ~_SCALE, far below 2^63 even summed
+# in one partition, and every transfer is an integer division — the
+# associativity that makes the distributed sum bit-deterministic.
+_SCALE = 1_000_000_000_000
+
+
+def host_rank(
+    links: DataFrame,
+    n_iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PageRank over the distinct host->host graph (self-loops dropped),
+    in exact integer arithmetic: returns (host, rank_q, rank) where
+    ``rank_q`` is int64 mass in 1e-12 units and ``rank = rank_q/1e12``.
+
+    Per iteration (all host-keyed, i.e. tiny next to the page corpus):
+    one broadcast-or-shuffle join edges><ranks, one hash aggregate on
+    dst, one outer join back to the node set; the dangling-host mass is
+    a single scalar aggregate. ``localCheckpoint`` caps lineage. The
+    damping factor is the exact rational ``damping_num/damping_den``
+    (default 85/100) applied as integer multiply-then-divide.
+    """
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    edges = (
+        links.select("src_host", "dst_host")
+        .where(
+            (F.col("src_host") != F.col("dst_host"))
+            & (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "host",
+            F.lit(0).cast("long").alias("rank_q"),
+            F.lit(0.0).alias("rank"),
+        )
+    out_deg = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    # uniform initial mass per host, exact integer share
+    ranks = nodes.select("host", F.lit(_SCALE // n).cast("long").alias("rank_q"))
+    for _ in range(n_iters):
+        # per-edge contribution: integer share of the source's mass
+        contrib = (
+            edges.join(ranks, edges["src_host"] == ranks["host"])
+            .join(out_deg, "host")
+            .select(
+                F.col("dst_host").alias("host"),
+                # integral `div`, NOT `/` (which is double division in
+                # Spark SQL and would re-introduce float rounding)
+                F.expr("rank_q div __deg").alias("__c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # mass sitting on dangling hosts (no outlinks) redistributes
+        # uniformly; one scalar collect per iteration, O(1) rows
+        dangling_q = (
+            ranks.join(out_deg, "host", "left_anti")
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        dangling_share = int(dangling_q) // n
+        teleport = (_SCALE - damping_num * _SCALE // damping_den) // n
+        new_q = (
+            F.lit(teleport).cast("long")
+            + F.expr(
+                f"((coalesce(__in, 0L) + {dangling_share}L) * {damping_num}L)"
+                f" div {damping_den}L"
+            )
+        ).cast("long")
+        ranks = (
+            nodes.join(contrib, "host", "left")
+            .select("host", new_q.alias("rank_q"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "host",
+        "rank_q",
+        (F.col("rank_q").cast("double") / _SCALE).alias("rank"),
+    )

@@ -133,18 +133,43 @@ def _make_html(i: int, text: str, r: list) -> bytes:
     parts = []
     for j, par in enumerate(text[:200].split("\n")):
         esc = escape_text(par)
-        if esc and r[(8 + j) % 40] % 3 == 0:
+        sel = r[(8 + j) % 40] % 3
+        if esc and sel == 0:
             # wrap the first word in inline markup (stripped without trace)
             cut = esc.find(" ")
             cut = len(esc) if cut < 0 else cut
             esc = f"<b>{esc[:cut]}</b>{esc[cut:]}"
+        elif esc and sel == 1:
+            # wrap the first word in a content outlink — anchor markup is
+            # inline (stripped without trace, text preserved); the href
+            # shape cycles through absolute / root-relative /
+            # protocol-relative / bare-relative so operators/links.py's
+            # resolution CASE sees every branch
+            cut = esc.find(" ")
+            cut = len(esc) if cut < 0 else cut
+            t = r[(12 + 2 * j) % 40]
+            shape = r[(13 + 2 * j) % 40] % 5
+            if shape == 0:
+                href = f"https://host{t % 997}.example.org/p/{t % 5000}"
+            elif shape == 1:
+                href = f"/p/{t % 5000}"
+            elif shape == 2:
+                href = f"//host{t % 997}.example.org/p/{t % 5000}"
+            elif shape == 3:
+                href = f"p/{t % 5000}#frag{t % 9}"
+            else:
+                href = "mailto:webmaster@example.org"  # resolves to NULL
+            esc = f'<a href="{href}">{esc[:cut]}</a>{esc[cut:]}'
         parts.append(f"<p>{esc}</p>")
     return (
         f"<html><head><title>Doc {i}</title><style>body{{margin:0}}</style>"
-        f"<script>var n={i};</script></head><body><nav><ul><li>Home</li>"
-        f'<li>About</li></ul></nav><!-- generated page {i} --><main>'
+        f'<link rel="stylesheet" href="//static{r[9] % 7}.example.net/site.css">'
+        f"<script>var n={i};</script></head><body><nav><ul>"
+        f'<li><a href="/">Home</a></li><li><a href="/about">About</a></li>'
+        f"</ul></nav><!-- generated page {i} --><main>"
         f'<div class="content">{"".join(parts)}</div></main>'
-        f"<footer>&copy; 2026 example.org</footer></body></html>"
+        f'<footer><a href="https://www.example.org/terms">&copy; 2026 example.org</a>'
+        f"</footer></body></html>"
     ).encode()
 
 

@@ -1,0 +1,132 @@
+# -*- coding: utf-8 -*-
+"""Link extraction + host-graph analytics (operators/links.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.links import (
+    extract_links,
+    host_in_degree,
+    host_rank,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+PAGE = (
+    "https://www.src.org/a/b",
+    b'<html><body>'
+    b'<a href="https://other.org/x">abs</a>'
+    b'<a href="//cdn.net/lib.js">proto-rel</a>'
+    b'<a href="/root/path">root-rel</a>'
+    b'<a href="sub/page#frag">bare-rel</a>'
+    b'<a href="mailto:x@y.z">mail</a>'
+    b'<a href="JavaScript:void(0)">js</a>'
+    b'<a href="">empty</a>'
+    b'<a href="#top">frag-only</a>'
+    b'<a href="https://WWW.SRC.ORG/self">self</a>'
+    b"</body></html>",
+)
+
+
+def test_resolution_branches(spark):
+    out = {
+        r["dst_url"]: (r["dst_host"], r["is_internal"])
+        for r in extract_links(_pages(spark, [PAGE])).collect()
+    }
+    # mailto / javascript / empty / fragment-only produce no rows
+    assert len(out) == 5
+    assert out["https://other.org/x"] == ("other.org", False)
+    assert out["https://cdn.net/lib.js"] == ("cdn.net", False)
+    assert out["https://www.src.org/root/path"] == ("www.src.org", True)
+    # fragment stripped before resolution
+    assert out["https://www.src.org/sub/page"] == ("www.src.org", True)
+    # absolute links keep their own case in the url, host lowercased;
+    # internal-ness compares lowercased hosts
+    assert out["https://WWW.SRC.ORG/self"] == ("www.src.org", True)
+
+
+def test_src_host_lowercased(spark):
+    rows = extract_links(
+        _pages(spark, [("HTTPS://UPPER.ORG/p", b'<a href="/x">y</a>')])
+    ).collect()
+    assert rows[0]["src_host"] == "upper.org"
+    assert rows[0]["dst_url"] == "https://upper.org/x"
+
+
+def test_in_degree_counts_distinct_sources(spark):
+    pages = _pages(
+        spark,
+        [
+            ("https://a.org/1", b'<a href="https://hub.org/x"></a><a href="https://hub.org/y"></a>'),
+            ("https://b.org/1", b'<a href="https://hub.org/z"></a>'),
+            ("https://hub.org/1", b'<a href="https://hub.org/self"></a>'),
+        ],
+    )
+    deg = {r["dst_host"]: (r["in_degree"], r["n_links"]) for r in
+           host_in_degree(extract_links(pages)).collect()}
+    # internal (hub->hub) excluded by default; a.org counted once
+    assert deg["hub.org"] == (2, 3)
+
+
+def test_host_rank_mass_conserved_and_deterministic(spark):
+    pages = _pages(
+        spark,
+        [
+            ("https://a.org/", b'<a href="https://b.org/"></a><a href="https://c.org/"></a>'),
+            ("https://b.org/", b'<a href="https://c.org/"></a>'),
+            ("https://d.org/", b'<a href="https://c.org/"></a>'),
+        ],
+    )
+    links = extract_links(pages)
+    r1 = {r["host"]: r["rank_q"] for r in host_rank(links, n_iters=4).collect()}
+    # total mass conserved to integer truncation (strictly <= 1.0)
+    total = sum(r1.values())
+    assert 0.999 * 10**12 < total <= 10**12
+    # c has the most inbound mass
+    assert r1["c.org"] == max(r1.values())
+    # bit-identical across runs and partitioning
+    r2 = {
+        r["host"]: r["rank_q"]
+        for r in host_rank(links.repartition(7), n_iters=4).collect()
+    }
+    assert r1 == r2
+
+
+def test_host_rank_empty_graph(spark):
+    links = extract_links(_pages(spark, [("https://a.org/", b"<p>no links</p>")]))
+    assert host_rank(links, n_iters=2).count() == 0
+
+
+def test_host_rank_rejects_negative_iters(spark):
+    links = extract_links(_pages(spark, [PAGE]))
+    with pytest.raises(ValueError):
+        host_rank(links, n_iters=-1)
+
+
+def test_synthetic_pages_cover_every_branch(spark):
+    """The pages fixture must keep exercising all resolution shapes."""
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    links = extract_links(synthesize_pages(spark, 300, 8))
+    urls = [r["dst_url"] for r in links.select("dst_url").collect()]
+    assert any("/p/" in u and "host" in u for u in urls)  # content outlinks
+    assert any(u.endswith("/about") for u in urls)  # nav root-relative
+    assert any(".example.net" in u for u in urls)  # protocol-relative <link>
+    assert not any("mailto" in u for u in urls)  # scheme-filtered
+    assert not any("#" in u for u in urls)  # fragments stripped
+
+
+def test_payload_pruned_from_link_plan(spark):
+    """The html binary must not survive past the scan/project: links never
+    reshuffle megabyte payloads."""
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    links = extract_links(synthesize_pages(spark, 50, 4))
+    agg = host_in_degree(links)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # the exchange (shuffle) carries only host/count columns
+    after_exchange = plan.split("Exchange")[0]
+    assert "html" not in after_exchange

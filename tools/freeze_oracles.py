@@ -684,6 +684,170 @@ def freeze_dedup_paragraphs() -> None:
     _write("dedup_paragraphs", out)
 
 
+def _replay_links(n_pages: int = 500) -> list:
+    """Pure-Python replay of operators/links.py extract_links over the
+    synthetic pages table: same href regex, same resolution CASE, same
+    host extraction — returns (src_url, src_host, dst_url, dst_host,
+    is_internal) rows. Spark ``trim`` strips ASCII spaces only, and the
+    non-navigational-scheme test lowercases first (mirrors
+    ``F.lower(h).rlike``)."""
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    href_re = re.compile(r'href\s*=\s*"([^"]*)"')
+    scheme_re = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
+    host_re = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)")
+    dst_host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/:?#]+)")
+    skip_re = re.compile(r"^(javascript|mailto|data|tel):")
+    rows = []
+    for i in range(n_pages):
+        _i, url, html, _text, _lang = _make_row(i)
+        m = scheme_re.match(url)
+        src_scheme = m.group(1).lower() if m else ""
+        m = host_re.match(url)
+        src_host = m.group(1).lower() if m else ""
+        for href in href_re.findall(html.decode("utf-8", errors="replace")):
+            h = re.sub(r"#.*$", "", href.strip(" "))
+            if h == "" or skip_re.match(h.lower()):
+                continue
+            if scheme_re.match(h):
+                dst = h
+            elif h.startswith("//"):
+                dst = f"{src_scheme}:{h}"
+            elif h.startswith("/"):
+                dst = f"{src_scheme}://{src_host}{h}"
+            else:
+                dst = f"{src_scheme}://{src_host}/{h}"
+            m = dst_host_re.match(dst)
+            dst_host = m.group(1).lower() if m else ""
+            rows.append((url, src_host, dst, dst_host, dst_host == src_host))
+    return rows
+
+
+def freeze_extract_links() -> None:
+    out = pd.DataFrame(
+        _replay_links(),
+        columns=["src_url", "src_host", "dst_url", "dst_host", "is_internal"],
+    )
+    _write("extract_links", out)
+
+
+def freeze_host_in_degree() -> None:
+    """host_in_degree over the external links of the pages table:
+    distinct referring hosts + raw link count per destination."""
+    pairs: dict[tuple[str, str], int] = {}
+    for _su, src_host, _du, dst_host, internal in _replay_links():
+        if internal:
+            continue
+        pairs[(dst_host, src_host)] = pairs.get((dst_host, src_host), 0) + 1
+    agg: dict[str, list[int]] = {}
+    for (dst, _src), n in pairs.items():
+        a = agg.setdefault(dst, [0, 0])
+        a[0] += 1
+        a[1] += n
+    out = pd.DataFrame(
+        [(d, a[0], a[1]) for d, a in agg.items()],
+        columns=["dst_host", "in_degree", "n_links"],
+    )
+    out["in_degree"] = out["in_degree"].astype("int64")
+    out["n_links"] = out["n_links"].astype("int64")
+    _write("host_in_degree", out)
+
+
+def freeze_host_rank() -> None:
+    """Integer-exact PageRank replay (operators/links.py host_rank,
+    n_iters=3): scaled int64 mass, integral division per edge, 85/100
+    damping as integer multiply-then-div — bit-identical to the
+    distributed version by construction (associative int sums only)."""
+    scale = 1_000_000_000_000
+    edges = sorted(
+        {
+            (s, d)
+            for _su, s, _du, d, _int in _replay_links()
+            if s != d and s != "" and d != ""
+        }
+    )
+    nodes = sorted({h for e in edges for h in e})
+    n = len(nodes)
+    out_deg: dict[str, int] = {}
+    for s, _d in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {h: scale // n for h in nodes}
+    teleport = (scale - 85 * scale // 100) // n
+    for _ in range(3):
+        contrib: dict[str, int] = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // out_deg[s]
+        dangling = sum(r for h, r in rank.items() if h not in out_deg)
+        share = dangling // n
+        rank = {
+            h: teleport + ((contrib.get(h, 0) + share) * 85) // 100 for h in nodes
+        }
+    out = pd.DataFrame(
+        [(h, q, q / float(scale)) for h, q in rank.items()],
+        columns=["host", "rank_q", "rank"],
+    )
+    out["rank_q"] = out["rank_q"].astype("int64")
+    _write("host_rank", out)
+
+
+def _bloom_positions(text, k: int, m_bits: int) -> list:
+    """Replay of operators/bloom.py probe_positions via the Spark-parity
+    xxHash64 (None hashes like a null column: the seed passes through)."""
+    from dss_plugin_nlp_preparation_spark.functions.xxh64 import spark_xxhash64
+
+    h1 = spark_xxhash64(text) if text is not None else spark_xxhash64()
+    h2 = (
+        spark_xxhash64(text, 1)
+        if text is not None
+        else spark_xxhash64(1)
+    )
+    p1 = h1 % m_bits
+    p2 = h2 % (m_bits - 1) + 1
+    return [(p1 + i * p2) % m_bits for i in range(k)]
+
+
+def freeze_bloom_ops(docs: pd.DataFrame) -> None:
+    """bloom_membership + bloom_incremental_dedup over the documents
+    table (corpus = doc_id%2==0, increment = doc_id%3==0 — overlapping
+    at multiples of 6 so both probe outcomes occur; k=5, m=2^20) —
+    replays build/probe/verify with the pure-Python xxHash64."""
+    from dss_plugin_nlp_preparation_spark.functions.xxh64 import spark_xxhash64
+
+    k, m_bits = 5, 1 << 20
+    corpus = docs[docs["doc_id"] % 2 == 0]
+    inc = docs[docs["doc_id"] % 3 == 0]
+    bits: set[int] = set()
+    for t in corpus["text"]:
+        bits.update(_bloom_positions(t, k, m_bits))
+    member = []
+    for doc_id, t in zip(inc["doc_id"], inc["text"]):
+        maybe = all(p in bits for p in _bloom_positions(t, k, m_bits))
+        member.append((int(doc_id), maybe))
+    _write(
+        "bloom_membership",
+        pd.DataFrame(member, columns=["doc_id", "maybe_present"]).astype(
+            {"doc_id": "int64"}
+        ),
+    )
+    corpus_hashes = {
+        spark_xxhash64(t) if t is not None else spark_xxhash64()
+        for t in corpus["text"]
+    }
+    surv = []
+    for (doc_id, maybe), t in zip(member, inc["text"]):
+        h = spark_xxhash64(t) if t is not None else spark_xxhash64()
+        if not maybe:
+            surv.append((doc_id, True))
+        elif h not in corpus_hashes:
+            surv.append((doc_id, False))
+    _write(
+        "bloom_incremental_dedup",
+        pd.DataFrame(surv, columns=["doc_id", "via_bloom_fastpath"]).astype(
+            {"doc_id": "int64"}
+        ),
+    )
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -707,6 +871,10 @@ def main() -> int:
     freeze_media_metadata()
     freeze_near_dup_pairs(docs)
     freeze_dedup_paragraphs()
+    freeze_extract_links()
+    freeze_host_in_degree()
+    freeze_host_rank()
+    freeze_bloom_ops(docs)
     return 0
 
 
