@@ -778,6 +778,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("event_type", "event_id", "value", F.col("rn").cast("long").alias("rn"))
         )
 
+    def _dsir_scored(spark, sf_dir):
+        # DSIR (arXiv:2302.03169): target = the English slice, raw = the
+        # whole corpus; hash_fn="md5" so DuckDB replays the bucket hash
+        # verbatim (production default is xxhash64 — same split as MinHash)
+        from dss_plugin_nlp_preparation_spark.operators.dsir import (
+            score_dsir,
+            train_dsir,
+        )
+
+        docs = _docs(spark, sf_dir)
+        model = train_dsir(
+            docs.where(F.col("lang") == "en"),
+            docs,
+            n_buckets=4096,
+            alpha=0.5,
+            hash_fn="md5",
+        )
+        return score_dsir(docs, model, n_buckets=4096, hash_fn="md5")
+
+    def q_dsir_score(spark, sf_dir):
+        return _dsir_scored(spark, sf_dir).select("doc_id", "dsir_logw", "n_feats")
+
+    def q_dsir_resample(spark, sf_dir):
+        from dss_plugin_nlp_preparation_spark.operators.dsir import dsir_resample
+
+        return dsir_resample(_dsir_scored(spark, sf_dir), k=100).select(
+            "doc_id", "dsir_logw", "sel_key"
+        )
+
+    def q_fix_mojibake(spark, sf_dir):
+        # corrupt half the corpus deterministically (UTF-8 bytes decoded
+        # as Latin-1 — the real crawl corruption channel), then repair;
+        # the oracle is the pure-Python kernel replay (frozen)
+        from dss_plugin_nlp_preparation_spark.operators.encoding import (
+            corrupt_encoding,
+            fix_encoding,
+        )
+
+        docs = _docs(spark, sf_dir)
+        c = corrupt_encoding(docs, key_column="doc_id", frac=0.5)
+        out = fix_encoding(c, text_column="text_corrupted")
+        return out.select(
+            "doc_id",
+            F.coalesce(
+                F.col("text_corrupted") != F.col("text"), F.lit(False)
+            ).alias("was_corrupted"),
+            "was_mojibake",
+            F.col("mojibake_passes").cast("long").alias("mojibake_passes"),
+            F.coalesce(
+                F.col("text_fixed") == F.col("text"), F.col("text").isNull()
+            ).alias("recovered"),
+        )
+
     def q_pages_pipeline(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.plans.pipeline import (
             quality_filter_pipeline,
@@ -1199,6 +1252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "user_sessions": q_user_sessions,
         "event_value_rank": q_event_value_rank,
+        # -- DSIR importance resampling (full train+score+resample in SQL) --
+        "dsir_score": q_dsir_score,
+        "dsir_resample": q_dsir_resample,
+        # -- encoding repair (mojibake; frozen kernel oracle) --
+        "fix_mojibake": q_fix_mojibake,
     }
 
 
@@ -1376,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": _frozen("host_rank"),
         "bloom_membership": _frozen("bloom_membership"),
         "bloom_incremental_dedup": _frozen("bloom_incremental_dedup"),
+        "fix_mojibake": _frozen("fix_mojibake"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of
@@ -2085,5 +2144,67 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN sums m USING (doc_id)
         JOIN labels l USING (doc_id)
         CROSS JOIN prior
+    """
+    # DSIR: full train + score replay. Bucket hash = md5-prefix integer
+    # mod B (same portable idiom as deterministic_sample); weights and
+    # per-doc sums rounded at 6 dp exactly like quality_classifier.
+    _DSIR_SCORES_SQL = """
+        tokarr AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id, lang,
+                 CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 4096
+                      AS BIGINT) AS bucket
+          FROM (
+            SELECT doc_id, lang,
+                   unnest(toks || list_transform(range(1, len(toks)),
+                                                 i -> toks[i] || ' ' || toks[i+1])) AS f
+            FROM tokarr
+          )
+        ),
+        tc AS (SELECT bucket, count(*) AS n_t FROM feats WHERE lang = 'en'
+               GROUP BY bucket),
+        rc AS (SELECT bucket, count(*) AS n_r FROM feats GROUP BY bucket),
+        j AS (
+          SELECT bucket, coalesce(n_t, 0) AS n_t, coalesce(n_r, 0) AS n_r
+          FROM tc FULL OUTER JOIN rc USING (bucket)
+        ),
+        tot AS (SELECT sum(n_t) AS T, sum(n_r) AS R FROM j),
+        weights AS (
+          SELECT bucket,
+                 round(ln((n_t + 0.5) / (T + 0.5 * 4096))
+                       - ln((n_r + 0.5) / (R + 0.5 * 4096)), 6) AS w
+          FROM j, tot
+        ),
+        sums AS (
+          SELECT f.doc_id, round(sum(coalesce(w.w, 0.0)), 6) AS dsir_logw,
+                 count(*) AS n_feats
+          FROM feats f LEFT JOIN weights w USING (bucket)
+          GROUP BY f.doc_id
+        ),
+        scores AS (
+          SELECT d.doc_id,
+                 coalesce(s.dsir_logw, 0.0) AS dsir_logw,
+                 coalesce(s.n_feats, 0) AS n_feats
+          FROM documents d LEFT JOIN sums s USING (doc_id)
+        )
+    """
+    sqls["dsir_score"] = f"""
+        WITH {_DSIR_SCORES_SQL}
+        SELECT doc_id, dsir_logw, n_feats FROM scores
+    """
+    sqls["dsir_resample"] = f"""
+        WITH {_DSIR_SCORES_SQL}
+        SELECT doc_id, dsir_logw,
+               round(dsir_logw
+                     - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                    AS UBIGINT) + 0.5) / 4294967296.0)), 6) AS sel_key
+        FROM scores
+        ORDER BY sel_key DESC, doc_id ASC
+        LIMIT 100
     """
     return sqls

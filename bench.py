@@ -574,6 +574,30 @@ def main() -> int:
         .count(),
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.dsir import (
+        dsir_resample,
+        score_dsir,
+        train_dsir,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.encoding import fix_encoding
+
+    # DSIR train+score+resample (production xxhash64 family)
+    def _dsir():
+        model = train_dsir(
+            docs.where("lang = 'en'"), docs, n_buckets=65536
+        )
+        scored = score_dsir(docs, model, n_buckets=65536)
+        return dsir_resample(scored, k=max(1, n_docs // 5)).count()
+
+    timed_extra("dsir", _dsir)
+    # mojibake repair over the pages table (zero-shuffle Arrow map)
+    timed_extra(
+        "fix_mojibake",
+        lambda: fix_encoding(pages)
+        .select(F.sum(F.col("was_mojibake").cast("int")))
+        .collect(),
+    )
+
     from dss_plugin_nlp_preparation_spark.operators.multimodal import (
         extract_media_features,
     )

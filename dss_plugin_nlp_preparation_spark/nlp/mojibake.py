@@ -1,0 +1,114 @@
+# -*- coding: utf-8 -*-
+"""Mojibake repair: undo UTF-8 text that was decoded as Latin-1 /
+Windows-1252 somewhere in a crawl pipeline ("Ã©" → "é", "â€™" → "'").
+
+This is the core transform of the public ftfy tool (Speer,
+zenodo.org/record/2591652), reimplemented from the codec math — no
+lookup of ftfy's tables. The detector is the statistical fact ftfy
+exploits: bytes of genuine 8-bit text are almost never valid multi-byte
+UTF-8, so "re-encode to the 8-bit codec and strictly decode as UTF-8,
+succeed AND shrink" identifies mojibake with negligible false-positive
+rate (a false positive needs a lead char Â-ß/à-ï followed by exactly the
+right continuation chars — real prose essentially never does this; the
+known ambiguity is text that deliberately QUOTES mojibake, which repairs
+to the quoted character).
+
+The re-encoder is "sloppy cp1252": the Windows-1252 table, with the five
+undefined code points (0x81 0x8D 0x8F 0x90 0x9D) and any other U+0080–
+U+00FF char falling back to its Latin-1 byte. That one table inverts
+both common corruption channels (decoded-as-latin-1 and
+decoded-as-cp1252), because cp1252 and latin-1 agree everywhere except
+0x80–0x9F, where sloppy-cp1252 accepts both spellings.
+
+Everything here is total and deterministic: pure Python string/codec
+ops, no RNG, no locale dependence.
+
+Reference parity: the reference plugin assumes clean UTF-8 input; this
+is a web-scale extension (crawl text is routinely double-decoded).
+"""
+
+from __future__ import annotations
+
+_MAX_PASSES = 3  # double/triple-encoded text exists in real crawls; 3
+# passes fixes them while the shrink-strictly requirement guarantees
+# termination anyway (each pass strictly shortens the string)
+
+
+def _sloppy_cp1252_bytes(text: str) -> bytes | None:
+    """``text`` as cp1252 bytes, U+0080–U+00FF falling back to the
+    Latin-1 byte; None if any char fits neither table (such a char could
+    not have come from decoding single bytes, so the text is not 8-bit
+    mojibake)."""
+    out = bytearray()
+    for ch in text:
+        cp = ord(ch)
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            if cp <= 0xFF:
+                out.append(cp)
+            else:
+                return None
+    return bytes(out)
+
+
+def fix_mojibake(text: str, max_passes: int = _MAX_PASSES) -> tuple[str, int]:
+    """Repair UTF-8-as-8-bit mojibake; returns ``(fixed, n_passes)``.
+
+    A pass is accepted only if the sloppy-cp1252 bytes decode as STRICT
+    UTF-8 and the result is shorter (a real multi-byte sequence was
+    consumed) — otherwise the text is returned unchanged. Clean text,
+    pure-ASCII text, and text whose chars exceed U+00FF on the first
+    pass are all returned as-is with ``n_passes = 0``.
+    """
+    if not text:
+        return text, 0
+    n = 0
+    while n < max_passes:
+        # cheap pre-filter: mojibake must contain a non-ASCII char
+        if all(ord(c) < 0x80 for c in text):
+            break
+        raw = _sloppy_cp1252_bytes(text)
+        if raw is None:
+            break
+        try:
+            fixed = raw.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            break
+        if len(fixed) >= len(text) or not _plausible(fixed):
+            break
+        text = fixed
+        n += 1
+    return text, n
+
+
+def _plausible(fixed: str) -> bool:
+    """ftfy-style plausibility gate on a candidate repair: reject results
+    containing characters real web text essentially never means — the
+    rare blocks that short accidental byte coincidences decode into.
+    Example: genuine "ß—" re-encodes to DF 97, valid UTF-8 for U+07D7
+    (NKo) — shorter, strictly decodable, and wrong; NKo is on the reject
+    list, so the text stays "ß—". Residual ambiguity (a 3-byte CJK
+    coincidence like "é”…" ↔ 锅 with no adjacent ASCII to break the
+    parse) is irreducible without a language model and inherited from
+    the whole-document strict-decode design: one stray 8-bit char
+    anywhere else in the document already vetoes the pass."""
+    for ch in fixed:
+        cp = ord(ch)
+        if (
+            0x0700 <= cp <= 0x07FF  # Syriac / Thaana / NKo
+            or 0xE000 <= cp <= 0xF8FF  # private use
+            or 0xFDD0 <= cp <= 0xFDEF  # noncharacters
+            or cp in (0xFFFE, 0xFFFF)
+        ):
+            return False
+    return True
+
+
+def corrupt_as_latin1(text: str) -> str:
+    """The corruption channel itself (UTF-8 bytes decoded as Latin-1) —
+    used by tests and the gate query to synthesize mojibake
+    deterministically; Latin-1 decoding of arbitrary bytes is total."""
+    if text is None:
+        return text
+    return text.encode("utf-8").decode("latin-1")

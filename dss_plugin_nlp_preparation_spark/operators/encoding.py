@@ -1,0 +1,95 @@
+# -*- coding: utf-8 -*-
+"""Encoding repair over crawl text: undo UTF-8-decoded-as-Latin-1/cp1252
+mojibake ("Ã©" → "é") with the deterministic kernel in
+:mod:`..nlp.mojibake`.
+
+Scale notes (100 TB):
+- Embarrassingly parallel: one Arrow-batched struct UDF, no shuffle, no
+  state, nothing to skew. The kernel's fast path (pure-ASCII text) is a
+  single scan-and-reject, so the common clean document costs ~O(n) byte
+  comparisons.
+- The kernel is pure and total (same string → same string, never
+  raises), so speculative re-execution / AQE replans cannot diverge and
+  malformed text cannot kill a task.
+- Run this BEFORE language ID / tokenization / dedup: mojibake splits
+  one logical corpus into two hash-disjoint ones (clean and corrupted
+  copies of the same page never collide in any dedup signature).
+
+Reference parity: the reference plugin assumes clean UTF-8 input
+(SURVEY.md §1); this is a web-scale extension — real WARC payloads are
+routinely double-decoded upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..nlp.mojibake import corrupt_as_latin1, fix_mojibake
+
+_OUT_TYPE = "fixed string, passes int"
+
+
+def fix_encoding(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "text_fixed",
+    max_passes: int = 3,
+) -> DataFrame:
+    """Append ``output_column`` (repaired text), ``was_mojibake`` bool and
+    ``mojibake_passes`` int. NULL text stays NULL with 0 passes."""
+
+    @F.pandas_udf(_OUT_TYPE)
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in batches:
+            fixed, passes = [], []
+            for t in s:
+                if t is None:
+                    fixed.append(None)
+                    passes.append(0)
+                else:
+                    f, n = fix_mojibake(t, max_passes=max_passes)
+                    fixed.append(f)
+                    passes.append(n)
+            yield pd.DataFrame({"fixed": fixed, "passes": passes})
+
+    out = df.withColumn("__fx", _udf(F.col(text_column)))
+    return (
+        out.withColumn(output_column, F.col("__fx.fixed"))
+        .withColumn("mojibake_passes", F.col("__fx.passes").cast("int"))
+        .withColumn("was_mojibake", F.col("__fx.passes") > 0)
+        .drop("__fx")
+    )
+
+
+def corrupt_encoding(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "text_corrupted",
+    key_column: str | None = None,
+    frac: float = 1.0,
+) -> DataFrame:
+    """Test/demo channel: re-decode the UTF-8 bytes of ``text_column`` as
+    Latin-1 (the corruption :func:`fix_encoding` repairs). With
+    ``key_column``/``frac``, corrupt only rows whose md5 hash-unit falls
+    under ``frac`` (same deterministic-sample idiom as
+    operators/sampling.py) so a fixture carries a known clean/corrupted
+    mix."""
+
+    @F.pandas_udf("string")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda t: corrupt_as_latin1(t) if t is not None else None)
+
+    corrupted = _udf(F.col(text_column))
+    if key_column is not None and frac < 1.0:
+        u = F.conv(
+            F.substring(F.md5(F.col(key_column).cast("string")), 1, 8), 16, 10
+        ).cast("double") / F.lit(4294967296.0)
+        corrupted = F.when(u < F.lit(float(frac)), corrupted).otherwise(
+            F.col(text_column)
+        )
+    return df.withColumn(output_column, corrupted)

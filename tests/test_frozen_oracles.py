@@ -75,3 +75,26 @@ def test_perplexity_frozen_fresh():
     for doc_id, val in zip(docs["doc_id"], got):
         f = frozen.loc[doc_id]["log_ppl"]
         assert (f != f and val != val) or abs(f - val) < 1e-9
+
+
+def test_fix_mojibake_frozen_fresh():
+    import hashlib
+
+    from dss_plugin_nlp_preparation_spark.nlp.mojibake import (
+        corrupt_as_latin1,
+        fix_mojibake,
+    )
+
+    frozen = _frozen("fix_mojibake").set_index("doc_id")
+    for _, row in _docs(50).iterrows():
+        text = row["text"]
+        f = frozen.loc[row["doc_id"]]
+        if text is None:
+            assert not f["was_corrupted"] and f["recovered"]
+            continue
+        u = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:8], 16) / 2**32
+        corrupted = corrupt_as_latin1(text) if u < 0.5 else text
+        fixed, n = fix_mojibake(corrupted)
+        assert f["was_corrupted"] == (corrupted != text)
+        assert f["mojibake_passes"] == n and f["was_mojibake"] == (n > 0)
+        assert f["recovered"] == (fixed == text)

@@ -1,0 +1,130 @@
+# -*- coding: utf-8 -*-
+"""Mojibake repair: kernel round-trips (unit + property) and the Spark
+operator's totality/determinism."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dss_plugin_nlp_preparation_spark.nlp.mojibake import (
+    corrupt_as_latin1,
+    fix_mojibake,
+)
+from dss_plugin_nlp_preparation_spark.operators.encoding import (
+    corrupt_encoding,
+    fix_encoding,
+)
+
+
+def test_known_repairs():
+    cases = [
+        ("hÃ©llo wÃ¶rld", "héllo wörld"),
+        ("naÃ¯ve cafÃ©", "naïve café"),
+        ("donâ\x80\x99t â\x80\x94 reallyâ\x80¦", "don’t — really…"),
+        ("Â« guillemets Â»", "« guillemets »"),
+    ]
+    for bad, good in cases:
+        fixed, n = fix_mojibake(bad)
+        assert fixed == good and n == 1
+
+
+def test_clean_text_untouched():
+    for t in ["plain ascii", "é déjà vu", "これは日本語", "", "mixed é これ"]:
+        assert fix_mojibake(t) == (t, 0)
+
+
+def test_double_corruption_two_passes():
+    t = "café — “fancy”"
+    c2 = corrupt_as_latin1(corrupt_as_latin1(t))
+    assert fix_mojibake(c2) == (t, 2)
+
+
+def test_quoted_mojibake_ambiguity_documented():
+    # text QUOTING mojibake repairs to the quoted char — the known,
+    # documented ftfy-style ambiguity (module docstring)
+    fixed, n = fix_mojibake("the string Ã© means e-acute")
+    assert fixed == "the string é means e-acute" and n == 1
+
+
+# strategy: documents as space-joined tokens. Letter tokens use chars
+# that decode to UTF-8 LEAD bytes or ASCII only (é à ü … map to C0-F7;
+# CJK can't re-encode at all), punctuation marks are their own tokens —
+# so the recovered original can never accidentally re-parse as UTF-8
+# (lead-after-lead and continuation-after-ASCII both fail the strict
+# decode). This mirrors real prose, where ftfy's document-level
+# ambiguity only arises in degenerate fragments like a bare "é”…".
+_WORD = st.text(
+    alphabet=st.sampled_from(list("abcdXYZ0189") + list("éàüöñçß") + list("日本語中한")),
+    min_size=1,
+    max_size=8,
+)
+_TOKEN = st.one_of(_WORD, st.sampled_from(["—", "…", "“”", "«»", "’", "!?", "."]))
+
+
+@given(st.lists(_TOKEN, max_size=12).map(" ".join))
+@settings(max_examples=200, deadline=None)
+def test_property_roundtrip_fixpoint(t):
+    c = corrupt_as_latin1(t)
+    fixed, _ = fix_mojibake(c)
+    # the repair of our corruption must land back on the original
+    assert fixed == t
+    # idempotence: repaired text is a fixed point
+    assert fix_mojibake(fixed) == (fixed, 0)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_property_total_and_terminates(t):
+    # arbitrary unicode (incl. surrogates-free garbage): never raises,
+    # passes bounded, output length never grows
+    fixed, n = fix_mojibake(t)
+    assert 0 <= n <= 3
+    assert len(fixed) <= len(t)
+
+
+def test_spark_operator(spark):
+    rows = [
+        (0, "héllo wörld"),
+        (1, "plain ascii"),
+        (2, "これは日本語のテスト"),
+        (3, None),
+        (4, "café — “fancy” …"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # md5 hash-units of ids 0..4 are .81 .77 .78 .92 .66 — frac .7
+    # corrupts exactly row 4 and leaves the other non-ascii rows clean
+    corrupted = corrupt_encoding(df, key_column="doc_id", frac=0.7)
+    out = {
+        r["doc_id"]: r
+        for r in fix_encoding(corrupted, text_column="text_corrupted").collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert out[i]["text_fixed"] is None
+            assert not out[i]["was_mojibake"]
+        else:
+            # regardless of whether row i was corrupted, repair restores t
+            assert out[i]["text_fixed"] == t
+            assert out[i]["was_mojibake"] == (
+                out[i]["text_corrupted"] != t
+            )
+    # the frac split corrupted at least one non-ascii row and left one alone
+    flags = [out[i]["was_mojibake"] for i, t in rows if t and any(ord(c) > 127 for c in t)]
+    assert any(flags) and not all(flags)
+
+
+def test_spark_operator_stable_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(i, f"wörd{i} café — n{i}") for i in range(50)], ["doc_id", "text"]
+    )
+    c = corrupt_encoding(df)
+    a = sorted(
+        (r["doc_id"], r["text_fixed"], r["mojibake_passes"])
+        for r in fix_encoding(c, "text_corrupted").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text_fixed"], r["mojibake_passes"])
+        for r in fix_encoding(c.repartition(7), "text_corrupted").collect()
+    )
+    assert a == b
+    assert all(p == 1 for _, _, p in a)

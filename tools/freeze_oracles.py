@@ -848,6 +848,42 @@ def freeze_bloom_ops(docs: pd.DataFrame) -> None:
     )
 
 
+def freeze_fix_mojibake(docs: pd.DataFrame) -> None:
+    """Expected (doc_id, was_corrupted, was_mojibake, mojibake_passes,
+    recovered) for the corrupt-then-repair query: rows whose md5
+    hash-unit(doc_id) < 0.5 get their text's UTF-8 bytes re-decoded as
+    Latin-1 (operators/encoding.py corrupt_encoding), then every row runs
+    the repair kernel — the same nlp/mojibake.py code the Spark UDF
+    ships."""
+    from dss_plugin_nlp_preparation_spark.nlp.mojibake import (
+        corrupt_as_latin1,
+        fix_mojibake,
+    )
+
+    recs = []
+    for r in docs.itertuples(index=False):
+        text = r.text
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) / 2**32
+        if text is None:
+            recs.append((r.doc_id, False, False, 0, True))
+            continue
+        corrupted = corrupt_as_latin1(text) if u < 0.5 else text
+        fixed, n = fix_mojibake(corrupted)
+        recs.append((r.doc_id, corrupted != text, n > 0, n, fixed == text))
+    out = pd.DataFrame(
+        recs,
+        columns=[
+            "doc_id",
+            "was_corrupted",
+            "was_mojibake",
+            "mojibake_passes",
+            "recovered",
+        ],
+    )
+    out["mojibake_passes"] = out["mojibake_passes"].astype("int64")
+    _write("fix_mojibake", out)
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -875,6 +911,7 @@ def main() -> int:
     freeze_host_in_degree()
     freeze_host_rank()
     freeze_bloom_ops(docs)
+    freeze_fix_mojibake(docs)
     return 0
 
 
