@@ -987,6 +987,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_warc_ingest(spark, sf_dir):
+        # distributed WARC scan (binaryFile -> Arrow parse) over 4
+        # deterministic synthetic crawl archives: 400 response records,
+        # interleaved request records (filtered out), plus two damage
+        # decoys in file 0 (corrupt gzip member + valid-gzip non-WARC
+        # member) that must be skip-counted, never fatal. The frozen
+        # oracle replays the page kernel (sources.pages._make_row) — the
+        # graded contract is that the encode->gzip->parse round trip
+        # returns every payload byte-identically with correct metadata.
+        from dss_plugin_nlp_preparation_spark.sources.warc import (
+            ensure_synthetic_warc,
+            read_warc,
+        )
+
+        path = ensure_synthetic_warc(n_rows=400, n_files=4)
+        return read_warc(spark, path).select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("epoch"),
+            F.col("http_status").cast("long").alias("http_status"),
+            "content_type",
+            F.length("html").cast("long").alias("byte_len"),
+            F.md5("html").alias("html_md5"),
+            F.col("n_skipped_in_file").alias("n_skipped"),
+        )
+
     def q_incremental_dedup(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.dedup import (
             incremental_exact_dedup,
@@ -1223,10 +1248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_host": q_cap_per_host,
         "media_real_decode": q_media_real_decode,
         "media_metadata": q_media_metadata,
-        "salted_host_counts": q_salted_host_counts,
+        # -- crawl-archive ingest (WARC source; frozen kernel oracle) --
+        "warc_ingest": q_warc_ingest,
         # ---- driver window boundary (entries below are demos/aux or
         #      subsumed variants; still oracle-checked by
         #      tools/check_oracle.py) ----
+        "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
         "host_in_degree": q_host_in_degree,
@@ -1435,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _frozen("bloom_membership"),
         "bloom_incremental_dedup": _frozen("bloom_incremental_dedup"),
         "fix_mojibake": _frozen("fix_mojibake"),
+        "warc_ingest": _frozen("warc_ingest"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of

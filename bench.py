@@ -132,7 +132,7 @@ def main() -> int:
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).repartition(
         int(CPUS)
     )
-    docs.cache().count()
+    n_docs = docs.cache().count()
     embs.cache().count()
 
     # Pre-warm model caches (driver-side disk artifacts): a 100 TB job pays
@@ -598,6 +598,22 @@ def main() -> int:
         .collect(),
     )
 
+    from dss_plugin_nlp_preparation_spark.sources.warc import (
+        ensure_synthetic_warc,
+        read_warc,
+    )
+
+    # crawl-archive ingest: distributed binaryFile scan + gzip-member WARC
+    # parse over 32 synthetic archives (fixture build is untimed setup —
+    # on a real crawl the archives already exist)
+    warc_dir = ensure_synthetic_warc(n_rows=8000, n_files=32)
+    timed_extra(
+        "warc_ingest",
+        lambda: read_warc(spark, warc_dir)
+        .select(F.sum(F.length("html")))
+        .collect(),
+    )
+
     from dss_plugin_nlp_preparation_spark.operators.multimodal import (
         extract_media_features,
     )
@@ -643,6 +659,9 @@ def main() -> int:
     )
     extras["media_real_decode_docs_per_sec"] = round(
         n_media / extras["media_real_decode_sec"], 1
+    )
+    extras["warc_ingest_docs_per_sec"] = round(
+        8000 / extras["warc_ingest_sec"], 1
     )
     media.unpersist()
 

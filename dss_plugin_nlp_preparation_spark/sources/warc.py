@@ -1,0 +1,510 @@
+# -*- coding: utf-8 -*-
+"""WARC (ISO 28500) web-archive source + sink.
+
+The reference plugin ingests DSS datasets through a managed I/O layer
+(reference: dku_io_utils.py:45-88); the Common-Crawl-scale deployment this
+engine targets ingests WARC archives — the public interchange format every
+web crawl ships as. Format knowledge here is the public WARC 1.0/1.1
+specification (ISO 28500, iipc/warc-specifications) plus Common Crawl's
+layout conventions:
+
+- a ``.warc.gz`` file is a concatenation of independent gzip members,
+  ONE RECORD PER MEMBER, so a reader can seek to any record boundary
+  and stream members without decompressing the whole file;
+- each record is ``WARC/1.x`` + CRLF headers + blank line + a
+  ``Content-Length``-delimited block + CRLF CRLF;
+- ``response`` records wrap a full HTTP/1.1 response whose body is the
+  page payload; ``request``/``metadata``/``warcinfo`` records ride along.
+
+Scale design (100 TB): files are the unit of parallelism — exactly how
+production Common-Crawl jobs shard (one ~1 GB WARC per task, tens of
+thousands of files per crawl). ``spark.read.format("binaryFile")``
+enumerates the archive paths into a DataFrame (content is materialized in
+whichever executor owns the split, never on the driver) and an Arrow
+``mapInPandas`` parser walks each file's gzip members. No driver I/O, no
+collect; adding executors adds concurrently-parsed files. Damaged records
+— real crawls contain truncation damage — are skipped and counted per
+file, never task-fatal.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+from collections.abc import Iterable, Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SOFTWARE = "dss-plugin-nlp-preparation-spark"
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType()),
+        StructField("record_offset", LongType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("http_status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("html", BinaryType()),
+        StructField("n_skipped_in_file", LongType()),
+    ]
+)
+
+
+class WarcFormatError(ValueError):
+    """A record that does not parse as WARC; callers skip and count."""
+
+
+# ---------------------------------------------------------------------------
+# record encoding
+# ---------------------------------------------------------------------------
+
+
+def _warc_date(epoch: int) -> str:
+    return datetime.fromtimestamp(int(epoch), tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def _record_id(seed: str) -> str:
+    """Deterministic urn:uuid record id (md5-derived, RFC 4122 shaped)."""
+    h = hashlib.md5(seed.encode()).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def format_warc_record(headers: list, block: bytes) -> bytes:
+    """``WARC/1.0`` + headers + blank line + block + record separator.
+
+    ``Content-Length`` is computed here; callers never pass it.
+    """
+    lines = [b"WARC/1.0\r\n"]
+    for k, v in headers:
+        lines.append(f"{k}: {v}\r\n".encode())
+    lines.append(f"Content-Length: {len(block)}\r\n".encode())
+    lines.append(b"\r\n")
+    return b"".join(lines) + block + b"\r\n\r\n"
+
+
+def encode_response_record(
+    url: str,
+    epoch: int,
+    payload: bytes,
+    status: int = 200,
+    reason: str = "OK",
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """A WARC ``response`` record wrapping an HTTP/1.1 response."""
+    http_head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("ascii")
+    block = http_head + payload
+    return format_warc_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", _record_id(f"response:{url}:{epoch}")),
+            ("WARC-Date", _warc_date(epoch)),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        block,
+    )
+
+
+def encode_request_record(url: str, epoch: int) -> bytes:
+    """A WARC ``request`` record (crawlers store these alongside
+    responses; the reader must filter them out)."""
+    host = url.split("/", 3)[2] if "://" in url else ""
+    path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
+    block = (
+        f"GET {path} HTTP/1.1\r\nHost: {host}\r\nUser-Agent: {SOFTWARE}\r\n\r\n"
+    ).encode("ascii")
+    return format_warc_record(
+        [
+            ("WARC-Type", "request"),
+            ("WARC-Record-ID", _record_id(f"request:{url}:{epoch}")),
+            ("WARC-Date", _warc_date(epoch)),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/http; msgtype=request"),
+        ],
+        block,
+    )
+
+
+def encode_warcinfo_record(filename: str, epoch: int) -> bytes:
+    block = (
+        f"software: {SOFTWARE}\r\n"
+        "format: WARC File Format 1.0\r\n"
+        f"isPartOf: synthetic-crawl\r\n"
+    ).encode("ascii")
+    return format_warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", _record_id(f"warcinfo:{filename}:{epoch}")),
+            ("WARC-Date", _warc_date(epoch)),
+            ("WARC-Filename", filename),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        block,
+    )
+
+
+def gzip_member(data: bytes, level: int = 6) -> bytes:
+    """One standalone gzip member. zlib's gzip header carries mtime=0 and
+    no filename, so output is byte-stable across runs (``gzip.compress``
+    is not — it stamps wall-clock mtime)."""
+    c = zlib.compressobj(level, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(data) + c.flush()
+
+
+# ---------------------------------------------------------------------------
+# record parsing
+# ---------------------------------------------------------------------------
+
+
+def _parse_one(buf: bytes, pos: int):
+    """Parse the record starting at ``pos``; returns
+    ``(start, headers, block, end)``.
+
+    Raises WarcFormatError on anything malformed — the caller decides how
+    far it can resync (next gzip member, or abandon the plain buffer).
+    """
+    # tolerate stray CRLF padding between records
+    while pos < len(buf) and buf[pos : pos + 1] in (b"\r", b"\n"):
+        pos += 1
+    if pos >= len(buf):
+        return None
+    start = pos
+    eol = buf.find(b"\r\n", pos)
+    if eol < 0 or not buf[pos:eol].startswith(b"WARC/"):
+        raise WarcFormatError("missing WARC/ version line")
+    head_end = buf.find(b"\r\n\r\n", eol)
+    if head_end < 0:
+        raise WarcFormatError("unterminated header block")
+    headers: dict = {}
+    for line in buf[eol + 2 : head_end].split(b"\r\n"):
+        k, sep, v = line.partition(b":")
+        if not sep:
+            raise WarcFormatError("malformed header line")
+        headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
+            "utf-8", "replace"
+        )
+    try:
+        clen = int(headers["content-length"])
+    except (KeyError, ValueError):
+        raise WarcFormatError("missing/invalid Content-Length") from None
+    body_start = head_end + 4
+    if body_start + clen > len(buf):
+        raise WarcFormatError("truncated record block")
+    return start, headers, buf[body_start : body_start + clen], body_start + clen
+
+
+def _iter_buffer_records(
+    buf: bytes, base_offset: int, use_positions: bool = False
+) -> Iterator[tuple]:
+    """(offset, headers, block) for each record in a decompressed buffer.
+
+    With ``use_positions`` (plain uncompressed files) every record carries
+    its own byte offset. Otherwise offsets are ``base_offset`` for the
+    first record (= the gzip member's compressed offset; one member holds
+    one record under the Common Crawl invariant) and ``-1`` for any
+    subsequent same-member record, which is not individually seekable.
+    """
+    pos, first = 0, True
+    while True:
+        out = _parse_one(buf, pos)
+        if out is None:
+            return
+        start, headers, block, pos = out
+        if use_positions:
+            yield (start, headers, block)
+        else:
+            yield (base_offset if first else -1, headers, block)
+        first = False
+
+
+def iter_warc_records(data: bytes, skip_counter: list | None = None) -> Iterator[tuple]:
+    """Yield ``(offset, headers, block)`` from raw file bytes —
+    multi-member gzip or plain WARC, damage-tolerant.
+
+    ``offset`` is the compressed byte offset of the record's gzip member
+    (or the record's own offset in a plain file): the address a re-fetch
+    of just that record would seek to. ``skip_counter`` (a one-element
+    list) is incremented per damaged/unparseable region, including damage
+    after the final record — exhaust the iterator before reading it.
+    """
+
+    def _skip():
+        if skip_counter is not None:
+            skip_counter[0] += 1
+    if data[:2] == b"\x1f\x8b":
+        comp_pos = 0
+        while comp_pos < len(data):
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            buf = None
+            try:
+                buf = d.decompress(data[comp_pos:]) + d.flush()
+            except zlib.error:
+                pass
+            if buf is None or not d.eof:
+                # damaged or truncated member: resync at the next gzip
+                # magic. A false positive inside compressed payload just
+                # fails decompression again and resyncs further — the
+                # scan converges, never spins (strictly forward).
+                _skip()
+                nxt = data.find(b"\x1f\x8b\x08", comp_pos + 1)
+                if nxt < 0:
+                    return
+                comp_pos = nxt
+                continue
+            member_len = len(data) - comp_pos - len(d.unused_data)
+            try:
+                for off, headers, block in _iter_buffer_records(buf, comp_pos):
+                    yield off, headers, block
+            except WarcFormatError:
+                _skip()  # valid gzip, non-WARC content: next member
+            comp_pos += member_len
+            if member_len <= 0:  # defensive: never spin
+                return
+    else:
+        try:
+            for off, headers, block in _iter_buffer_records(
+                data, 0, use_positions=True
+            ):
+                yield off, headers, block
+        except WarcFormatError:
+            _skip()  # plain files cannot be resynced reliably
+
+
+def parse_http_response(block: bytes):
+    """(status, content_type, body) from an HTTP/1.1 response message."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise WarcFormatError("HTTP message without header terminator")
+    head, body = block[:sep], block[sep + 4 :]
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise WarcFormatError("malformed HTTP status line")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise WarcFormatError("non-numeric HTTP status") from None
+    content_type = ""
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            content_type = v.strip().decode("utf-8", "replace")
+    return status, content_type, body
+
+
+def _parse_warc_ts(value: str):
+    try:
+        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except (ValueError, TypeError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# distributed reader
+# ---------------------------------------------------------------------------
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+) -> DataFrame:
+    """Distributed WARC scan → one row per kept record.
+
+    Plan shape: ``binaryFile`` scan (one row per archive; executors own
+    the bytes) → Arrow ``mapInPandas`` parse. At 100 TB the archive count
+    (tens of thousands) IS the partition count — the same sharding every
+    production Common-Crawl job uses; no shuffle is introduced.
+    ``n_skipped_in_file`` carries the per-file damage counter so ingest
+    jobs can monitor crawl rot without a second pass.
+    """
+    types = set(record_types)
+    files = spark.read.format("binaryFile").load(path)
+
+    def _parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                skip = [0]
+                kept = []
+                for off, headers, block in iter_warc_records(data, skip):
+                    rtype = headers.get("warc-type")
+                    if rtype not in types:
+                        continue
+                    if rtype == "response":
+                        try:
+                            status, ctype, body = parse_http_response(block)
+                        except WarcFormatError:
+                            skip[0] += 1
+                            continue
+                    else:  # request/metadata/...: block passes through raw
+                        status = None
+                        ctype = headers.get("content-type", "")
+                        body = block
+                    kept.append(
+                        (
+                            fpath,
+                            off,
+                            headers.get("warc-target-uri"),
+                            _parse_warc_ts(headers.get("warc-date")),
+                            status,
+                            ctype,
+                            bytearray(body),
+                        )
+                    )
+                rows.extend(rec + (skip[0],) for rec in kept)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(_parse, WARC_SCHEMA)
+
+
+def warc_to_pages(warc_df: DataFrame) -> DataFrame:
+    """Project a ``read_warc`` relation onto the pipeline's input shape
+    (url, warc_ts, html, text, lang) — text/lang NULL, to be filled by
+    Stage 0 HTML extraction and Stage A language ID."""
+    from pyspark.sql import functions as F
+
+    return warc_df.select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed sink
+# ---------------------------------------------------------------------------
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_column: str = "url",
+    ts_column: str = "warc_ts",
+    payload_column: str = "html",
+) -> int:
+    """Distributed WARC sink: each task streams its partition into
+    ``part-{pid:05d}.warc.gz`` (warcinfo first, then one gzip member per
+    response record, the Common Crawl layout). Returns records written.
+
+    ``out_dir`` must be on storage every executor can reach (true in
+    local mode and on any cluster writing to shared/object storage).
+    A task retry rewrites its own file from scratch (mode ``wb``), so
+    output is idempotent per partition; disable speculative execution
+    for this sink as two attempts would race on one file.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    sel = df.select(url_column, ts_column, payload_column)
+
+    def _write(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.warc.gz"
+        n = 0
+        f = None
+        try:
+            for pdf in batches:
+                if f is None:
+                    f = open(os.path.join(out_dir, fname), "wb")
+                    f.write(gzip_member(encode_warcinfo_record(fname, 1700000000)))
+                for url, ts, payload in zip(
+                    pdf[url_column], pdf[ts_column], pdf[payload_column]
+                ):
+                    epoch = int(pd.Timestamp(ts).timestamp())
+                    f.write(
+                        gzip_member(
+                            encode_response_record(str(url), epoch, bytes(payload))
+                        )
+                    )
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
+        yield pd.DataFrame({"n": [n]})
+
+    counts = sel.mapInPandas(_write, "n long").collect()
+    return int(sum(r["n"] for r in counts))
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture
+# ---------------------------------------------------------------------------
+
+
+def synthesize_warc_files(out_dir: str, n_rows: int = 400, n_files: int = 4) -> list:
+    """Byte-stable synthetic crawl archives over the SAME page content as
+    ``sources.pages.synthesize_pages`` (shared ``_make_row`` kernel, same
+    warc_ts formula), split contiguously across ``n_files``. Every 5th
+    page also gets a ``request`` record and file 0 leads with damage
+    decoys (a corrupt gzip member and a non-WARC member) so readers prove
+    type-filtering and damage tolerance on every run. Returns the paths.
+    """
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    per_file = (n_rows + n_files - 1) // n_files
+    for f_idx in range(n_files):
+        fname = f"crawl-{f_idx:05d}.warc.gz"
+        fpath = os.path.join(out_dir, fname)
+        chunks = [gzip_member(encode_warcinfo_record(fname, 1700000000))]
+        if f_idx == 0:
+            chunks.append(b"\x1f\x8b\x08\x00BAD!")  # corrupt gzip member
+            chunks.append(gzip_member(b"not a warc record"))  # non-WARC member
+        lo, hi = f_idx * per_file, min((f_idx + 1) * per_file, n_rows)
+        for i in range(lo, hi):
+            _, url, html, _text, _lang = _make_row(i)
+            epoch = 1700000000 + i * 17
+            if i % 5 == 0:
+                chunks.append(gzip_member(encode_request_record(url, epoch)))
+            chunks.append(gzip_member(encode_response_record(url, epoch, html)))
+        with open(fpath + ".tmp", "wb") as f:
+            f.write(b"".join(chunks))
+        os.replace(fpath + ".tmp", fpath)
+        paths.append(fpath)
+    return paths
+
+
+def ensure_synthetic_warc(
+    n_rows: int = 400, n_files: int = 4, base_dir: str | None = None
+) -> str:
+    """Idempotent fixture directory for tests/gate queries: synthesizes
+    the archives only when any expected file is missing (writes are
+    atomic via ``os.replace``, so a concurrent second caller is safe)."""
+    import tempfile
+
+    base = base_dir or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_warc_{n_rows}_{n_files}"
+    )
+    expected = [
+        os.path.join(base, f"crawl-{i:05d}.warc.gz") for i in range(n_files)
+    ]
+    if not all(os.path.exists(p) for p in expected):
+        synthesize_warc_files(base, n_rows=n_rows, n_files=n_files)
+    return base

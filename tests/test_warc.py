@@ -1,0 +1,175 @@
+# -*- coding: utf-8 -*-
+"""WARC source/sink: record codec round trips, damage tolerance, the
+distributed read/write paths, and the byte-identical contract against
+the synthetic pages table."""
+
+import hashlib
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.sources.warc import (
+    encode_request_record,
+    encode_response_record,
+    encode_warcinfo_record,
+    gzip_member,
+    iter_warc_records,
+    parse_http_response,
+    read_warc,
+    synthesize_warc_files,
+    warc_to_pages,
+    write_warc,
+)
+
+
+def _records(data, counter=None):
+    return list(iter_warc_records(data, counter))
+
+
+class TestRecordCodec:
+    def test_response_round_trip_plain(self):
+        rec = encode_response_record("https://a.example/x", 1700000017, b"<html>hi</html>")
+        out = _records(rec)
+        assert len(out) == 1
+        off, headers, block = out[0]
+        assert off == 0
+        assert headers["warc-type"] == "response"
+        assert headers["warc-target-uri"] == "https://a.example/x"
+        assert headers["warc-date"] == "2023-11-14T22:13:37Z"
+        status, ctype, body = parse_http_response(block)
+        assert (status, body) == (200, b"<html>hi</html>")
+        assert ctype.startswith("text/html")
+
+    def test_multi_record_plain_offsets(self):
+        r1 = encode_response_record("https://a/1", 1700000000, b"one")
+        r2 = encode_response_record("https://a/2", 1700000001, b"two")
+        out = _records(r1 + r2)
+        assert [o for o, _, _ in out] == [0, len(r1)]
+        assert [h["warc-target-uri"] for _, h, _ in out] == ["https://a/1", "https://a/2"]
+
+    def test_gzip_members_offsets_and_determinism(self):
+        m1 = gzip_member(encode_warcinfo_record("f.warc.gz", 1700000000))
+        m2 = gzip_member(encode_response_record("https://a/1", 1700000000, b"one"))
+        m3 = gzip_member(encode_request_record("https://a/1", 1700000000))
+        data = m1 + m2 + m3
+        out = _records(data)
+        assert [o for o, _, _ in out] == [0, len(m1), len(m1) + len(m2)]
+        assert [h["warc-type"] for _, h, _ in out] == ["warcinfo", "response", "request"]
+        # byte-stable across calls (zlib gzip header: mtime=0)
+        assert gzip_member(b"abc") == gzip_member(b"abc")
+
+    def test_binary_payload_survives(self):
+        payload = bytes(range(256)) * 3
+        rec = gzip_member(encode_response_record("https://b/x", 1700000000, payload))
+        (_, _, block), = _records(rec)
+        assert parse_http_response(block)[2] == payload
+
+
+class TestDamageTolerance:
+    def test_corrupt_member_resyncs(self):
+        good1 = gzip_member(encode_response_record("https://a/1", 1700000000, b"one"))
+        good2 = gzip_member(encode_response_record("https://a/2", 1700000001, b"two"))
+        counter = [0]
+        out = _records(good1 + b"\x1f\x8b\x08\x00BAD!" + good2, counter)
+        assert [h["warc-target-uri"] for _, h, _ in out] == ["https://a/1", "https://a/2"]
+        assert counter[0] >= 1
+
+    def test_valid_gzip_non_warc_member_skipped(self):
+        good = gzip_member(encode_response_record("https://a/1", 1700000000, b"one"))
+        counter = [0]
+        out = _records(gzip_member(b"junk, not warc") + good, counter)
+        assert len(out) == 1 and counter[0] == 1
+
+    def test_truncated_tail_counts_after_last_record(self):
+        good = gzip_member(encode_response_record("https://a/1", 1700000000, b"one"))
+        counter = [0]
+        out = _records(good + gzip_member(b"x" * 50)[:20], counter)
+        assert len(out) == 1 and counter[0] == 1
+
+    def test_truncated_plain_record(self):
+        rec = encode_response_record("https://a/1", 1700000000, b"payload")
+        counter = [0]
+        assert _records(rec[: len(rec) - 12], counter) == []
+        assert counter[0] == 1
+
+    def test_garbage_input(self):
+        counter = [0]
+        assert _records(b"totally not warc data", counter) == []
+        assert counter[0] == 1
+        assert _records(b"", [0]) == []
+
+
+class TestSyntheticFixture:
+    def test_byte_stable_across_runs(self, tmp_path):
+        p1 = synthesize_warc_files(str(tmp_path / "a"), n_rows=30, n_files=2)
+        p2 = synthesize_warc_files(str(tmp_path / "b"), n_rows=30, n_files=2)
+        for a, b in zip(p1, p2):
+            da, db = open(a, "rb").read(), open(b, "rb").read()
+            assert hashlib.md5(da).hexdigest() == hashlib.md5(db).hexdigest()
+
+    def test_read_matches_pages_synthesizer(self, spark, tmp_path):
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        n = 60
+        synthesize_warc_files(str(tmp_path), n_rows=n, n_files=3)
+        got = read_warc(spark, str(tmp_path)).select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("epoch"),
+            "http_status",
+            F.md5("html").alias("html_md5"),
+        )
+        want = synthesize_pages(spark, n, 4).select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("epoch"),
+            F.lit(200).alias("http_status"),
+            F.md5("html").alias("html_md5"),
+        )
+        assert got.count() == n
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_damage_counter_and_type_filter(self, spark, tmp_path):
+        synthesize_warc_files(str(tmp_path), n_rows=20, n_files=2)
+        df = read_warc(spark, str(tmp_path))
+        rows = df.select("warc_file", "n_skipped_in_file").distinct().collect()
+        by_file = {r["warc_file"].rsplit("/", 1)[-1]: r["n_skipped_in_file"] for r in rows}
+        # file 0 carries the two damage decoys; file 1 is clean
+        assert by_file["crawl-00000.warc.gz"] == 2
+        assert by_file["crawl-00001.warc.gz"] == 0
+        # request records (every 5th id) and warcinfo never surface
+        assert df.count() == 20
+        reqs = read_warc(spark, str(tmp_path), record_types=("request",))
+        assert reqs.count() == 4  # ids 0,5,10,15
+
+
+class TestDistributedSink:
+    def test_pages_round_trip_through_warc(self, spark, tmp_path):
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        out = str(tmp_path / "sink")
+        pages = synthesize_pages(spark, 50, 4)
+        n = write_warc(pages, out)
+        assert n == 50
+        back = read_warc(spark, out)
+        assert back.count() == 50
+        a = pages.select("url", F.md5("html").alias("m"), F.unix_timestamp("warc_ts").alias("e"))
+        b = back.select("url", F.md5("html").alias("m"), F.unix_timestamp("warc_ts").alias("e"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_warc_to_pages_feeds_extraction(self, spark, tmp_path):
+        from dss_plugin_nlp_preparation_spark.operators.html_extract import extract_text
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        n = 40
+        synthesize_warc_files(str(tmp_path), n_rows=n, n_files=2)
+        pages = warc_to_pages(read_warc(spark, str(tmp_path)))
+        assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+        got = extract_text(pages, html_column="html").select("url", "extracted_text")
+        want = synthesize_pages(spark, n, 4).select(
+            "url", F.substring("text", 1, 200).alias("t")
+        )
+        joined = got.join(want, "url")
+        # north-star byte-identical contract holds through the WARC round trip
+        assert joined.where(F.col("extracted_text") != F.col("t")).count() == 0
+        assert joined.count() == n

@@ -884,6 +884,47 @@ def freeze_fix_mojibake(docs: pd.DataFrame) -> None:
     _write("fix_mojibake", out)
 
 
+def freeze_warc_ingest() -> None:
+    """Expected read_warc output over the 400-row/4-file synthetic crawl
+    fixture: the SAME page kernel (sources.pages._make_row) and warc_ts
+    formula the archive synthesizer encodes, so any payload byte lost or
+    altered by the encode->gzip->parse round trip mismatches the md5.
+    File 0 carries exactly two damage decoys; files 1-3 are clean."""
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    n_rows, n_files = 400, 4
+    per_file = (n_rows + n_files - 1) // n_files
+    recs = []
+    for i in range(n_rows):
+        _, url, html, _text, _lang = _make_row(i)
+        recs.append(
+            (
+                url,
+                1700000000 + i * 17,
+                200,
+                "text/html; charset=utf-8",
+                len(html),
+                hashlib.md5(html).hexdigest(),
+                2 if i // per_file == 0 else 0,
+            )
+        )
+    out = pd.DataFrame(
+        recs,
+        columns=[
+            "url",
+            "epoch",
+            "http_status",
+            "content_type",
+            "byte_len",
+            "html_md5",
+            "n_skipped",
+        ],
+    )
+    for k in ("epoch", "http_status", "byte_len", "n_skipped"):
+        out[k] = out[k].astype("int64")
+    _write("warc_ingest", out)
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -912,6 +953,7 @@ def main() -> int:
     freeze_host_rank()
     freeze_bloom_ops(docs)
     freeze_fix_mojibake(docs)
+    freeze_warc_ingest()
     return 0
 
 
