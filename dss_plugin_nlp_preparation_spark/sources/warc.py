@@ -325,22 +325,12 @@ def _parse_warc_ts(value: str):
 # ---------------------------------------------------------------------------
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    record_types: tuple = ("response",),
+def parse_warc_files(
+    files: DataFrame, record_types: tuple = ("response",)
 ) -> DataFrame:
-    """Distributed WARC scan → one row per kept record.
-
-    Plan shape: ``binaryFile`` scan (one row per archive; executors own
-    the bytes) → Arrow ``mapInPandas`` parse. At 100 TB the archive count
-    (tens of thousands) IS the partition count — the same sharding every
-    production Common-Crawl job uses; no shuffle is introduced.
-    ``n_skipped_in_file`` carries the per-file damage counter so ingest
-    jobs can monitor crawl rot without a second pass.
-    """
+    """Arrow ``mapInPandas`` WARC parse over a ``binaryFile`` relation
+    (columns ``path``, ``content``) → one row per kept record."""
     types = set(record_types)
-    files = spark.read.format("binaryFile").load(path)
 
     def _parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
@@ -379,6 +369,25 @@ def read_warc(
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select("path", "content").mapInPandas(_parse, WARC_SCHEMA)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+) -> DataFrame:
+    """Distributed WARC scan → one row per kept record.
+
+    Plan shape: ``binaryFile`` scan (one row per archive; executors own
+    the bytes) → Arrow ``mapInPandas`` parse. At 100 TB the archive count
+    (tens of thousands) IS the partition count — the same sharding every
+    production Common-Crawl job uses; no shuffle is introduced.
+    ``n_skipped_in_file`` carries the per-file damage counter so ingest
+    jobs can monitor crawl rot without a second pass.
+    """
+    return parse_warc_files(
+        spark.read.format("binaryFile").load(path), record_types
+    )
 
 
 def warc_to_pages(warc_df: DataFrame) -> DataFrame:

@@ -143,6 +143,58 @@ class TestSyntheticFixture:
         assert reqs.count() == 4  # ids 0,5,10,15
 
 
+class TestResumableIngest:
+    def test_incremental_crawl_ingest(self, spark, tmp_path):
+        from dss_plugin_nlp_preparation_spark.plans.checkpoint import (
+            ingest_warc_resumable,
+        )
+
+        crawl = str(tmp_path / "crawl")
+        out = str(tmp_path / "pages")
+        ledger = str(tmp_path / "ledger")
+        synthesize_warc_files(crawl, n_rows=40, n_files=2)
+
+        r1 = ingest_warc_resumable(spark, crawl, out, ledger, run_id="run-1")
+        assert r1 == {
+            "processed_archives": 2,
+            "skipped_archives": 0,
+            "n_records": 40,
+        }
+        # a rerun with nothing new is a no-op that costs no parse
+        r2 = ingest_warc_resumable(spark, crawl, out, ledger, run_id="run-2")
+        assert r2["processed_archives"] == 0 and r2["skipped_archives"] == 2
+
+        # nightly crawl drop: one new archive lands in the same directory
+        chunks = [gzip_member(encode_warcinfo_record("crawl-99999.warc.gz", 1700000000))]
+        for j in range(3):
+            chunks.append(
+                gzip_member(
+                    encode_response_record(
+                        f"https://drop.example.org/{j}", 1800000000 + j, b"<p>new</p>"
+                    )
+                )
+            )
+        with open(f"{crawl}/crawl-99999.warc.gz", "wb") as f:
+            f.write(b"".join(chunks))
+        r3 = ingest_warc_resumable(spark, crawl, out, ledger, run_id="run-3")
+        assert r3 == {
+            "processed_archives": 1,
+            "skipped_archives": 2,
+            "n_records": 3,
+        }
+
+        table = spark.read.parquet(out)
+        assert table.count() == 43
+        assert table.select("url").distinct().count() == 43
+        led = spark.read.parquet(ledger).collect()
+        assert len(led) == 3
+        by_archive = {r["archive"]: r for r in led}
+        # damage decoys in file 0 surface as lineage metrics
+        assert by_archive["crawl-00000.warc.gz"]["n_skipped"] == 2
+        assert by_archive["crawl-00001.warc.gz"]["n_skipped"] == 0
+        assert by_archive["crawl-99999.warc.gz"]["run_id"] == "run-3"
+
+
 class TestDistributedSink:
     def test_pages_round_trip_through_warc(self, spark, tmp_path):
         from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
