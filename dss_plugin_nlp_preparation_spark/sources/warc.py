@@ -124,6 +124,24 @@ def encode_response_record(
     )
 
 
+def encode_conversion_record(url: str, epoch: int, text: str) -> bytes:
+    """A WARC ``conversion`` record — the WET format's payload unit:
+    extracted plain text derived from a response record (Common Crawl
+    ships one ``.warc.wet.gz`` per archive built exactly like this)."""
+    block = text.encode("utf-8")
+    return format_warc_record(
+        [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", _record_id(f"conversion:{url}:{epoch}")),
+            ("WARC-Refers-To", _record_id(f"response:{url}:{epoch}")),
+            ("WARC-Date", _warc_date(epoch)),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "text/plain"),
+        ],
+        block,
+    )
+
+
 def encode_request_record(url: str, epoch: int) -> bytes:
     """A WARC ``request`` record (crawlers store these alongside
     responses; the reader must filter them out)."""
@@ -410,16 +428,19 @@ def warc_to_pages(warc_df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def write_warc(
+def _write_archives(
     df: DataFrame,
     out_dir: str,
-    url_column: str = "url",
-    ts_column: str = "warc_ts",
-    payload_column: str = "html",
+    url_column: str,
+    ts_column: str,
+    payload_column: str,
+    make_record,
+    suffix: str,
 ) -> int:
-    """Distributed WARC sink: each task streams its partition into
-    ``part-{pid:05d}.warc.gz`` (warcinfo first, then one gzip member per
-    response record, the Common Crawl layout). Returns records written.
+    """Shared per-partition archive writer: each task streams its
+    partition into ``part-{pid:05d}{suffix}`` (warcinfo first, then one
+    gzip member per record, the Common Crawl layout). Returns records
+    written.
 
     ``out_dir`` must be on storage every executor can reach (true in
     local mode and on any cluster writing to shared/object storage).
@@ -434,7 +455,7 @@ def write_warc(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = f"part-{pid:05d}.warc.gz"
+        fname = f"part-{pid:05d}{suffix}"
         n = 0
         f = None
         try:
@@ -446,11 +467,7 @@ def write_warc(
                     pdf[url_column], pdf[ts_column], pdf[payload_column]
                 ):
                     epoch = int(pd.Timestamp(ts).timestamp())
-                    f.write(
-                        gzip_member(
-                            encode_response_record(str(url), epoch, bytes(payload))
-                        )
-                    )
+                    f.write(gzip_member(make_record(str(url), epoch, payload)))
                     n += 1
         finally:
             if f is not None:
@@ -459,6 +476,64 @@ def write_warc(
 
     counts = sel.mapInPandas(_write, "n long").collect()
     return int(sum(r["n"] for r in counts))
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_column: str = "url",
+    ts_column: str = "warc_ts",
+    payload_column: str = "html",
+) -> int:
+    """Distributed WARC sink: one ``response`` record per row."""
+    return _write_archives(
+        df,
+        out_dir,
+        url_column,
+        ts_column,
+        payload_column,
+        lambda url, epoch, payload: encode_response_record(
+            url, epoch, bytes(payload)
+        ),
+        ".warc.gz",
+    )
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_column: str = "url",
+    ts_column: str = "warc_ts",
+    text_column: str = "text",
+) -> int:
+    """Distributed WET sink: one ``conversion`` (extracted plain text)
+    record per row — the Common Crawl ``.warc.wet.gz`` deliverable a
+    text-extraction pipeline publishes. NULL text writes as empty."""
+    return _write_archives(
+        df,
+        out_dir,
+        url_column,
+        ts_column,
+        text_column,
+        lambda url, epoch, text: encode_conversion_record(
+            url, epoch, "" if text is None else str(text)
+        ),
+        ".warc.wet.gz",
+    )
+
+
+def read_wet(
+    spark: SparkSession, path: str, text_column: str = "text"
+) -> DataFrame:
+    """Distributed WET scan: ``conversion`` records → (url, warc_ts,
+    text). Same plan shape as :func:`read_warc`."""
+    from pyspark.sql import functions as F
+
+    return read_warc(spark, path, record_types=("conversion",)).select(
+        "url",
+        "warc_ts",
+        F.col("html").cast("string").alias(text_column),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -42,3 +42,47 @@ def stream_quality_filter(
         .trigger(availableNow=True)
         .start()
     )
+
+
+BINARY_FILE_DDL = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """Continuous crawl ingestion: ``readStream`` over a directory WARC
+    archives keep landing in → the same Arrow record parse as the batch
+    reader → checkpointed parquet pages sink.
+
+    The streaming checkpoint tracks PROCESSED FILES exactly-once, so this
+    is the always-on twin of ``plans.checkpoint.ingest_warc_resumable``
+    (which is the scheduled-batch shape of the same protocol): restart the
+    query and only unseen archives are parsed. ``availableNow`` drains the
+    backlog and stops; drop the trigger for a resident ingest daemon.
+    """
+    from dss_plugin_nlp_preparation_spark.sources.warc import (
+        parse_warc_files,
+        warc_to_pages,
+    )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(warc_dir)
+    )
+    pages = warc_to_pages(parse_warc_files(stream))
+    return (
+        pages.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -195,6 +195,39 @@ class TestResumableIngest:
         assert by_archive["crawl-99999.warc.gz"]["run_id"] == "run-3"
 
 
+class TestStreamingIngest:
+    def test_stream_warc_ingest_exactly_once(self, spark, tmp_path):
+        from dss_plugin_nlp_preparation_spark.streaming.stream_pipeline import (
+            stream_warc_ingest,
+        )
+
+        crawl = str(tmp_path / "crawl")
+        out = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt")
+        synthesize_warc_files(crawl, n_rows=40, n_files=2)
+        q = stream_warc_ingest(spark, crawl, out, ckpt, max_files_per_trigger=1)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 40
+
+        # a new archive lands; restarting the query parses ONLY it
+        chunks = [gzip_member(encode_warcinfo_record("crawl-00009.warc.gz", 1700000000))]
+        for j in range(3):
+            chunks.append(
+                gzip_member(
+                    encode_response_record(
+                        f"https://drop.example.org/{j}", 1800000000 + j, b"<p>n</p>"
+                    )
+                )
+            )
+        with open(f"{crawl}/crawl-00009.warc.gz", "wb") as f:
+            f.write(b"".join(chunks))
+        q2 = stream_warc_ingest(spark, crawl, out, ckpt, max_files_per_trigger=1)
+        q2.awaitTermination(120)
+        table = spark.read.parquet(out)
+        assert table.count() == 43
+        assert table.select("url").distinct().count() == 43
+
+
 class TestDistributedSink:
     def test_pages_round_trip_through_warc(self, spark, tmp_path):
         from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
@@ -208,6 +241,26 @@ class TestDistributedSink:
         a = pages.select("url", F.md5("html").alias("m"), F.unix_timestamp("warc_ts").alias("e"))
         b = back.select("url", F.md5("html").alias("m"), F.unix_timestamp("warc_ts").alias("e"))
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_wet_round_trip_from_extraction(self, spark, tmp_path):
+        from dss_plugin_nlp_preparation_spark.operators.html_extract import extract_text
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+        from dss_plugin_nlp_preparation_spark.sources.warc import read_wet, write_wet
+
+        out = str(tmp_path / "wet")
+        pages = synthesize_pages(spark, 50, 4)  # includes ja (non-ASCII UTF-8)
+        extracted = extract_text(pages, drop_payload=True)
+        n = write_wet(extracted, out, text_column="extracted_text")
+        assert n == 50
+        back = read_wet(spark, out)
+        assert sorted(p.rsplit("/", 1)[-1] for p in __import__("os").listdir(out)) == [
+            f"part-{i:05d}.warc.wet.gz" for i in range(4)
+        ]
+        a = extracted.select("url", F.col("extracted_text").alias("text"),
+                             F.unix_timestamp("warc_ts").alias("e"))
+        b = back.select("url", "text", F.unix_timestamp("warc_ts").alias("e"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        assert back.count() == 50
 
     def test_warc_to_pages_feeds_extraction(self, spark, tmp_path):
         from dss_plugin_nlp_preparation_spark.operators.html_extract import extract_text
