@@ -100,6 +100,52 @@ class TestDamageTolerance:
         assert _records(b"", [0]) == []
 
 
+class TestParserProperties:
+    """Hypothesis fuzz: the parser is total (never raises, always
+    terminates) on arbitrary bytes, and the codec round-trips arbitrary
+    payloads — the contract a 100 TB crawl of adversarial bytes needs."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def test_parser_total_on_garbage(self, data):
+        counter = [0]
+        out = _records(data, counter)  # must terminate, never raise
+        assert isinstance(out, list)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_parser_total_on_gzip_prefixed_garbage(self, data):
+        counter = [0]
+        out = _records(b"\x1f\x8b\x08" + data, counter)
+        assert isinstance(out, list)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=500), st.integers(min_value=0, max_value=2**31))
+    def test_codec_round_trip_any_payload(self, payload, epoch):
+        rec = gzip_member(encode_response_record("https://f.example/p", epoch, payload))
+        (off, headers, block), = _records(rec)
+        status, _, body = parse_http_response(block)
+        assert (off, status, body) == (0, 200, payload)
+        assert headers["warc-date"] == __import__("datetime").datetime.fromtimestamp(
+            epoch, tz=__import__("datetime").timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=200), st.binary(max_size=120))
+    def test_damage_between_records_never_loses_neighbors(self, junk, payload):
+        r1 = gzip_member(encode_response_record("https://a/1", 1700000000, payload))
+        r2 = gzip_member(encode_response_record("https://a/2", 1700000001, payload))
+        out = _records(r1 + junk + r2, [0])
+        urls = [h["warc-target-uri"] for _, h, _ in out]
+        # record 1 always survives; record 2 survives unless the junk
+        # swallows its gzip magic (prefix of a valid-looking member)
+        assert urls[0] == "https://a/1"
+        assert urls.count("https://a/1") == 1
+
+
 class TestSyntheticFixture:
     def test_byte_stable_across_runs(self, tmp_path):
         p1 = synthesize_warc_files(str(tmp_path / "a"), n_rows=30, n_files=2)
