@@ -116,3 +116,19 @@ def test_perplexity_buckets_window_only_over_histogram(spark, sf_dir):
     # window input is the histogram: its sort key pair, not raw rows
     assert "Window" in exec_plan
     out.collect()  # runs end-to-end
+
+
+def test_warc_read_shuffle_free(spark, tmp_path):
+    # crawl ingest must stay embarrassingly parallel: binaryFile scan ->
+    # one Arrow parse stage, never an Exchange (a shuffle of archive
+    # payloads would be catastrophic at 100 TB)
+    from dss_plugin_nlp_preparation_spark.sources.warc import (
+        read_warc,
+        synthesize_warc_files,
+    )
+
+    synthesize_warc_files(str(tmp_path), n_rows=20, n_files=2)
+    df = read_warc(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

@@ -304,6 +304,20 @@ def main() -> int:
         )
     )
 
+    from dss_plugin_nlp_preparation_spark.sources.warc import (
+        ensure_synthetic_warc,
+        read_warc,
+    )
+
+    sections.append(
+        (
+            "read_warc (binaryFile scan -> one Arrow parse; archives are"
+            " the parallelism unit — NO Exchange anywhere: ingest stays"
+            " shuffle-free end-to-end)",
+            _explain(read_warc(spark, ensure_synthetic_warc(n_rows=40, n_files=2))),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text in sections:
         out.append(f"\n## {title}\n\n```\n{text}\n```\n")
