@@ -987,6 +987,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_robots_directives(spark, sf_dir):
+        # index-control compliance: noindex/nofollow/canonical extracted
+        # by a pure-JVM regexp chain from page markup. Deterministic
+        # markers (incl. a case-variant meta, a "none" shorthand and a
+        # name="description" decoy that must NOT trigger) are prepended
+        # to the synthetic pages' html; the frozen oracle replays the
+        # same construction + the same RE2-safe patterns in pure Python.
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            add_robots_directives,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, 500, 8)
+        i = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        marker = (
+            F.when(i % 4 == 0, F.lit('<meta name="robots" content="noindex">'))
+            .when(i % 4 == 1, F.lit('<meta name="ROBOTS" content="nofollow, noarchive">'))
+            .when(i % 4 == 2, F.lit('<META name="robots" content="NONE">'))
+            .otherwise(F.lit('<meta name="description" content="noindex">'))
+        )
+        canon = F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://canon.example.org/'),
+                (i % 9).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit(""))
+        aug = pages.withColumn(
+            "html_str", F.concat(marker, canon, F.col("html").cast("string"))
+        )
+        return add_robots_directives(aug, html_column="html_str").select(
+            "url", "noindex", "nofollow", "canonical_url"
+        )
+
     def q_warc_ingest(spark, sf_dir):
         # distributed WARC scan (binaryFile -> Arrow parse) over 4
         # deterministic synthetic crawl archives: 400 response records,
@@ -1253,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entries below are demos/aux or
         #      subsumed variants; still oracle-checked by
         #      tools/check_oracle.py) ----
+        # -- index-control compliance (pure-JVM regexp; frozen oracle) --
+        "robots_directives": q_robots_directives,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -1463,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_incremental_dedup": _frozen("bloom_incremental_dedup"),
         "fix_mojibake": _frozen("fix_mojibake"),
         "warc_ingest": _frozen("warc_ingest"),
+        "robots_directives": _frozen("robots_directives"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of

@@ -277,3 +277,52 @@ def cap_per_host(
             .drop("__k", "__kh", "__host")
         )
     return ranked.where(F.col("__r2") <= max_per_host).drop("__host", "__r2")
+
+
+# ---------------------------------------------------------------------------
+# robots / index-control directives
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround) shared verbatim with the frozen-oracle
+# replay: meta robots content, and the canonical link href. `(?i)` and
+# `[^>]*` behave identically in Java regex, RE2 (DuckDB) and Python re.
+_META_ROBOTS = r'(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"'
+_CANONICAL = r'(?i)<link[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"'
+
+
+def add_robots_directives(
+    df: DataFrame, html_column: str = "html", prefix: str = ""
+) -> DataFrame:
+    """Index-control columns from page markup: ``noindex`` / ``nofollow``
+    (meta robots; ``none`` implies both, per the public robots meta
+    convention every crawler honors) and ``canonical_url`` (the page's
+    self-declared canonical address, '' when absent).
+
+    A compliant training-data pipeline drops noindex pages and prefers
+    the canonical form when collapsing URL variants. Pure JVM regexp
+    chain — whole-stage codegen, no Python, no shuffle; at 100 TB this
+    rides the ingest scan for free.
+    """
+    h = F.col(html_column).cast("string")
+    directives = F.lower(F.regexp_extract(h, _META_ROBOTS, 1))
+    tok = F.concat(F.lit(","), F.regexp_replace(directives, r"\s+", ""), F.lit(","))
+    return (
+        df.withColumn(
+            f"{prefix}noindex",
+            tok.contains(",noindex,") | tok.contains(",none,"),
+        )
+        .withColumn(
+            f"{prefix}nofollow",
+            tok.contains(",nofollow,") | tok.contains(",none,"),
+        )
+        .withColumn(f"{prefix}canonical_url", F.regexp_extract(h, _CANONICAL, 1))
+    )
+
+
+def drop_noindex(df: DataFrame, html_column: str = "html") -> DataFrame:
+    """Compliance filter: remove pages whose markup asks not to be
+    indexed; drops the helper columns it added."""
+    flagged = add_robots_directives(df, html_column, prefix="__rb_")
+    return flagged.where(~F.col("__rb_noindex")).drop(
+        "__rb_noindex", "__rb_nofollow", "__rb_canonical_url"
+    )

@@ -320,3 +320,66 @@ def test_add_host_verdict_join_path_matches_broadcast(spark):
         }
         assert small == joined
         assert len(joined) == 6
+
+
+class TestRobotsDirectives:
+    def _df(self, spark, html):
+        return spark.createDataFrame([("u1", html)], "url string, html string")
+
+    def test_noindex_and_canonical(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            add_robots_directives,
+        )
+
+        html = (
+            '<html><head><meta name="robots" content="noindex, nofollow">'
+            '<link rel="canonical" href="https://Ex.org/Page?A=1"></head></html>'
+        )
+        r = add_robots_directives(self._df(spark, html)).collect()[0]
+        assert r["noindex"] and r["nofollow"]
+        # canonical href case is preserved even though matching is (?i)
+        assert r["canonical_url"] == "https://Ex.org/Page?A=1"
+
+    def test_none_shorthand_and_case_variants(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            add_robots_directives,
+        )
+
+        r = add_robots_directives(
+            self._df(spark, '<META name="ROBOTS" content="NONE">')
+        ).collect()[0]
+        assert r["noindex"] and r["nofollow"] and r["canonical_url"] == ""
+
+    def test_decoys_do_not_trigger(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            add_robots_directives,
+        )
+
+        html = (
+            '<meta name="description" content="noindex nofollow none">'
+            "<p>the robots content noindex words in text</p>"
+            '<meta name="robots" content="noarchive">'
+            '<link rel="stylesheet" href="https://no.example/style.css">'
+        )
+        r = add_robots_directives(self._df(spark, html)).collect()[0]
+        assert not r["noindex"] and not r["nofollow"]
+        assert r["canonical_url"] == ""
+        # substring tokens must not match: "noindexing" is not "noindex"
+        r2 = add_robots_directives(
+            self._df(spark, '<meta name="robots" content="noindexing">')
+        ).collect()[0]
+        assert not r2["noindex"]
+
+    def test_drop_noindex_filter(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import drop_noindex
+
+        df = spark.createDataFrame(
+            [
+                ("keep", "<html><head></head><body>x</body></html>"),
+                ("drop", '<meta name="robots" content="noindex">'),
+            ],
+            "url string, html string",
+        )
+        out = drop_noindex(df)
+        assert [r["url"] for r in out.collect()] == ["keep"]
+        assert out.columns == ["url", "html"]

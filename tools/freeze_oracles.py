@@ -884,6 +884,48 @@ def freeze_fix_mojibake(docs: pd.DataFrame) -> None:
     _write("fix_mojibake", out)
 
 
+def freeze_robots_directives() -> None:
+    """Expected index-control columns over the marker-augmented synthetic
+    pages: the SAME RE2-safe patterns as operators/urls.py, via Python
+    ``re`` (all three engines agree on these constructs)."""
+    import re
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import (
+        _CANONICAL,
+        _META_ROBOTS,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    recs = []
+    for i in range(500):
+        _, url, html, _text, _lang = _make_row(i)
+        if i % 4 == 0:
+            marker = '<meta name="robots" content="noindex">'
+        elif i % 4 == 1:
+            marker = '<meta name="ROBOTS" content="nofollow, noarchive">'
+        elif i % 4 == 2:
+            marker = '<META name="robots" content="NONE">'
+        else:
+            marker = '<meta name="description" content="noindex">'
+        canon = (
+            f'<link rel="canonical" href="https://canon.example.org/{i % 9}">'
+            if i % 5 == 0
+            else ""
+        )
+        h = marker + canon + html.decode("utf-8")
+        m = re.search(_META_ROBOTS, h)
+        directives = (m.group(1) if m else "").lower()
+        tok = "," + re.sub(r"\s+", "", directives) + ","
+        noindex = ",noindex," in tok or ",none," in tok
+        nofollow = ",nofollow," in tok or ",none," in tok
+        c = re.search(_CANONICAL, h)
+        recs.append((url, noindex, nofollow, c.group(1) if c else ""))
+    out = pd.DataFrame(
+        recs, columns=["url", "noindex", "nofollow", "canonical_url"]
+    )
+    _write("robots_directives", out)
+
+
 def freeze_warc_ingest() -> None:
     """Expected read_warc output over the 400-row/4-file synthetic crawl
     fixture: the SAME page kernel (sources.pages._make_row) and warc_ts
@@ -954,6 +996,7 @@ def main() -> int:
     freeze_bloom_ops(docs)
     freeze_fix_mojibake(docs)
     freeze_warc_ingest()
+    freeze_robots_directives()
     return 0
 
 
