@@ -48,6 +48,7 @@ from pyspark.sql.types import (
 )
 
 SOFTWARE = "dss-plugin-nlp-preparation-spark"
+_FIXTURE_VERSION = 1
 
 WARC_SCHEMA = StructType(
     [
@@ -583,8 +584,12 @@ def ensure_synthetic_warc(
     atomic via ``os.replace``, so a concurrent second caller is safe)."""
     import tempfile
 
+    # _FIXTURE_VERSION keys the cache dir: bump it whenever the record
+    # encoding, the decoys, or the page kernel change, so a stale /tmp
+    # fixture from an older build can never feed the gate or the bench
     base = base_dir or os.path.join(
-        tempfile.gettempdir(), f"spark_graft_warc_{n_rows}_{n_files}"
+        tempfile.gettempdir(),
+        f"spark_graft_warc_v{_FIXTURE_VERSION}_{n_rows}_{n_files}",
     )
     expected = [
         os.path.join(base, f"crawl-{i:05d}.warc.gz") for i in range(n_files)
