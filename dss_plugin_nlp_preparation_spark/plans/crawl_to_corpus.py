@@ -1,0 +1,100 @@
+# -*- coding: utf-8 -*-
+"""The full crawl-to-corpus story in one composed, resumable plan:
+
+    WARC archives ──ingest (archive-level lineage)──▶ pages table
+      ──Stage 0 html→text──▶ ──Stage A–F quality filter──▶ keep set
+      ──WET export (.warc.wet.gz)──▶ + corpus stats report
+
+This is the end-to-end job a training-data team actually schedules: a
+crawl snapshot lands as archives, and out come (a) the filtered page
+table, (b) the publishable WET deliverable of kept extracted text, and
+(c) a one-row stats report per run. Every stage is an existing operator;
+this module only composes them in their 100-TB shapes (ingest and
+extraction shuffle-free, filter narrow, export per-partition).
+
+Restartability: the ingest step resumes at archive granularity via the
+lineage ledger (``ingest_warc_resumable``); downstream stages are
+deterministic functions of the pages table, so a rerun reproduces the
+same keep set and the same WET bytes per partition content.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.plans.checkpoint import ingest_warc_resumable
+from dss_plugin_nlp_preparation_spark.plans.pipeline import quality_filter_pipeline
+
+
+def crawl_to_corpus(
+    spark: SparkSession,
+    warc_path: str,
+    work_dir: str,
+    run_id: str = "run-1",
+    with_perplexity: bool = True,
+    drop_noindex_pages: bool = True,
+    wet_partitions: int | None = None,
+) -> dict:
+    """Run the whole crawl→corpus job under ``work_dir``; returns stats.
+
+    Layout written:
+      ``{work_dir}/pages``    raw ingested pages (partitioned by archive)
+      ``{work_dir}/ledger``   archive-level lineage ledger
+      ``{work_dir}/filtered`` scored pages + keep/drop + scrubbed text
+      ``{work_dir}/wet``      one ``.warc.wet.gz`` per partition (kept docs)
+    """
+    from dss_plugin_nlp_preparation_spark.operators.urls import drop_noindex
+    from dss_plugin_nlp_preparation_spark.sources.warc import write_wet
+
+    pages_path = os.path.join(work_dir, "pages")
+    ledger_path = os.path.join(work_dir, "ledger")
+    filtered_path = os.path.join(work_dir, "filtered")
+    wet_path = os.path.join(work_dir, "wet")
+
+    ingest = ingest_warc_resumable(
+        spark, warc_path, pages_path, ledger_path, run_id=run_id
+    )
+
+    pages = spark.read.parquet(pages_path).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    n_ingested = pages.count()
+    if drop_noindex_pages:
+        pages = drop_noindex(pages)
+
+    # Stage 0 (html→text) + Stage A–F; the html payload is pruned from
+    # every node past extraction (extract_missing_text masks JVM-side)
+    result = quality_filter_pipeline(
+        pages, extract_missing_text=True, with_perplexity=with_perplexity
+    )
+    result.write.mode("overwrite").parquet(filtered_path)
+
+    scored = spark.read.parquet(filtered_path)
+    kept = scored.where("keep").select("url", "warc_ts", "scrubbed_text")
+    if wet_partitions:
+        kept = kept.repartition(wet_partitions)
+    n_wet = write_wet(kept, wet_path, text_column="scrubbed_text")
+
+    stats_row = scored.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(
+            F.when(F.col("keep"), F.length("scrubbed_text")).otherwise(0)
+        ).alias("kept_chars"),
+    ).collect()[0]
+    return {
+        **ingest,
+        "n_ingested": int(n_ingested),
+        "n_scored": int(stats_row["n_scored"]),
+        "n_keep": int(stats_row["n_keep"]),
+        "n_wet_records": int(n_wet),
+        "paths": {
+            "pages": pages_path,
+            "ledger": ledger_path,
+            "filtered": filtered_path,
+            "wet": wet_path,
+        },
+    }

@@ -1,0 +1,46 @@
+# -*- coding: utf-8 -*-
+"""End-to-end crawl->corpus plan: WARC archives in, filtered table +
+WET deliverable + lineage out; archive-level resume across runs."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.plans.crawl_to_corpus import crawl_to_corpus
+from dss_plugin_nlp_preparation_spark.sources.warc import (
+    read_wet,
+    synthesize_warc_files,
+)
+
+
+def test_crawl_to_corpus_end_to_end(spark, tmp_path):
+    crawl = str(tmp_path / "crawl")
+    work = str(tmp_path / "work")
+    synthesize_warc_files(crawl, n_rows=60, n_files=3)
+
+    stats = crawl_to_corpus(
+        spark, crawl, work, run_id="run-1", with_perplexity=False
+    )
+    assert stats["processed_archives"] == 3
+    assert stats["n_ingested"] == 60
+    assert stats["n_scored"] <= 60  # noindex pages may drop pre-filter
+    assert 0 < stats["n_keep"] <= stats["n_scored"]
+    assert stats["n_wet_records"] == stats["n_keep"]
+
+    # the WET deliverable round-trips: one conversion record per kept doc,
+    # text == the scrubbed text of the filtered table
+    kept = (
+        spark.read.parquet(stats["paths"]["filtered"])
+        .where("keep")
+        .select("url", F.col("scrubbed_text").alias("text"))
+    )
+    wet = read_wet(spark, stats["paths"]["wet"])
+    assert wet.count() == stats["n_keep"]
+    assert kept.join(wet.select("url", "text"), ["url", "text"]).count() == stats["n_keep"]
+
+    # resume: a second run re-ingests nothing and reproduces the keep set
+    stats2 = crawl_to_corpus(
+        spark, crawl, work, run_id="run-2", with_perplexity=False
+    )
+    assert stats2["processed_archives"] == 0
+    assert stats2["skipped_archives"] == 3
+    assert stats2["n_keep"] == stats["n_keep"]
+    assert stats2["n_wet_records"] == stats["n_wet_records"]
