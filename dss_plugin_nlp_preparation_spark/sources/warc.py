@@ -569,9 +569,13 @@ def synthesize_warc_files(out_dir: str, n_rows: int = 400, n_files: int = 4) -> 
             if i % 5 == 0:
                 chunks.append(gzip_member(encode_request_record(url, epoch)))
             chunks.append(gzip_member(encode_response_record(url, epoch, html)))
-        with open(fpath + ".tmp", "wb") as f:
+        # per-process tmp name: two concurrent synthesizers must never
+        # interleave writes into one inode; each replaces atomically with
+        # its own complete (identical, deterministic) bytes
+        tmp = f"{fpath}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(b"".join(chunks))
-        os.replace(fpath + ".tmp", fpath)
+        os.replace(tmp, fpath)
         paths.append(fpath)
     return paths
 
