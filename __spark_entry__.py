@@ -987,6 +987,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_anchor_links(spark, sf_dir):
+        # anchor-level outlinks with the two ranking signals: rel=nofollow
+        # (must be excluded from host_rank by compliant consumers) and
+        # anchor text. Deterministic nofollow anchors (rel after AND
+        # before href) are appended to the synthetic pages; the frozen
+        # oracle replays the same regexes in pure Python.
+        from dss_plugin_nlp_preparation_spark.operators.links import (
+            extract_anchor_links,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, 500, 8)
+        i = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        extra = F.concat(
+            F.lit('<a href="https://nf.example.org/'),
+            (i % 7).cast("string"),
+            F.lit('" rel="nofollow">sponsored '),
+            (i % 3).cast("string"),
+            F.lit("</a>"),
+            F.when(
+                i % 4 == 0,
+                F.concat(
+                    F.lit('<a rel="nofollow" href="/paid/'),
+                    (i % 5).cast("string"),
+                    F.lit('">ad</a>'),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        aug = pages.withColumn(
+            "html_str", F.concat(F.col("html").cast("string"), extra)
+        )
+        return extract_anchor_links(aug, html_column="html_str").select(
+            "src_url", "dst_url", "dst_host", "is_internal", "nofollow", "anchor_text"
+        )
+
     def q_robots_directives(spark, sf_dir):
         # index-control compliance: noindex/nofollow/canonical extracted
         # by a pure-JVM regexp chain from page markup. Deterministic
@@ -1290,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      tools/check_oracle.py) ----
         # -- index-control compliance (pure-JVM regexp; frozen oracle) --
         "robots_directives": q_robots_directives,
+        "anchor_links": q_anchor_links,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -1501,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": _frozen("fix_mojibake"),
         "warc_ingest": _frozen("warc_ingest"),
         "robots_directives": _frozen("robots_directives"),
+        "anchor_links": _frozen("anchor_links"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of

@@ -115,6 +115,62 @@ def extract_links(
     )
 
 
+# one anchor element: attribute region + visible text (no nested markup
+# in the text group — nested-tag anchors surface their leading text run).
+# RE2-safe: character classes only, no lookaround, no backreferences.
+_ANCHOR_PATTERN = r"(?i)<a\s([^>]*)>([^<]*)</a>"
+_REL_NOFOLLOW = r'(?i)rel\s*=\s*"[^"]*nofollow[^"]*"'
+
+
+def extract_anchor_links(
+    df: DataFrame,
+    html_column: str = "html",
+    url_column: str = "url",
+) -> DataFrame:
+    """Anchor-level outlinks: (src_url, src_host, dst_url, dst_host,
+    is_internal, nofollow, anchor_text) — one row per ``<a>`` element.
+
+    Unlike :func:`extract_links` (every ``href`` on the page, the raw
+    frontier feed), this extracts only anchors and carries the two
+    signals ranking needs: ``rel=nofollow`` (links a compliant ranker
+    must not count — feed ``host_rank`` with ``.where(~nofollow)``) and
+    the anchor text (the classic relevance signal). Same plan shape:
+    pure codegen, payload pruned at the scan, zero Python. The two
+    ``regexp_extract_all`` calls share one pattern, so their match
+    sequences align index-for-index and ``arrays_zip`` pairs them
+    exactly.
+    """
+    html_str = F.col(html_column).cast("string")
+    src_scheme, src_host = _src_parts(F.col(url_column))
+    attrs = F.regexp_extract_all(html_str, F.lit(_ANCHOR_PATTERN), 1)
+    texts = F.regexp_extract_all(html_str, F.lit(_ANCHOR_PATTERN), 2)
+    out = df.select(
+        F.col(url_column).alias("src_url"),
+        src_host.alias("src_host"),
+        src_scheme.alias("__scheme"),
+        F.explode(F.arrays_zip(attrs.alias("a"), texts.alias("t"))).alias("__e"),
+    )
+    href = F.regexp_extract(F.col("__e.a"), _HREF_PATTERN, 1)
+    resolved = resolve_link(href, F.col("__scheme"), F.col("src_host"))
+    out = out.select(
+        "src_url",
+        "src_host",
+        resolved.alias("dst_url"),
+        F.col("__e.a").rlike(_REL_NOFOLLOW).alias("nofollow"),
+        F.trim(F.col("__e.t")).alias("anchor_text"),
+    ).where(F.col("dst_url").isNotNull())
+    dst_host = F.lower(F.regexp_extract(F.col("dst_url"), _HOST_OF, 1))
+    return out.select(
+        "src_url",
+        "src_host",
+        "dst_url",
+        dst_host.alias("dst_host"),
+        (dst_host == F.col("src_host")).alias("is_internal"),
+        "nofollow",
+        "anchor_text",
+    )
+
+
 def host_in_degree(
     links: DataFrame,
     include_internal: bool = False,

@@ -130,3 +130,55 @@ def test_payload_pruned_from_link_plan(spark):
     # the exchange (shuffle) carries only host/count columns
     after_exchange = plan.split("Exchange")[0]
     assert "html" not in after_exchange
+
+
+class TestAnchorLinks:
+    def test_nofollow_and_anchor_text(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.links import (
+            extract_anchor_links,
+        )
+
+        html = (
+            '<html><body><a href="https://a.example/x" rel="nofollow">Paid Link</a>'
+            '<a rel="NOFOLLOW sponsored" href="/y">ad</a>'
+            '<a href="https://b.example/z">organic</a>'
+            '<link rel="stylesheet" href="https://css.example/s.css">'
+            "<a>no href</a></body></html>"
+        )
+        df = spark.createDataFrame(
+            [("https://src.example/page", html)], "url string, html string"
+        )
+        rows = {r["dst_url"]: r for r in extract_anchor_links(df).collect()}
+        # <link href> and href-less anchors never surface
+        assert set(rows) == {
+            "https://a.example/x",
+            "https://src.example/y",
+            "https://b.example/z",
+        }
+        assert rows["https://a.example/x"]["nofollow"]
+        assert rows["https://a.example/x"]["anchor_text"] == "Paid Link"
+        assert rows["https://src.example/y"]["nofollow"]  # rel before href, caps
+        assert rows["https://src.example/y"]["is_internal"]
+        assert not rows["https://b.example/z"]["nofollow"]
+
+    def test_host_rank_excluding_nofollow(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.links import (
+            extract_anchor_links,
+            host_rank,
+        )
+        from pyspark.sql import functions as F
+
+        html_a = '<a href="https://b.example/1" rel="nofollow">x</a>'
+        html_b = '<a href="https://c.example/1">y</a>'
+        df = spark.createDataFrame(
+            [("https://a.example/p", html_a), ("https://b.example/p", html_b)],
+            "url string, html string",
+        )
+        links = extract_anchor_links(df)
+        ranked_all = host_rank(links, n_iters=2)
+        ranked_follow = host_rank(links.where(~F.col("nofollow")), n_iters=2)
+        hosts_all = {r["host"] for r in ranked_all.collect()}
+        hosts_follow = {r["host"] for r in ranked_follow.collect()}
+        assert "b.example" in hosts_all
+        # the nofollow edge (and the host it pointed at) leaves the graph
+        assert hosts_follow == {"b.example", "c.example"}

@@ -723,6 +723,74 @@ def _replay_links(n_pages: int = 500) -> list:
     return rows
 
 
+def freeze_anchor_links() -> None:
+    """Pure-Python replay of extract_anchor_links over the synthetic
+    pages augmented with the same deterministic nofollow anchors the
+    Spark query appends: same anchor/href/rel regexes, same resolution
+    CASE, ASCII-space trim of the anchor text (mirrors Spark trim)."""
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    anchor_re = re.compile(r"(?i)<a\s([^>]*)>([^<]*)</a>")
+    href_re = re.compile(r'href\s*=\s*"([^"]*)"')
+    rel_re = re.compile(r'(?i)rel\s*=\s*"[^"]*nofollow[^"]*"')
+    scheme_re = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
+    host_re = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)")
+    dst_host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/:?#]+)")
+    skip_re = re.compile(r"^(javascript|mailto|data|tel):")
+    rows = []
+    for i in range(500):
+        _i, url, html, _text, _lang = _make_row(i)
+        extra = (
+            f'<a href="https://nf.example.org/{i % 7}" rel="nofollow">'
+            f"sponsored {i % 3}</a>"
+        )
+        if i % 4 == 0:
+            extra += f'<a rel="nofollow" href="/paid/{i % 5}">ad</a>'
+        doc = html.decode("utf-8", errors="replace") + extra
+        m = scheme_re.match(url)
+        src_scheme = m.group(1).lower() if m else ""
+        m = host_re.match(url)
+        src_host = m.group(1).lower() if m else ""
+        for attrs, text in anchor_re.findall(doc):
+            hm = href_re.search(attrs)
+            href = hm.group(1) if hm else ""
+            h = re.sub(r"#.*$", "", href.strip(" "))
+            if h == "" or skip_re.match(h.lower()):
+                continue
+            if scheme_re.match(h):
+                dst = h
+            elif h.startswith("//"):
+                dst = f"{src_scheme}:{h}"
+            elif h.startswith("/"):
+                dst = f"{src_scheme}://{src_host}{h}"
+            else:
+                dst = f"{src_scheme}://{src_host}/{h}"
+            m = dst_host_re.match(dst)
+            dst_host = m.group(1).lower() if m else ""
+            rows.append(
+                (
+                    url,
+                    dst,
+                    dst_host,
+                    dst_host == src_host,
+                    bool(rel_re.search(attrs)),
+                    text.strip(" "),
+                )
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "src_url",
+            "dst_url",
+            "dst_host",
+            "is_internal",
+            "nofollow",
+            "anchor_text",
+        ],
+    )
+    _write("anchor_links", out)
+
+
 def freeze_extract_links() -> None:
     out = pd.DataFrame(
         _replay_links(),
@@ -997,6 +1065,7 @@ def main() -> int:
     freeze_fix_mojibake(docs)
     freeze_warc_ingest()
     freeze_robots_directives()
+    freeze_anchor_links()
     return 0
 
 
