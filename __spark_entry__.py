@@ -987,6 +987,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_compression_ratio(spark, sf_dir):
+        # Dolma/Gopher compressibility signal: deflate_len/utf8_len per
+        # document; frozen oracle replays the same zlib level/strategy in
+        # the same interpreter, so equality is by construction
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_compression_ratio,
+        )
+
+        return add_compression_ratio(_docs(spark, sf_dir)).select(
+            "doc_id", F.round("compression_ratio", 6).alias("compression_ratio")
+        )
+
     def q_anchor_links(spark, sf_dir):
         # anchor-level outlinks with the two ranking signals: rel=nofollow
         # (must be excluded from host_rank by compliant consumers) and
@@ -1326,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- index-control compliance (pure-JVM regexp; frozen oracle) --
         "robots_directives": q_robots_directives,
         "anchor_links": q_anchor_links,
+        "compression_ratio": q_compression_ratio,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -1538,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _frozen("warc_ingest"),
         "robots_directives": _frozen("robots_directives"),
         "anchor_links": _frozen("anchor_links"),
+        "compression_ratio": _frozen("compression_ratio"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of

@@ -28,6 +28,9 @@ as the other quality columns.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,3 +168,42 @@ def add_repetition_signals(
             ).otherwise(F.lit(0.0)),
         )
     return out
+
+
+def add_compression_ratio(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Dolma/Gopher-style compressibility signal: ``deflate_len / utf8_len``
+    (1.0 for empty text). Highly repetitive or templated documents
+    compress far below ~0.4; random gibberish sits near 1.0 — a single
+    cheap scalar that catches both tails the n-gram fractions and
+    dup-line counts each see only half of.
+
+    Arrow-batched UDF over the text column only — zero shuffle, rides
+    the quality scan. zlib at a fixed level is deterministic for a given
+    library build, and the frozen oracle replays THE SAME interpreter's
+    zlib, so engine/oracle agreement is by construction.
+    """
+
+    @F.pandas_udf("double")
+    def _ratio(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return 1.0
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            # raw deflate (wbits=-15): no header/trailer noise in the ratio
+            c = zlib.compressobj(level, zlib.DEFLATED, -15)
+            n = len(c.compress(raw)) + len(c.flush())
+            return n / len(raw)
+
+        for s in batches:
+            yield pd.Series([one(t) for t in s], dtype="float64")
+
+    return df.withColumn(output_column, _ratio(F.col(text_column)))

@@ -82,3 +82,27 @@ def test_tie_breaks_to_lexicographically_smallest(spark):
     out = _signals(spark, [(0, "a b zz zz a b zz zz")], top_ns=(2,), dup_ns=())
     base = len("a b zz zz a b zz zz")
     assert out[0]["top_2gram_char_frac"] == round(2 * 3 / base, 4)
+
+
+class TestCompressionRatio:
+    def test_tails_separate(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_compression_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("rep", "the same line\n" * 200),
+                ("normal", "A perfectly ordinary sentence about web data quality, "
+                           "with varied vocabulary and no obvious repetition."),
+                ("empty", ""),
+                ("null", None),
+            ],
+            "doc_id string, text string",
+        )
+        r = {x["doc_id"]: x["compression_ratio"]
+             for x in add_compression_ratio(df).collect()}
+        assert r["rep"] < 0.1          # templated text compresses away
+        assert 0.4 < r["normal"] <= 1.2
+        assert r["empty"] == 1.0 and r["null"] == 1.0
+        assert r["rep"] < r["normal"]

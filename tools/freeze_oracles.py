@@ -723,6 +723,31 @@ def _replay_links(n_pages: int = 500) -> list:
     return rows
 
 
+def freeze_compression_ratio(docs: pd.DataFrame) -> None:
+    """Expected deflate_len/utf8_len per document — the SAME zlib
+    (level 6, raw deflate) in the same interpreter as the Spark UDF."""
+    import zlib
+
+    def one(t):
+        if t is None:
+            return 1.0
+        raw = t.encode("utf-8")
+        if not raw:
+            return 1.0
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return (len(c.compress(raw)) + len(c.flush())) / len(raw)
+
+    out = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "compression_ratio": [
+                _round_half_up(one(t), 6) for t in docs["text"]
+            ],
+        }
+    )
+    _write("compression_ratio", out)
+
+
 def freeze_anchor_links() -> None:
     """Pure-Python replay of extract_anchor_links over the synthetic
     pages augmented with the same deterministic nofollow anchors the
@@ -1066,6 +1091,7 @@ def main() -> int:
     freeze_warc_ingest()
     freeze_robots_directives()
     freeze_anchor_links()
+    freeze_compression_ratio(docs)
     return 0
 
 
