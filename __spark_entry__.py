@@ -987,6 +987,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_paragraph_lang(spark, sf_dir):
+        # CCNet-granularity LID: per-paragraph language + char-weighted
+        # doc majority, joined into one relation; frozen oracle replays
+        # the same LID kernel per paragraph
+        from dss_plugin_nlp_preparation_spark.operators.lang_detect import (
+            detect_language_paragraphs,
+            doc_majority_language,
+        )
+
+        paras = detect_language_paragraphs(_docs(spark, sf_dir))
+        maj = doc_majority_language(paras)
+        return paras.join(maj.select("doc_id", "majority_language"), "doc_id").select(
+            "doc_id",
+            F.col("para_index").cast("long").alias("para_index"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "para_language_code",
+            "para_language_score",
+            "majority_language",
+        )
+
     def q_compression_ratio(spark, sf_dir):
         # Dolma/Gopher compressibility signal: deflate_len/utf8_len per
         # document; frozen oracle replays the same zlib level/strategy in
@@ -1339,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_directives": q_robots_directives,
         "anchor_links": q_anchor_links,
         "compression_ratio": q_compression_ratio,
+        "paragraph_lang": q_paragraph_lang,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -1552,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_directives": _frozen("robots_directives"),
         "anchor_links": _frozen("anchor_links"),
         "compression_ratio": _frozen("compression_ratio"),
+        "paragraph_lang": _frozen("paragraph_lang"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of

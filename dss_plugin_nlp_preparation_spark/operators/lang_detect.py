@@ -88,3 +88,82 @@ def detect_language(
             out, {"comment": COLUMN_DESCRIPTIONS[field]}
         )
     return result.drop("__lid__")
+
+
+def detect_language_paragraphs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    language_scope=None,
+    minimum_score: float = 0.0,
+    fallback_language: str = "",
+) -> DataFrame:
+    """CCNet-granularity LID: one row per non-empty paragraph of each
+    document, ``(id, para_index, n_chars, para_language_code,
+    para_language_score)``.
+
+    CCNet processes web text paragraph-by-paragraph (its dedup AND its
+    LM scoring run at that granularity) because multilingual pages are
+    common: a boilerplate-English page wrapping a French article gets
+    one doc-level label but per-paragraph truth. Shape: posexplode of
+    the split (pure codegen, no shuffle) into the same batched LID
+    kernel the doc-level operator uses — the paragraph relation arrives
+    pre-sharded by the explode, so detection parallelism is paragraph
+    count, not document count.
+    """
+    scope = tuple(language_scope) if language_scope else None
+
+    from dss_plugin_nlp_preparation_spark.nlp.langid import warm_caches
+
+    warm_caches()
+
+    paras = df.select(
+        F.col(id_column),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_column), F.lit("")), "\n")
+        ).alias("para_index", "__para"),
+    ).withColumn("__para", F.trim(F.col("__para")))
+    paras = paras.where(F.length("__para") > 0)
+
+    @F.pandas_udf(_RESULT_TYPE)
+    def _detect(texts: pd.Series) -> pd.DataFrame:
+        det = _identifier(scope, minimum_score, fallback_language)
+        rows = det.detect_batch(list(texts))
+        return pd.DataFrame(
+            rows, columns=["language_code", "language_name", "language_score"]
+        )
+
+    out = paras.withColumn("__lid__", _detect(F.col("__para")))
+    return out.select(
+        id_column,
+        "para_index",
+        F.length("__para").alias("n_chars"),
+        F.col("__lid__.language_code").alias("para_language_code"),
+        F.col("__lid__.language_score").alias("para_language_score"),
+    )
+
+
+def doc_majority_language(paragraphs: DataFrame, id_column: str = "doc_id") -> DataFrame:
+    """Char-weighted majority language per document from the paragraph
+    relation: ``(id, majority_language, lang_chars, total_chars)``.
+    Deterministic tie-break (most chars, then lexicographically smallest
+    code) via a single min(struct) aggregate — no windows over documents.
+    """
+    per_lang = paragraphs.groupBy(id_column, "para_language_code").agg(
+        F.sum("n_chars").alias("__chars")
+    )
+    best = per_lang.groupBy(id_column).agg(
+        F.min(
+            F.struct(
+                (-F.col("__chars")).alias("neg"),
+                F.col("para_language_code").alias("code"),
+            )
+        ).alias("__best"),
+        F.sum("__chars").alias("total_chars"),
+    )
+    return best.select(
+        id_column,
+        F.col("__best.code").alias("majority_language"),
+        (-F.col("__best.neg")).cast("long").alias("lang_chars"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )

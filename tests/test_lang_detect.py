@@ -134,3 +134,52 @@ def test_detect_batch_identical_to_detect():
     assert det2.detect_batch(docs[:100] + edge) == [
         det2.detect(t) for t in docs[:100] + edge
     ]
+
+
+class TestParagraphLang:
+    def test_multilingual_page_paragraph_truth(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.lang_detect import (
+            detect_language_paragraphs,
+            doc_majority_language,
+        )
+
+        en = "The quick brown fox jumps over the lazy dog in the morning."
+        fr = ("Le chat noir dort sur la table pendant que les enfants jouent "
+              "dans le jardin avec leur chien et la voiture rouge des voisins.")
+        df = spark.createDataFrame(
+            [(1, f"{en}\n\n{fr}\n{fr} {fr}"), (2, None), (3, "   \n  ")],
+            "doc_id long, text string",
+        )
+        paras = detect_language_paragraphs(df)
+        rows = sorted(
+            (r["doc_id"], r["para_index"], r["para_language_code"])
+            for r in paras.collect()
+        )
+        # empty/None docs and blank paragraphs yield no rows; indices are
+        # the ORIGINAL split positions (the blank line keeps index 1 free)
+        assert [r[0] for r in rows] == [1, 1, 1]
+        assert [r[1] for r in rows] == [0, 2, 3]
+        assert [r[2] for r in rows] == ["en", "fr", "fr"]
+
+        maj = doc_majority_language(paras).collect()
+        assert len(maj) == 1
+        m = maj[0]
+        # char-weighted: the two French paragraphs outweigh the English one
+        assert (m["doc_id"], m["majority_language"]) == (1, "fr")
+        assert m["lang_chars"] > 0 and m["total_chars"] > m["lang_chars"]
+
+    def test_majority_tie_breaks_lexicographically(self, spark):
+        from pyspark.sql import functions as F
+
+        from dss_plugin_nlp_preparation_spark.operators.lang_detect import (
+            doc_majority_language,
+        )
+
+        paras = spark.createDataFrame(
+            [(1, 0, 10, "fr", 0.9), (1, 1, 10, "en", 0.9)],
+            "doc_id long, para_index long, n_chars long, "
+            "para_language_code string, para_language_score double",
+        )
+        m = doc_majority_language(paras).collect()[0]
+        assert m["majority_language"] == "en"  # equal chars -> smallest code
+        assert m["lang_chars"] == 10 and m["total_chars"] == 20

@@ -723,6 +723,46 @@ def _replay_links(n_pages: int = 500) -> list:
     return rows
 
 
+def freeze_paragraph_lang(docs: pd.DataFrame) -> None:
+    """Per-paragraph LID + char-weighted doc majority: the SAME split
+    spec as the operator (split on \\n, ASCII-space trim — Spark's trim
+    strips 0x20 only — posexplode indices over the ORIGINAL split) and
+    the SAME LID kernel."""
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import _identifier
+
+    det = _identifier(None, 0.0, "")
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        paras = []
+        for idx, p in enumerate((text or "").split("\n")):
+            p = p.strip(" ")
+            if not p:
+                continue
+            code, _name, score = det.detect(p)
+            paras.append((int(doc_id), idx, len(p), code, float(score)))
+        if not paras:
+            continue
+        per_lang: dict = {}
+        for _d, _i, n, code, _s in paras:
+            per_lang[code] = per_lang.get(code, 0) + n
+        majority = min(per_lang.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        rows.extend(p + (majority,) for p in paras)
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id",
+            "para_index",
+            "n_chars",
+            "para_language_code",
+            "para_language_score",
+            "majority_language",
+        ],
+    )
+    for k in ("doc_id", "para_index", "n_chars"):
+        out[k] = out[k].astype("int64")
+    _write("paragraph_lang", out)
+
+
 def freeze_compression_ratio(docs: pd.DataFrame) -> None:
     """Expected deflate_len/utf8_len per document — the SAME zlib
     (level 6, raw deflate) in the same interpreter as the Spark UDF."""
@@ -1092,6 +1132,7 @@ def main() -> int:
     freeze_robots_directives()
     freeze_anchor_links()
     freeze_compression_ratio(docs)
+    freeze_paragraph_lang(docs)
     return 0
 
 
