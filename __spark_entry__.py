@@ -987,6 +987,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_host_boilerplate(spark, sf_dir):
+        # CCNet-style per-host template removal (complement of the C4
+        # global rule, which the graded boilerplate_removal covers):
+        # SQL-replayable end to end
+        from dss_plugin_nlp_preparation_spark.operators.boilerplate import (
+            remove_host_boilerplate,
+        )
+
+        d = _docs(spark, sf_dir).withColumn(
+            "host",
+            F.when(F.col("doc_id") % 10 < 4, F.lit("big.example.com")).otherwise(
+                F.concat(F.lit("host"), (F.col("doc_id") % 23).cast("string"))
+            ),
+        )
+        return remove_host_boilerplate(d, min_df=2).select(
+            F.col("id").alias("doc_id"), "clean_text", "n_removed_lines"
+        )
+
     def q_paragraph_lang(spark, sf_dir):
         # CCNet-granularity LID: per-paragraph language + char-weighted
         # doc majority, joined into one relation; frozen oracle replays
@@ -1360,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_links": q_anchor_links,
         "compression_ratio": q_compression_ratio,
         "paragraph_lang": q_paragraph_lang,
+        "host_boilerplate": q_host_boilerplate,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -1899,6 +1918,37 @@ def oracle_sql() -> dict[str, str]:
           FROM lines l LEFT JOIN bad b ON trim(l.raw_line) = b.line
         )
         SELECT doc_id AS id,
+               coalesce(string_agg(CASE WHEN NOT is_bad THEN raw_line END,
+                                   chr(10) ORDER BY pos), '') AS clean_text,
+               CAST(coalesce(sum(CASE WHEN is_bad THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_removed_lines
+        FROM marked GROUP BY doc_id
+    """
+    sqls["host_boilerplate"] = """
+        WITH d AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 10 < 4 THEN 'big.example.com'
+                      ELSE 'host' || CAST(doc_id % 23 AS VARCHAR) END AS host
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, host, i - 1 AS pos, ls[i] AS raw_line
+          FROM (SELECT doc_id, host,
+                       regexp_split_to_array(coalesce(text, ''), '\\n') AS ls
+                FROM d) t,
+               unnest(range(1, len(ls) + 1)) AS r(i)
+        ),
+        bad AS (
+          SELECT host, trim(raw_line) AS line FROM lines
+          WHERE trim(raw_line) <> ''
+          GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+        ),
+        marked AS (
+          SELECT l.doc_id, l.pos, l.raw_line, b.line IS NOT NULL AS is_bad
+          FROM lines l LEFT JOIN bad b
+            ON l.host = b.host AND trim(l.raw_line) = b.line
+        )
+        SELECT doc_id,
                coalesce(string_agg(CASE WHEN NOT is_bad THEN raw_line END,
                                    chr(10) ORDER BY pos), '') AS clean_text,
                CAST(coalesce(sum(CASE WHEN is_bad THEN 1 ELSE 0 END), 0)

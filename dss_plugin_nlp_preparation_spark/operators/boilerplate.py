@@ -97,3 +97,98 @@ def remove_boilerplate(
     return rebuilt.select(
         "id", F.coalesce("clean_text", F.lit("")).alias("clean_text"), "n_removed_lines"
     )
+
+
+def host_boilerplate_lines(
+    docs: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    host_column: str = "host",
+    min_df: int = 3,
+    min_host_frac: float | None = None,
+) -> DataFrame:
+    """(host, line, df, host_docs): lines that are boilerplate WITHIN a
+    host — >= min_df distinct docs of that host (and optionally >=
+    ``min_host_frac`` of the host's docs) contain the trimmed line."""
+    lines = docs.select(
+        F.col(id_column).alias("id"),
+        F.col(host_column).alias("host"),
+        F.explode(F.split(F.col(text_column), "\n")).alias("raw_line"),
+    ).select("id", "host", F.trim("raw_line").alias("line"))
+    df_counts = (
+        lines.where(F.col("line") != "")
+        .groupBy("host", "line")
+        .agg(F.count_distinct("id").alias("df"))
+    )
+    host_docs = docs.groupBy(F.col(host_column).alias("host")).agg(
+        F.count_distinct(id_column).alias("host_docs")
+    )
+    out = df_counts.join(host_docs, "host").where(F.col("df") >= min_df)
+    if min_host_frac is not None:
+        out = out.where(F.col("df") >= F.col("host_docs") * min_host_frac)
+    return out
+
+
+def remove_host_boilerplate(
+    docs: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    host_column: str = "host",
+    min_df: int = 3,
+    min_host_frac: float | None = None,
+) -> DataFrame:
+    """(id, clean_text, n_removed_lines) with boilerplate scoped PER HOST
+    — the CCNet-style complement of the C4 global rule: a site's nav/
+    footer/cookie template dominates within its host but rarely clears a
+    global ``min_df`` on a diverse corpus, while a globally-common line
+    ("All rights reserved.") is caught by :func:`remove_boilerplate`.
+    Run both for full coverage.
+
+    Scale shape: the (host, line) template relation is NOT broadcastable
+    at web scale (hosts × template lines), so the rebuild is a shuffle
+    hash-join keyed on (host, trimmed line) — skew-safe because a hot
+    template line is hot only within its host's keyspace, and AQE's
+    skew-join splits any mega-host. Reassembly shuffles kept lines by id
+    (same class as dedup_paragraphs). Every document returns exactly
+    once; empty/whitespace lines survive as document structure.
+    """
+    bad = host_boilerplate_lines(
+        docs, text_column, id_column, host_column, min_df, min_host_frac
+    ).select(F.col("host").alias("bad_host"), F.col("line").alias("bad_line"))
+    lines = docs.select(
+        F.col(id_column).alias("id"),
+        F.col(host_column).alias("host"),
+        F.posexplode_outer(F.split(F.col(text_column), "\n")).alias(
+            "pos", "raw_line"
+        ),
+    )
+    marked = lines.join(
+        bad,
+        (F.col("host") == F.col("bad_host"))
+        & (F.trim(F.col("raw_line")) == F.col("bad_line")),
+        "left",
+    ).select(
+        "id", "pos", "raw_line", F.col("bad_line").isNotNull().alias("is_bad")
+    )
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_bad"),
+                            F.struct(F.col("pos"), F.col("raw_line").alias("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(F.col("is_bad").cast("long")).alias("n_removed_lines"),
+    )
+    return rebuilt.select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_removed_lines",
+    )

@@ -142,3 +142,51 @@ def test_fuzzy_decontaminate_deterministic(spark):
     a = sorted(map(tuple, fuzzy_decontaminate(docs, bench).select("doc_id", "fuzzy_contaminated").collect()))
     b = sorted(map(tuple, fuzzy_decontaminate(docs.repartition(9), bench).select("doc_id", "fuzzy_contaminated").collect()))
     assert a == b
+
+
+class TestHostBoilerplate:
+    def test_host_scoped_templates(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.boilerplate import (
+            remove_boilerplate,
+            remove_host_boilerplate,
+        )
+
+        nav = "Home | About | Contact"
+        rows = [
+            (1, "a.com", f"{nav}\nunique article one"),
+            (2, "a.com", f"{nav}\nunique article two"),
+            (3, "b.com", f"{nav}\nunique article three"),  # nav SHARED cross-host
+            (4, "b.com", "different banner\nunique article four"),
+            (5, "c.com", "different banner\nunique article five"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+        # host-scoped: nav is template only on a.com (2 docs >= min_df);
+        # b.com has one nav occurrence and one banner occurrence -> kept
+        out = {r["id"]: r for r in remove_host_boilerplate(df, min_df=2).collect()}
+        assert out[1]["clean_text"] == "unique article one"
+        assert out[2]["n_removed_lines"] == 1
+        assert out[3]["clean_text"].startswith(nav)  # survives on b.com
+        assert out[4]["n_removed_lines"] == 0
+        assert out[5]["n_removed_lines"] == 0
+
+        # the global rule sees nav df=3 and banner df=2: both removed —
+        # the two rules catch different template populations
+        g = {r["id"]: r for r in remove_boilerplate(df, min_df=2).collect()}
+        assert g[3]["clean_text"] == "unique article three"
+        assert g[4]["n_removed_lines"] == 1
+
+    def test_min_host_frac(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.boilerplate import (
+            host_boilerplate_lines,
+        )
+
+        rows = [(i, "a.com", "promo line\nbody %d" % i) for i in range(2)] + [
+            (i, "a.com", "body only %d" % i) for i in range(2, 10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        # df=2 passes min_df but is only 20% of the host's 10 docs
+        loose = host_boilerplate_lines(df, min_df=2).collect()
+        assert {r["line"] for r in loose} == {"promo line"}
+        strict = host_boilerplate_lines(df, min_df=2, min_host_frac=0.5).collect()
+        assert strict == []
