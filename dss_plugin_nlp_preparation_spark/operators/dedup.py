@@ -908,3 +908,61 @@ def dedup_paragraphs(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planning (standard s-curve math, Leskovec/Rajaraman/Ullman
+# "Mining of Massive Datasets" ch. 3)
+# ---------------------------------------------------------------------------
+
+
+def lsh_collision_probability(similarity: float, bands: int, rows: int) -> float:
+    """P(candidate pair) = 1 - (1 - s^rows)^bands for Jaccard ``s``."""
+    if not 0.0 <= similarity <= 1.0:
+        raise ValueError(f"similarity must be in [0, 1], got {similarity}")
+    return 1.0 - (1.0 - similarity**rows) ** bands
+
+
+def plan_minhash_lsh(threshold: float, n_hashes: int = 128) -> dict:
+    """Choose (bands, rows) with bands*rows <= n_hashes whose s-curve
+    best matches a step at ``threshold``: minimize the integral of
+    false-positive mass below the threshold plus false-negative mass
+    above it (uniform similarity prior, 1e-3 grid).
+
+    Returns {bands, rows, est_threshold, fp_area, fn_area} where
+    ``est_threshold`` is the classic (1/bands)^(1/rows) 50%-collision
+    point. Note the engine's ``minhash_bands`` signature scheme is the
+    rows=1, bands=num_bands configuration (high recall; precision comes
+    from the exact ``ngram_jaccard_pairs`` verify stage) — this planner
+    covers the general grid for callers that want a sharper curve
+    without a verify pass.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    best = None
+    grid = [i / 1000.0 for i in range(1001)]
+    for rows in range(1, n_hashes + 1):
+        bands = n_hashes // rows
+        if bands < 1:
+            break
+        fp = sum(
+            lsh_collision_probability(s, bands, rows) for s in grid if s < threshold
+        ) / 1000.0
+        fn = sum(
+            1.0 - lsh_collision_probability(s, bands, rows)
+            for s in grid
+            if s >= threshold
+        ) / 1000.0
+        err = fp + fn
+        if best is None or err < best[0]:
+            best = (err, bands, rows, fp, fn)
+    _err, bands, rows, fp, fn = best
+    return {
+        "bands": bands,
+        "rows": rows,
+        "est_threshold": (1.0 / bands) ** (1.0 / rows),
+        "fp_area": fp,
+        "fn_area": fn,
+    }

@@ -478,3 +478,47 @@ def test_dedup_paragraphs_is_fixed_point(spark):
     )
     twice = dedup_paragraphs(once)
     assert all(r["n_removed_paragraphs"] == 0 for r in twice.collect())
+
+
+class TestLshPlanning:
+    def test_classic_values(self):
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            lsh_collision_probability,
+            plan_minhash_lsh,
+        )
+
+        # the textbook b=16, r=8 curve thresholds near 0.707
+        assert abs((1 / 16) ** (1 / 8) - 0.7071) < 1e-3
+        p = plan_minhash_lsh(0.7, n_hashes=128)
+        assert p["bands"] * p["rows"] <= 128
+        assert abs(p["est_threshold"] - 0.7) < 0.12
+        # probability curve sanity: monotone in s, 0 at 0, 1 at 1
+        lo = lsh_collision_probability(0.2, p["bands"], p["rows"])
+        hi = lsh_collision_probability(0.9, p["bands"], p["rows"])
+        assert 0.0 <= lo < hi <= 1.0
+        assert lsh_collision_probability(0.0, 8, 4) == 0.0
+        assert lsh_collision_probability(1.0, 8, 4) == 1.0
+
+    def test_threshold_monotonicity(self):
+        from dss_plugin_nlp_preparation_spark.operators.dedup import plan_minhash_lsh
+
+        low = plan_minhash_lsh(0.3, n_hashes=64)
+        high = plan_minhash_lsh(0.9, n_hashes=64)
+        # a higher target threshold needs more rows per band (sharper AND)
+        assert high["rows"] >= low["rows"]
+        assert high["est_threshold"] > low["est_threshold"]
+
+    def test_validation(self):
+        import pytest
+
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            lsh_collision_probability,
+            plan_minhash_lsh,
+        )
+
+        with pytest.raises(ValueError):
+            plan_minhash_lsh(0.0)
+        with pytest.raises(ValueError):
+            plan_minhash_lsh(0.5, n_hashes=0)
+        with pytest.raises(ValueError):
+            lsh_collision_probability(1.5, 8, 4)
