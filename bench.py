@@ -598,6 +598,61 @@ def main() -> int:
         .collect(),
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.boilerplate import (
+        remove_host_boilerplate,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import (
+        detect_language_paragraphs,
+        doc_majority_language,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.links import (
+        extract_anchor_links,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.repetition import (
+        add_compression_ratio,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.urls import (
+        add_robots_directives,
+    )
+
+    # late-r4 quality/compliance operators
+    timed_extra(
+        "compression_ratio",
+        lambda: add_compression_ratio(docs)
+        .select(F.sum("compression_ratio"))
+        .collect(),
+    )
+    timed_extra(
+        "paragraph_lang",
+        lambda: doc_majority_language(detect_language_paragraphs(docs))
+        .groupBy("majority_language")
+        .count()
+        .collect(),
+    )
+
+    def _host_boiler():
+        d = docs.withColumn(
+            "host",
+            F.when(F.col("doc_id") % 10 < 4, F.lit("big.example.com")).otherwise(
+                F.concat(F.lit("host"), (F.col("doc_id") % 23).cast("string"))
+            ),
+        )
+        return (
+            remove_host_boilerplate(d, min_df=2)
+            .select(F.sum("n_removed_lines"))
+            .collect()
+        )
+
+    timed_extra("host_boilerplate", _host_boiler)
+    timed_extra(
+        "robots_and_anchors",
+        lambda: extract_anchor_links(
+            add_robots_directives(pages).where("NOT noindex")
+        )
+        .where("NOT nofollow")
+        .count(),
+    )
+
     from dss_plugin_nlp_preparation_spark.sources.warc import (
         ensure_synthetic_warc,
         read_warc,
