@@ -987,6 +987,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_paragraph_signals(spark, sf_dir):
+        # the full CCNet per-paragraph signal set (LID + LM score in the
+        # detected language + corpus-global first-occurrence flag);
+        # frozen oracle replays the same kernels single-process
+        from dss_plugin_nlp_preparation_spark.operators.ccnet import (
+            paragraph_signals,
+        )
+
+        return paragraph_signals(_docs(spark, sf_dir)).select(
+            "doc_id",
+            F.col("para_index").cast("long").alias("para_index"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "para_language_code",
+            "para_language_score",
+            "log_ppl",
+            "is_first_occurrence",
+        )
+
     def q_host_boilerplate(spark, sf_dir):
         # CCNet-style per-host template removal (complement of the C4
         # global rule, which the graded boilerplate_removal covers):
@@ -1378,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_links": q_anchor_links,
         "compression_ratio": q_compression_ratio,
         "paragraph_lang": q_paragraph_lang,
+        "paragraph_signals": q_paragraph_signals,
         "host_boilerplate": q_host_boilerplate,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -1593,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_links": _frozen("anchor_links"),
         "compression_ratio": _frozen("compression_ratio"),
         "paragraph_lang": _frozen("paragraph_lang"),
+        "paragraph_signals": _frozen("paragraph_signals"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of

@@ -1,0 +1,101 @@
+# -*- coding: utf-8 -*-
+"""CCNet paragraph-granular signals (Wenzek et al. 2020, "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data").
+
+CCNet's pipeline operates on PARAGRAPHS, not documents: dedup keeps the
+corpus-global first occurrence of every paragraph, language ID labels
+each paragraph, and a per-language LM scores each paragraph so the tail
+tercile can be dropped. This module composes the engine's existing
+kernels at that granularity into one relation a CCNet-style filter
+consumes directly; the document-level twins are
+``operators/dedup.py:dedup_paragraphs``, ``operators/lang_detect.py``
+and ``operators/perplexity.py:add_perplexity_buckets``.
+
+Scale shape: the explode is narrow (no shuffle); LID + LM are the same
+batched Arrow kernels the doc-level operators use; the first-occurrence
+flag is one groupBy on ``md5(paragraph)`` with a ``min(struct)``
+aggregate plus a join back by hash — identical shuffle class to
+``dedup_paragraphs`` (a banner shared by 10^9 docs is ONE min cell,
+never a hot bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.lang_detect import (
+    detect_language_paragraphs,
+)
+from dss_plugin_nlp_preparation_spark.operators.perplexity import add_perplexity
+
+
+def paragraph_signals(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    dictionary_folder: str | None = None,
+) -> DataFrame:
+    """(id, para_index, n_chars, para_language_code, para_language_score,
+    log_ppl, is_first_occurrence) — the full CCNet per-paragraph signal
+    set in one pass.
+
+    ``log_ppl`` scores each paragraph with the unigram LM of its
+    DETECTED language (NULL when no LM ships for it; undetected
+    paragraphs fall back to the scorer's default). The first-occurrence
+    flag is deterministic: the minimum (id, para_index) per md5 of the
+    trimmed paragraph, the same spec as ``dedup_paragraphs``.
+    """
+    paras = detect_language_paragraphs(
+        df, text_column, id_column, keep_paragraph=True
+    )
+    scored = add_perplexity(
+        paras,
+        text_column="paragraph",
+        language_column="para_language_code",
+        dictionary_folder=dictionary_folder,
+    ).withColumn("__h", F.md5("paragraph"))
+    first = scored.groupBy("__h").agg(
+        F.min(
+            F.struct(
+                F.col(id_column).alias("i"), F.col("para_index").alias("p")
+            )
+        ).alias("__first")
+    )
+    out = scored.join(first, "__h")
+    return out.select(
+        id_column,
+        "para_index",
+        "n_chars",
+        "para_language_code",
+        "para_language_score",
+        "log_ppl",
+        (
+            (F.col(id_column) == F.col("__first.i"))
+            & (F.col("para_index") == F.col("__first.p"))
+        ).alias("is_first_occurrence"),
+    )
+
+
+def ccnet_filter(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    target_languages: tuple = (),
+    max_log_ppl: float | None = None,
+    dictionary_folder: str | None = None,
+) -> DataFrame:
+    """Keep-flag per paragraph, CCNet-style: first occurrence AND (when
+    ``target_languages`` given) detected language in scope AND (when
+    ``max_log_ppl`` given) LM score at or below the cutoff (NULL scores
+    pass — no LM is not evidence of low quality). Returns the signal
+    relation plus ``para_keep``."""
+    sig = paragraph_signals(df, text_column, id_column, dictionary_folder)
+    keep = F.col("is_first_occurrence")
+    if target_languages:
+        keep = keep & F.col("para_language_code").isin(list(target_languages))
+    if max_log_ppl is not None:
+        keep = keep & (
+            F.col("log_ppl").isNull() | (F.col("log_ppl") <= max_log_ppl)
+        )
+    return sig.withColumn("para_keep", keep)

@@ -97,6 +97,7 @@ def detect_language_paragraphs(
     language_scope=None,
     minimum_score: float = 0.0,
     fallback_language: str = "",
+    keep_paragraph: bool = False,
 ) -> DataFrame:
     """CCNet-granularity LID: one row per non-empty paragraph of each
     document, ``(id, para_index, n_chars, para_language_code,
@@ -134,13 +135,16 @@ def detect_language_paragraphs(
         )
 
     out = paras.withColumn("__lid__", _detect(F.col("__para")))
-    return out.select(
-        id_column,
-        "para_index",
+    cols = [
+        F.col(id_column),
+        F.col("para_index"),
         F.length("__para").alias("n_chars"),
         F.col("__lid__.language_code").alias("para_language_code"),
         F.col("__lid__.language_score").alias("para_language_score"),
-    )
+    ]
+    if keep_paragraph:
+        cols.insert(2, F.col("__para").alias("paragraph"))
+    return out.select(*cols)
 
 
 def doc_majority_language(paragraphs: DataFrame, id_column: str = "doc_id") -> DataFrame:

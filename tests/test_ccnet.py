@@ -1,0 +1,53 @@
+# -*- coding: utf-8 -*-
+"""CCNet paragraph-granular signals and filter."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.ccnet import (
+    ccnet_filter,
+    paragraph_signals,
+)
+
+
+def _df(spark):
+    en = "The quick brown fox jumps over the lazy dog in the morning light."
+    fr = ("Le chat noir dort sur la table pendant que les enfants jouent dans "
+          "le jardin avec leur chien et la voiture rouge des voisins.")
+    banner = "Accept all cookies to continue"
+    return spark.createDataFrame(
+        [
+            (1, f"{banner}\n{en}"),
+            (2, f"{banner}\n{fr}"),
+            (3, en),  # exact duplicate of doc 1's paragraph 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_paragraph_signals(spark):
+    rows = {(r["doc_id"], r["para_index"]): r
+            for r in paragraph_signals(_df(spark)).collect()}
+    assert len(rows) == 5
+    assert rows[(1, 1)]["para_language_code"] == "en"
+    assert rows[(2, 1)]["para_language_code"] == "fr"
+    # banner: first occurrence is (1, 0); (2, 0) is the duplicate
+    assert rows[(1, 0)]["is_first_occurrence"]
+    assert not rows[(2, 0)]["is_first_occurrence"]
+    # cross-document paragraph dedup: doc 3 repeats doc 1's en paragraph
+    assert not rows[(3, 0)]["is_first_occurrence"]
+    # LM scores exist for detected languages with bundled LMs
+    assert rows[(1, 1)]["log_ppl"] is not None
+    assert rows[(2, 1)]["log_ppl"] is not None
+
+
+def test_ccnet_filter_scopes(spark):
+    out = ccnet_filter(_df(spark), target_languages=("en",))
+    kept = {(r["doc_id"], r["para_index"]) for r in out.where("para_keep").collect()}
+    # French paragraph out of scope; duplicates out; banner (en) first kept
+    assert (2, 1) not in kept
+    assert (2, 0) not in kept and (3, 0) not in kept
+    assert (1, 1) in kept
+
+    # a tight perplexity cutoff drops everything scoreable
+    strict = ccnet_filter(_df(spark), max_log_ppl=-999.0)
+    assert strict.where("para_keep AND log_ppl IS NOT NULL").count() == 0

@@ -763,6 +763,68 @@ def freeze_paragraph_lang(docs: pd.DataFrame) -> None:
     _write("paragraph_lang", out)
 
 
+def freeze_paragraph_signals(docs: pd.DataFrame) -> None:
+    """CCNet per-paragraph signals: SAME split spec, SAME LID kernel,
+    SAME shared vectorized unigram scorer (score_unigram_pandas) and the
+    SAME first-occurrence rule (min (id, para_index) per md5 of the
+    trimmed paragraph) as operators/ccnet.py."""
+    import hashlib as _hl
+
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import _identifier
+    from dss_plugin_nlp_preparation_spark.operators.perplexity import (
+        score_unigram_pandas,
+    )
+
+    det = _identifier(None, 0.0, "")
+    recs = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for idx, p in enumerate((text or "").split("\n")):
+            p = p.strip(" ")
+            if not p:
+                continue
+            code, _name, score = det.detect(p)
+            recs.append([int(doc_id), idx, p, len(p), code, float(score)])
+    texts = pd.Series([r[2] for r in recs], dtype=object)
+    langs = pd.Series([r[4] for r in recs], dtype=object)
+    ppl = score_unigram_pandas(texts, langs)
+    first: dict = {}
+    for r in recs:
+        h = _hl.md5(r[2].encode("utf-8")).hexdigest()
+        key = (r[0], r[1])
+        if h not in first or key < first[h]:
+            first[h] = key
+    rows = []
+    for r, lp in zip(recs, ppl):
+        h = _hl.md5(r[2].encode("utf-8")).hexdigest()
+        rows.append(
+            (
+                r[0],
+                r[1],
+                r[3],
+                r[4],
+                r[5],
+                None if pd.isna(lp) else float(lp),
+                first[h] == (r[0], r[1]),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id",
+            "para_index",
+            "n_chars",
+            "para_language_code",
+            "para_language_score",
+            "log_ppl",
+            "is_first_occurrence",
+        ],
+    )
+    for k in ("doc_id", "para_index", "n_chars"):
+        out[k] = out[k].astype("int64")
+    out["log_ppl"] = out["log_ppl"].astype("float64")
+    _write("paragraph_signals", out)
+
+
 def freeze_compression_ratio(docs: pd.DataFrame) -> None:
     """Expected deflate_len/utf8_len per document — the SAME zlib
     (level 6, raw deflate) in the same interpreter as the Spark UDF."""
@@ -1133,6 +1195,7 @@ def main() -> int:
     freeze_anchor_links()
     freeze_compression_ratio(docs)
     freeze_paragraph_lang(docs)
+    freeze_paragraph_signals(docs)
     return 0
 
 
