@@ -669,6 +669,35 @@ def main() -> int:
         .collect(),
     )
 
+    # the end-to-end job a training-data team schedules: archives ->
+    # resumable ingest -> html->text -> Stage A-F filter -> WET export.
+    # A fresh work dir per run keeps the archive-resume fast path out of
+    # the timing (every sample pays the full ingest).
+    import itertools as _it
+    import shutil as _sh
+    import tempfile as _tf
+
+    from dss_plugin_nlp_preparation_spark.plans.crawl_to_corpus import (
+        crawl_to_corpus,
+    )
+
+    _e2e_n = _it.count()
+
+    def _e2e():
+        work = os.path.join(
+            _tf.gettempdir(), f"spark_graft_e2e_{os.getpid()}_{next(_e2e_n)}"
+        )
+        try:
+            stats = crawl_to_corpus(
+                spark, warc_dir, work, with_perplexity=True
+            )
+            extras["e2e_keep"] = stats["n_keep"]
+            extras["e2e_docs"] = stats["n_ingested"]
+        finally:
+            _sh.rmtree(work, ignore_errors=True)
+
+    timed_extra("crawl_to_corpus_e2e", _e2e)
+
     from dss_plugin_nlp_preparation_spark.operators.multimodal import (
         extract_media_features,
     )
@@ -718,6 +747,10 @@ def main() -> int:
     extras["warc_ingest_docs_per_sec"] = round(
         8000 / extras["warc_ingest_sec"], 1
     )
+    if extras.get("e2e_docs"):
+        extras["crawl_to_corpus_e2e_docs_per_sec"] = round(
+            extras["e2e_docs"] / extras["crawl_to_corpus_e2e_sec"], 1
+        )
     media.unpersist()
 
     total = round(sum(timings.values()), 3)
