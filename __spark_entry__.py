@@ -987,6 +987,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_collapse_canonical(spark, sf_dir):
+        # canonical-URL consolidation: same-host rel=canonical groups
+        # variants (i%3==0 rows point at their host's /canon/{i%10});
+        # cross-host declarations (i%7==0) are hijack-guarded and ignored.
+        # Frozen oracle replays the same grouping in pure Python.
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            collapse_to_canonical,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+        pages = synthesize_pages(spark, 500, 8)
+        i = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        own_host = F.regexp_extract("url", host_re, 1)
+        marker = (
+            F.when(
+                i % 3 == 0,
+                F.concat(
+                    F.lit('<link rel="canonical" href="https://'),
+                    own_host,
+                    F.lit("/canon/"),
+                    (i % 10).cast("string"),
+                    F.lit('">'),
+                ),
+            )
+            .when(
+                i % 7 == 0,
+                F.lit('<link rel="canonical" href="https://evil.example.net/x">'),
+            )
+            .otherwise(F.lit(""))
+        )
+        aug = pages.withColumn(
+            "html_str", F.concat(marker, F.col("html").cast("string"))
+        )
+        out = collapse_to_canonical(aug, html_column="html_str")
+        return out.select(
+            "canonical_key",
+            "url",
+            F.unix_timestamp("warc_ts").alias("epoch"),
+            F.col("n_variants").cast("long").alias("n_variants"),
+        )
+
     def q_paragraph_signals(spark, sf_dir):
         # the full CCNet per-paragraph signal set (LID + LM score in the
         # detected language + corpus-global first-occurrence flag);
@@ -1398,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_lang": q_paragraph_lang,
         "paragraph_signals": q_paragraph_signals,
         "host_boilerplate": q_host_boilerplate,
+        "collapse_canonical": q_collapse_canonical,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -1613,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": _frozen("compression_ratio"),
         "paragraph_lang": _frozen("paragraph_lang"),
         "paragraph_signals": _frozen("paragraph_signals"),
+        "collapse_canonical": _frozen("collapse_canonical"),
         # CCNet terciles replayed in SQL over the frozen perplexity scores:
         # cutoffs from the bounded (lang, rounded log_ppl) histogram —
         # cutoff_k = smallest value whose cumulative count reaches k/3 of

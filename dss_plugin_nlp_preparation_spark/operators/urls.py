@@ -326,3 +326,52 @@ def drop_noindex(df: DataFrame, html_column: str = "html") -> DataFrame:
     return flagged.where(~F.col("__rb_noindex")).drop(
         "__rb_noindex", "__rb_nofollow", "__rb_canonical_url"
     )
+
+
+def collapse_to_canonical(
+    df: DataFrame,
+    url_column: str = "url",
+    html_column: str = "html",
+    ts_column: str = "warc_ts",
+    same_host_only: bool = True,
+) -> DataFrame:
+    """Consolidate crawl variants onto the page's self-declared canonical
+    address: rows whose markup carries ``rel=canonical`` group under that
+    URL (by default only when it points at the SAME host — cross-host
+    canonical declarations are a known spam/hijack vector, so they are
+    ignored rather than honored); rows without one group under their own
+    URL. One representative survives per canonical key — the earliest
+    crawl, ties broken by URL — plus an ``n_variants`` count.
+
+    Shape: the robots regexp chain rides the scan, then one min(struct)
+    aggregate on the canonical key picks (ts, url) of the representative
+    and a join back by (key, ts, url) retrieves its row — the wide
+    payload column never enters the aggregate. Keys are full URLs:
+    uniform, host skew cannot concentrate them. Assumes (url, ts) is
+    unique per row — true of WARC response records, where the pair IS
+    the record identity.
+    """
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+    flagged = add_robots_directives(df, html_column, prefix="__cc_")
+    canon = F.col("__cc_canonical_url")
+    src_host = F.lower(F.regexp_extract(F.col(url_column), host_re, 1))
+    canon_host = F.lower(F.regexp_extract(canon, host_re, 1))
+    usable = (canon != "") & (
+        F.lit(not same_host_only) | (canon_host == src_host)
+    )
+    keyed = flagged.withColumn(
+        "canonical_key", F.when(usable, canon).otherwise(F.col(url_column))
+    ).drop("__cc_noindex", "__cc_nofollow", "__cc_canonical_url")
+    best = keyed.groupBy("canonical_key").agg(
+        F.min(
+            F.struct(F.col(ts_column).alias("t"), F.col(url_column).alias("u"))
+        ).alias("__rep"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
+    return keyed.join(
+        best,
+        (keyed["canonical_key"] == best["canonical_key"])
+        & (keyed[ts_column] == best["__rep.t"])
+        & (keyed[url_column] == best["__rep.u"]),
+        "inner",
+    ).select(keyed["*"], best["n_variants"])

@@ -403,6 +403,13 @@ def read_warc(
     production Common-Crawl job uses; no shuffle is introduced.
     ``n_skipped_in_file`` carries the per-file damage counter so ingest
     jobs can monitor crawl rot without a second pass.
+
+    Sizing: ``binaryFile`` caps one file at the JVM array limit (~2 GB)
+    and a task must hold one archive plus its decompressed records —
+    shard crawl output at the conventional ~1 GB per archive (Common
+    Crawl's own layout) and this reader fits a 4 GB task budget. Small
+    archives coalesce into shared input splits up to
+    ``spark.sql.files.maxPartitionBytes`` automatically.
     """
     return parse_warc_files(
         spark.read.format("binaryFile").load(path), record_types

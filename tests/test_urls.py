@@ -383,3 +383,51 @@ class TestRobotsDirectives:
         out = drop_noindex(df)
         assert [r["url"] for r in out.collect()] == ["keep"]
         assert out.columns == ["url", "html"]
+
+
+class TestCollapseCanonical:
+    def test_same_host_collapse_and_hijack_guard(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            collapse_to_canonical,
+        )
+
+        canon = '<link rel="canonical" href="https://a.example/page">'
+        hijack = '<link rel="canonical" href="https://evil.example/steal">'
+        rows = [
+            # two variants declare the same same-host canonical
+            ("https://a.example/page?utm=1", 100, canon),
+            ("https://a.example/page?ref=x", 50, canon),
+            # cross-host canonical is IGNORED: row keeps its own key
+            ("https://b.example/p", 10, hijack),
+            # no canonical: own key
+            ("https://c.example/q", 5, "<html></html>"),
+        ]
+        df = spark.createDataFrame(
+            [(u, __import__("datetime").datetime.fromtimestamp(t), h)
+             for u, t, h in rows],
+            "url string, warc_ts timestamp, html string",
+        )
+        out = {r["canonical_key"]: r for r in collapse_to_canonical(df).collect()}
+        assert set(out) == {
+            "https://a.example/page",
+            "https://b.example/p",
+            "https://c.example/q",
+        }
+        rep = out["https://a.example/page"]
+        # earliest crawl survives, variant count recorded
+        assert rep["url"] == "https://a.example/page?ref=x"
+        assert rep["n_variants"] == 2
+        assert out["https://b.example/p"]["n_variants"] == 1
+
+    def test_cross_host_allowed_when_disabled(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            collapse_to_canonical,
+        )
+
+        h = '<link rel="canonical" href="https://other.example/c">'
+        df = spark.createDataFrame(
+            [("https://a.example/1", __import__("datetime").datetime.fromtimestamp(1), h)],
+            "url string, warc_ts timestamp, html string",
+        )
+        out = collapse_to_canonical(df, same_host_only=False).collect()[0]
+        assert out["canonical_key"] == "https://other.example/c"

@@ -763,6 +763,39 @@ def freeze_paragraph_lang(docs: pd.DataFrame) -> None:
     _write("paragraph_lang", out)
 
 
+def freeze_collapse_canonical() -> None:
+    """Canonical-URL consolidation replay: same marker rules as the
+    Spark query (i%3==0 same-host canonical to /canon/{i%10}, i%7==0
+    cross-host decoy that the hijack guard must ignore), same grouping
+    (min (epoch, url) representative per canonical key)."""
+    import re as _re
+
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    host_re = _re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)")
+    groups: dict = {}
+    for i in range(500):
+        _i, url, _html, _t, _l = _make_row(i)
+        epoch = 1700000000 + i * 17
+        host = host_re.match(url).group(1)
+        if i % 3 == 0:
+            key = f"https://{host}/canon/{i % 10}"
+        else:
+            key = url  # cross-host decoy (i%7==0) ignored -> own url
+        g = groups.setdefault(key, [])
+        g.append((epoch, url))
+    rows = []
+    for key, members in groups.items():
+        epoch, url = min(members)
+        rows.append((key, url, epoch, len(members)))
+    out = pd.DataFrame(
+        rows, columns=["canonical_key", "url", "epoch", "n_variants"]
+    )
+    for k in ("epoch", "n_variants"):
+        out[k] = out[k].astype("int64")
+    _write("collapse_canonical", out)
+
+
 def freeze_paragraph_signals(docs: pd.DataFrame) -> None:
     """CCNet per-paragraph signals: SAME split spec, SAME LID kernel,
     SAME shared vectorized unigram scorer (score_unigram_pandas) and the
@@ -1196,6 +1229,7 @@ def main() -> int:
     freeze_compression_ratio(docs)
     freeze_paragraph_lang(docs)
     freeze_paragraph_signals(docs)
+    freeze_collapse_canonical()
     return 0
 
 
