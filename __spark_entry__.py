@@ -987,6 +987,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_toxicity_filter(spark, sf_dir):
+        # document-level toxicity drop signal: lexicon hit count over
+        # word count compared in exact integer arithmetic (no float at
+        # the threshold); full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            add_toxicity_signal,
+        )
+
+        return add_toxicity_signal(_docs(spark, sf_dir)).select(
+            "doc_id", "tox_hits", "n_words_tox", "tox_keep"
+        )
+
     def q_collapse_canonical(spark, sf_dir):
         # canonical-URL consolidation: same-host rel=canonical groups
         # variants (i%3==0 rows point at their host's /canon/{i%10});
@@ -1441,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_signals": q_paragraph_signals,
         "host_boilerplate": q_host_boilerplate,
         "collapse_canonical": q_collapse_canonical,
+        "toxicity_filter": q_toxicity_filter,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -1987,6 +2000,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sum(CASE WHEN is_bad THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_removed_lines
         FROM marked GROUP BY doc_id
+    """
+    from dss_plugin_nlp_preparation_spark.operators.scrub import TOXICITY_PATTERN
+
+    sqls["toxicity_filter"] = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '{TOXICITY_PATTERN}')) AS BIGINT) AS tox_hits,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '\\S+')) AS BIGINT) AS n_words_tox,
+               len(regexp_extract_all(coalesce(text, ''),
+                   '{TOXICITY_PATTERN}')) * 10
+                 <= len(regexp_extract_all(coalesce(text, ''), '\\S+')) * 1
+                 AS tox_keep
+        FROM documents
     """
     sqls["host_boilerplate"] = """
         WITH d AS (

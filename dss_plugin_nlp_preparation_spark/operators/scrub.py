@@ -61,3 +61,30 @@ def scrub_text(df: DataFrame, text_column: str = "text") -> DataFrame:
     return result.withColumn(
         "tox_count", F.regexp_count(text, F.lit(TOXICITY_PATTERN))
     )
+
+
+def add_toxicity_signal(
+    df: DataFrame,
+    text_column: str = "text",
+    max_ratio_num: int = 1,
+    max_ratio_den: int = 10,
+) -> DataFrame:
+    """Document-level toxicity DROP signal beside the masking policy:
+    ``tox_hits`` (lexicon matches), ``n_words``, and ``tox_keep`` =
+    hits/words <= max_ratio expressed in EXACT integer arithmetic
+    (``hits * den <= words * num``) so the decision is identical in
+    every engine — no float rounding at the threshold. Empty docs keep.
+    Pure codegen; rides the quality scan.
+    """
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    hits = F.regexp_count(text, F.lit(TOXICITY_PATTERN))
+    n_words = F.regexp_count(text, F.lit(r"\S+"))
+    return (
+        df.withColumn("tox_hits", hits.cast("long"))
+        .withColumn("n_words_tox", n_words.cast("long"))
+        .withColumn(
+            "tox_keep",
+            F.col("tox_hits") * max_ratio_den
+            <= F.col("n_words_tox") * max_ratio_num,
+        )
+    )

@@ -100,3 +100,27 @@ def test_scrub_credit_card_and_ipv6(spark):
     assert got[2].count("[IP]") == 2  # ipv6 AND ipv4, independently
     assert "7334" not in got[2]
     assert "[IP]" in got[3]
+
+
+class TestToxicitySignal:
+    def test_exact_integer_threshold(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            add_toxicity_signal,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "you idiot you moron"),             # 2 hits / 4 words > 1/10
+                (2, "idiot " + "word " * 19),            # 1/20 <= 1/10 exactly under
+                (3, "idiot one two three four five six seven eight nine"),  # 1/10 boundary keeps
+                (4, ""),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in add_toxicity_signal(df).collect()}
+        assert not out[1]["tox_keep"]
+        assert out[2]["tox_keep"]
+        assert out[3]["tox_keep"] and out[3]["n_words_tox"] == 10  # 1*10 <= 10*1
+        assert out[4]["tox_keep"] and out[5]["tox_keep"]
+        assert out[1]["tox_hits"] == 2
