@@ -987,6 +987,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_csv"),
         )
 
+    def q_gopher_quality(spark, sf_dir):
+        # the FULL published Gopher rule set as exact-integer counts +
+        # keep flag (min_words lowered to fit the synthetic doc lengths);
+        # full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.quality import (
+            add_gopher_quality_filter,
+        )
+
+        return add_gopher_quality_filter(_docs(spark, sf_dir), min_words=10).select(
+            "doc_id",
+            "g_n_words",
+            "g_n_nonspace",
+            "g_n_alpha_words",
+            "g_n_required_stopwords",
+            "g_n_symbols",
+            "g_n_lines",
+            "g_n_bullet_lines",
+            "g_n_ellipsis_lines",
+            "gopher_quality_keep",
+        )
+
     def q_toxicity_filter(spark, sf_dir):
         # document-level toxicity drop signal: lexicon hit count over
         # word count compared in exact integer arithmetic (no float at
@@ -1454,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "collapse_canonical": q_collapse_canonical,
         "toxicity_filter": q_toxicity_filter,
+        "gopher_quality": q_gopher_quality,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2000,6 +2022,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sum(CASE WHEN is_bad THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_removed_lines
         FROM marked GROUP BY doc_id
+    """
+    sqls["gopher_quality"] = """
+        WITH w AS (
+          SELECT doc_id, coalesce(text, '') AS tx,
+                 list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                             x -> x <> '') AS words,
+                 list_filter(string_split(coalesce(text, ''), chr(10)),
+                             x -> trim(x) <> '') AS lines
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS g_n_words,
+               CAST(length(regexp_replace(tx, '\\s', '', 'g')) AS BIGINT)
+                 AS g_n_nonspace,
+               CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                 AS g_n_alpha_words,
+               CAST(len(list_intersect(
+                      list_distinct(list_transform(words,
+                        x -> regexp_replace(lower(x),
+                             '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g'))),
+                      ['the','be','to','of','and','that','have','with']))
+                    AS BIGINT) AS g_n_required_stopwords,
+               CAST(length(tx) - length(regexp_replace(tx, '[#…]', '', 'g'))
+                    AS BIGINT) AS g_n_symbols,
+               CAST(len(lines) AS BIGINT) AS g_n_lines,
+               CAST(len(list_filter(lines,
+                    x -> regexp_matches(trim(x), '^[-*•]'))) AS BIGINT)
+                 AS g_n_bullet_lines,
+               CAST(len(list_filter(lines,
+                    x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS BIGINT)
+                 AS g_n_ellipsis_lines,
+               (g_n_words >= 10 AND g_n_words <= 100000
+                AND 3 * g_n_words <= g_n_nonspace
+                AND g_n_nonspace <= 10 * g_n_words
+                AND 10 * g_n_symbols <= g_n_words
+                AND 10 * g_n_bullet_lines <= g_n_lines
+                AND 10 * g_n_ellipsis_lines <= 3 * g_n_lines
+                AND 5 * g_n_alpha_words >= 4 * g_n_words
+                AND g_n_required_stopwords >= 2) AS gopher_quality_keep
+        FROM w
     """
     from dss_plugin_nlp_preparation_spark.operators.scrub import TOXICITY_PATTERN
 

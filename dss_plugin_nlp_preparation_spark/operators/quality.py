@@ -123,3 +123,72 @@ def add_quality_signals(
         .withColumn("bullet_line_frac", F.round(bullet_line_frac, 4))
         .withColumn("ellipsis_line_frac", F.round(ellipsis_line_frac, 4))
     )
+
+
+# Gopher quality rules (Rae et al. 2021, appendix A1.1) — the full
+# published rule set. Some overlap with add_quality_signals' generic
+# signals; this operator is self-contained and emits INTEGER counts plus
+# a keep flag whose threshold comparisons are exact integer arithmetic
+# (3 <= mean word len <= 10 becomes 3*words <= chars <= 10*words, etc.),
+# so the decision replays bit-identically in any engine.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def add_gopher_quality_filter(
+    df: DataFrame,
+    text_column: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Append the Gopher rule counts and ``gopher_quality_keep``:
+    word count in [min_words, max_words]; mean word length in [3, 10];
+    symbol(#/…)-to-word ratio <= 0.1; <10% bullet-started lines; <=30%
+    ellipsis-ended lines; >=80% of words contain an alphabetic char;
+    >=2 of the 8 required English stopwords. The word-level predicates
+    use array higher-order functions (interpreted, not codegen) — fine
+    for a signals pass; the hot-path generic signals stay in
+    ``add_quality_signals``."""
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    norm = F.transform(
+        words,
+        lambda w: F.regexp_replace(F.lower(w), r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+    n_required = F.size(
+        F.array_intersect(
+            F.array_distinct(norm),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    n_symbols = F.length(text) - F.length(F.regexp_replace(text, r"[#…]", ""))
+    lines = non_empty_lines(text)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (3 * n_words <= n_nonspace)
+        & (n_nonspace <= 10 * n_words)
+        & (10 * n_symbols <= n_words)
+        & (10 * n_bullet <= n_lines)
+        & (10 * n_ellipsis <= 3 * n_lines)
+        & (5 * n_alpha_words >= 4 * n_words)
+        & (n_required >= 2)
+    )
+    return (
+        df.withColumn("g_n_words", n_words.cast("long"))
+        .withColumn("g_n_nonspace", n_nonspace.cast("long"))
+        .withColumn("g_n_alpha_words", n_alpha_words.cast("long"))
+        .withColumn("g_n_required_stopwords", n_required.cast("long"))
+        .withColumn("g_n_symbols", n_symbols.cast("long"))
+        .withColumn("g_n_lines", n_lines.cast("long"))
+        .withColumn("g_n_bullet_lines", n_bullet.cast("long"))
+        .withColumn("g_n_ellipsis_lines", n_ellipsis.cast("long"))
+        .withColumn("gopher_quality_keep", keep)
+    )

@@ -124,3 +124,36 @@ class TestToxicitySignal:
         assert out[3]["tox_keep"] and out[3]["n_words_tox"] == 10  # 1*10 <= 10*1
         assert out[4]["tox_keep"] and out[5]["tox_keep"]
         assert out[1]["tox_hits"] == 2
+
+
+class TestGopherQualityFilter:
+    def test_rule_set(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.quality import (
+            add_gopher_quality_filter,
+        )
+
+        good = ("the quick brown fox and that lazy dog have gone to be of use "
+                "with everyone in the village today because morning light is kind")
+        df = spark.createDataFrame(
+            [
+                (1, good),                               # passes all rules
+                (2, "word " * 60),                        # no required stopwords
+                (3, "\n".join(["- item"] * 10)),          # all bullet lines
+                (4, "1 2 3 4 5 " * 12),                   # numeric: alpha frac 0
+                (5, good + " ##### ### ## # " * 10),      # symbol-heavy
+                (6, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               add_gopher_quality_filter(df, min_words=10).collect()}
+        assert out[1]["gopher_quality_keep"]
+        assert out[1]["g_n_required_stopwords"] >= 2
+        assert not out[2]["gopher_quality_keep"]
+        assert not out[3]["gopher_quality_keep"]
+        assert out[3]["g_n_bullet_lines"] == 10
+        assert not out[4]["gopher_quality_keep"]
+        assert out[4]["g_n_alpha_words"] == 0
+        assert not out[5]["gopher_quality_keep"]
+        assert not out[6]["gopher_quality_keep"]  # empty: below min_words
+        assert out[6]["g_n_words"] == 0

@@ -324,3 +324,33 @@ class TestDistributedSink:
         # north-star byte-identical contract holds through the WARC round trip
         assert joined.where(F.col("extracted_text") != F.col("t")).count() == 0
         assert joined.count() == n
+
+
+class TestIngestCrashRecovery:
+    def test_reingest_after_ledger_loss_is_idempotent(self, spark, tmp_path):
+        # a crashed run may leave output partitions WITHOUT ledger rows;
+        # the rerun must reprocess those archives and dynamic partition
+        # overwrite must replace, not duplicate, their rows
+        from dss_plugin_nlp_preparation_spark.plans.checkpoint import (
+            ingest_warc_resumable,
+        )
+
+        crawl = str(tmp_path / "crawl")
+        out = str(tmp_path / "pages")
+        ledger = str(tmp_path / "ledger")
+        synthesize_warc_files(crawl, n_rows=30, n_files=2)
+        r1 = ingest_warc_resumable(spark, crawl, out, ledger, run_id="run-1")
+        assert r1["processed_archives"] == 2
+
+        # simulate the crash: output exists, lineage lost
+        import shutil
+
+        shutil.rmtree(ledger)
+        r2 = ingest_warc_resumable(spark, crawl, out, ledger, run_id="run-2")
+        assert r2["processed_archives"] == 2  # everything redone
+        table = spark.read.parquet(out)
+        assert table.count() == 30  # replaced, never duplicated
+        assert table.select("url").distinct().count() == 30
+        led = spark.read.parquet(ledger)
+        assert led.count() == 2
+        assert {r["run_id"] for r in led.collect()} == {"run-2"}
