@@ -35,6 +35,7 @@ def paragraph_signals(
     text_column: str = "text",
     id_column: str = "doc_id",
     dictionary_folder: str | None = None,
+    keep_paragraph: bool = False,
 ) -> DataFrame:
     """(id, para_index, n_chars, para_language_code, para_language_score,
     log_ppl, is_first_occurrence) — the full CCNet per-paragraph signal
@@ -63,18 +64,21 @@ def paragraph_signals(
         ).alias("__first")
     )
     out = scored.join(first, "__h")
-    return out.select(
-        id_column,
-        "para_index",
-        "n_chars",
-        "para_language_code",
-        "para_language_score",
-        "log_ppl",
+    cols = [
+        F.col(id_column),
+        F.col("para_index"),
+        F.col("n_chars"),
+        F.col("para_language_code"),
+        F.col("para_language_score"),
+        F.col("log_ppl"),
         (
             (F.col(id_column) == F.col("__first.i"))
             & (F.col("para_index") == F.col("__first.p"))
         ).alias("is_first_occurrence"),
-    )
+    ]
+    if keep_paragraph:
+        cols.insert(2, F.col("paragraph"))
+    return out.select(*cols)
 
 
 def ccnet_filter(
@@ -84,13 +88,16 @@ def ccnet_filter(
     target_languages: tuple = (),
     max_log_ppl: float | None = None,
     dictionary_folder: str | None = None,
+    keep_paragraph: bool = False,
 ) -> DataFrame:
     """Keep-flag per paragraph, CCNet-style: first occurrence AND (when
     ``target_languages`` given) detected language in scope AND (when
     ``max_log_ppl`` given) LM score at or below the cutoff (NULL scores
     pass — no LM is not evidence of low quality). Returns the signal
     relation plus ``para_keep``."""
-    sig = paragraph_signals(df, text_column, id_column, dictionary_folder)
+    sig = paragraph_signals(
+        df, text_column, id_column, dictionary_folder, keep_paragraph
+    )
     keep = F.col("is_first_occurrence")
     if target_languages:
         keep = keep & F.col("para_language_code").isin(list(target_languages))
@@ -99,3 +106,64 @@ def ccnet_filter(
             F.col("log_ppl").isNull() | (F.col("log_ppl") <= max_log_ppl)
         )
     return sig.withColumn("para_keep", keep)
+
+
+def ccnet_rebuild(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    target_languages: tuple = (),
+    max_log_ppl: float | None = None,
+    dictionary_folder: str | None = None,
+    output_column: str = "ccnet_text",
+) -> DataFrame:
+    """The actionable transform: apply :func:`ccnet_filter` and rebuild
+    every document from its kept paragraphs in original order —
+    (id, ccnet_text, n_kept_paragraphs, n_paragraphs). Documents whose
+    every paragraph drops (or that had none) come back with '' so the
+    output covers the input exactly once.
+
+    Rebuild shape mirrors ``remove_boilerplate``: collect (index, text)
+    structs per doc, ``array_sort`` for retry-stable order, join back to
+    the full id set. Dropped paragraphs vanish (CCNet removes, it does
+    not blank-line)."""
+    flt = ccnet_filter(
+        df,
+        text_column,
+        id_column,
+        target_languages,
+        max_log_ppl,
+        dictionary_folder,
+        keep_paragraph=True,
+    )
+    rebuilt = flt.groupBy(id_column).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("para_keep"),
+                            F.struct(
+                                F.col("para_index"),
+                                F.col("paragraph").alias("t"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias(output_column),
+        F.sum(F.col("para_keep").cast("long")).alias("n_kept_paragraphs"),
+        F.count(F.lit(1)).alias("n_paragraphs"),
+    )
+    ids = df.select(id_column).distinct()
+    return (
+        ids.join(rebuilt, id_column, "left")
+        .select(
+            id_column,
+            F.coalesce(output_column, F.lit("")).alias(output_column),
+            F.coalesce("n_kept_paragraphs", F.lit(0)).alias("n_kept_paragraphs"),
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+        )
+    )

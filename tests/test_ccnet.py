@@ -51,3 +51,23 @@ def test_ccnet_filter_scopes(spark):
     # a tight perplexity cutoff drops everything scoreable
     strict = ccnet_filter(_df(spark), max_log_ppl=-999.0)
     assert strict.where("para_keep AND log_ppl IS NOT NULL").count() == 0
+
+
+def test_ccnet_rebuild(spark):
+    from dss_plugin_nlp_preparation_spark.operators.ccnet import ccnet_rebuild
+
+    out = {r["doc_id"]: r
+           for r in ccnet_rebuild(_df(spark), target_languages=("en",)).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1: banner (en, first) + en paragraph survive, in order
+    assert out[1]["ccnet_text"] == (
+        "Accept all cookies to continue\n"
+        "The quick brown fox jumps over the lazy dog in the morning light."
+    )
+    assert (out[1]["n_kept_paragraphs"], out[1]["n_paragraphs"]) == (2, 2)
+    # doc 2: banner is a duplicate, fr paragraph out of scope -> empty
+    assert out[2]["ccnet_text"] == ""
+    assert (out[2]["n_kept_paragraphs"], out[2]["n_paragraphs"]) == (0, 2)
+    # doc 3: its only paragraph duplicates doc 1's -> empty
+    assert out[3]["ccnet_text"] == ""
+    assert (out[3]["n_kept_paragraphs"], out[3]["n_paragraphs"]) == (0, 1)
