@@ -143,6 +143,24 @@ def encode_conversion_record(url: str, epoch: int, text: str) -> bytes:
     )
 
 
+def encode_metadata_record(url: str, epoch: int, json_payload: str) -> bytes:
+    """A WARC ``metadata`` record with a JSON block — the WAT format's
+    payload unit (Common Crawl ships one ``.warc.wat.gz`` per archive of
+    exactly this shape)."""
+    block = json_payload.encode("utf-8")
+    return format_warc_record(
+        [
+            ("WARC-Type", "metadata"),
+            ("WARC-Record-ID", _record_id(f"metadata:{url}:{epoch}")),
+            ("WARC-Refers-To", _record_id(f"response:{url}:{epoch}")),
+            ("WARC-Date", _warc_date(epoch)),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/json"),
+        ],
+        block,
+    )
+
+
 def encode_request_record(url: str, epoch: int) -> bytes:
     """A WARC ``request`` record (crawlers store these alongside
     responses; the reader must filter them out)."""
@@ -527,6 +545,71 @@ def write_wet(
             url, epoch, "" if text is None else str(text)
         ),
         ".warc.wet.gz",
+    )
+
+
+def build_wat(pages: DataFrame, include_links: bool = True) -> DataFrame:
+    """Per-page WAT metadata as a deterministic JSON column:
+    (url, warc_ts, wat_json) with ``{url, ts, title, n_bytes, links[]}``
+    — title from the markup, outlinks via the shared link extractor
+    (sorted for retry-stable bytes). Pure DataFrame composition: the only
+    shuffle is the per-page link aggregation, keyed on the uniform url.
+    """
+    from pyspark.sql import functions as F
+
+    base = pages.select(
+        "url",
+        "warc_ts",
+        F.regexp_extract(
+            F.col("html").cast("string"), r"(?i)<title>([^<]*)</title>", 1
+        ).alias("title"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+    if include_links:
+        from dss_plugin_nlp_preparation_spark.operators.links import extract_links
+
+        links = (
+            extract_links(pages)
+            .groupBy(F.col("src_url").alias("url"))
+            .agg(F.array_sort(F.collect_list("dst_url")).alias("links"))
+        )
+        base = base.join(links, "url", "left").withColumn(
+            "links", F.coalesce("links", F.array().cast("array<string>"))
+        )
+    else:
+        base = base.withColumn("links", F.array().cast("array<string>"))
+    wat = F.to_json(
+        F.struct(
+            F.col("url"),
+            F.unix_timestamp("warc_ts").alias("ts"),
+            F.col("title"),
+            F.col("n_bytes"),
+            F.col("links"),
+        )
+    )
+    return base.select("url", "warc_ts", wat.alias("wat_json"))
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    url_column: str = "url",
+    ts_column: str = "warc_ts",
+    json_column: str = "wat_json",
+) -> int:
+    """Distributed WAT sink: one ``metadata`` (JSON) record per page —
+    the Common Crawl ``.warc.wat.gz`` deliverable. Feed it
+    :func:`build_wat` output."""
+    return _write_archives(
+        df,
+        out_dir,
+        url_column,
+        ts_column,
+        json_column,
+        lambda url, epoch, payload: encode_metadata_record(
+            url, epoch, "" if payload is None else str(payload)
+        ),
+        ".warc.wat.gz",
     )
 
 

@@ -354,3 +354,32 @@ class TestIngestCrashRecovery:
         led = spark.read.parquet(ledger)
         assert led.count() == 2
         assert {r["run_id"] for r in led.collect()} == {"run-2"}
+
+
+class TestWatExport:
+    def test_wat_round_trip(self, spark, tmp_path):
+        import json
+
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+        from dss_plugin_nlp_preparation_spark.sources.warc import build_wat, write_wat
+
+        out = str(tmp_path / "wat")
+        pages = synthesize_pages(spark, 40, 4)
+        wat = build_wat(pages)
+        n = write_wat(wat, out)
+        assert n == 40
+        back = read_warc(spark, out, record_types=("metadata",))
+        assert back.count() == 40
+        rows = back.select("url", F.col("html").cast("string").alias("j")).collect()
+        payloads = {r["url"]: json.loads(r["j"]) for r in rows}
+        # every record's JSON self-describes its url and carries the
+        # outlinks; the synthetic pages all have nav/footer links
+        for url, p in payloads.items():
+            assert p["url"] == url
+            assert p["n_bytes"] > 0
+            assert isinstance(p["links"], list) and len(p["links"]) >= 1
+            assert p["title"].startswith("Doc ")
+        # determinism: rebuilding produces byte-identical JSON per url
+        again = {r["url"]: r["wat_json"] for r in build_wat(pages).collect()}
+        first = {r["url"]: r["j"] for r in rows}
+        assert again == first
