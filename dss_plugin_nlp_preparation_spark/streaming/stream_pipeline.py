@@ -86,3 +86,43 @@ def stream_warc_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_crawl_quality(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    with_perplexity: bool = False,
+    max_files_per_trigger: int = 8,
+):
+    """The continuous end-to-end: WARC archives landing in a directory →
+    record parse → html→text extraction → the full Stage A–F quality
+    filter → checkpointed parquet of scored pages. Every transform is
+    stateless, so the chain is streaming-safe as-is; the checkpoint
+    makes archive processing exactly-once across restarts. This is the
+    always-on twin of ``plans.crawl_to_corpus.crawl_to_corpus``.
+    """
+    from dss_plugin_nlp_preparation_spark.sources.warc import (
+        parse_warc_files,
+        warc_to_pages,
+    )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(warc_dir)
+    )
+    pages = warc_to_pages(parse_warc_files(stream))
+    result = quality_filter_pipeline(
+        pages, extract_missing_text=True, with_perplexity=with_perplexity
+    )
+    return (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -383,3 +383,24 @@ class TestWatExport:
         again = {r["url"]: r["wat_json"] for r in build_wat(pages).collect()}
         first = {r["url"]: r["j"] for r in rows}
         assert again == first
+
+
+class TestStreamingCrawlQuality:
+    def test_end_to_end_streaming_filter(self, spark, tmp_path):
+        from dss_plugin_nlp_preparation_spark.streaming.stream_pipeline import (
+            stream_crawl_quality,
+        )
+
+        crawl = str(tmp_path / "crawl")
+        out = str(tmp_path / "scored")
+        ckpt = str(tmp_path / "ckpt")
+        synthesize_warc_files(crawl, n_rows=30, n_files=2)
+        q = stream_crawl_quality(spark, crawl, out, ckpt)
+        q.awaitTermination(180)
+        scored = spark.read.parquet(out)
+        assert scored.count() == 30
+        cols = set(scored.columns)
+        assert {"url", "keep", "scrubbed_text", "effective_lang"} <= cols
+        # extraction populated text from the archive payloads
+        assert scored.where("keep").count() > 0
+        assert scored.where(F.length("text") > 0).count() > 0
