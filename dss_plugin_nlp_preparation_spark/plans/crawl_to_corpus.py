@@ -37,6 +37,7 @@ def crawl_to_corpus(
     with_perplexity: bool = True,
     drop_noindex_pages: bool = True,
     wet_partitions: int | None = None,
+    with_wat: bool = False,
 ) -> dict:
     """Run the whole crawl→corpus job under ``work_dir``; returns stats.
 
@@ -45,6 +46,7 @@ def crawl_to_corpus(
       ``{work_dir}/ledger``   archive-level lineage ledger
       ``{work_dir}/filtered`` scored pages + keep/drop + scrubbed text
       ``{work_dir}/wet``      one ``.warc.wet.gz`` per partition (kept docs)
+      ``{work_dir}/wat``      (with_wat) ``.warc.wat.gz`` page metadata
     """
     from dss_plugin_nlp_preparation_spark.operators.urls import drop_noindex
     from dss_plugin_nlp_preparation_spark.sources.warc import write_wet
@@ -62,6 +64,14 @@ def crawl_to_corpus(
         "url", "warc_ts", "html", "text", "lang"
     )
     n_ingested = pages.count()
+    n_wat = 0
+    if with_wat:
+        from dss_plugin_nlp_preparation_spark.sources.warc import (
+            build_wat,
+            write_wat,
+        )
+
+        n_wat = write_wat(build_wat(pages), os.path.join(work_dir, "wat"))
     if drop_noindex_pages:
         pages = drop_noindex(pages)
 
@@ -91,10 +101,12 @@ def crawl_to_corpus(
         "n_scored": int(stats_row["n_scored"]),
         "n_keep": int(stats_row["n_keep"]),
         "n_wet_records": int(n_wet),
+        "n_wat_records": int(n_wat),
         "paths": {
             "pages": pages_path,
             "ledger": ledger_path,
             "filtered": filtered_path,
             "wet": wet_path,
+            "wat": os.path.join(work_dir, "wat"),
         },
     }

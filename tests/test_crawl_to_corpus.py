@@ -17,9 +17,10 @@ def test_crawl_to_corpus_end_to_end(spark, tmp_path):
     synthesize_warc_files(crawl, n_rows=60, n_files=3)
 
     stats = crawl_to_corpus(
-        spark, crawl, work, run_id="run-1", with_perplexity=False
+        spark, crawl, work, run_id="run-1", with_perplexity=False, with_wat=True
     )
     assert stats["processed_archives"] == 3
+    assert stats["n_wat_records"] == stats["n_ingested"]
     assert stats["n_ingested"] == 60
     assert stats["n_scored"] <= 60  # noindex pages may drop pre-filter
     assert 0 < stats["n_keep"] <= stats["n_scored"]
@@ -41,6 +42,7 @@ def test_crawl_to_corpus_end_to_end(spark, tmp_path):
         spark, crawl, work, run_id="run-2", with_perplexity=False
     )
     assert stats2["processed_archives"] == 0
+    assert stats2["n_wat_records"] == 0  # WAT not requested on the rerun
     assert stats2["skipped_archives"] == 3
     assert stats2["n_keep"] == stats["n_keep"]
     assert stats2["n_wet_records"] == stats["n_wet_records"]
