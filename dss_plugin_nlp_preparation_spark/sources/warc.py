@@ -58,6 +58,8 @@ WARC_SCHEMA = StructType(
         StructField("warc_ts", TimestampType()),
         StructField("http_status", IntegerType()),
         StructField("content_type", StringType()),
+        StructField("content_language", StringType()),
+        StructField("x_robots_tag", StringType()),
         StructField("html", BinaryType()),
         StructField("n_skipped_in_file", LongType()),
     ]
@@ -105,11 +107,16 @@ def encode_response_record(
     status: int = 200,
     reason: str = "OK",
     content_type: str = "text/html; charset=utf-8",
+    extra_headers: list | None = None,
 ) -> bytes:
-    """A WARC ``response`` record wrapping an HTTP/1.1 response."""
+    """A WARC ``response`` record wrapping an HTTP/1.1 response.
+    ``extra_headers`` appends (name, value) pairs to the HTTP head —
+    e.g. ``Content-Language`` or ``X-Robots-Tag``."""
+    extra = "".join(f"{k}: {v}\r\n" for k, v in (extra_headers or []))
     http_head = (
         f"HTTP/1.1 {status} {reason}\r\n"
         f"Content-Type: {content_type}\r\n"
+        f"{extra}"
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode("ascii")
     block = http_head + payload
@@ -327,7 +334,8 @@ def iter_warc_records(data: bytes, skip_counter: list | None = None) -> Iterator
 
 
 def parse_http_response(block: bytes):
-    """(status, content_type, body) from an HTTP/1.1 response message."""
+    """(status, headers, body) from an HTTP/1.1 response message.
+    ``headers`` maps lowercased names to values (last wins)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         raise WarcFormatError("HTTP message without header terminator")
@@ -340,12 +348,14 @@ def parse_http_response(block: bytes):
         status = int(parts[1])
     except ValueError:
         raise WarcFormatError("non-numeric HTTP status") from None
-    content_type = ""
+    headers: dict = {}
     for line in lines[1:]:
-        k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
-            content_type = v.strip().decode("utf-8", "replace")
-    return status, content_type, body
+        k, sep2, v = line.partition(b":")
+        if sep2:
+            headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
+                "utf-8", "replace"
+            )
+    return status, headers, body
 
 
 def _parse_warc_ts(value: str):
@@ -383,13 +393,20 @@ def parse_warc_files(
                         continue
                     if rtype == "response":
                         try:
-                            status, ctype, body = parse_http_response(block)
+                            status, http_headers, body = parse_http_response(block)
                         except WarcFormatError:
                             skip[0] += 1
                             continue
+                        ctype = http_headers.get("content-type", "")
+                        # header-side ingest signals: language hint and the
+                        # HTTP twin of the robots meta (X-Robots-Tag)
+                        clang = http_headers.get("content-language", "")
+                        xrobots = http_headers.get("x-robots-tag", "")
                     else:  # request/metadata/...: block passes through raw
                         status = None
                         ctype = headers.get("content-type", "")
+                        clang = ""
+                        xrobots = ""
                         body = block
                     kept.append(
                         (
@@ -399,6 +416,8 @@ def parse_warc_files(
                             _parse_warc_ts(headers.get("warc-date")),
                             status,
                             ctype,
+                            clang,
+                            xrobots,
                             bytearray(body),
                         )
                     )

@@ -37,9 +37,9 @@ class TestRecordCodec:
         assert headers["warc-type"] == "response"
         assert headers["warc-target-uri"] == "https://a.example/x"
         assert headers["warc-date"] == "2023-11-14T22:13:37Z"
-        status, ctype, body = parse_http_response(block)
+        status, http_headers, body = parse_http_response(block)
         assert (status, body) == (200, b"<html>hi</html>")
-        assert ctype.startswith("text/html")
+        assert http_headers["content-type"].startswith("text/html")
 
     def test_multi_record_plain_offsets(self):
         r1 = encode_response_record("https://a/1", 1700000000, b"one")
@@ -404,3 +404,24 @@ class TestStreamingCrawlQuality:
         # extraction populated text from the archive payloads
         assert scored.where("keep").count() > 0
         assert scored.where(F.length("text") > 0).count() > 0
+
+
+class TestHttpHeaderSignals:
+    def test_content_language_and_x_robots_surface(self, spark, tmp_path):
+        rec1 = gzip_member(
+            encode_response_record(
+                "https://h.example/fr", 1700000000, b"<p>bonjour</p>",
+                extra_headers=[("Content-Language", "fr"),
+                               ("X-Robots-Tag", "noindex, nofollow")],
+            )
+        )
+        rec2 = gzip_member(
+            encode_response_record("https://h.example/plain", 1700000001, b"<p>x</p>")
+        )
+        path = tmp_path / "h.warc.gz"
+        path.write_bytes(rec1 + rec2)
+        rows = {r["url"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+        assert rows["https://h.example/fr"]["content_language"] == "fr"
+        assert rows["https://h.example/fr"]["x_robots_tag"] == "noindex, nofollow"
+        assert rows["https://h.example/plain"]["content_language"] == ""
+        assert rows["https://h.example/plain"]["x_robots_tag"] == ""
