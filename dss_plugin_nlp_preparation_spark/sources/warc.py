@@ -453,18 +453,30 @@ def read_warc(
     )
 
 
-def warc_to_pages(warc_df: DataFrame) -> DataFrame:
+def warc_to_pages(
+    warc_df: DataFrame, use_header_language: bool = False
+) -> DataFrame:
     """Project a ``read_warc`` relation onto the pipeline's input shape
-    (url, warc_ts, html, text, lang) — text/lang NULL, to be filled by
-    Stage 0 HTML extraction and Stage A language ID."""
+    (url, warc_ts, html, text, lang) — text NULL, to be filled by Stage 0
+    HTML extraction. ``lang`` is NULL (Stage A detects it) unless
+    ``use_header_language``: then the HTTP ``Content-Language`` primary
+    subtag seeds it ("fr-FR" → "fr") and only unlabeled pages pay LID —
+    trust-the-crawl mode, off by default because server headers lie."""
     from pyspark.sql import functions as F
 
+    if use_header_language and "content_language" in warc_df.columns:
+        sub = F.lower(
+            F.regexp_extract(F.col("content_language"), r"^[A-Za-z]{2,3}", 0)
+        )
+        lang = F.when(sub != "", sub).otherwise(F.lit(None).cast("string"))
+    else:
+        lang = F.lit(None).cast("string")
     return warc_df.select(
         "url",
         "warc_ts",
         "html",
         F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("string").alias("lang"),
+        lang.alias("lang"),
     )
 
 

@@ -425,3 +425,20 @@ class TestHttpHeaderSignals:
         assert rows["https://h.example/fr"]["x_robots_tag"] == "noindex, nofollow"
         assert rows["https://h.example/plain"]["content_language"] == ""
         assert rows["https://h.example/plain"]["x_robots_tag"] == ""
+
+    def test_header_language_seeds_pages(self, spark, tmp_path):
+        recs = [
+            gzip_member(encode_response_record(
+                "https://h.example/fr", 1700000000, b"<p>a</p>",
+                extra_headers=[("Content-Language", "fr-FR")])),
+            gzip_member(encode_response_record(
+                "https://h.example/none", 1700000001, b"<p>b</p>")),
+        ]
+        (tmp_path / "l.warc.gz").write_bytes(b"".join(recs))
+        warc = read_warc(spark, str(tmp_path))
+        default = {r["url"]: r["lang"] for r in warc_to_pages(warc).collect()}
+        assert default == {"https://h.example/fr": None, "https://h.example/none": None}
+        hinted = {r["url"]: r["lang"]
+                  for r in warc_to_pages(warc, use_header_language=True).collect()}
+        assert hinted["https://h.example/fr"] == "fr"
+        assert hinted["https://h.example/none"] is None
