@@ -319,11 +319,31 @@ def add_robots_directives(
     )
 
 
-def drop_noindex(df: DataFrame, html_column: str = "html") -> DataFrame:
+def drop_noindex(
+    df: DataFrame,
+    html_column: str = "html",
+    x_robots_column: str | None = None,
+) -> DataFrame:
     """Compliance filter: remove pages whose markup asks not to be
-    indexed; drops the helper columns it added."""
+    indexed; drops the helper columns it added. When ``x_robots_column``
+    names an HTTP ``X-Robots-Tag`` header column (e.g. from
+    ``sources.warc.read_warc``), the header-side ``noindex``/``none``
+    directives are honored too — crawlers treat header and meta as
+    equivalent, so a compliant pipeline must check both."""
     flagged = add_robots_directives(df, html_column, prefix="__rb_")
-    return flagged.where(~F.col("__rb_noindex")).drop(
+    drop = F.col("__rb_noindex")
+    if x_robots_column is not None:
+        tok = F.concat(
+            F.lit(","),
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(x_robots_column), F.lit(""))),
+                r"\s+",
+                "",
+            ),
+            F.lit(","),
+        )
+        drop = drop | tok.contains(",noindex,") | tok.contains(",none,")
+    return flagged.where(~drop).drop(
         "__rb_noindex", "__rb_nofollow", "__rb_canonical_url"
     )
 

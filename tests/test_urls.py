@@ -431,3 +431,21 @@ class TestCollapseCanonical:
         )
         out = collapse_to_canonical(df, same_host_only=False).collect()[0]
         assert out["canonical_key"] == "https://other.example/c"
+
+    def test_drop_noindex_honors_x_robots_header(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import drop_noindex
+
+        df = spark.createDataFrame(
+            [
+                ("keep", "<html></html>", "all"),
+                ("hdr-drop", "<html></html>", "noindex, nofollow"),
+                ("hdr-none", "<html></html>", "NONE"),
+                ("meta-drop", '<meta name="robots" content="noindex">', ""),
+                ("null-hdr", "<html></html>", None),
+            ],
+            "url string, html string, x_robots_tag string",
+        )
+        out = drop_noindex(df, x_robots_column="x_robots_tag")
+        assert sorted(r["url"] for r in out.collect()) == ["keep", "null-hdr"]
+        # without the header column the header directives are invisible
+        assert drop_noindex(df).count() == 4
