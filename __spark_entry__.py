@@ -1008,6 +1008,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_quality_keep",
         )
 
+    def q_c4_line_filter(spark, sf_dir):
+        # C4 line-level cleaning cascade (Raffel et al. 2020 §2.2):
+        # the documents text has no newlines/punctuation, so BOTH
+        # renderings first build the same deterministic multi-line page
+        # per doc (word slices + fixed decoy lines exercising every
+        # rule: short lines, javascript/policy drops, ellipsis, overlong
+        # tokens, lorem-ipsum and curly-brace page drops), then apply
+        # the cascade; full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.c4 import (
+            add_c4_line_filter,
+        )
+
+        d = _docs(spark, sf_dir)
+        w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+        def seg(a, n):
+            return F.array_join(F.slice(w, a, n), " ")
+
+        page = F.concat(
+            F.concat_ws(
+                "\n",
+                F.concat(seg(1, 8), F.lit(" alpha beta.")),
+                F.lit("Too short."),
+                F.concat(
+                    F.lit("Please enable javascript to view "),
+                    seg(9, 3),
+                    F.lit("."),
+                ),
+                F.lit("This site uses cookies and our privacy policy applies."),
+                F.concat(seg(12, 6), F.lit(" trailing off...")),
+                F.concat(seg(1, 4), F.lit(" " + "x" * 1001 + " overlong token line.")),
+                F.concat(F.lit("Did "), seg(5, 5), F.lit(" work?")),
+                F.concat(seg(3, 6), F.lit(" indeed!")),
+                F.concat(seg(2, 5), F.lit(' quoted line."')),
+            ),
+            F.when(
+                (F.col("doc_id") % 7) == 0,
+                F.lit("\nFiller lorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("doc_id") % 11) == 3,
+                F.lit("\nConfig uses { braces } actively today."),
+            ).otherwise(F.lit("")),
+        )
+        pages = d.select("doc_id", page.alias("text"))
+        return add_c4_line_filter(pages).select(
+            "doc_id",
+            "c4_text",
+            "c4_n_lines",
+            "c4_n_kept_lines",
+            "c4_n_sentences",
+            "c4_lorem_ipsum",
+            "c4_curly_brace",
+            "c4_keep",
+        )
+
     def q_toxicity_filter(spark, sf_dir):
         # document-level toxicity drop signal: lexicon hit count over
         # word count compared in exact integer arithmetic (no float at
@@ -1476,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_canonical": q_collapse_canonical,
         "toxicity_filter": q_toxicity_filter,
         "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2063,6 +2120,87 @@ def oracle_sql() -> dict[str, str]:
                 AND 5 * g_n_alpha_words >= 4 * g_n_words
                 AND g_n_required_stopwords >= 2) AS gopher_quality_keep
         FROM w
+    """
+    # C4 line-level cascade: same synthetic page construction, then the
+    # documented rule order (word-length cap -> terminal punct -> min
+    # words -> lorem-ipsum page flag -> javascript -> policy phrases ->
+    # curly-brace page flag)
+    sqls["c4_line_filter"] = """
+        WITH pages AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              coalesce(array_to_string(w[1:8], ' '), '') || ' alpha beta.',
+              'Too short.',
+              'Please enable javascript to view ' ||
+                coalesce(array_to_string(w[9:11], ' '), '') || '.',
+              'This site uses cookies and our privacy policy applies.',
+              coalesce(array_to_string(w[12:17], ' '), '') || ' trailing off...',
+              coalesce(array_to_string(w[1:4], ' '), '') || ' ' || repeat('x', 1001) ||
+                ' overlong token line.',
+              'Did ' || coalesce(array_to_string(w[5:9], ' '), '') || ' work?',
+              coalesce(array_to_string(w[3:8], ' '), '') || ' indeed!',
+              coalesce(array_to_string(w[2:6], ' '), '') || ' quoted line."'
+            )
+            || CASE WHEN doc_id % 7 = 0
+                    THEN chr(10) || 'Filler lorem ipsum dolor sit amet.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 11 = 3
+                    THEN chr(10) || 'Config uses { braces } actively today.'
+                    ELSE '' END AS text
+          FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents)
+        ), split AS (
+          SELECT doc_id,
+                 list_transform(regexp_split_to_array(text, '\\r\\n|\\r|\\n'),
+                                l -> trim(l)) AS lines
+          FROM pages
+        ), cand AS (
+          SELECT doc_id, lines,
+                 list_filter(lines, l ->
+                   NOT regexp_matches(l, '\\S{1000}\\S')
+                   AND regexp_matches(l, '[.!?"]$')
+                   AND NOT ends_with(l, '...')
+                   AND len(regexp_extract_all(l, '\\S+')) >= 5) AS cand
+          FROM split
+        ), flags AS (
+          SELECT doc_id, lines, cand,
+            len(list_filter(cand,
+                l -> contains(lower(l), 'lorem ipsum'))) > 0
+              AS c4_lorem_ipsum,
+            list_filter(cand, l ->
+              NOT contains(lower(l), 'lorem ipsum')
+              AND NOT contains(lower(l), 'javascript')
+              AND NOT (contains(lower(l), 'terms of use')
+                       OR contains(lower(l), 'privacy policy')
+                       OR contains(lower(l), 'cookie policy')
+                       OR contains(lower(l), 'uses cookies')
+                       OR contains(lower(l), 'use of cookies')
+                       OR contains(lower(l), 'use cookies'))
+              AND NOT contains(l, '{')) AS kept,
+            len(list_filter(cand, l ->
+              NOT contains(lower(l), 'lorem ipsum')
+              AND NOT contains(lower(l), 'javascript')
+              AND NOT (contains(lower(l), 'terms of use')
+                       OR contains(lower(l), 'privacy policy')
+                       OR contains(lower(l), 'cookie policy')
+                       OR contains(lower(l), 'uses cookies')
+                       OR contains(lower(l), 'use of cookies')
+                       OR contains(lower(l), 'use cookies'))
+              AND contains(l, '{'))) > 0 AS c4_curly_brace
+          FROM cand
+        )
+        SELECT doc_id,
+               array_to_string(kept, chr(10)) AS c4_text,
+               CAST(len(lines) AS BIGINT) AS c4_n_lines,
+               CAST(len(kept) AS BIGINT) AS c4_n_kept_lines,
+               CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),
+                    '[.!?]+')) AS BIGINT) AS c4_n_sentences,
+               c4_lorem_ipsum,
+               c4_curly_brace,
+               (NOT c4_lorem_ipsum AND NOT c4_curly_brace
+                AND len(regexp_extract_all(array_to_string(kept, chr(10)),
+                        '[.!?]+')) >= 3) AS c4_keep
+        FROM flags
     """
     from dss_plugin_nlp_preparation_spark.operators.scrub import TOXICITY_PATTERN
 

@@ -1,0 +1,160 @@
+# -*- coding: utf-8 -*-
+"""C4-style line-level page cleaning (Raffel et al. 2020, §2.2).
+
+The C4 corpus applies a fixed cascade of *line* heuristics before any
+model-based filtering; this operator reproduces the published rule set
+with the same per-line decision order as the reference description:
+
+per line (after trimming):
+  1. drop the line if any token exceeds ``max_word_length`` characters
+     (mega-tokens: base64 blobs, minified JS),
+  2. drop the line unless it ends in a terminal punctuation mark
+     (``. ! ? "``) — and even then drop it if it ends in an ellipsis,
+  3. drop the line if it has fewer than ``min_words_per_line`` words,
+  4. a surviving line containing ``lorem ipsum`` (case-insensitive)
+     marks the whole PAGE as dropped (placeholder text),
+  5. drop the line if it contains ``javascript`` (case-insensitive —
+     "enable javascript" warnings),
+  6. drop the line if it contains a cookie/policy boilerplate phrase
+     (``terms of use``, ``privacy policy``, ``cookie policy``,
+     ``uses cookies``, ``use of cookies``, ``use cookies``),
+  7. a surviving line containing ``{`` marks the whole PAGE as dropped
+     (source code); the line is not kept;
+
+per page: dropped when rule 4 or 7 fired, or when the retained text has
+fewer than ``min_num_sentences`` sentences. Sentence count is
+approximated as the number of maximal runs of terminal punctuation
+(``[.!?]+``) in the retained text — deterministic and replayable in any
+engine, unlike a model-based sentence splitter (documented divergence
+from NLTK-based reimplementations; every retained line ends in a
+terminal mark, so the proxy is tight on C4-shaped text).
+
+Spark-first shape: the whole cascade is ONE projection of native
+higher-order-function expressions (``transform``/``filter``/``exists``
+over the split-line array) — JVM-evaluated, zero shuffle, zero Python;
+it rides whatever scan produces the text column and column pruning keeps
+everything else untouched. At 10^12 documents this is pure map work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# terminal punctuation a retained line must end with (C4's end marks)
+C4_END_MARKS_RE = r'[.!?"]$'
+C4_ELLIPSIS = "..."
+# cookie/policy boilerplate phrases (line-level drop)
+C4_POLICY_SUBSTRINGS = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+
+def _candidate(line: Column, min_words_per_line: int, max_word_length: int) -> Column:
+    """Rules 1-3: word-length cap, terminal punctuation, minimum words."""
+    return (
+        (~line.rlike(r"\S{%d}" % (max_word_length + 1)))
+        & line.rlike(C4_END_MARKS_RE)
+        & (~line.endswith(C4_ELLIPSIS))
+        & (F.regexp_count(line, F.lit(r"\S+")) >= min_words_per_line)
+    )
+
+
+def _line_dropped(line: Column) -> Column:
+    """Rules 5-6: javascript warnings and cookie/policy boilerplate."""
+    low = F.lower(line)
+    cond = low.contains("javascript")
+    for phrase in C4_POLICY_SUBSTRINGS:
+        cond = cond | low.contains(phrase)
+    return cond
+
+
+def add_c4_line_filter(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "c4_text",
+    min_words_per_line: int = 5,
+    min_num_sentences: int = 3,
+    max_word_length: int = 1000,
+) -> DataFrame:
+    """Append the C4 cleaning columns:
+
+    - ``<output_column>``: retained (trimmed) lines joined with ``\\n``,
+    - ``c4_n_lines`` / ``c4_n_kept_lines``: line counts before/after,
+    - ``c4_n_sentences``: terminal-punctuation-run count of the output,
+    - ``c4_lorem_ipsum`` / ``c4_curly_brace``: page-drop flags,
+    - ``c4_keep``: the page-level verdict.
+
+    Pages that fail keep their (possibly empty) retained text so the
+    caller can audit what the filter would have emitted.
+    """
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    lines = F.transform(F.split(text, r"\r\n|\r|\n"), lambda l: F.trim(l))
+    cand = F.filter(
+        lines, lambda l: _candidate(l, min_words_per_line, max_word_length)
+    )
+
+    def _lorem(l: Column) -> Column:
+        return F.lower(l).contains("lorem ipsum")
+
+    lorem = F.exists(cand, _lorem)
+    # rules 5-7 apply only to lines that already survived 1-4 (order
+    # matters: a "{" on a javascript line never fires the page drop)
+    curly = F.exists(
+        cand, lambda l: (~_lorem(l)) & (~_line_dropped(l)) & l.contains("{")
+    )
+    kept = F.filter(
+        cand, lambda l: (~_lorem(l)) & (~_line_dropped(l)) & (~l.contains("{"))
+    )
+    out_text = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(out_text, F.lit(r"[.!?]+"))
+
+    return (
+        df.withColumn(output_column, out_text)
+        .withColumn("c4_n_lines", F.size(lines))
+        .withColumn("c4_n_kept_lines", F.size(kept))
+        .withColumn("c4_n_sentences", n_sentences)
+        .withColumn("c4_lorem_ipsum", lorem)
+        .withColumn("c4_curly_brace", curly)
+        .withColumn(
+            "c4_keep",
+            (~lorem) & (~curly) & (n_sentences >= F.lit(min_num_sentences)),
+        )
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_column: str = "text",
+    min_words_per_line: int = 5,
+    min_num_sentences: int = 3,
+    max_word_length: int = 1000,
+) -> DataFrame:
+    """The corpus-producing form: keep passing pages only, with the
+    retained text replacing ``text_column``."""
+    out = add_c4_line_filter(
+        df,
+        text_column=text_column,
+        output_column="__c4_text",
+        min_words_per_line=min_words_per_line,
+        min_num_sentences=min_num_sentences,
+        max_word_length=max_word_length,
+    )
+    return (
+        out.where(F.col("c4_keep"))
+        .withColumn(text_column, F.col("__c4_text"))
+        .drop(
+            "__c4_text",
+            "c4_n_lines",
+            "c4_n_kept_lines",
+            "c4_n_sentences",
+            "c4_lorem_ipsum",
+            "c4_curly_brace",
+            "c4_keep",
+        )
+    )

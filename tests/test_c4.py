@@ -1,0 +1,154 @@
+# -*- coding: utf-8 -*-
+"""C4 line-level cleaning (operators/c4.py) vs a pure-Python reference
+implementation of the published cascade (Raffel et al. 2020 §2.2)."""
+
+import re
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.operators.c4 import (
+    C4_POLICY_SUBSTRINGS,
+    add_c4_line_filter,
+    c4_clean,
+)
+
+END_MARKS = ('.', '!', '?', '"')
+
+
+def ref_c4(text, min_words_per_line=5, min_num_sentences=3, max_word_length=1000):
+    """Reference cascade, line-ordered exactly as the operator documents."""
+    lorem = curly = False
+    kept = []
+    lines = [l.strip() for l in re.split(r"\r\n|\r|\n", text or "")]
+    for line in lines:
+        if any(len(w) > max_word_length for w in line.split()):
+            continue
+        if not line.endswith(END_MARKS) or line.endswith("..."):
+            continue
+        if len(line.split()) < min_words_per_line:
+            continue
+        low = line.lower()
+        if "lorem ipsum" in low:
+            lorem = True
+            continue
+        if "javascript" in low:
+            continue
+        if any(p in low for p in C4_POLICY_SUBSTRINGS):
+            continue
+        if "{" in line:
+            curly = True
+            continue
+        kept.append(line)
+    out = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]+", out))
+    keep = (not lorem) and (not curly) and n_sent >= min_num_sentences
+    return {
+        "c4_text": out,
+        "c4_n_lines": len(lines),
+        "c4_n_kept_lines": len(kept),
+        "c4_n_sentences": n_sent,
+        "c4_lorem_ipsum": lorem,
+        "c4_curly_brace": curly,
+        "c4_keep": keep,
+    }
+
+
+PAGES = [
+    # a clean page: three sentences, survives everything
+    "This is the first proper sentence of the page.\n"
+    "Here is another one that asks a question?\n"
+    "And a third one that ends with a bang!",
+    # min-words + terminal-punct line drops, still enough sentences
+    "Too short.\nno terminal punctuation here\n"
+    "This line has the required five words.\n"
+    "A second full sentence also ends properly.\n"
+    "The third sentence completes the quota for keeping.",
+    # javascript + policy line drops
+    "Please enable JavaScript to view this site properly.\n"
+    "This website uses cookies and tracking by default.\n"
+    "We keep this perfectly ordinary sentence right here.\n"
+    "Another ordinary sentence stays in the page too.\n"
+    "And one more ordinary sentence rounds it out.",
+    # lorem ipsum -> page drop even with plenty of sentences
+    "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+    "A real sentence follows the placeholder text here.\n"
+    "Another real sentence would otherwise keep this page.\n"
+    "Yet another sentence to be extra safe about it.",
+    # curly brace on a surviving line -> page drop
+    'var config = { "mode": "prod" };\n'
+    "The object literal { above } never reaches the check.\n"
+    "This page describes the config syntax { braces } sadly.\n"
+    "A perfectly fine sentence sits here as well.\n"
+    "And a second fine sentence sits right after it.\n"
+    "And the third fine sentence finishes the page.",
+    # ellipsis-ending and overlong-token line drops starve the page
+    "This sentence trails off into nothing at all...\n"
+    + ("x" * 1001)
+    + " padded with some real words here.\n"
+    "Only this single proper sentence remains standing.",
+    # quoted terminal mark counts as an end mark
+    'He said "this line ends inside a quotation."\n'
+    "A second sentence keeps the page alive here.\n"
+    "A third sentence makes the sentence quota exactly.",
+    # empty and whitespace-only text
+    "",
+    "   \n\n  ",
+]
+
+
+def test_matches_reference_on_fixture_pages(spark):
+    rows = [(i, t) for i, t in enumerate(PAGES)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in add_c4_line_filter(df).collect()
+    }
+    for i, t in enumerate(PAGES):
+        want = ref_c4(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
+def test_rule_outcomes_pinned(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PAGES)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in add_c4_line_filter(df).collect()}
+    assert out[0]["c4_keep"] and out[0]["c4_n_kept_lines"] == 3
+    assert out[1]["c4_keep"] and out[1]["c4_n_kept_lines"] == 3
+    assert out[2]["c4_keep"] and out[2]["c4_n_kept_lines"] == 3
+    assert not out[3]["c4_keep"] and out[3]["c4_lorem_ipsum"]
+    assert not out[4]["c4_keep"] and out[4]["c4_curly_brace"]
+    # the `{` lines themselves are never retained
+    assert "{" not in out[4]["c4_text"]
+    assert not out[5]["c4_keep"] and out[5]["c4_n_kept_lines"] == 1
+    assert out[6]["c4_keep"] and out[6]["c4_n_sentences"] == 3
+    assert not out[7]["c4_keep"] and out[7]["c4_text"] == ""
+    assert not out[8]["c4_keep"] and out[8]["c4_text"] == ""
+
+
+def test_null_text_is_total(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = add_c4_line_filter(df).collect()[0]
+    assert row["c4_text"] == "" and not row["c4_keep"]
+
+
+def test_c4_clean_keeps_schema_and_filters(spark):
+    df = spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(PAGES)],
+        "doc_id long, text string, source string",
+    )
+    out = c4_clean(df)
+    assert out.columns == ["doc_id", "text", "source"]
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    want_ids = {i for i, t in enumerate(PAGES) if ref_c4(t)["c4_keep"]}
+    assert set(kept) == want_ids
+    for i in kept:
+        assert kept[i] == ref_c4(PAGES[i])["c4_text"]
+
+
+def test_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
+    plan = add_c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
