@@ -1064,6 +1064,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c4_keep",
         )
 
+    def q_dup_text_fractions(spark, sf_dir):
+        # Gopher Table A1 duplicate line/paragraph fractions: both
+        # renderings build the same synthetic page (word-slice lines, a
+        # doc_id%3-driven duplicate line, a doc_id%4-driven duplicate
+        # paragraph), then replay the count/char-fraction formulas and
+        # the exact-integer keep decision; full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_duplicate_text_fractions,
+        )
+
+        d = _docs(spark, sf_dir)
+        w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+        def seg(a, n):
+            return F.array_join(F.slice(w, a, n), " ")
+
+        a, b = seg(1, 6), seg(7, 6)
+        dd, e = seg(2, 5), seg(9, 4)
+        c = F.when((F.col("doc_id") % 3) == 0, a).otherwise(seg(13, 6))
+        page = F.concat(
+            a,
+            F.lit("\n"),
+            b,
+            F.lit("\n"),
+            c,
+            F.lit("\n\n"),
+            dd,
+            F.lit("\n"),
+            e,
+            F.when(
+                (F.col("doc_id") % 4) == 0,
+                F.concat(F.lit("\n\n"), dd, F.lit("\n"), e),
+            ).otherwise(F.lit("")),
+        )
+        pages = d.select("doc_id", page.alias("text"))
+        return add_duplicate_text_fractions(pages).select(
+            "doc_id",
+            "n_lines_d",
+            "n_dup_lines",
+            "n_paras_d",
+            "n_dup_paras",
+            "dup_line_chars",
+            "dup_para_chars",
+            "dup_line_frac2",
+            "dup_para_frac",
+            "dup_line_char_frac",
+            "dup_para_char_frac",
+            "dup_drop_reason",
+            "dup_text_keep",
+        )
+
     def q_toxicity_filter(spark, sf_dir):
         # document-level toxicity drop signal: lexicon hit count over
         # word count compared in exact integer arithmetic (no float at
@@ -1533,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxicity_filter": q_toxicity_filter,
         "gopher_quality": q_gopher_quality,
         "c4_line_filter": q_c4_line_filter,
+        "dup_text_fractions": q_dup_text_fractions,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2201,6 +2253,80 @@ def oracle_sql() -> dict[str, str]:
                 AND len(regexp_extract_all(array_to_string(kept, chr(10)),
                         '[.!?]+')) >= 3) AS c4_keep
         FROM flags
+    """
+    # Gopher duplicate line/paragraph fractions: same synthetic page,
+    # same count/char formulas, same exact-integer keep decision
+    sqls["dup_text_fractions"] = """
+        WITH seg AS (
+          SELECT doc_id,
+            coalesce(array_to_string(w[1:6], ' '), '') AS a,
+            coalesce(array_to_string(w[7:12], ' '), '') AS b,
+            coalesce(array_to_string(w[2:6], ' '), '') AS d,
+            coalesce(array_to_string(w[9:12], ' '), '') AS e,
+            coalesce(array_to_string(w[13:18], ' '), '') AS c2
+          FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents)
+        ), pages AS (
+          SELECT doc_id,
+            a || chr(10) || b || chr(10) ||
+            (CASE WHEN doc_id % 3 = 0 THEN a ELSE c2 END) ||
+            chr(10) || chr(10) || d || chr(10) || e ||
+            (CASE WHEN doc_id % 4 = 0
+                  THEN chr(10) || chr(10) || d || chr(10) || e
+                  ELSE '' END) AS text
+          FROM seg
+        ), base AS (
+          SELECT doc_id, length(text) AS n_chars,
+            list_filter(list_transform(
+              regexp_split_to_array(text, '\\r\\n|\\r|\\n'),
+              x -> trim(x)), x -> x <> '') AS lines,
+            list_filter(list_transform(
+              regexp_split_to_array(text, '(\\r\\n|\\r|\\n){2,}'),
+              x -> trim(x)), x -> x <> '') AS paras
+          FROM pages
+        ), agg AS (
+          SELECT doc_id, n_chars,
+            len(lines) AS n_lines_d,
+            len(lines) - len(list_distinct(lines)) AS n_dup_lines,
+            len(paras) AS n_paras_d,
+            len(paras) - len(list_distinct(paras)) AS n_dup_paras,
+            coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+              - coalesce(list_sum(list_transform(list_distinct(lines),
+                         x -> length(x))), 0) AS dup_line_chars,
+            coalesce(list_sum(list_transform(paras, x -> length(x))), 0)
+              - coalesce(list_sum(list_transform(list_distinct(paras),
+                         x -> length(x))), 0) AS dup_para_chars
+          FROM base
+        )
+        SELECT doc_id,
+          CAST(n_lines_d AS BIGINT) AS n_lines_d,
+          CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+          CAST(n_paras_d AS BIGINT) AS n_paras_d,
+          CAST(n_dup_paras AS BIGINT) AS n_dup_paras,
+          CAST(dup_line_chars AS BIGINT) AS dup_line_chars,
+          CAST(dup_para_chars AS BIGINT) AS dup_para_chars,
+          CASE WHEN n_lines_d > 0
+               THEN round(n_dup_lines / CAST(n_lines_d AS DOUBLE), 4)
+               ELSE 0.0 END AS dup_line_frac2,
+          CASE WHEN n_paras_d > 0
+               THEN round(n_dup_paras / CAST(n_paras_d AS DOUBLE), 4)
+               ELSE 0.0 END AS dup_para_frac,
+          CASE WHEN n_chars > 0
+               THEN round(dup_line_chars / CAST(n_chars AS DOUBLE), 4)
+               ELSE 0.0 END AS dup_line_char_frac,
+          CASE WHEN n_chars > 0
+               THEN round(dup_para_chars / CAST(n_chars AS DOUBLE), 4)
+               ELSE 0.0 END AS dup_para_char_frac,
+          CASE WHEN 10 * n_dup_lines > 3 * n_lines_d THEN 'dup_line_frac2'
+               WHEN 10 * n_dup_paras > 3 * n_paras_d THEN 'dup_para_frac'
+               WHEN 5 * dup_line_chars > n_chars THEN 'dup_line_char_frac'
+               WHEN 5 * dup_para_chars > n_chars THEN 'dup_para_char_frac'
+               ELSE NULL END AS dup_drop_reason,
+          (10 * n_dup_lines <= 3 * n_lines_d
+           AND 10 * n_dup_paras <= 3 * n_paras_d
+           AND 5 * dup_line_chars <= n_chars
+           AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
+        FROM agg
     """
     from dss_plugin_nlp_preparation_spark.operators.scrub import TOXICITY_PATTERN
 

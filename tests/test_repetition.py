@@ -106,3 +106,81 @@ class TestCompressionRatio:
         assert 0.4 < r["normal"] <= 1.2
         assert r["empty"] == 1.0 and r["null"] == 1.0
         assert r["rep"] < r["normal"]
+
+
+class TestDuplicateTextFractions:
+    def test_fractions_and_keep(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_duplicate_text_fractions,
+        )
+
+        dup_heavy = (
+            "alpha beta gamma\nalpha beta gamma\nalpha beta gamma\n"
+            "delta epsilon zeta\n\nsome paragraph here\n\nsome paragraph here"
+        )
+        clean = (
+            "first unique line one\nsecond unique line two\n\n"
+            "third paragraph stands alone entirely"
+        )
+        df = spark.createDataFrame(
+            [("dup", dup_heavy), ("clean", clean), ("empty", ""), ("null", None)],
+            "doc_id string, text string",
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in add_duplicate_text_fractions(df).collect()
+        }
+        d = out["dup"]
+        # 4 lines from para 1 + 1 + 1 = 6 lines, dups: 2x "alpha beta gamma"
+        # + 1x "some paragraph here" = 3
+        assert d["n_lines_d"] == 6 and d["n_dup_lines"] == 3
+        assert d["n_paras_d"] == 3 and d["n_dup_paras"] == 1
+        assert d["dup_line_frac2"] == 0.5
+        assert d["dup_line_chars"] == 2 * len("alpha beta gamma") + len(
+            "some paragraph here"
+        )
+        assert not d["dup_text_keep"] and d["dup_drop_reason"] == "dup_line_frac2"
+        c = out["clean"]
+        assert c["n_dup_lines"] == 0 and c["n_dup_paras"] == 0
+        assert c["dup_text_keep"] and c["dup_drop_reason"] is None
+        for k in ("empty", "null"):
+            assert out[k]["dup_text_keep"]
+            assert out[k]["n_lines_d"] == 0 and out[k]["dup_line_char_frac"] == 0.0
+
+    def test_char_frac_threshold_integer_exact(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_duplicate_text_fractions,
+        )
+
+        # one duplicated 10-char line among four (count rule passes:
+        # 10*1 <= 3*4) inside filler sized so that 5*dup_chars == n_chars
+        # exactly -> keep (<=), one char less -> drop
+        line = "abcdefghij"
+        f1, f2 = "x" * 14, "y" * 13  # 20 + 27 + 3 newlines = 50 chars
+        keep_text = f"{line}\n{line}\n{f1}\n{f2}"
+        drop_text = f"{line}\n{line}\n{f1}\n{f2[:-1]}"
+        df = spark.createDataFrame(
+            [("keep", keep_text), ("drop", drop_text)], "doc_id string, text string"
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in add_duplicate_text_fractions(df).collect()
+        }
+        assert out["keep"]["dup_text_keep"]
+        assert not out["drop"]["dup_text_keep"]
+        assert out["drop"]["dup_drop_reason"] == "dup_line_char_frac"
+
+    def test_plan_is_shuffle_free(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_duplicate_text_fractions,
+        )
+
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+        plan = (
+            add_duplicate_text_fractions(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
