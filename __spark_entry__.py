@@ -1115,6 +1115,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dup_text_keep",
         )
 
+    def q_fineweb_quality(spark, sf_dir):
+        # FineWeb custom rules (line-punct ratio, short-line ratio,
+        # duplicated-line char ratio, list ratio) over the same kind of
+        # synthetic page both renderings build (doc_id-driven
+        # unpunctuated/short/duplicate decoy lines); full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.fineweb import (
+            add_fineweb_filter,
+        )
+
+        d = _docs(spark, sf_dir)
+        w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        did = F.col("doc_id")
+
+        def seg(a, n):
+            return F.array_join(F.slice(w, a, n), " ")
+
+        l1 = F.concat(seg(1, 7), F.lit(" alpha."))
+        l2 = F.concat(
+            seg(8, 6),
+            F.when((did % 2) == 0, F.lit(" beta.")).otherwise(F.lit(" gamma")),
+        )
+        l3 = F.concat(seg(2, 6), F.lit(" delta!"))
+        l4 = F.when(
+            (did % 5) == 0,
+            F.lit("one.\ntwo.\nthree.\nfour.\nfive.\nsix.\nseven.\neight."),
+        ).otherwise(F.concat(seg(3, 8), F.lit(" epsilon?")))
+        page = F.concat(
+            F.concat_ws("\n", l1, l2, l3, l4),
+            F.when((did % 4) == 1, F.concat(F.lit("\n"), l1)).otherwise(
+                F.lit("")
+            ),
+        )
+        pages = d.select("doc_id", page.alias("text"))
+        return add_fineweb_filter(pages).select(
+            "doc_id",
+            "fw_n_lines",
+            "fw_n_punct_lines",
+            "fw_n_short_lines",
+            "fw_dup_line_chars",
+            "fw_n_chars_nonl",
+            "fw_n_newlines",
+            "fw_n_words",
+            "fw_drop_reason",
+            "fineweb_keep",
+        )
+
     def q_toxicity_filter(spark, sf_dir):
         # document-level toxicity drop signal: lexicon hit count over
         # word count compared in exact integer arithmetic (no float at
@@ -1585,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_line_filter": q_c4_line_filter,
         "dup_text_fractions": q_dup_text_fractions,
+        "fineweb_quality": q_fineweb_quality,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2326,6 +2373,80 @@ def oracle_sql() -> dict[str, str]:
            AND 10 * n_dup_paras <= 3 * n_paras_d
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
+        FROM agg
+    """
+    # FineWeb custom rules: same synthetic page, same counters, same
+    # exact-integer decisions in the published rule order
+    sqls["fineweb_quality"] = """
+        WITH seg AS (
+          SELECT doc_id,
+            coalesce(array_to_string(w[1:7], ' '), '') AS s17,
+            coalesce(array_to_string(w[8:13], ' '), '') AS s86,
+            coalesce(array_to_string(w[2:7], ' '), '') AS s26,
+            coalesce(array_to_string(w[3:10], ' '), '') AS s38
+          FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents)
+        ), pages AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              s17 || ' alpha.',
+              s86 || CASE WHEN doc_id % 2 = 0 THEN ' beta.'
+                          ELSE ' gamma' END,
+              s26 || ' delta!',
+              CASE WHEN doc_id % 5 = 0
+                   THEN 'one.' || chr(10) || 'two.' || chr(10) || 'three.'
+                        || chr(10) || 'four.' || chr(10) || 'five.'
+                        || chr(10) || 'six.' || chr(10) || 'seven.'
+                        || chr(10) || 'eight.'
+                   ELSE s38 || ' epsilon?' END)
+            || CASE WHEN doc_id % 4 = 1
+                    THEN chr(10) || s17 || ' alpha.'
+                    ELSE '' END AS text
+          FROM seg
+        ), base AS (
+          SELECT doc_id, text,
+            list_filter(string_split(text, chr(10)),
+                        l -> trim(l) <> '') AS lines,
+            replace(text, chr(10), '') AS no_nl
+          FROM pages
+        ), agg AS (
+          SELECT doc_id,
+            len(lines) AS fw_n_lines,
+            len(list_filter(lines,
+                l -> regexp_matches(l, '[.''"!?]$'))) AS fw_n_punct_lines,
+            len(list_filter(lines,
+                l -> length(l) <= 30)) AS fw_n_short_lines,
+            coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+              - coalesce(list_sum(list_transform(list_distinct(lines),
+                         x -> length(x))), 0) AS fw_dup_line_chars,
+            length(no_nl) AS fw_n_chars_nonl,
+            length(text) - length(no_nl) AS fw_n_newlines,
+            len(regexp_extract_all(text, '\\S+')) AS fw_n_words
+          FROM base
+        )
+        SELECT doc_id,
+          CAST(fw_n_lines AS BIGINT) AS fw_n_lines,
+          CAST(fw_n_punct_lines AS BIGINT) AS fw_n_punct_lines,
+          CAST(fw_n_short_lines AS BIGINT) AS fw_n_short_lines,
+          CAST(fw_dup_line_chars AS BIGINT) AS fw_dup_line_chars,
+          CAST(fw_n_chars_nonl AS BIGINT) AS fw_n_chars_nonl,
+          CAST(fw_n_newlines AS BIGINT) AS fw_n_newlines,
+          CAST(fw_n_words AS BIGINT) AS fw_n_words,
+          CASE WHEN 100 * fw_n_punct_lines <= 12 * fw_n_lines
+                 THEN 'line_punct_ratio'
+               WHEN 100 * fw_n_short_lines >= 67 * fw_n_lines
+                 THEN 'short_line_ratio'
+               WHEN fw_n_chars_nonl > 0
+                    AND 10 * fw_dup_line_chars >= fw_n_chars_nonl
+                 THEN 'char_dup_ratio'
+               WHEN 10 * fw_n_newlines > 3 * fw_n_words
+                 THEN 'list_ratio'
+               ELSE NULL END AS fw_drop_reason,
+          (100 * fw_n_punct_lines > 12 * fw_n_lines
+           AND 100 * fw_n_short_lines < 67 * fw_n_lines
+           AND NOT (fw_n_chars_nonl > 0
+                    AND 10 * fw_dup_line_chars >= fw_n_chars_nonl)
+           AND 10 * fw_n_newlines <= 3 * fw_n_words) AS fineweb_keep
         FROM agg
     """
     from dss_plugin_nlp_preparation_spark.operators.scrub import TOXICITY_PATTERN

@@ -1,0 +1,91 @@
+# -*- coding: utf-8 -*-
+"""FineWeb custom quality rules (Penedo et al. 2024, "The FineWeb
+Datasets", §3.5 — the three filters developed against the OH-2.5/ELI5
+proxy plus the list-ratio rule, as implemented in the published
+datatrove ``FineWebQualityFilter``):
+
+drop the document when
+  1. the fraction of lines ending in punctuation (``. ' " ! ?``) is
+     <= 0.12                                  (``line_punct_ratio``),
+  2. the fraction of lines shorter than 31 characters is >= 0.67
+                                              (``short_line_ratio``),
+  3. the fraction of characters inside duplicated lines — duplicate
+     occurrences after the first, over the text length without newlines
+     — is >= 0.10                             (``char_dup_ratio``),
+  4. the newline-per-word ratio is > 0.30     (``list_ratio``).
+
+Line conventions follow the reference implementation: lines are the
+``\\n``-split segments whose *stripped* form is non-empty, but the
+checks run on the raw (unstripped) segment. A document with no
+non-empty lines fails rule 1 (its punct ratio is 0).
+
+Every decision is exact integer arithmetic at the published thresholds
+(``100*punct <= 12*n``, ``100*short >= 67*n``, ``10*dup_chars >=
+n_chars``, ``10*newlines > 3*words``) — no float at the threshold, so
+the verdict replays bit-identically in any engine.
+
+100-TB shape: one narrow projection of native array expressions — zero
+shuffle, zero Python, rides the same scan as the Gopher/C4 signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FINEWEB_STOP_CHARS_RE = r"""[.'"!?]$"""
+FINEWEB_SHORT_LINE_LENGTH = 30
+
+
+def _sum_len(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def add_fineweb_filter(
+    df: DataFrame,
+    text_column: str = "text",
+) -> DataFrame:
+    """Append the FineWeb rule counters, ``fw_drop_reason`` (first failed
+    rule in published order) and the ``fineweb_keep`` verdict."""
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    lines = F.filter(
+        F.split(text, r"\n", -1), lambda l: F.trim(l) != ""
+    )
+    n_lines = F.size(lines)
+    n_punct = F.size(F.filter(lines, lambda l: l.rlike(FINEWEB_STOP_CHARS_RE)))
+    n_short = F.size(
+        F.filter(lines, lambda l: F.length(l) <= FINEWEB_SHORT_LINE_LENGTH)
+    )
+    dup_chars = _sum_len(lines) - _sum_len(F.array_distinct(lines))
+    text_no_nl = F.replace(text, F.lit("\n"), F.lit(""))
+    n_chars_nonl = F.length(text_no_nl)
+    n_newlines = F.length(text) - n_chars_nonl
+    n_words = F.regexp_count(text, F.lit(r"\S+"))
+
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(
+        (
+            ("line_punct_ratio", 100 * n_punct <= 12 * n_lines),
+            ("short_line_ratio", 100 * n_short >= 67 * n_lines),
+            (
+                "char_dup_ratio",
+                (n_chars_nonl > 0) & (10 * dup_chars >= n_chars_nonl),
+            ),
+            ("list_ratio", 10 * n_newlines > 3 * n_words),
+        )
+    ):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+
+    return (
+        df.withColumn("fw_n_lines", n_lines)
+        .withColumn("fw_n_punct_lines", n_punct)
+        .withColumn("fw_n_short_lines", n_short)
+        .withColumn("fw_dup_line_chars", dup_chars)
+        .withColumn("fw_n_chars_nonl", n_chars_nonl)
+        .withColumn("fw_n_newlines", n_newlines)
+        .withColumn("fw_n_words", n_words)
+        .withColumn("fw_drop_reason", reason)
+        .withColumn("fineweb_keep", reason.isNull())
+    )

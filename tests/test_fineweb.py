@@ -1,0 +1,99 @@
+# -*- coding: utf-8 -*-
+"""FineWeb custom quality rules (operators/fineweb.py) vs a pure-Python
+reference implementation of the published datatrove filter."""
+
+from dss_plugin_nlp_preparation_spark.operators.fineweb import add_fineweb_filter
+
+STOP_CHARS = (".", "'", '"', "!", "?")
+
+
+def ref_fineweb(text):
+    text = text or ""
+    lines = [l for l in text.split("\n") if l.strip() != ""]
+    n = len(lines)
+    n_punct = sum(1 for l in lines if l.endswith(STOP_CHARS))
+    n_short = sum(1 for l in lines if len(l) <= 30)
+    seen, dup_chars = set(), 0
+    for l in lines:
+        if l in seen:
+            dup_chars += len(l)
+        else:
+            seen.add(l)
+    no_nl = text.replace("\n", "")
+    n_newlines = len(text) - len(no_nl)
+    n_words = len(text.split())
+    if 100 * n_punct <= 12 * n:
+        return "line_punct_ratio"
+    if 100 * n_short >= 67 * n:
+        return "short_line_ratio"
+    if len(no_nl) > 0 and 10 * dup_chars >= len(no_nl):
+        return "char_dup_ratio"
+    if 10 * n_newlines > 3 * n_words:
+        return "list_ratio"
+    return None
+
+
+PAGES = [
+    # healthy prose: every line ends in punctuation, long lines
+    "This is a long and perfectly ordinary first sentence of the page.\n"
+    "Here is a second sentence that also terminates with punctuation.\n"
+    "And naturally a third one rounds out the paragraph nicely.",
+    # unpunctuated boilerplate -> line_punct_ratio
+    "Home\nProducts and services we offer to customers\n"
+    "About our company and mission statement\nContact information page",
+    # listy page of short lines (punctuated, so rule 1 passes)
+    "item one is fine.\nitem two is fine.\nitem three too.\n"
+    "item four as well.\nitem five also.\nitem six here.",
+    # duplicated lines dominate -> char_dup_ratio
+    "An interesting enough sentence appears right here, honestly.\n"
+    "An interesting enough sentence appears right here, honestly.\n"
+    "An interesting enough sentence appears right here, honestly.\n"
+    "Something else entirely different is written down there officially.",
+    # empty / whitespace
+    "",
+    "  \n ",
+]
+
+
+def test_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PAGES)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in add_fineweb_filter(df).collect()}
+    for i, t in enumerate(PAGES):
+        want = ref_fineweb(t)
+        assert out[i]["fw_drop_reason"] == want, (i, out[i], want)
+        assert out[i]["fineweb_keep"] == (want is None)
+
+
+def test_pinned_reasons(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PAGES)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in add_fineweb_filter(df).collect()}
+    assert out[0]["fineweb_keep"]
+    assert out[1]["fw_drop_reason"] == "line_punct_ratio"
+    assert out[2]["fw_drop_reason"] == "short_line_ratio"
+    assert out[3]["fw_drop_reason"] == "char_dup_ratio"
+    assert out[4]["fw_drop_reason"] == "line_punct_ratio"  # no lines
+    assert out[5]["fw_drop_reason"] == "line_punct_ratio"
+
+
+def test_list_ratio_rule(spark):
+    # many newlines per word: punctuated long-ish lines but word-sparse
+    text = "\n".join(
+        f"Word word word word herequite longer line number {i}." for i in range(3)
+    )
+    listy = "one two.\n" * 40  # 80 words, 40 newlines -> 10*40 > 3*80
+    df = spark.createDataFrame(
+        [(0, text), (1, listy)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in add_fineweb_filter(df).collect()}
+    assert out[0]["fineweb_keep"]
+    assert ref_fineweb(listy) == out[1]["fw_drop_reason"]
+
+
+def test_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
+    plan = add_fineweb_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
