@@ -1161,6 +1161,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fineweb_keep",
         )
 
+    def q_refinedweb_lines(spark, sf_dir):
+        # RefinedWeb line-wise corrections: synthetic pages seeded with
+        # doc_id-driven interface artifacts (caps banner, social
+        # counter, nav button, numeric line); both renderings share the
+        # artifact regexes and the integer-exact 5% keep rule
+        from dss_plugin_nlp_preparation_spark.operators.refinedweb import (
+            refinedweb_line_correct,
+        )
+
+        d = _docs(spark, sf_dir)
+        w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        did = F.col("doc_id")
+
+        def seg(a, n):
+            return F.array_join(F.slice(w, a, n), " ")
+
+        l1 = F.concat(seg(1, 7), F.lit(" alpha."))
+        l2 = F.when((did % 3) == 0, F.lit("MENU NAVIGATION BAR")).otherwise(
+            F.concat(seg(8, 6), F.lit(" beta."))
+        )
+        l3 = F.when(
+            (did % 4) == 1,
+            F.concat((did * 7).cast("string"), F.lit(" likes")),
+        ).otherwise(F.concat(seg(2, 6), F.lit(" gamma.")))
+        l4 = F.when((did % 5) == 2, F.lit("Sign in")).otherwise(
+            F.concat(seg(3, 8), F.lit(" delta."))
+        )
+        page = F.concat(
+            F.concat_ws("\n", l1, l2, l3, l4),
+            F.when((did % 6) == 3, F.lit("\n1,234")).otherwise(F.lit("")),
+        )
+        pages = d.select("doc_id", page.alias("text"))
+        return refinedweb_line_correct(pages).select(
+            "doc_id",
+            "rw_text",
+            "rw_n_lines",
+            "rw_n_removed_lines",
+            "rw_removed_chars",
+            "rw_total_chars",
+            "rw_keep",
+        )
+
     def q_toxicity_filter(spark, sf_dir):
         # document-level toxicity drop signal: lexicon hit count over
         # word count compared in exact integer arithmetic (no float at
@@ -1632,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "dup_text_fractions": q_dup_text_fractions,
         "fineweb_quality": q_fineweb_quality,
+        "refinedweb_lines": q_refinedweb_lines,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2374,6 +2417,70 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # RefinedWeb line corrections: same synthetic page, same artifact
+    # regexes, same integer-exact 5% keep rule. The removed() predicate
+    # is inlined twice (kept filter + char accounting), matching the
+    # operator's single predicate.
+    _rw_removed = (
+        "(regexp_matches(l, '^[^a-z]*[A-Z][^a-z]*$')"
+        " OR regexp_matches(l,"
+        " '^[0-9.,%$€£+\\-/:\\s]*[0-9][0-9.,%$€£+\\-/:\\s]*$')"
+        " OR regexp_matches(l, '(?i)^[0-9.,]+[kKmM]?\\s+"
+        "(likes?|comments?|shares?|views?|retweets?|upvotes?|followers?)$')"
+        " OR regexp_matches(l, '(?i)^(home|menu|sign in|log in|login|logout"
+        "|register|subscribe|share|reply|next|previous|read more|search"
+        "|contact us|about us|skip to content|back to top)\\s*[»>:]?$'))"
+    )
+    sqls["refinedweb_lines"] = f"""
+        WITH seg AS (
+          SELECT doc_id,
+            coalesce(array_to_string(w[1:7], ' '), '') AS s17,
+            coalesce(array_to_string(w[8:13], ' '), '') AS s86,
+            coalesce(array_to_string(w[2:7], ' '), '') AS s26,
+            coalesce(array_to_string(w[3:10], ' '), '') AS s38
+          FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents)
+        ), pages AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              s17 || ' alpha.',
+              CASE WHEN doc_id % 3 = 0 THEN 'MENU NAVIGATION BAR'
+                   ELSE s86 || ' beta.' END,
+              CASE WHEN doc_id % 4 = 1
+                   THEN CAST(doc_id * 7 AS VARCHAR) || ' likes'
+                   ELSE s26 || ' gamma.' END,
+              CASE WHEN doc_id % 5 = 2 THEN 'Sign in'
+                   ELSE s38 || ' delta.' END)
+            || CASE WHEN doc_id % 6 = 3 THEN chr(10) || '1,234'
+                    ELSE '' END AS text
+          FROM seg
+        ), base AS (
+          SELECT doc_id,
+            list_filter(list_transform(
+              regexp_split_to_array(text, '\\r\\n|\\r|\\n'),
+              x -> trim(x)), x -> x <> '') AS lines
+          FROM pages
+        ), split2 AS (
+          SELECT doc_id, lines,
+            list_filter(lines, l -> NOT {_rw_removed}) AS kept,
+            coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+              AS total_chars
+          FROM base
+        )
+        SELECT doc_id,
+          array_to_string(kept, chr(10)) AS rw_text,
+          CAST(len(lines) AS BIGINT) AS rw_n_lines,
+          CAST(len(lines) - len(kept) AS BIGINT) AS rw_n_removed_lines,
+          CAST(total_chars
+               - coalesce(list_sum(list_transform(kept, x -> length(x))), 0)
+               AS BIGINT) AS rw_removed_chars,
+          CAST(total_chars AS BIGINT) AS rw_total_chars,
+          (100 * (total_chars
+                  - coalesce(list_sum(list_transform(kept, x -> length(x))),
+                             0))
+           <= 5 * total_chars) AS rw_keep
+        FROM split2
     """
     # FineWeb custom rules: same synthetic page, same counters, same
     # exact-integer decisions in the published rule order

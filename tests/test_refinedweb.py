@@ -1,0 +1,65 @@
+# -*- coding: utf-8 -*-
+"""RefinedWeb line-wise corrections (operators/refinedweb.py)."""
+
+from dss_plugin_nlp_preparation_spark.operators.refinedweb import (
+    refinedweb_line_correct,
+)
+
+
+def test_artifact_lines_removed(spark):
+    text = (
+        "BREAKING NEWS ALERT\n"
+        "A perfectly normal sentence about the actual article content.\n"
+        "42 likes\n"
+        "1,204 views\n"
+        "3.2k shares\n"
+        "Sign in\n"
+        "Read more »\n"
+        "2024-01-01 12:00:00\n"
+        "Another normal sentence that carries genuine information here.\n"
+        "100%\n"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = refinedweb_line_correct(df).collect()[0]
+    kept_lines = row["rw_text"].split("\n")
+    assert kept_lines == [
+        "A perfectly normal sentence about the actual article content.",
+        "Another normal sentence that carries genuine information here.",
+    ]
+    assert row["rw_n_lines"] == 10 and row["rw_n_removed_lines"] == 8
+    assert not row["rw_keep"]  # far more than 5% removed
+
+
+def test_keep_threshold_is_integer_exact(spark):
+    # removed chars == exactly 5% of total -> keep; one more char -> drop
+    body = "x" * 93 + "s."  # kept line, 95 chars
+    keep_text = body + "\nAB CD"  # removed caps line: 5 of 100 chars
+    drop_text = body + "\nAB CDE"  # 6 of 101 -> 100*6 > 5*101
+    df = spark.createDataFrame(
+        [("keep", keep_text), ("drop", drop_text)], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r for r in refinedweb_line_correct(df).collect()}
+    assert out["keep"]["rw_keep"] and out["keep"]["rw_removed_chars"] == 5
+    assert not out["drop"]["rw_keep"]
+
+
+def test_clean_doc_untouched(spark):
+    text = (
+        "First real sentence with mixed case words.\n"
+        "Second real sentence, also fine — has 2 digits but letters too."
+    )
+    df = spark.createDataFrame([(1, text), (2, None), (3, "")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in refinedweb_line_correct(df).collect()}
+    assert out[1]["rw_text"] == text and out[1]["rw_keep"]
+    assert out[1]["rw_n_removed_lines"] == 0
+    for i in (2, 3):
+        assert out[i]["rw_text"] == "" and out[i]["rw_keep"]
+
+
+def test_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
+    plan = (
+        refinedweb_line_correct(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
