@@ -113,6 +113,10 @@ def quality_filter_pipeline(
     with_compression_ratio: bool = False,
     with_gopher_rules: bool = False,
     with_toxicity_filter: bool = False,
+    with_c4_rules: bool = False,
+    with_fineweb_rules: bool = False,
+    with_refinedweb_corrections: bool = False,
+    with_dup_text_fractions: bool = False,
 ) -> DataFrame:
     """pages -> pages + lang_detected/effective_lang + signals + keep/drop.
 
@@ -233,6 +237,30 @@ def quality_filter_pipeline(
         )
 
         df = add_toxicity_signal(df, text_column="text")
+    if with_c4_rules:
+        from dss_plugin_nlp_preparation_spark.operators.c4 import (
+            add_c4_line_filter,
+        )
+
+        df = add_c4_line_filter(df, text_column="text")
+    if with_fineweb_rules:
+        from dss_plugin_nlp_preparation_spark.operators.fineweb import (
+            add_fineweb_filter,
+        )
+
+        df = add_fineweb_filter(df, text_column="text")
+    if with_refinedweb_corrections:
+        from dss_plugin_nlp_preparation_spark.operators.refinedweb import (
+            refinedweb_line_correct,
+        )
+
+        df = refinedweb_line_correct(df, text_column="text")
+    if with_dup_text_fractions:
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_duplicate_text_fractions,
+        )
+
+        df = add_duplicate_text_fractions(df, text_column="text")
     return _maybe_classify(df, classifier_model)
 
 

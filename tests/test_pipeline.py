@@ -153,9 +153,14 @@ def test_pipeline_opt_in_extended_signals(spark):
         with_compression_ratio=True,
         with_gopher_rules=True,
         with_toxicity_filter=True,
+        with_c4_rules=True,
+        with_fineweb_rules=True,
+        with_refinedweb_corrections=True,
+        with_dup_text_fractions=True,
     )
     added = set(ext.columns) - set(base.columns)
-    assert {"compression_ratio", "gopher_quality_keep", "tox_keep"} <= added
+    assert {"compression_ratio", "gopher_quality_keep", "tox_keep",
+            "c4_keep", "fineweb_keep", "rw_keep", "dup_text_keep"} <= added
     # the rule-based decision is annotated, never altered
     a = base.select("url", "keep")
     b = ext.select("url", "keep")
