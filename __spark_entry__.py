@@ -1203,6 +1203,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_luhn_card_scrub(spark, sf_dir):
+        # Luhn-validated card masking: each doc gets a deterministic
+        # 16-digit candidate (validity varies by checksum) and every
+        # 5th doc a known-valid formatted card; both renderings replay
+        # the same candidate regex + Luhn arithmetic + literal-replace
+        # fold; full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            scrub_credit_cards,
+        )
+
+        d = _docs(spark, sf_dir)
+        w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        did = F.col("doc_id")
+        card = F.lpad(
+            ((did * 1234567 + 37) % F.lit(10000000000000000)).cast("string"),
+            16,
+            "0",
+        )
+        page = F.concat(
+            F.array_join(F.slice(w, 1, 6), " "),
+            F.lit(" card "),
+            card,
+            F.lit(" end."),
+            F.when(
+                (did % 5) == 0, F.lit(" Pay 4111 1111 1111 1111 now.")
+            ).otherwise(F.lit("")),
+        )
+        pages = d.select("doc_id", page.alias("text"))
+        return scrub_credit_cards(pages).select(
+            "doc_id", "cc_scrubbed_text", "n_card_candidates", "n_cards_valid"
+        )
+
     def q_toxicity_filter(spark, sf_dir):
         # document-level toxicity drop signal: lexicon hit count over
         # word count compared in exact integer arithmetic (no float at
@@ -1675,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_text_fractions": q_dup_text_fractions,
         "fineweb_quality": q_fineweb_quality,
         "refinedweb_lines": q_refinedweb_lines,
+        "luhn_card_scrub": q_luhn_card_scrub,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2417,6 +2450,47 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # Luhn-validated card scrub: same synthetic card construction, same
+    # candidate regex, same Luhn arithmetic, same literal-replace fold
+    # (list_reduce seeded by prepending the text itself)
+    _cc_digits = "replace(replace(c, ' ', ''), '-', '')"
+    _luhn = (
+        f"(list_sum(list_transform(range(1, length({_cc_digits}) + 1),"
+        f" i -> CASE WHEN (length({_cc_digits}) - i) % 2 = 1"
+        f" THEN CASE WHEN (ascii(substr({_cc_digits}, CAST(i AS INT), 1)) - 48) * 2 > 9"
+        f" THEN (ascii(substr({_cc_digits}, CAST(i AS INT), 1)) - 48) * 2 - 9"
+        f" ELSE (ascii(substr({_cc_digits}, CAST(i AS INT), 1)) - 48) * 2 END"
+        f" ELSE ascii(substr({_cc_digits}, CAST(i AS INT), 1)) - 48 END)) % 10 = 0)"
+    )
+    sqls["luhn_card_scrub"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+            coalesce(array_to_string(w[1:6], ' '), '') || ' card ' ||
+            lpad(CAST((doc_id * 1234567 + 37) % 10000000000000000
+                      AS VARCHAR), 16, '0') || ' end.' ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN ' Pay 4111 1111 1111 1111 now.' ELSE '' END AS text
+          FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents)
+        ), base AS (
+          SELECT doc_id, text,
+            list_distinct(regexp_extract_all(text,
+              '\\b(?:\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}|\\d{{16}})\\b'))
+              AS cands
+          FROM pages
+        ), val AS (
+          SELECT doc_id, text, cands,
+                 list_filter(cands, c -> {_luhn}) AS valid
+          FROM base
+        )
+        SELECT doc_id,
+          list_reduce(list_prepend(text, valid),
+                      (acc, x) -> replace(acc, x, '[CARD]'))
+            AS cc_scrubbed_text,
+          CAST(len(cands) AS BIGINT) AS n_card_candidates,
+          CAST(len(valid) AS BIGINT) AS n_cards_valid
+        FROM val
     """
     # RefinedWeb line corrections: same synthetic page, same artifact
     # regexes, same integer-exact 5% keep rule. The removed() predicate

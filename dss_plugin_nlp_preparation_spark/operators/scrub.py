@@ -63,6 +63,69 @@ def scrub_text(df: DataFrame, text_column: str = "text") -> DataFrame:
     )
 
 
+# candidate card shapes: 4 groups of 4 digits separated by space/dash,
+# or 16 contiguous digits. Deliberately loose (mixed separators match
+# too) and written without backreferences so RE2 engines replay it —
+# Luhn validation, not the regex, carries the precision.
+CARD_CANDIDATE_RE = r"\b(?:\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}|\d{16})\b"
+
+
+def _luhn_ok(cand: Column) -> Column:
+    """Luhn checksum over the candidate's digits (native expressions).
+
+    Standard algorithm: from the rightmost digit, double every second
+    digit, subtract 9 from doubles above 9, valid iff the sum is
+    divisible by 10."""
+    d = F.regexp_replace(cand, r"[^0-9]", "")
+    n = F.length(d)
+
+    def step(acc, i):
+        digit = F.ascii(F.substring(d, i, 1)) - 48
+        # position from the right; even positions are doubled
+        doubled = digit * 2
+        contrib = F.when(
+            ((n - i) % 2) == 1,
+            F.when(doubled > 9, doubled - 9).otherwise(doubled),
+        ).otherwise(digit)
+        return acc + contrib
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0).cast("long"), step
+    )
+    return (total % 10) == 0
+
+
+def scrub_credit_cards(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "cc_scrubbed_text",
+) -> DataFrame:
+    """Luhn-validated card masking: only candidates whose checksum
+    verifies are replaced (a 16-digit order id or date range survives).
+
+    Spark-first shape: ``regexp_extract_all`` pulls the candidates,
+    native arithmetic validates each, and a fold of literal ``replace``
+    over the validated set masks them — one narrow projection, zero
+    shuffle, zero Python. Appends ``n_card_candidates`` /
+    ``n_cards_valid`` beside the masked text; the input column is never
+    modified (byte-identity invariant)."""
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    cands = F.array_distinct(
+        F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_RE), 0)
+    )
+    valid = F.filter(cands, _luhn_ok)
+    scrubbed = F.aggregate(
+        valid,
+        text,
+        lambda acc, c: F.replace(acc, c, F.lit("[CARD]")),
+    )
+    return (
+        df.withColumn(output_column, scrubbed)
+        .withColumn("n_card_candidates", F.size(cands))
+        .withColumn("n_cards_valid", F.size(valid))
+    )
+
+
 def add_toxicity_signal(
     df: DataFrame,
     text_column: str = "text",

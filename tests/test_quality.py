@@ -157,3 +157,63 @@ class TestGopherQualityFilter:
         assert not out[5]["gopher_quality_keep"]
         assert not out[6]["gopher_quality_keep"]  # empty: below min_words
         assert out[6]["g_n_words"] == 0
+
+
+class TestLuhnCardScrub:
+    def test_valid_cards_masked_invalid_survive(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            scrub_credit_cards,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "Pay with 4111 1111 1111 1111 today."),     # Luhn-valid
+                (2, "Order id 4111 1111 1111 1112 shipped."),   # invalid
+                (3, "Card 4532015112830366 on file."),          # valid, contiguous
+                (4, "Dash 5555-5555-5555-4444 works."),         # valid, dashes
+                (5, "Longer 41111111111111111 digit run."),     # 17 digits: no candidate
+                (6, None),
+                (7, "Twice 4111 1111 1111 1111 and 4111 1111 1111 1111."),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in scrub_credit_cards(df).collect()}
+        assert out[1]["cc_scrubbed_text"] == "Pay with [CARD] today."
+        assert out[1]["n_card_candidates"] == 1 and out[1]["n_cards_valid"] == 1
+        assert "4111 1111 1111 1112" in out[2]["cc_scrubbed_text"]
+        assert out[2]["n_cards_valid"] == 0
+        assert out[3]["cc_scrubbed_text"] == "Card [CARD] on file."
+        assert out[4]["cc_scrubbed_text"] == "Dash [CARD] works."
+        assert out[5]["n_card_candidates"] == 0
+        assert out[6]["cc_scrubbed_text"] == ""
+        # repeated card: one distinct candidate, both occurrences masked
+        assert out[7]["cc_scrubbed_text"] == "Twice [CARD] and [CARD]."
+        assert out[7]["n_card_candidates"] == 1
+
+    def test_luhn_against_python_reference(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            scrub_credit_cards,
+        )
+
+        def luhn_ok(num):
+            ds = [int(c) for c in num][::-1]
+            return sum(d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+                       for i, d in enumerate(ds)) % 10 == 0
+
+        nums = [str(4000000000000000 + k * 7919) for k in range(50)]
+        rows = [(i, f"n {n} .") for i, n in enumerate(nums)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in scrub_credit_cards(df).collect()}
+        for i, n in enumerate(nums):
+            assert out[i]["n_cards_valid"] == (1 if luhn_ok(n) else 0), n
+
+    def test_plan_is_shuffle_free(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            scrub_credit_cards,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (
+            scrub_credit_cards(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
