@@ -1203,6 +1203,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_filter_funnel(spark, sf_dir):
+        # curation funnel report over two integer-exact families on the
+        # raw documents table; the SQL oracle composes the same two
+        # oracle queries as CTEs, so both renderings share one spec
+        from dss_plugin_nlp_preparation_spark.operators.funnel import (
+            keep_funnel,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.quality import (
+            add_gopher_quality_filter,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            add_toxicity_signal,
+        )
+
+        df = add_gopher_quality_filter(_docs(spark, sf_dir), min_words=10)
+        df = add_toxicity_signal(df)
+        return keep_funnel(
+            df,
+            {
+                "gopher_quality": F.col("gopher_quality_keep"),
+                "toxicity": F.col("tox_keep"),
+            },
+        )
+
     def q_luhn_card_scrub(spark, sf_dir):
         # Luhn-validated card masking: each doc gets a deterministic
         # 16-digit candidate (validity varies by checksum) and every
@@ -1708,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fineweb_quality": q_fineweb_quality,
         "refinedweb_lines": q_refinedweb_lines,
         "luhn_card_scrub": q_luhn_card_scrub,
+        "filter_funnel": q_filter_funnel,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2643,6 +2668,26 @@ def oracle_sql() -> dict[str, str]:
                  <= len(regexp_extract_all(coalesce(text, ''), '\\S+')) * 1
                  AS tox_keep
         FROM documents
+    """
+    # curation funnel: composes the gopher_quality and toxicity_filter
+    # oracles as CTEs — one spec, two renderings
+    sqls["filter_funnel"] = f"""
+        WITH gq AS ({sqls["gopher_quality"]}),
+             tox AS ({sqls["toxicity_filter"]}),
+             j AS (SELECT gq.gopher_quality_keep AS k1, tox.tox_keep AS k2
+                   FROM gq JOIN tox ON gq.doc_id = tox.doc_id)
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'gopher_quality' AS stage,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pass_alone,
+               CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_survivors
+        FROM j
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'toxicity', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM j
     """
     sqls["host_boilerplate"] = """
         WITH d AS (

@@ -1,0 +1,60 @@
+# -*- coding: utf-8 -*-
+"""Curation funnel report: how much does each filter family cost?
+
+Every large-scale corpus run needs the per-rule accounting the published
+pipelines report (C4, Gopher Table A1, RefinedWeb Fig. 2, FineWeb §3
+all publish exactly this): for an ordered set of keep conditions, how
+many documents pass each rule *alone* and how many survive the rules
+*cumulatively* in order. This operator turns any dict of boolean keep
+columns into that report.
+
+100-TB shape: ONE projection computes every flag on the same scan the
+signals already ride, then ONE global aggregate of integer sums (the
+partial aggregation collapses each task to a single row — bytes on the
+wire are #stages * 16 regardless of corpus size), and the stage rows
+are exploded from that single row driver-side-free. No per-stage jobs,
+no repeated scans, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def keep_funnel(df: DataFrame, stages: dict) -> DataFrame:
+    """``stages``: ordered ``{stage_name: boolean Column}`` (insertion
+    order is the funnel order; NULL flags count as False).
+
+    Returns one row per stage:
+    ``(stage_idx, stage, n_total, n_pass_alone, n_survivors)`` where
+    ``n_pass_alone`` counts documents passing that rule in isolation and
+    ``n_survivors`` counts documents passing every rule up to and
+    including it.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    cum = F.lit(True)
+    for i, (name, cond) in enumerate(stages.items()):
+        flag = F.coalesce(cond, F.lit(False))
+        cum = cum & flag
+        aggs.append(F.sum(flag.cast("long")).alias(f"__pass_{i}"))
+        aggs.append(F.sum(cum.cast("long")).alias(f"__cum_{i}"))
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"__pass_{i}").alias("n_pass_alone"),
+            F.col(f"__cum_{i}").alias("n_survivors"),
+        )
+        for i, name in enumerate(stages)
+    ]
+    return row.select(
+        F.col("n_total"), F.explode(F.array(*entries)).alias("s")
+    ).select(
+        F.col("s.stage_idx").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("n_total"),
+        F.col("s.n_pass_alone").alias("n_pass_alone"),
+        F.col("s.n_survivors").alias("n_survivors"),
+    )

@@ -1,0 +1,77 @@
+# -*- coding: utf-8 -*-
+"""Curation funnel report (operators/funnel.py)."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.funnel import keep_funnel
+
+
+def test_funnel_counts(spark):
+    df = spark.createDataFrame(
+        [
+            # (id, a, b, c)
+            (1, True, True, True),
+            (2, True, False, True),
+            (3, False, True, True),
+            (4, True, True, False),
+            (5, None, True, True),  # NULL flag counts as False
+        ],
+        "doc_id long, a boolean, b boolean, c boolean",
+    )
+    out = {
+        r["stage"]: r.asDict()
+        for r in keep_funnel(
+            df, {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+        ).collect()
+    }
+    assert out["a"]["stage_idx"] == 1 and out["a"]["n_total"] == 5
+    assert out["a"]["n_pass_alone"] == 3 and out["a"]["n_survivors"] == 3
+    assert out["b"]["n_pass_alone"] == 4 and out["b"]["n_survivors"] == 2
+    assert out["c"]["n_pass_alone"] == 4 and out["c"]["n_survivors"] == 1
+
+
+def test_funnel_over_real_filter_families(spark):
+    from dss_plugin_nlp_preparation_spark.operators.c4 import add_c4_line_filter
+    from dss_plugin_nlp_preparation_spark.operators.fineweb import (
+        add_fineweb_filter,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.refinedweb import (
+        refinedweb_line_correct,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.repetition import (
+        add_duplicate_text_fractions,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 40, 4)
+    df = add_c4_line_filter(pages)
+    df = add_fineweb_filter(df)
+    df = refinedweb_line_correct(df)
+    df = add_duplicate_text_fractions(df)
+    out = keep_funnel(
+        df,
+        {
+            "c4": F.col("c4_keep"),
+            "fineweb": F.col("fineweb_keep"),
+            "refinedweb": F.col("rw_keep"),
+            "dup_text": F.col("dup_text_keep"),
+        },
+    ).collect()
+    assert [r["stage_idx"] for r in out] == [1, 2, 3, 4]
+    assert all(r["n_total"] == 40 for r in out)
+    # cumulative survivors are monotonically non-increasing and bounded
+    surv = [r["n_survivors"] for r in out]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(r["n_survivors"] <= r["n_pass_alone"] for r in out)
+
+
+def test_single_aggregate_plan(spark):
+    df = spark.createDataFrame([(1, True)], "doc_id long, k boolean")
+    plan = (
+        keep_funnel(df, {"k": F.col("k")})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one partial+final aggregate pair, nothing else heavy
+    assert plan.count("Exchange") <= 1
