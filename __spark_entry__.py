@@ -1227,6 +1227,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             },
         )
 
+    def q_clean_invisible(spark, sf_dir):
+        # unicode hygiene: both renderings pollute the documents text
+        # with the same doc_id-driven invisible characters (ZWSP, NBSP,
+        # ideographic space, BEL, soft hyphen), then replay the three
+        # pattern classes verbatim; full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.invisible import (
+            clean_invisible,
+        )
+
+        d = _docs(spark, sf_dir)
+        w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        did = F.col("doc_id")
+
+        def seg(a, n):
+            return F.array_join(F.slice(w, a, n), " ")
+
+        page = F.concat(
+            seg(1, 5),
+            F.lit("\u200b"),
+            seg(6, 4),
+            F.lit(" \u00a0"),
+            seg(10, 4),
+            F.lit("\u3000tail"),
+            F.when((did % 3) == 0, F.lit("\x07x")).otherwise(F.lit("")),
+            F.when((did % 4) == 1, F.lit("\u00ad")).otherwise(F.lit("")),
+            F.lit(" end."),
+        )
+        pages = d.select("doc_id", page.alias("text"))
+        return clean_invisible(pages).select(
+            "doc_id",
+            "clean_text_inv",
+            "n_zero_width",
+            "n_exotic_spaces",
+            "n_controls",
+        )
+
     def q_luhn_card_scrub(spark, sf_dir):
         # Luhn-validated card masking: each doc gets a deterministic
         # 16-digit candidate (validity varies by checksum) and every
@@ -1733,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refinedweb_lines": q_refinedweb_lines,
         "luhn_card_scrub": q_luhn_card_scrub,
         "filter_funnel": q_filter_funnel,
+        "clean_invisible": q_clean_invisible,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2475,6 +2512,41 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # unicode hygiene: same pollution construction (chr() codepoints),
+    # same three pattern classes — replayed verbatim with the 'g' flag
+    # (Spark regexp_replace is global by default, DuckDB is not)
+    from dss_plugin_nlp_preparation_spark.operators.invisible import (
+        CONTROL_RE,
+        EXOTIC_SPACE_RE,
+        ZERO_WIDTH_RE,
+    )
+
+    sqls["clean_invisible"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+            coalesce(array_to_string(w[1:5], ' '), '') || chr(8203) ||
+            coalesce(array_to_string(w[6:9], ' '), '') || ' ' || chr(160) ||
+            coalesce(array_to_string(w[10:13], ' '), '') ||
+            chr(12288) || 'tail' ||
+            CASE WHEN doc_id % 3 = 0 THEN chr(7) || 'x' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 1 THEN chr(173) ELSE '' END ||
+            ' end.' AS text
+          FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents)
+        )
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '{ZERO_WIDTH_RE}', '', 'g'),
+            '{EXOTIC_SPACE_RE}', ' ', 'g'),
+            '{CONTROL_RE}', '', 'g') AS clean_text_inv,
+          CAST(len(regexp_extract_all(text, '{ZERO_WIDTH_RE}')) AS BIGINT)
+            AS n_zero_width,
+          CAST(len(regexp_extract_all(text, '{EXOTIC_SPACE_RE}')) AS BIGINT)
+            AS n_exotic_spaces,
+          CAST(len(regexp_extract_all(text, '{CONTROL_RE}')) AS BIGINT)
+            AS n_controls
+        FROM pages
     """
     # Luhn-validated card scrub: same synthetic card construction, same
     # candidate regex, same Luhn arithmetic, same literal-replace fold

@@ -653,6 +653,41 @@ def main() -> int:
         .count(),
     )
 
+    def _web_rules():
+        # the whole round-4 rule family set fused on one scan: C4 cascade
+        # + FineWeb rules + RefinedWeb corrections + Gopher dup fractions
+        # + Luhn card scrub — all narrow JVM projections, zero shuffle
+        from dss_plugin_nlp_preparation_spark.operators.c4 import (
+            add_c4_line_filter,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.fineweb import (
+            add_fineweb_filter,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.refinedweb import (
+            refinedweb_line_correct,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.repetition import (
+            add_duplicate_text_fractions,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            scrub_credit_cards,
+        )
+
+        d = add_c4_line_filter(pages)
+        d = add_fineweb_filter(d)
+        d = refinedweb_line_correct(d)
+        d = add_duplicate_text_fractions(d)
+        d = scrub_credit_cards(d)
+        return d.select(
+            F.sum(F.col("c4_keep").cast("long")),
+            F.sum(F.col("fineweb_keep").cast("long")),
+            F.sum(F.col("rw_keep").cast("long")),
+            F.sum(F.col("dup_text_keep").cast("long")),
+            F.sum("n_cards_valid"),
+        ).collect()
+
+    timed_extra("web_rules_fused", _web_rules)
+
     from dss_plugin_nlp_preparation_spark.sources.warc import (
         ensure_synthetic_warc,
         read_warc,
@@ -738,6 +773,10 @@ def main() -> int:
             storm_retries += 1
     for name, ts in extra_times.items():
         extras[f"{name}_sec"] = min(ts)
+    if "web_rules_fused_sec" in extras:
+        extras["web_rules_docs_per_sec"] = round(
+            n_pages / extras["web_rules_fused_sec"], 1
+        )
     extras["html_extract_docs_per_sec"] = round(
         n_pages / extras["html_extract_sec"], 1
     )

@@ -1,0 +1,55 @@
+# -*- coding: utf-8 -*-
+"""Unicode hygiene (operators/invisible.py)."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.invisible import clean_invisible
+
+
+def test_zero_width_and_controls_removed(spark):
+    text = (
+        "zero\u200bwidth\u200c joined\u200d here\u2060 bom\ufeff "
+        "soft\u00adhyphen dir\u200e marks\u200f"
+    )
+    ctl = "bell\x07 del\x7f c1\x85 keep\ttab\nnewline"
+    df = spark.createDataFrame(
+        [(1, text), (2, ctl)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in clean_invisible(df).collect()}
+    assert out[1]["clean_text_inv"] == (
+        "zerowidth joined here bom softhyphen dir marks"
+    )
+    assert out[1]["n_zero_width"] == 8
+    assert out[2]["clean_text_inv"] == "bell del c1 keep\ttab\nnewline"
+    assert out[2]["n_controls"] == 3
+
+
+def test_exotic_spaces_normalized(spark):
+    text = "a\u00a0b\u2003c\u202fd\u3000e\u205ff"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = clean_invisible(df).collect()[0]
+    assert row["clean_text_inv"] == "a b c d e f"
+    assert row["n_exotic_spaces"] == 5
+
+
+def test_clean_text_is_fixed_point_and_total(spark):
+    df = spark.createDataFrame(
+        [(1, "plain ascii stays untouched."), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in clean_invisible(df).collect()}
+    assert out[1]["clean_text_inv"] == "plain ascii stays untouched."
+    assert out[1]["n_zero_width"] == 0 and out[1]["n_controls"] == 0
+    assert out[2]["clean_text_inv"] == "" and out[3]["clean_text_inv"] == ""
+    # idempotent: cleaning the cleaned column changes nothing
+    df2 = clean_invisible(df).select(
+        "doc_id", F.col("clean_text_inv").alias("text")
+    )
+    out2 = {r["doc_id"]: r for r in clean_invisible(df2).collect()}
+    assert out2[1]["clean_text_inv"] == out[1]["clean_text_inv"]
+
+
+def test_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = clean_invisible(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
