@@ -38,6 +38,7 @@ def crawl_to_corpus(
     drop_noindex_pages: bool = True,
     wet_partitions: int | None = None,
     with_wat: bool = False,
+    repair_encoding: bool = False,
 ) -> dict:
     """Run the whole crawl→corpus job under ``work_dir``; returns stats.
 
@@ -75,6 +76,29 @@ def crawl_to_corpus(
     if drop_noindex_pages:
         pages = drop_noindex(pages)
 
+    if repair_encoding:
+        # mojibake repair + invisible-char hygiene run BEFORE LID,
+        # hashing and scoring so a corrupted copy re-collides with its
+        # clean twin in every downstream signature; both are total,
+        # shuffle-free maps
+        from dss_plugin_nlp_preparation_spark.operators.encoding import (
+            fix_encoding,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.invisible import (
+            clean_invisible_expr,
+        )
+
+        pages = (
+            fix_encoding(pages, text_column="text", output_column="__fx_text")
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("__fx_text").isNotNull(),
+                    clean_invisible_expr(F.col("__fx_text")),
+                ),
+            )
+            .drop("__fx_text", "mojibake_passes", "was_mojibake")
+        )
     # Stage 0 (html→text) + Stage A–F; the html payload is pruned from
     # every node past extraction (extract_missing_text masks JVM-side)
     result = quality_filter_pipeline(

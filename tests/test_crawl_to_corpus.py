@@ -46,3 +46,24 @@ def test_crawl_to_corpus_end_to_end(spark, tmp_path):
     assert stats2["skipped_archives"] == 3
     assert stats2["n_keep"] == stats["n_keep"]
     assert stats2["n_wet_records"] == stats["n_wet_records"]
+
+
+def test_repair_encoding_opt_in(spark, tmp_path):
+    # the repair path must not change a clean crawl's keep set
+    from dss_plugin_nlp_preparation_spark.plans.crawl_to_corpus import (
+        crawl_to_corpus,
+    )
+    warc_dir = str(tmp_path / "warc")
+    synthesize_warc_files(warc_dir, n_rows=60, n_files=2)
+    base = crawl_to_corpus(
+        spark, warc_dir, str(tmp_path / "a"), with_perplexity=False
+    )
+    fixed = crawl_to_corpus(
+        spark,
+        warc_dir,
+        str(tmp_path / "b"),
+        with_perplexity=False,
+        repair_encoding=True,
+    )
+    assert fixed["n_keep"] == base["n_keep"]
+    assert fixed["n_wet_records"] == base["n_wet_records"]
