@@ -89,6 +89,36 @@ def main() -> int:
         )
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.c4 import add_c4_line_filter
+    from dss_plugin_nlp_preparation_spark.operators.fineweb import (
+        add_fineweb_filter,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.refinedweb import (
+        refinedweb_line_correct,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.repetition import (
+        add_duplicate_text_fractions,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.scrub import (
+        scrub_credit_cards,
+    )
+
+    fused = scrub_credit_cards(
+        add_duplicate_text_fractions(
+            refinedweb_line_correct(
+                add_fineweb_filter(add_c4_line_filter(docs))
+            )
+        )
+    )
+    sections.append(
+        (
+            "web rule families fused (C4 + FineWeb + RefinedWeb + dup "
+            "fractions + Luhn scrub: ONE projection over the scan, zero "
+            "Exchange, zero Python)",
+            _explain(fused),
+        )
+    )
+
     from dss_plugin_nlp_preparation_spark.operators.boilerplate import (
         remove_boilerplate,
     )
