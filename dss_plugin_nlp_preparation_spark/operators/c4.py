@@ -56,12 +56,17 @@ C4_POLICY_SUBSTRINGS = (
 
 
 def _candidate(line: Column, min_words_per_line: int, max_word_length: int) -> Column:
-    """Rules 1-3: word-length cap, terminal punctuation, minimum words."""
+    """Rules 1-3: word-length cap, terminal punctuation, minimum words.
+
+    Ordered cheapest-and-most-selective first — Catalyst's And
+    short-circuits, so the O(1) last-character test gates the regex
+    scans (most web-page lines fail it); conjunction order does not
+    change the semantics."""
     return (
-        (~line.rlike(r"\S{%d}" % (max_word_length + 1)))
-        & line.rlike(C4_END_MARKS_RE)
+        F.substring(line, -1, 1).isin(".", "!", "?", '"')
         & (~line.endswith(C4_ELLIPSIS))
         & (F.regexp_count(line, F.lit(r"\S+")) >= min_words_per_line)
+        & (~line.rlike(r"\S{%d}" % (max_word_length + 1)))
     )
 
 

@@ -54,7 +54,13 @@ def add_fineweb_filter(
         F.split(text, r"\n", -1), lambda l: F.trim(l) != ""
     )
     n_lines = F.size(lines)
-    n_punct = F.size(F.filter(lines, lambda l: l.rlike(FINEWEB_STOP_CHARS_RE)))
+    # O(1) last-character test — same set as FINEWEB_STOP_CHARS_RE
+    n_punct = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, -1, 1).isin(".", "'", '"', "!", "?"),
+        )
+    )
     n_short = F.size(
         F.filter(lines, lambda l: F.length(l) <= FINEWEB_SHORT_LINE_LENGTH)
     )
