@@ -152,3 +152,32 @@ def test_plan_is_shuffle_free(spark):
     plan = add_c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_randomized_cross_check(spark):
+    # 300 seeded random pages through the Spark op vs the pure-Python
+    # reference — one DataFrame, one collect
+    import random
+
+    rng = random.Random(20260819)
+    words = ["alpha", "beta", "Gamma", "delta9", "x" * 1001, "{brace}",
+             "javascript", "Lorem", "ipsum", "cookie", "policy", "…", '"q"']
+    tails = [".", "!", "?", '"', "...", "", " ", ";"]
+    pages = []
+    for _ in range(300):
+        lines = []
+        for _ in range(rng.randint(0, 12)):
+            n = rng.randint(0, 9)
+            line = " " * rng.randint(0, 2) + " ".join(
+                rng.choice(words) for _ in range(n)
+            ) + rng.choice(tails)
+            lines.append(line)
+        pages.append("\n".join(lines))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pages)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in add_c4_line_filter(df).collect()}
+    for i, t in enumerate(pages):
+        want = ref_c4(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, repr(t)[:200])

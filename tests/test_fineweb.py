@@ -97,3 +97,28 @@ def test_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
     plan = add_fineweb_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_randomized_cross_check(spark):
+    import random
+
+    rng = random.Random(20260819)
+    words = ["alpha", "beta", "GammaCaps", "42", "1,204", "likes", "views",
+             "short", "averagely", "longishword", "…"]
+    tails = [".", "!", "?", '"', "'", "", ";", ":"]
+    pages = []
+    for _ in range(300):
+        lines = []
+        for _ in range(rng.randint(0, 10)):
+            n = rng.randint(0, 8)
+            lines.append(
+                " ".join(rng.choice(words) for _ in range(n)) + rng.choice(tails)
+            )
+        pages.append("\n".join(lines))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pages)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in add_fineweb_filter(df).collect()}
+    for i, t in enumerate(pages):
+        want = ref_fineweb(t)
+        assert got[i]["fw_drop_reason"] == want, (i, repr(t)[:200])
