@@ -1203,6 +1203,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_host_prior_filter(spark, sf_dir):
+        # host-level quality prior: hosts + keep flags synthesized the
+        # same way in both renderings; one integer-count aggregate per
+        # host, integer-exact 10% verdict joined back; full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            filter_by_host_prior,
+        )
+
+        did = F.col("doc_id")
+        host = F.when(did % 10 < 4, F.lit("big.example.com")).otherwise(
+            F.concat(F.lit("host"), (did % 23).cast("string"))
+        )
+        keep = F.when(
+            ((did % 23) == 5) & ((did % 10) >= 4), (did % 29) == 0
+        ).otherwise(((did * 13) % 10) < 6)
+        pages = _docs(spark, sf_dir).select(
+            "doc_id", host.alias("host"), keep.alias("keep")
+        )
+        return filter_by_host_prior(
+            pages, host_column="host", min_support=10
+        ).select(
+            "doc_id",
+            "host",
+            "keep",
+            "n_docs_host",
+            "n_keep_host",
+            "host_prior_keep",
+        )
+
     def q_filter_funnel(spark, sf_dir):
         # curation funnel report over two integer-exact families on the
         # raw documents table; the SQL oracle composes the same two
@@ -1770,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_card_scrub": q_luhn_card_scrub,
         "filter_funnel": q_filter_funnel,
         "clean_invisible": q_clean_invisible,
+        "host_prior_filter": q_host_prior_filter,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2512,6 +2542,30 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # host-level quality prior: same host/keep synthesis, same integer
+    # aggregate and 10% verdict
+    sqls["host_prior_filter"] = """
+        WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 < 4 THEN 'big.example.com'
+                 ELSE 'host' || CAST(doc_id % 23 AS VARCHAR) END AS host,
+            CASE WHEN doc_id % 23 = 5 AND doc_id % 10 >= 4
+                 THEN doc_id % 29 = 0
+                 ELSE (doc_id * 13) % 10 < 6 END AS keep
+          FROM documents
+        ), s AS (
+          SELECT host,
+                 CAST(count(*) AS BIGINT) AS n_docs_host,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep_host
+          FROM d GROUP BY host
+        )
+        SELECT d.doc_id, d.host, d.keep, s.n_docs_host, s.n_keep_host,
+               (s.n_docs_host < 10
+                OR s.n_keep_host * 10 >= s.n_docs_host * 1)
+                 AS host_prior_keep
+        FROM d JOIN s ON d.host = s.host
     """
     # unicode hygiene: same pollution construction (chr() codepoints),
     # same three pattern classes — replayed verbatim with the 'g' flag

@@ -395,3 +395,99 @@ def collapse_to_canonical(
         & (keyed[url_column] == best["__rep.u"]),
         "inner",
     ).select(keyed["*"], best["n_variants"])
+
+
+def host_quality_prior(
+    df: DataFrame,
+    keep_column: str = "keep",
+    host_column: str | None = None,
+    url_column: str = "url",
+) -> DataFrame:
+    """Per-host keep statistics: ``(host, n_docs_host, n_keep_host)``.
+
+    The document-level keep decision, aggregated to a host-level prior
+    (RefinedWeb and FineWeb both report host/domain-level curation on
+    top of per-document rules: a host whose pages almost always fail is
+    spam/SEO infrastructure, and its rare "passing" pages are usually
+    false keeps).
+
+    100-TB shape: ONE shuffle of integer counts keyed by host. Host keys
+    are zipfian, but partial aggregation collapses each task's copies of
+    a hot host to one row before the wire — the same property the
+    boilerplate line-DF aggregation relies on; no salting needed because
+    the aggregate is a plain sum, not a top-k sort.
+    """
+    host = (
+        F.col(host_column) if host_column else host_of(F.col(url_column))
+    )
+    return (
+        df.select(
+            host.alias("host"),
+            F.coalesce(F.col(keep_column), F.lit(False)).alias("__k"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_host"),
+            F.sum(F.col("__k").cast("long")).alias("n_keep_host"),
+        )
+    )
+
+
+def filter_by_host_prior(
+    df: DataFrame,
+    keep_column: str = "keep",
+    host_column: str | None = None,
+    url_column: str = "url",
+    min_keep_num: int = 1,
+    min_keep_den: int = 10,
+    min_support: int = 20,
+) -> DataFrame:
+    """Append ``host_prior_keep``: False for documents on hosts with at
+    least ``min_support`` observed documents whose keep rate falls below
+    ``min_keep_num/min_keep_den`` (default 10%).
+
+    The decision is exact integer arithmetic
+    (``n_keep_host * den >= n_docs_host * num``), so the verdict is
+    engine- and partitioning-independent. Small hosts (below
+    ``min_support``) always pass — the prior needs evidence.
+
+    100-TB shape: the host-stats relation from ``host_quality_prior``
+    (one integer shuffle) joins back on the host key. The join is a
+    shuffle hash join on ``host`` — skew-safe under AQE's skew-join
+    splitting because the stats side is one row per host; the corpus
+    never joins against anything bigger than itself.
+    """
+    host = (
+        F.col(host_column) if host_column else host_of(F.col(url_column))
+    )
+    stats = host_quality_prior(
+        df,
+        keep_column=keep_column,
+        host_column=host_column,
+        url_column=url_column,
+    ).withColumn(
+        "__host_ok",
+        (F.col("n_docs_host") < min_support)
+        | (
+            F.col("n_keep_host") * min_keep_den
+            >= F.col("n_docs_host") * min_keep_num
+        ),
+    )
+    out = (
+        df.withColumn("__host", host)
+        .join(
+            stats.select(
+                F.col("host").alias("__host"),
+                "n_docs_host",
+                "n_keep_host",
+                "__host_ok",
+            ),
+            on="__host",
+            how="left",
+        )
+        .withColumn(
+            "host_prior_keep", F.coalesce(F.col("__host_ok"), F.lit(True))
+        )
+        .drop("__host", "__host_ok")
+    )
+    return out

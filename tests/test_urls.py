@@ -449,3 +449,72 @@ class TestCollapseCanonical:
         assert sorted(r["url"] for r in out.collect()) == ["keep", "null-hdr"]
         # without the header column the header directives are invisible
         assert drop_noindex(df).count() == 4
+
+
+class TestHostQualityPrior:
+    def test_prior_and_filter(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            filter_by_host_prior,
+            host_quality_prior,
+        )
+
+        rows = []
+        # spam.example: 30 docs, 1 keep (rate 3% < 10%, support ok) -> drop
+        for i in range(30):
+            rows.append((f"https://spam.example/p{i}", i == 0))
+        # good.example: 30 docs, 20 keeps -> pass
+        for i in range(30):
+            rows.append((f"https://good.example/p{i}", i < 20))
+        # tiny.example: 5 docs, 0 keeps -> below support, passes
+        for i in range(5):
+            rows.append((f"https://tiny.example/p{i}", False))
+        df = spark.createDataFrame(rows, "url string, keep boolean")
+
+        stats = {
+            r["host"]: r
+            for r in host_quality_prior(df).collect()
+        }
+        assert stats["spam.example"]["n_docs_host"] == 30
+        assert stats["spam.example"]["n_keep_host"] == 1
+        assert stats["good.example"]["n_keep_host"] == 20
+
+        out = filter_by_host_prior(df).collect()
+        by_host = {}
+        for r in out:
+            h = r["url"].split("/")[2]
+            by_host.setdefault(h, set()).add(r["host_prior_keep"])
+        assert by_host["spam.example"] == {False}
+        assert by_host["good.example"] == {True}
+        assert by_host["tiny.example"] == {True}
+        # row count preserved, per-host stats attached
+        assert len(out) == 65
+
+    def test_exact_threshold_boundary(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            filter_by_host_prior,
+        )
+
+        # exactly 10%: 2 keeps of 20 -> keep (>=); 1 of 20 -> drop
+        rows = [(f"https://edge.example/p{i}", i < 2) for i in range(20)]
+        rows += [(f"https://under.example/p{i}", i < 1) for i in range(20)]
+        df = spark.createDataFrame(rows, "url string, keep boolean")
+        out = filter_by_host_prior(df).collect()
+        verdicts = {}
+        for r in out:
+            verdicts.setdefault(r["url"].split("/")[2], set()).add(
+                r["host_prior_keep"]
+            )
+        assert verdicts["edge.example"] == {True}
+        assert verdicts["under.example"] == {False}
+
+    def test_null_keep_counts_as_false(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            host_quality_prior,
+        )
+
+        df = spark.createDataFrame(
+            [("https://h.example/a", None), ("https://h.example/b", True)],
+            "url string, keep boolean",
+        )
+        row = host_quality_prior(df).collect()[0]
+        assert row["n_docs_host"] == 2 and row["n_keep_host"] == 1
