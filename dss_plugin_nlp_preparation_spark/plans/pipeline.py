@@ -274,6 +274,29 @@ def _maybe_classify(df: DataFrame, model: DataFrame | None) -> DataFrame:
     return score_with_classifier(df, model)
 
 
+def partition_reason_metrics(result: DataFrame, partition_expr=None) -> DataFrame:
+    """Per-partition drop-reason breakdown for the lineage table:
+    ``(part_id, drop_reason, n_docs)`` with kept documents under the
+    reason ``"kept"``. One integer-count shuffle on (part, reason) —
+    reasons are a small closed set, so the relation stays ~#parts x
+    #reasons rows at any corpus size; feeds the same metadata table as
+    ``partition_metrics`` for run-over-run drift monitoring."""
+    part = (
+        partition_expr
+        if partition_expr is not None
+        else F.pmod(F.xxhash64("url"), F.lit(64))
+    )
+    return (
+        result.groupBy(
+            part.alias("part_id"),
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias(
+                "drop_reason"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def partition_metrics(result: DataFrame, partition_expr=None) -> DataFrame:
     """Per-partition lineage/metrics rows (north_rule): keep/drop counts and
     PII totals keyed by the url-hash partition."""

@@ -167,3 +167,22 @@ def test_pipeline_opt_in_extended_signals(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     row = ext.where("keep").limit(1).collect()[0]
     assert 0.0 <= row["compression_ratio"] <= 2.0
+
+
+def test_partition_reason_metrics(spark):
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        partition_reason_metrics,
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    result = quality_filter_pipeline(
+        synthesize_pages(spark, 80, 4), with_perplexity=False
+    )
+    rows = partition_reason_metrics(result).collect()
+    assert sum(r["n_docs"] for r in rows) == 80
+    reasons = {r["drop_reason"] for r in rows}
+    assert "kept" in reasons and len(reasons) >= 2
+    # kept rows in the breakdown == keep column total
+    n_kept = sum(r["n_docs"] for r in rows if r["drop_reason"] == "kept")
+    assert n_kept == result.where("keep").count()
