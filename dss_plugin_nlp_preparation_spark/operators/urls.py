@@ -354,6 +354,7 @@ def collapse_to_canonical(
     html_column: str = "html",
     ts_column: str = "warc_ts",
     same_host_only: bool = True,
+    keep: str = "earliest",
 ) -> DataFrame:
     """Consolidate crawl variants onto the page's self-declared canonical
     address: rows whose markup carries ``rel=canonical`` group under that
@@ -361,7 +362,9 @@ def collapse_to_canonical(
     canonical declarations are a known spam/hijack vector, so they are
     ignored rather than honored); rows without one group under their own
     URL. One representative survives per canonical key — the earliest
-    crawl, ties broken by URL — plus an ``n_variants`` count.
+    crawl by default (``keep="latest"`` takes the newest: the
+    recrawl/refresh policy where current content supersedes stale
+    snapshots), ties broken by URL — plus an ``n_variants`` count.
 
     Shape: the robots regexp chain rides the scan, then one min(struct)
     aggregate on the canonical key picks (ts, url) of the representative
@@ -382,8 +385,11 @@ def collapse_to_canonical(
     keyed = flagged.withColumn(
         "canonical_key", F.when(usable, canon).otherwise(F.col(url_column))
     ).drop("__cc_noindex", "__cc_nofollow", "__cc_canonical_url")
+    if keep not in ("earliest", "latest"):
+        raise ValueError(f"keep must be 'earliest' or 'latest', got {keep!r}")
+    pick = F.min if keep == "earliest" else F.max
     best = keyed.groupBy("canonical_key").agg(
-        F.min(
+        pick(
             F.struct(F.col(ts_column).alias("t"), F.col(url_column).alias("u"))
         ).alias("__rep"),
         F.count(F.lit(1)).alias("n_variants"),

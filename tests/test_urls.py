@@ -518,3 +518,33 @@ class TestHostQualityPrior:
         )
         row = host_quality_prior(df).collect()[0]
         assert row["n_docs_host"] == 2 and row["n_keep_host"] == 1
+
+
+def test_collapse_to_canonical_latest(spark):
+    from datetime import datetime
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import (
+        collapse_to_canonical,
+    )
+
+    link = b'<link rel="canonical" href="https://ex.com/page">'
+    rows = [
+        ("https://ex.com/page?v=1", datetime(2024, 1, 1), link),
+        ("https://ex.com/page?v=2", datetime(2024, 6, 1), link),
+        ("https://ex.com/other", datetime(2024, 3, 1), b"<p>no canon</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    early = {r["canonical_key"]: r for r in collapse_to_canonical(df).collect()}
+    late = {
+        r["canonical_key"]: r
+        for r in collapse_to_canonical(df, keep="latest").collect()
+    }
+    assert early["https://ex.com/page"]["url"] == "https://ex.com/page?v=1"
+    assert late["https://ex.com/page"]["url"] == "https://ex.com/page?v=2"
+    assert late["https://ex.com/page"]["n_variants"] == 2
+    assert late["https://ex.com/other"]["url"] == "https://ex.com/other"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        collapse_to_canonical(df, keep="newest")
