@@ -95,6 +95,7 @@ def stream_crawl_quality(
     checkpoint_dir: str,
     with_perplexity: bool = False,
     max_files_per_trigger: int = 8,
+    **pipeline_kwargs,
 ):
     """The continuous end-to-end: WARC archives landing in a directory →
     record parse → html→text extraction → the full Stage A–F quality
@@ -116,8 +117,14 @@ def stream_crawl_quality(
         .load(warc_dir)
     )
     pages = warc_to_pages(parse_warc_files(stream))
+    # extra rule families (with_c4_rules, with_fineweb_rules, ...) pass
+    # straight through — every opt-in is a stateless projection, so the
+    # streaming chain stays streaming-safe whatever is enabled
     result = quality_filter_pipeline(
-        pages, extract_missing_text=True, with_perplexity=with_perplexity
+        pages,
+        extract_missing_text=True,
+        with_perplexity=with_perplexity,
+        **pipeline_kwargs,
     )
     return (
         result.writeStream.format("parquet")

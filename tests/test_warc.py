@@ -395,12 +395,15 @@ class TestStreamingCrawlQuality:
         out = str(tmp_path / "scored")
         ckpt = str(tmp_path / "ckpt")
         synthesize_warc_files(crawl, n_rows=30, n_files=2)
-        q = stream_crawl_quality(spark, crawl, out, ckpt)
+        q = stream_crawl_quality(
+            spark, crawl, out, ckpt, with_c4_rules=True, with_fineweb_rules=True
+        )
         q.awaitTermination(180)
         scored = spark.read.parquet(out)
         assert scored.count() == 30
         cols = set(scored.columns)
-        assert {"url", "keep", "scrubbed_text", "effective_lang"} <= cols
+        assert {"url", "keep", "scrubbed_text", "effective_lang",
+                "c4_keep", "fineweb_keep"} <= cols
         # extraction populated text from the archive payloads
         assert scored.where("keep").count() > 0
         assert scored.where(F.length("text") > 0).count() > 0
