@@ -274,6 +274,39 @@ def _maybe_classify(df: DataFrame, model: DataFrame | None) -> DataFrame:
     return score_with_classifier(df, model)
 
 
+# funnel stage order: the rule-based Stage F decision first, then the
+# opt-in families in pipeline order, then the distilled classifier
+PIPELINE_FUNNEL_FLAGS = (
+    ("rules", "keep"),
+    ("compression", "compression_keep"),
+    ("gopher", "gopher_quality_keep"),
+    ("toxicity", "tox_keep"),
+    ("c4", "c4_keep"),
+    ("fineweb", "fineweb_keep"),
+    ("refinedweb", "rw_keep"),
+    ("dup_text", "dup_text_keep"),
+    ("host_prior", "host_prior_keep"),
+    ("classifier", "clf_keep"),
+)
+
+
+def pipeline_funnel(result: DataFrame) -> DataFrame:
+    """Curation funnel over whatever keep flags this pipeline run
+    produced (opt-ins that were off are simply absent): one scan + one
+    tiny integer aggregate via ``operators.funnel.keep_funnel``."""
+    from dss_plugin_nlp_preparation_spark.operators.funnel import keep_funnel
+
+    cols = set(result.columns)
+    stages = {
+        name: F.col(col)
+        for name, col in PIPELINE_FUNNEL_FLAGS
+        if col in cols
+    }
+    if not stages:
+        raise ValueError("no keep-flag columns found on the result")
+    return keep_funnel(result, stages)
+
+
 def partition_reason_metrics(result: DataFrame, partition_expr=None) -> DataFrame:
     """Per-partition drop-reason breakdown for the lineage table:
     ``(part_id, drop_reason, n_docs)`` with kept documents under the

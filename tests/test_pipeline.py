@@ -186,3 +186,25 @@ def test_partition_reason_metrics(spark):
     # kept rows in the breakdown == keep column total
     n_kept = sum(r["n_docs"] for r in rows if r["drop_reason"] == "kept")
     assert n_kept == result.where("keep").count()
+
+
+def test_pipeline_funnel(spark):
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        pipeline_funnel,
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    result = quality_filter_pipeline(
+        synthesize_pages(spark, 60, 4),
+        with_perplexity=False,
+        with_gopher_rules=True,
+        with_c4_rules=True,
+        with_fineweb_rules=True,
+    )
+    rows = pipeline_funnel(result).collect()
+    assert [r["stage"] for r in rows] == ["rules", "gopher", "c4", "fineweb"]
+    assert all(r["n_total"] == 60 for r in rows)
+    surv = [r["n_survivors"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert rows[0]["n_pass_alone"] == result.where("keep").count()
