@@ -22,15 +22,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def keep_funnel(df: DataFrame, stages: dict) -> DataFrame:
+def keep_funnel(
+    df: DataFrame, stages: dict, group_by: str | None = None
+) -> DataFrame:
     """``stages``: ordered ``{stage_name: boolean Column}`` (insertion
     order is the funnel order; NULL flags count as False).
 
-    Returns one row per stage:
-    ``(stage_idx, stage, n_total, n_pass_alone, n_survivors)`` where
-    ``n_pass_alone`` counts documents passing that rule in isolation and
-    ``n_survivors`` counts documents passing every rule up to and
-    including it.
+    Returns one row per stage (per group when ``group_by`` names a
+    column — e.g. a per-language funnel matrix):
+    ``([group,] stage_idx, stage, n_total, n_pass_alone, n_survivors)``
+    where ``n_pass_alone`` counts documents passing that rule in
+    isolation and ``n_survivors`` counts documents passing every rule up
+    to and including it.
+
+    Grouped shape: still ONE aggregate — keyed by the group column
+    (small closed set: languages, sources), so the shuffled relation is
+    #groups rows of integer sums, never documents.
     """
     aggs = [F.count(F.lit(1)).alias("n_total")]
     cum = F.lit(True)
@@ -39,7 +46,12 @@ def keep_funnel(df: DataFrame, stages: dict) -> DataFrame:
         cum = cum & flag
         aggs.append(F.sum(flag.cast("long")).alias(f"__pass_{i}"))
         aggs.append(F.sum(cum.cast("long")).alias(f"__cum_{i}"))
-    row = df.agg(*aggs)
+    if group_by is None:
+        row = df.agg(*aggs)
+        group_cols = []
+    else:
+        row = df.groupBy(group_by).agg(*aggs)
+        group_cols = [F.col(group_by)]
     entries = [
         F.struct(
             F.lit(i + 1).cast("long").alias("stage_idx"),
@@ -50,8 +62,9 @@ def keep_funnel(df: DataFrame, stages: dict) -> DataFrame:
         for i, name in enumerate(stages)
     ]
     return row.select(
-        F.col("n_total"), F.explode(F.array(*entries)).alias("s")
+        *group_cols, F.col("n_total"), F.explode(F.array(*entries)).alias("s")
     ).select(
+        *group_cols,
         F.col("s.stage_idx").alias("stage_idx"),
         F.col("s.stage").alias("stage"),
         F.col("n_total"),

@@ -75,3 +75,25 @@ def test_single_aggregate_plan(spark):
     )
     # one partial+final aggregate pair, nothing else heavy
     assert plan.count("Exchange") <= 1
+
+
+def test_grouped_funnel(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", True, True),
+            (2, "en", True, False),
+            (3, "fr", False, True),
+            (4, "fr", True, True),
+        ],
+        "doc_id long, lang string, a boolean, b boolean",
+    )
+    rows = keep_funnel(
+        df, {"a": F.col("a"), "b": F.col("b")}, group_by="lang"
+    ).collect()
+    out = {(r["lang"], r["stage"]): r for r in rows}
+    assert out[("en", "a")]["n_total"] == 2
+    assert out[("en", "a")]["n_survivors"] == 2
+    assert out[("en", "b")]["n_survivors"] == 1
+    assert out[("fr", "a")]["n_survivors"] == 1
+    assert out[("fr", "b")]["n_survivors"] == 1
+    assert len(rows) == 4
