@@ -1203,6 +1203,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_train_vocab(spark, sf_dir):
+        # corpus-trained SymSpell frequency dictionary: lowercased
+        # unicode-letter runs counted across the corpus, min_count
+        # pruned; full SQL replay (shared \p{L}+ pattern)
+        from dss_plugin_nlp_preparation_spark.operators.vocab import (
+            train_frequency_dictionary,
+        )
+
+        return train_frequency_dictionary(_docs(spark, sf_dir), min_count=2)
+
     def q_host_prior_filter(spark, sf_dir):
         # host-level quality prior: hosts + keep flags synthesized the
         # same way in both renderings; one integer-count aggregate per
@@ -1800,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "clean_invisible": q_clean_invisible,
         "host_prior_filter": q_host_prior_filter,
+        "train_vocab": q_train_vocab,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2542,6 +2553,15 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # corpus-trained frequency dictionary: same \p{L}+ term extraction
+    sqls["train_vocab"] = """
+        SELECT term, CAST(count(*) AS BIGINT) AS term_count
+        FROM (SELECT unnest(regexp_extract_all(
+                lower(coalesce(text, '')), '\\p{L}+')) AS term
+              FROM documents)
+        GROUP BY term
+        HAVING count(*) >= 2
     """
     # host-level quality prior: same host/keep synthesis, same integer
     # aggregate and 10% verdict

@@ -1,0 +1,74 @@
+# -*- coding: utf-8 -*-
+"""Corpus-trained frequency dictionaries.
+
+The reference plugin consumes bundled ``term count`` frequency
+dictionaries (resource/dictionaries/*, SymSpell's input format) but has
+no way to BUILD one. At web scale the corpus itself is the best
+frequency source — a domain-adapted dictionary (medical, legal, code)
+makes the spellchecker stop "correcting" domain vocabulary. This
+operator closes that loop: train a ``(term, term_count)`` relation from
+any text column, export it in the exact ``term count`` file format the
+reference (and our ``nlp/symspell.py`` kernel) loads.
+
+100-TB shape: ONE shuffle of integer counts keyed by term. Term keys
+are zipfian, but the aggregate is a plain sum — partial aggregation
+collapses each task's copies of "the" to one row before the wire, so no
+salting is needed (same property as the boilerplate line-DF and host
+prior aggregations). The optional top-k prune is a global
+TakeOrdered (count desc, term asc — deterministic under ties), sized in
+rows not documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# unicode-letter runs; \p{L} is the Java-regex / RE2 common subset
+TERM_PATTERN = r"\p{L}+"
+
+
+def train_frequency_dictionary(
+    df: DataFrame,
+    text_column: str = "text",
+    min_count: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(term, term_count): lowercased unicode-letter runs of the corpus
+    with occurrence counts, filtered to ``min_count`` and optionally
+    pruned to the ``top_k`` most frequent (ties broken by term order so
+    the prune is deterministic)."""
+    terms = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_column), F.lit(""))),
+                F.lit(TERM_PATTERN),
+                0,
+            )
+        ).alias("term")
+    )
+    counts = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .where(F.col("term_count") >= min_count)
+    )
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("term_count").desc(), F.col("term")
+        ).limit(top_k)
+    return counts
+
+
+def export_frequency_dictionary(df: DataFrame, path: str) -> int:
+    """Write the relation as a SymSpell-format ``term count`` text file
+    (one line per term, frequency-descending) loadable by the reference
+    plugin and by ``nlp/symspell.py``. The dictionary is vocabulary-
+    sized (bounded by min_count/top_k), so a single local file is the
+    right shape — this is a model artifact, not a dataset."""
+    rows = df.orderBy(
+        F.col("term_count").desc(), F.col("term")
+    ).collect()
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(f"{r['term']} {r['term_count']}\n")
+    return len(rows)

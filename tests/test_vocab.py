@@ -1,0 +1,59 @@
+# -*- coding: utf-8 -*-
+"""Corpus-trained frequency dictionaries (operators/vocab.py): train ->
+export in the reference `term count` format -> load through the same
+SymSpell path the bundled dictionaries use."""
+
+import os
+
+from dss_plugin_nlp_preparation_spark.operators.vocab import (
+    export_frequency_dictionary,
+    train_frequency_dictionary,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the kubernetes cluster restarts the kubernetes pod"),
+        (2, "Kubernetes orchestrates containers across the cluster"),
+        (3, "the pod network joins the cluster fabric"),
+        (4, "singleton appears once only"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_counts(spark):
+    counts = {
+        r["term"]: r["term_count"]
+        for r in train_frequency_dictionary(_corpus(spark)).collect()
+    }
+    assert counts["kubernetes"] == 3  # casefolded across docs
+    assert counts["the"] == 5
+    assert counts["cluster"] == 3
+    assert "singleton" not in counts  # min_count=2 prunes hapaxes
+    assert "once" not in counts
+
+
+def test_top_k_prune_deterministic(spark):
+    top = train_frequency_dictionary(_corpus(spark), top_k=2).collect()
+    assert [r["term"] for r in top] == ["the", "cluster"]  # tie: term asc
+    # 'cluster' wins the 3-count tie against 'kubernetes' and 'pod'
+
+
+def test_export_roundtrip_through_symspell(spark, tmp_path):
+    from dss_plugin_nlp_preparation_spark.nlp.symspell import get_index
+
+    folder = str(tmp_path)
+    n = export_frequency_dictionary(
+        train_frequency_dictionary(_corpus(spark)),
+        os.path.join(folder, "xx.txt"),
+    )
+    assert n > 0
+    first = open(os.path.join(folder, "xx.txt")).readline().split()
+    assert first == ["the", "5"]  # reference `term count` format
+
+    idx = get_index("xx", dictionary_folder=folder)
+    hits = idx.lookup("kubernetes")
+    assert hits and hits[0][0] == "kubernetes"
+    hits = idx.lookup("kubernetes".replace("r", ""))  # one deletion
+    assert hits and hits[0][0] == "kubernetes"
