@@ -133,18 +133,32 @@ def add_quality_signals(
 # so the decision replays bit-identically in any engine.
 GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# language-aware variant: English keeps the published 8; other languages
+# take the 8 highest-frequency function words of their QUALITY_STOPWORDS
+# list (the lists are frequency-ordered)
+GOPHER_REQUIRED_STOPWORDS_BY_LANG = {
+    code: (GOPHER_REQUIRED_STOPWORDS if code == "en" else tuple(sw[:8]))
+    for code, sw in QUALITY_STOPWORDS.items()
+}
+
 
 def add_gopher_quality_filter(
     df: DataFrame,
     text_column: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    language_column: str | None = None,
 ) -> DataFrame:
     """Append the Gopher rule counts and ``gopher_quality_keep``:
     word count in [min_words, max_words]; mean word length in [3, 10];
     symbol(#/…)-to-word ratio <= 0.1; <10% bullet-started lines; <=30%
     ellipsis-ended lines; >=80% of words contain an alphabetic char;
-    >=2 of the 8 required English stopwords. The word-level predicates
+    >=2 of the 8 required English stopwords. With ``language_column``
+    the required-stopword set follows the document language (en keeps
+    the published 8, other languages their 8 most frequent function
+    words) and "alphabetic" widens from [A-Za-z] to any unicode letter
+    — a documented multilingual generalization of the English-only
+    published rule. The word-level predicates
     use array higher-order functions (interpreted, not codegen) — fine
     for a signals pass; the hot-path generic signals stay in
     ``add_quality_signals``."""
@@ -152,16 +166,26 @@ def add_gopher_quality_filter(
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
     n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
-    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    if language_column is None:
+        alpha_re = "[A-Za-z]"
+        norm_re = r"^[^a-z0-9]+|[^a-z0-9]+$"
+        req_arr = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    else:
+        alpha_re = r"\p{L}"
+        norm_re = r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$"
+        lang = F.coalesce(F.col(language_column), F.lit("en"))
+        req_arr = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+        for code, ws in GOPHER_REQUIRED_STOPWORDS_BY_LANG.items():
+            req_arr = F.when(
+                lang == F.lit(code), F.array(*[F.lit(w) for w in ws])
+            ).otherwise(req_arr)
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike(alpha_re)))
     norm = F.transform(
         words,
-        lambda w: F.regexp_replace(F.lower(w), r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+        lambda w: F.regexp_replace(F.lower(w), norm_re, ""),
     )
     n_required = F.size(
-        F.array_intersect(
-            F.array_distinct(norm),
-            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
-        )
+        F.array_intersect(F.array_distinct(norm), req_arr)
     )
     n_symbols = F.length(text) - F.length(F.regexp_replace(text, r"[#…]", ""))
     lines = non_empty_lines(text)

@@ -217,3 +217,40 @@ class TestLuhnCardScrub:
             scrub_credit_cards(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestGopherMultilingual:
+    def test_language_aware_required_stopwords(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.quality import (
+            add_gopher_quality_filter,
+        )
+
+        fr = ("le service de la ville est que les habitants " * 6).strip()
+        en = ("the state of the art and that people have with " * 6).strip()
+        df = spark.createDataFrame(
+            [(1, fr, "fr"), (2, en, "en")], "doc_id long, text string, lang string"
+        )
+        # English-only mode: the French doc misses the required set
+        mono = {
+            r["doc_id"]: r
+            for r in add_gopher_quality_filter(df, min_words=10).collect()
+        }
+        assert mono[1]["g_n_required_stopwords"] < 2
+        assert mono[2]["gopher_quality_keep"]
+        # language-aware mode: both pass their own sets
+        multi = {
+            r["doc_id"]: r
+            for r in add_gopher_quality_filter(
+                df, min_words=10, language_column="lang"
+            ).collect()
+        }
+        assert multi[1]["g_n_required_stopwords"] >= 2
+        assert multi[1]["gopher_quality_keep"]
+        assert multi[2]["gopher_quality_keep"]
+        # unknown language falls back to the English set
+        df2 = spark.createDataFrame([(3, en, "xx")],
+                                    "doc_id long, text string, lang string")
+        row = add_gopher_quality_filter(
+            df2, min_words=10, language_column="lang"
+        ).collect()[0]
+        assert row["g_n_required_stopwords"] >= 2
