@@ -1203,6 +1203,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_token_budget(spark, sf_dir):
+        # quality-ranked token-budget selection: scores synthesized from
+        # doc_id the same way in both renderings; bucket histogram +
+        # cumulative window over buckets + md5-unit boundary thinning
+        # replayed in SQL
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        d = _docs(spark, sf_dir).withColumn(
+            "quality_score",
+            F.round(((F.col("doc_id") * 37) % 1000) / 1000.0, 4),
+        )
+        return select_token_budget(d, 20000).select(
+            "doc_id", "quality_score", "n_tokens_budget", "budget_keep"
+        )
+
     def q_train_vocab(spark, sf_dir):
         # corpus-trained SymSpell frequency dictionary: lowercased
         # unicode-letter runs counted across the corpus, min_count
@@ -1811,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_invisible": q_clean_invisible,
         "host_prior_filter": q_host_prior_filter,
         "train_vocab": q_train_vocab,
+        "token_budget": q_token_budget,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2553,6 +2571,38 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # token-budget selection: same score synthesis, same bucket window,
+    # same md5-unit boundary thinning
+    sqls["token_budget"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                      AS BIGINT) AS tok,
+                 round(((doc_id * 37) % 1000) / 1000.0, 4) AS sb
+          FROM documents
+        ), b AS (
+          SELECT sb, sum(tok) AS bt FROM d GROUP BY sb
+        ), c AS (
+          SELECT sb, bt,
+                 sum(bt) OVER (ORDER BY sb DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bt
+                   AS cum_above
+          FROM b
+        ), s AS (
+          SELECT sb,
+                 CASE WHEN cum_above + bt <= 20000 THEN 1.0
+                      WHEN cum_above < 20000
+                        THEN (20000 - cum_above) / CAST(bt AS DOUBLE)
+                      ELSE 0.0 END AS frac
+          FROM c
+        )
+        SELECT d.doc_id,
+               d.sb AS quality_score,
+               d.tok AS n_tokens_budget,
+               (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                     AS UBIGINT) / 4294967296.0 < s.frac) AS budget_keep
+        FROM d JOIN s USING (sb)
     """
     # corpus-trained frequency dictionary: same \p{L}+ term extraction
     sqls["train_vocab"] = """

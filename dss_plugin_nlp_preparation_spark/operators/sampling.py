@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dss_plugin_nlp_preparation_spark.operators.quality import words_col
 
@@ -185,3 +186,67 @@ def chunk_documents(
         df.select(F.col(id_column).alias("id"), F.explode(chunks).alias("c"))
         .select("id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_column: str = "quality_score",
+    key_column: str = "doc_id",
+    token_column: str | None = None,
+    text_column: str = "text",
+) -> DataFrame:
+    """``budget_keep``: highest-quality documents first until the corpus
+    token budget is met ("take the best N tokens" — the final step of
+    every budgeted pretraining data run).
+
+    A global quality sort at 10^12 docs is a full-corpus range shuffle;
+    instead the cutoff comes from a bounded histogram (same trick as the
+    CCNet perplexity terciles): scores round to 4 decimals, ONE shuffle
+    aggregates (score_bucket, sum_tokens) — at most ~10^4-10^5 rows for
+    any corpus — and the cumulative window runs over that tiny relation,
+    never over documents. Buckets strictly above the cutoff are kept
+    whole; the boundary bucket is thinned by the md5-hash-unit rule
+    (``_hash_unit(key) < remaining/bucket_tokens``) — deterministic
+    under retries/AQE and engine-portable, with the budget met to within
+    the sampling noise of one bucket (documented approximation: the
+    boundary thinning is proportional, not an exact token cumsum).
+    """
+    tokens = (
+        F.col(token_column)
+        if token_column
+        else F.regexp_count(
+            F.coalesce(F.col(text_column), F.lit("")), F.lit(r"\S+")
+        )
+    )
+    d = df.withColumn("__tok", tokens.cast("long")).withColumn(
+        "__sb", F.round(F.coalesce(F.col(score_column), F.lit(0.0)), 4)
+    )
+    buckets = d.groupBy("__sb").agg(F.sum("__tok").alias("__bt"))
+    w = Window.orderBy(F.col("__sb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.withColumn(
+        "__cum_above", F.sum("__bt").over(w) - F.col("__bt")
+    )
+    budget = F.lit(int(budget_tokens)).cast("long")
+    sel = cum.withColumn(
+        "__frac",
+        F.when(F.col("__cum_above") + F.col("__bt") <= budget, F.lit(1.0))
+        .when(
+            F.col("__cum_above") < budget,
+            (budget - F.col("__cum_above"))
+            / F.col("__bt").cast("double"),
+        )
+        .otherwise(F.lit(0.0)),
+    ).select("__sb", "__frac")
+    u = _hash_unit(F.col(key_column).cast("string"))
+    out = (
+        d.join(F.broadcast(sel), on="__sb", how="left")
+        .withColumn(
+            "budget_keep", u < F.coalesce(F.col("__frac"), F.lit(0.0))
+        )
+        .withColumn("n_tokens_budget", F.col("__tok"))
+        .drop("__tok", "__sb", "__frac")
+    )
+    return out

@@ -170,3 +170,54 @@ def test_mixture_zero_weight_source_dropped(spark):
     # a zero-weight source cannot satisfy any budget -> dropped, no
     # infinite epoch explosion
     assert {r["source"] for r in out} == {"web"}
+
+
+class TestTokenBudget:
+    def test_budget_selection(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        # 100 docs, 10 tokens each, scores in 4 clear tiers of 25 docs
+        rows = [
+            (i, " ".join(["w"] * 10), float(i // 25))  # scores 0,1,2,3
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, quality_score double")
+        # budget = 500 tokens = the top two tiers exactly
+        out = select_token_budget(df, 500).collect()
+        kept = {r["doc_id"] for r in out if r["budget_keep"]}
+        assert kept == {i for i in range(50, 100)}
+        assert all(r["n_tokens_budget"] == 10 for r in out)
+
+    def test_boundary_bucket_thinned(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        rows = [(i, " ".join(["w"] * 10), float(i // 25)) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, quality_score double")
+        # budget 375: tier-3 (250) whole, tier-2 thinned to ~half
+        out = select_token_budget(df, 375).collect()
+        kept3 = [r for r in out if r["quality_score"] == 3.0 and r["budget_keep"]]
+        kept2 = [r for r in out if r["quality_score"] == 2.0 and r["budget_keep"]]
+        kept1 = [r for r in out if r["quality_score"] <= 1.0 and r["budget_keep"]]
+        assert len(kept3) == 25 and len(kept1) == 0
+        assert 5 <= len(kept2) <= 20  # proportional thinning ~12.5
+        # determinism: identical rerun keeps the identical set
+        again = {r["doc_id"] for r in select_token_budget(df, 375).collect()
+                 if r["budget_keep"]}
+        assert again == {r["doc_id"] for r in out if r["budget_keep"]}
+
+    def test_zero_and_huge_budget(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c", 0.5), (2, "d e", 0.9)],
+            "doc_id long, text string, quality_score double",
+        )
+        none = select_token_budget(df, 0).where("budget_keep").count()
+        everything = select_token_budget(df, 10**9).where("budget_keep").count()
+        assert none == 0 and everything == 2
