@@ -1203,6 +1203,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_oov_rate(spark, sf_dir):
+        # OOV fraction of each doc vs the corpus-trained vocabulary
+        # (min_count=2, so hapaxes are OOV by construction); full SQL
+        # replay of train + score
+        from dss_plugin_nlp_preparation_spark.operators.vocab import (
+            add_oov_rate,
+            train_frequency_dictionary,
+        )
+
+        docs = _docs(spark, sf_dir)
+        vocab = train_frequency_dictionary(docs, min_count=2)
+        return add_oov_rate(docs, vocab).select(
+            "doc_id", "n_terms_total", "n_terms_oov", "oov_rate"
+        )
+
     def q_token_budget(spark, sf_dir):
         # quality-ranked token-budget selection: scores synthesized from
         # doc_id the same way in both renderings; bucket histogram +
@@ -1829,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_prior_filter": q_host_prior_filter,
         "train_vocab": q_train_vocab,
         "token_budget": q_token_budget,
+        "oov_rate": q_oov_rate,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2571,6 +2587,37 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # OOV rate vs the corpus-trained vocabulary: same term extraction,
+    # same min_count prune, same left-join count
+    sqls["oov_rate"] = """
+        WITH v AS (
+          SELECT term FROM (
+            SELECT unnest(regexp_extract_all(
+                     lower(coalesce(text, '')), '\\p{L}+')) AS term
+            FROM documents)
+          GROUP BY term HAVING count(*) >= 2
+        ), t AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(
+                   lower(coalesce(text, '')), '\\p{L}+')) AS term
+          FROM documents
+        ), c AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_total,
+                 CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_terms_oov
+          FROM t LEFT JOIN v ON t.term = v.term
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(c.n_terms_total, 0) AS n_terms_total,
+               coalesce(c.n_terms_oov, 0) AS n_terms_oov,
+               CASE WHEN coalesce(c.n_terms_total, 0) > 0
+                    THEN round(c.n_terms_oov
+                               / CAST(c.n_terms_total AS DOUBLE), 4)
+                    ELSE 0.0 END AS oov_rate
+        FROM documents d LEFT JOIN c USING (doc_id)
     """
     # token-budget selection: same score synthesis, same bucket window,
     # same md5-unit boundary thinning

@@ -72,3 +72,65 @@ def export_frequency_dictionary(df: DataFrame, path: str) -> int:
         for r in rows:
             f.write(f"{r['term']} {r['term_count']}\n")
     return len(rows)
+
+
+def add_oov_rate(
+    df: DataFrame,
+    vocabulary: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Append ``n_terms_oov`` / ``n_terms_total`` / ``oov_rate``: the
+    fraction of a document's terms absent from a (corpus- or
+    domain-trained) vocabulary relation — a strong gibberish/mojibake/
+    wrong-language signal that adapts to whatever corpus trained the
+    vocabulary, where fixed stopword lists cannot.
+
+    100-TB shape: terms explode narrowly (no shuffle — the explode
+    preserves partitioning), the vocabulary joins BROADCAST (it is
+    bounded by min_count/top_k), and the per-document count aggregate
+    collapses map-side to one row per document before its single
+    shuffle. The original rows join the counts back by id.
+    """
+    terms = df.select(
+        F.col(id_column).alias("__id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_column), F.lit(""))),
+                F.lit(TERM_PATTERN),
+                0,
+            )
+        ).alias("term"),
+    )
+    vocab = vocabulary.select(
+        F.col("term"), F.lit(True).alias("__in_vocab")
+    )
+    counts = (
+        terms.join(F.broadcast(vocab), on="term", how="left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_total"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_terms_oov"),
+        )
+    )
+    return (
+        df.join(
+            counts, on=df[id_column] == counts["__id"], how="left"
+        )
+        .drop("__id")
+        .withColumn(
+            "n_terms_total", F.coalesce(F.col("n_terms_total"), F.lit(0))
+        )
+        .withColumn(
+            "n_terms_oov", F.coalesce(F.col("n_terms_oov"), F.lit(0))
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(
+                F.col("n_terms_total") > 0,
+                F.round(F.col("n_terms_oov") / F.col("n_terms_total"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -57,3 +57,24 @@ def test_export_roundtrip_through_symspell(spark, tmp_path):
     assert hits and hits[0][0] == "kubernetes"
     hits = idx.lookup("kubernetes".replace("r", ""))  # one deletion
     assert hits and hits[0][0] == "kubernetes"
+
+
+def test_oov_rate(spark):
+    from dss_plugin_nlp_preparation_spark.operators.vocab import add_oov_rate
+
+    corpus = _corpus(spark)
+    vocab = train_frequency_dictionary(corpus)  # kubernetes/cluster/the/pod...
+    probe = spark.createDataFrame(
+        [
+            (10, "the kubernetes cluster"),          # all in vocab
+            (11, "the zzgibberish qqmojibake pod"),  # 2 of 4 OOV
+            (12, ""),                                # empty
+            (13, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in add_oov_rate(probe, vocab).collect()}
+    assert out[10]["oov_rate"] == 0.0 and out[10]["n_terms_total"] == 3
+    assert out[11]["n_terms_oov"] == 2 and out[11]["oov_rate"] == 0.5
+    assert out[12]["oov_rate"] == 0.0 and out[12]["n_terms_total"] == 0
+    assert out[13]["oov_rate"] == 0.0
