@@ -168,6 +168,8 @@ def prepare_training_corpus(
     fuzzy_dedup: bool = False,
     fuzzy_decontam: bool = False,
     paragraph_dedup: bool = False,
+    token_budget: int | None = None,
+    budget_score_column: str | None = None,
 ) -> tuple:
     """(chunks, report): training-ready chunks + one-row stage counts.
 
@@ -194,6 +196,30 @@ def prepare_training_corpus(
     survivors = ann.where(
         F.col("is_canonical") & F.col("keep_gopher") & ~F.col("contaminated")
     )
+    if token_budget is not None:
+        # trim the surviving corpus to a token budget — quality-ranked
+        # when a score column exists, uniform hash-thinned otherwise
+        # (constant score = one histogram bucket = proportional keep)
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            select_token_budget,
+        )
+
+        scored = (
+            survivors
+            if budget_score_column
+            else survivors.withColumn("__budget_score", F.lit(0.0))
+        )
+        survivors = (
+            select_token_budget(
+                scored,
+                token_budget,
+                score_column=budget_score_column or "__budget_score",
+                key_column=id_column,
+                text_column=text_column,
+            )
+            .where(F.col("budget_keep"))
+            .drop("__budget_score", "budget_keep", "n_tokens_budget")
+        )
     chunks = chunk_documents(
         survivors, text_column, id_column, chunk_size, overlap
     ).join(

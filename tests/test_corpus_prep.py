@@ -195,3 +195,27 @@ def test_prepare_corpus_paragraph_dedup_report(spark):
     rep = report.collect()[0]
     assert rep["n_paragraphs_removed"] == 3
     assert rep["n_docs"] == 4
+
+
+def test_token_budget_trim(spark):
+    from dss_plugin_nlp_preparation_spark.plans.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full, _ = prepare_training_corpus(
+        docs, cache_annotations=False, chunk_size=32
+    )
+    n_full_tokens = full.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(n_full_tokens * 0.5)
+    trimmed, _ = prepare_training_corpus(
+        docs, cache_annotations=False, chunk_size=32, token_budget=budget
+    )
+    n_trim = trimmed.agg(F.sum("n_tokens")).collect()[0][0]
+    # uniform thinning lands near the budget (one-bucket proportional)
+    assert 0.3 * n_full_tokens < n_trim < 0.7 * n_full_tokens
+    # determinism
+    again, _ = prepare_training_corpus(
+        docs, cache_annotations=False, chunk_size=32, token_budget=budget
+    )
+    assert again.agg(F.sum("n_tokens")).collect()[0][0] == n_trim
