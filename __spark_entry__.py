@@ -1203,6 +1203,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_pdedup_within_doc(spark, sf_dir):
+        # within-doc paragraph dedup over the same dup-seeded synthetic
+        # page construction as dup_text_fractions; full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            dedup_paragraphs_within_doc,
+        )
+
+        d = _docs(spark, sf_dir)
+        w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+        def seg(a, n):
+            return F.array_join(F.slice(w, a, n), " ")
+
+        a, b = seg(1, 6), seg(7, 6)
+        dd, e = seg(2, 5), seg(9, 4)
+        c = F.when((F.col("doc_id") % 3) == 0, a).otherwise(seg(13, 6))
+        page = F.concat(
+            a,
+            F.lit("\n"),
+            b,
+            F.lit("\n"),
+            c,
+            F.lit("\n\n"),
+            dd,
+            F.lit("\n"),
+            e,
+            F.when(
+                (F.col("doc_id") % 4) == 0,
+                F.concat(F.lit("\n\n"), dd, F.lit("\n"), e),
+            ).otherwise(F.lit("")),
+        )
+        pages = d.select("doc_id", page.alias("text"))
+        return dedup_paragraphs_within_doc(pages).select(
+            "doc_id", "text_pdedup", "n_paragraphs_in", "n_paragraphs_kept"
+        )
+
     def q_oov_rate(spark, sf_dir):
         # OOV fraction of each doc vs the corpus-trained vocabulary
         # (min_count=2, so hapaxes are OOV by construction); full SQL
@@ -1845,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_vocab": q_train_vocab,
         "token_budget": q_token_budget,
         "oov_rate": q_oov_rate,
+        "pdedup_within_doc": q_pdedup_within_doc,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2587,6 +2624,46 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # within-doc paragraph dedup: same page construction as
+    # dup_text_fractions; first occurrences kept via an indexed filter
+    # (list_position(paras, p) = i) because DuckDB's list_distinct does
+    # not guarantee order, while Spark's array_distinct keeps it
+    sqls["pdedup_within_doc"] = """
+        WITH seg AS (
+          SELECT doc_id,
+            coalesce(array_to_string(w[1:6], ' '), '') AS a,
+            coalesce(array_to_string(w[7:12], ' '), '') AS b,
+            coalesce(array_to_string(w[2:6], ' '), '') AS d,
+            coalesce(array_to_string(w[9:12], ' '), '') AS e,
+            coalesce(array_to_string(w[13:18], ' '), '') AS c2
+          FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents)
+        ), pages AS (
+          SELECT doc_id,
+            a || chr(10) || b || chr(10) ||
+            (CASE WHEN doc_id % 3 = 0 THEN a ELSE c2 END) ||
+            chr(10) || chr(10) || d || chr(10) || e ||
+            (CASE WHEN doc_id % 4 = 0
+                  THEN chr(10) || chr(10) || d || chr(10) || e
+                  ELSE '' END) AS text
+          FROM seg
+        ), base AS (
+          SELECT doc_id,
+            list_filter(list_transform(
+              regexp_split_to_array(text, '(\\r\\n|\\r|\\n){2,}'),
+              x -> trim(x)), x -> x <> '') AS paras
+          FROM pages
+        )
+        SELECT doc_id,
+          array_to_string(
+            list_filter(paras, (p, i) -> list_position(paras, p) = i),
+            chr(10) || chr(10)) AS text_pdedup,
+          CAST(len(paras) AS BIGINT) AS n_paragraphs_in,
+          CAST(len(list_filter(paras,
+               (p, i) -> list_position(paras, p) = i)) AS BIGINT)
+            AS n_paragraphs_kept
+        FROM base
     """
     # OOV rate vs the corpus-trained vocabulary: same term extraction,
     # same min_count prune, same left-join count

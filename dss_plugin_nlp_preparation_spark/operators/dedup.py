@@ -966,3 +966,32 @@ def plan_minhash_lsh(threshold: float, n_hashes: int = 128) -> dict:
         "fp_area": fp,
         "fn_area": fn,
     }
+
+
+def dedup_paragraphs_within_doc(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "text_pdedup",
+) -> DataFrame:
+    """Within-document paragraph dedup: keep the first occurrence of
+    every trimmed paragraph INSIDE each document (templated pages repeat
+    their own blocks — sidebars, CTA banners — many times). The cheap
+    zero-shuffle first pass before the corpus-global ``dedup_paragraphs``
+    (which needs a shuffle to see across documents).
+
+    Paragraphs are runs split on 2+ newlines; ``array_distinct`` keeps
+    first occurrences, preserving order. Whitespace-only paragraphs are
+    dropped; surviving paragraphs rejoin with a blank line. Pure native
+    array expressions — rides any scan.
+    """
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    paras = F.filter(
+        F.transform(F.split(text, r"(\r\n|\r|\n){2,}"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    kept = F.array_distinct(paras)
+    return (
+        df.withColumn(output_column, F.array_join(kept, "\n\n"))
+        .withColumn("n_paragraphs_in", F.size(paras))
+        .withColumn("n_paragraphs_kept", F.size(kept))
+    )

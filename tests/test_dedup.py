@@ -522,3 +522,38 @@ class TestLshPlanning:
             plan_minhash_lsh(0.5, n_hashes=0)
         with pytest.raises(ValueError):
             lsh_collision_probability(1.5, 8, 4)
+
+
+class TestWithinDocParagraphDedup:
+    def test_first_occurrence_kept_in_order(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            dedup_paragraphs_within_doc,
+        )
+
+        text = "Intro paragraph.\n\nCall to action!\n\nBody text here.\n\nCall to action!\n\nIntro paragraph."
+        df = spark.createDataFrame(
+            [(1, text), (2, None), (3, "single block")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dedup_paragraphs_within_doc(df).collect()}
+        assert out[1]["text_pdedup"] == (
+            "Intro paragraph.\n\nCall to action!\n\nBody text here."
+        )
+        assert out[1]["n_paragraphs_in"] == 5
+        assert out[1]["n_paragraphs_kept"] == 3
+        assert out[2]["text_pdedup"] == ""
+        assert out[3]["text_pdedup"] == "single block"
+
+    def test_plan_is_shuffle_free(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            dedup_paragraphs_within_doc,
+        )
+
+        df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+        plan = (
+            dedup_paragraphs_within_doc(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
