@@ -1203,6 +1203,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_iban_scrub(spark, sf_dir):
+        # mod-97-validated IBAN masking: per-doc candidate whose check
+        # digits vary with doc_id (validity falls out of the checksum)
+        # plus a known-valid IBAN on every 5th doc; full SQL replay of
+        # the streaming mod-97 fold
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            scrub_ibans,
+        )
+
+        d = _docs(spark, sf_dir)
+        w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        did = F.col("doc_id")
+        cand = F.concat(
+            F.lit("DE"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+            F.lit("3704004405320130"),
+        )
+        page = F.concat(
+            F.array_join(F.slice(w, 1, 6), " "),
+            F.lit(" account "),
+            cand,
+            F.lit(" end."),
+            F.when(
+                (did % 5) == 0, F.lit(" Wire DE89370400440532013000 now.")
+            ).otherwise(F.lit("")),
+        )
+        pages = d.select("doc_id", page.alias("text"))
+        return scrub_ibans(pages).select(
+            "doc_id", "iban_scrubbed_text", "n_iban_candidates", "n_ibans_valid"
+        )
+
     def q_pdedup_within_doc(spark, sf_dir):
         # within-doc paragraph dedup over the same dup-seeded synthetic
         # page construction as dup_text_fractions; full SQL replay
@@ -1882,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "oov_rate": q_oov_rate,
         "pdedup_within_doc": q_pdedup_within_doc,
+        "iban_scrub": q_iban_scrub,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2624,6 +2656,47 @@ def oracle_sql() -> dict[str, str]:
            AND 5 * dup_line_chars <= n_chars
            AND 5 * dup_para_chars <= n_chars) AS dup_text_keep
         FROM agg
+    """
+    # mod-97-validated IBAN masking: same candidate construction, same
+    # rearrangement and streaming mod-97 fold (list_reduce seeded by
+    # prepending the 0 accumulator)
+    _iban_r = "(substr(c, 5) || substr(c, 1, 4))"
+    _iban_codes = (
+        f"list_transform(range(1, length({_iban_r}) + 1),"
+        f" i -> ascii(substr({_iban_r}, CAST(i AS INT), 1)))"
+    )
+    _iban_total = (
+        f"list_reduce(list_prepend(0, {_iban_codes}),"
+        " (acc, x) -> CASE WHEN x <= 57 THEN (acc * 10 + (x - 48)) % 97"
+        " ELSE (acc * 100 + (x - 55)) % 97 END)"
+    )
+    sqls["iban_scrub"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+            coalesce(array_to_string(w[1:6], ' '), '') || ' account ' ||
+            'DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+            '3704004405320130' || ' end.' ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN ' Wire DE89370400440532013000 now.' ELSE '' END AS text
+          FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents)
+        ), base AS (
+          SELECT doc_id, text,
+            list_distinct(regexp_extract_all(text,
+              '\\b[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}\\b')) AS cands
+          FROM pages
+        ), val AS (
+          SELECT doc_id, text, cands,
+            list_filter(cands, c -> {_iban_total} = 1) AS valid
+          FROM base
+        )
+        SELECT doc_id,
+          list_reduce(list_prepend(text, valid),
+                      (acc, x) -> replace(acc, x, '[IBAN]'))
+            AS iban_scrubbed_text,
+          CAST(len(cands) AS BIGINT) AS n_iban_candidates,
+          CAST(len(valid) AS BIGINT) AS n_ibans_valid
+        FROM val
     """
     # within-doc paragraph dedup: same page construction as
     # dup_text_fractions; first occurrences kept via an indexed filter

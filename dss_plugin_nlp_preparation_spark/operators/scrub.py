@@ -151,3 +151,54 @@ def add_toxicity_signal(
             <= F.col("n_words_tox") * max_ratio_num,
         )
     )
+
+
+# IBAN-shaped candidates: 2 uppercase country letters + 2 check digits +
+# 11-30 alphanumerics (total 15-34). Checksum, not shape, carries the
+# precision (ISO 13616 mod-97: ~99% of random shape-matches fail it).
+IBAN_CANDIDATE_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+
+def _iban_ok(cand: Column) -> Column:
+    """ISO 13616 checksum in native expressions: move the first 4 chars
+    to the end, map letters to 10..35, then the big-integer mod 97 == 1
+    — computed as a streaming fold (``acc*10+d mod 97`` per digit,
+    ``acc*100+n mod 97`` per letter), so no big-number type is needed
+    and the identical arithmetic replays in any engine."""
+    r = F.concat(F.substring(cand, 5, 34), F.substring(cand, 1, 4))
+
+    def step(acc, i):
+        code = F.ascii(F.substring(r, i, 1))
+        return F.when(
+            code <= 57, (acc * 10 + (code - 48)) % 97
+        ).otherwise((acc * 100 + (code - 55)) % 97)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(r)), F.lit(0).cast("long"), step
+    )
+    return total == 1
+
+
+def scrub_ibans(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "iban_scrubbed_text",
+) -> DataFrame:
+    """Checksum-validated IBAN masking (same shape as
+    ``scrub_credit_cards``): candidates from ``regexp_extract_all``,
+    ISO 13616 mod-97 validation in native arithmetic, only verified
+    account numbers masked via a literal-replace fold. Zero shuffle,
+    zero Python; the input column is never modified."""
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    cands = F.array_distinct(
+        F.regexp_extract_all(text, F.lit(IBAN_CANDIDATE_RE), 0)
+    )
+    valid = F.filter(cands, _iban_ok)
+    scrubbed = F.aggregate(
+        valid, text, lambda acc, c: F.replace(acc, c, F.lit("[IBAN]"))
+    )
+    return (
+        df.withColumn(output_column, scrubbed)
+        .withColumn("n_iban_candidates", F.size(cands))
+        .withColumn("n_ibans_valid", F.size(valid))
+    )

@@ -254,3 +254,53 @@ class TestGopherMultilingual:
             df2, min_words=10, language_column="lang"
         ).collect()[0]
         assert row["g_n_required_stopwords"] >= 2
+
+
+class TestIbanScrub:
+    def test_valid_ibans_masked(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.scrub import scrub_ibans
+
+        df = spark.createDataFrame(
+            [
+                (1, "Send to DE89370400440532013000 today."),   # valid
+                (2, "Ref DE89370400440532013001 is an id."),    # bad checksum
+                (3, "GB82WEST12345698765432 works too."),       # valid
+                (4, "FR1420041010050500013M02606 is French."),  # valid, letters
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in scrub_ibans(df).collect()}
+        assert out[1]["iban_scrubbed_text"] == "Send to [IBAN] today."
+        assert out[1]["n_ibans_valid"] == 1
+        assert "DE8937040044053201300" in out[2]["iban_scrubbed_text"]
+        assert out[2]["n_iban_candidates"] == 1 and out[2]["n_ibans_valid"] == 0
+        assert out[3]["iban_scrubbed_text"] == "[IBAN] works too."
+        assert out[4]["iban_scrubbed_text"] == "[IBAN] is French."
+        assert out[5]["iban_scrubbed_text"] == ""
+
+    def test_against_python_reference(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.scrub import scrub_ibans
+
+        def iban_ok(s):
+            r = s[4:] + s[:4]
+            digits = "".join(
+                str(ord(c) - 55) if c.isalpha() else c for c in r
+            )
+            return int(digits) % 97 == 1
+
+        nums = [f"DE{k:02d}3704004405320130" for k in range(30)]
+        df = spark.createDataFrame(
+            [(i, f"pay {n} now") for i, n in enumerate(nums)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in scrub_ibans(df).collect()}
+        for i, n in enumerate(nums):
+            assert out[i]["n_ibans_valid"] == (1 if iban_ok(n) else 0), n
+
+    def test_plan_is_shuffle_free(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.scrub import scrub_ibans
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = scrub_ibans(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
