@@ -1203,6 +1203,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rw_keep",
         )
 
+    def q_robots_txt_compliance(spark, sf_dir):
+        # RFC 9309 robots.txt compliance: per-host synthetic robots
+        # files (3 variants incl. a specific-UA group) + per-doc urls;
+        # frozen oracle replays the shared nlp/robots.py kernel plus
+        # the same longest-match verdict in pure Python
+        from dss_plugin_nlp_preparation_spark.operators.robots_txt import (
+            apply_robots_rules,
+            parse_robots_rules,
+        )
+
+        did = F.col("doc_id")
+        k = (did % 23).cast("long")
+        d = _docs(spark, sf_dir)
+        robots_text = (
+            F.when(
+                (F.col("k") % 3) == 0,
+                F.lit(
+                    "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+                ),
+            )
+            .when(
+                (F.col("k") % 3) == 1,
+                F.lit(
+                    "User-agent: *\nDisallow: /\n\n"
+                    "User-agent: specialbot\nAllow: /\n"
+                ),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        robots = (
+            d.select(k.alias("k"))
+            .distinct()
+            .select(
+                F.concat(F.lit("h"), F.col("k").cast("string")).alias("host"),
+                robots_text.alias("robots_txt"),
+            )
+        )
+        path = (
+            F.when(did % 4 == 0, F.lit("/home"))
+            .when(did % 4 == 1, F.lit("/private/secret"))
+            .when(did % 4 == 2, F.lit("/private/okay"))
+            .otherwise(F.lit(""))
+        )
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"), k.cast("string"), path
+            ).alias("url"),
+        )
+        rules = parse_robots_rules(robots)
+        return apply_robots_rules(urls, rules).select(
+            "doc_id", "url", "robots_allowed"
+        )
+
     def q_iban_scrub(spark, sf_dir):
         # mod-97-validated IBAN masking: per-doc candidate whose check
         # digits vary with doc_id (validity falls out of the checksum)
@@ -1914,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "pdedup_within_doc": q_pdedup_within_doc,
         "iban_scrub": q_iban_scrub,
+        "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
         "extract_links": q_extract_links,
@@ -2125,6 +2180,7 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": _frozen("fix_mojibake"),
         "warc_ingest": _frozen("warc_ingest"),
         "robots_directives": _frozen("robots_directives"),
+        "robots_txt_compliance": _frozen("robots_txt_compliance"),
         "anchor_links": _frozen("anchor_links"),
         "compression_ratio": _frozen("compression_ratio"),
         "paragraph_lang": _frozen("paragraph_lang"),

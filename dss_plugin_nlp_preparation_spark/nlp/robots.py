@@ -1,0 +1,88 @@
+# -*- coding: utf-8 -*-
+"""robots.txt parsing kernel (REP — RFC 9309 subset).
+
+Common Crawl ships the robots.txt captures alongside page archives; a
+compliance-grade corpus build honors them. This kernel implements the
+documented, deterministic subset both the Spark operator and the frozen
+oracle share:
+
+- lines split on ``\\r\\n``/``\\r``/``\\n``; a ``#`` starts a comment;
+  fields are ``key: value`` with a case-insensitive key,
+- consecutive ``User-agent`` lines form one group header; a
+  ``User-agent`` line after any directive starts a NEW group,
+- group selection follows RFC 9309 §2.2.1: if any group names the
+  crawler's token exactly (case-insensitive), the union of those
+  groups applies; otherwise the union of ``*`` groups; otherwise no
+  rules (everything allowed),
+- ``Allow``/``Disallow`` rules keep their path verbatim; rules whose
+  path does not start with ``/`` are ignored, and an empty
+  ``Disallow:`` value means "allow everything" (no rule recorded),
+- matching is LITERAL longest-prefix (documented divergence: the
+  ``*``/``$`` wildcard extensions are not expanded — a wildcard char
+  is treated as part of the literal prefix and so in practice never
+  matches), with ``Allow`` winning length ties per RFC 9309 §2.2.2.
+"""
+
+from __future__ import annotations
+
+import re
+
+_LINE_SPLIT = re.compile(r"\r\n|\r|\n")
+
+
+def parse_robots(content: str | None, user_agent: str = "*") -> list:
+    """``[(allow: bool, path: str)]`` — the rules applicable to
+    ``user_agent``, in file order."""
+    if not content:
+        return []
+    groups = []  # [(set_of_ua_tokens, [(allow, path)])]
+    cur_uas: list = []
+    cur_rules: list = []
+    in_header = False
+    for raw in _LINE_SPLIT.split(content.lstrip("\ufeff")):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, value = line.split(":", 1)
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_header:
+                if cur_uas:
+                    groups.append((cur_uas, cur_rules))
+                cur_uas, cur_rules = [], []
+                in_header = True
+            cur_uas.append(value.lower())
+        elif key in ("allow", "disallow"):
+            in_header = False
+            if cur_uas and value.startswith("/"):
+                cur_rules.append((key == "allow", value))
+        else:
+            # crawl-delay, sitemap, unknown fields end a group header
+            in_header = False
+    if cur_uas:
+        groups.append((cur_uas, cur_rules))
+
+    ua = user_agent.lower()
+    exact = [g for g in groups if ua in g[0]]
+    chosen = exact if exact else [g for g in groups if "*" in g[0]]
+    rules: list = []
+    for _uas, rs in chosen:
+        rules.extend(rs)
+    return rules
+
+
+def is_allowed(path: str, rules: list) -> bool:
+    """Literal longest-prefix match; Allow wins ties; no match allows."""
+    if not path.startswith("/"):
+        path = "/" + path
+    best_allow = -1
+    best_dis = -1
+    for allow, prefix in rules:
+        if path.startswith(prefix):
+            n = len(prefix)
+            if allow:
+                best_allow = max(best_allow, n)
+            else:
+                best_dis = max(best_dis, n)
+    return best_allow >= best_dis

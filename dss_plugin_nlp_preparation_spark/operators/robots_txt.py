@@ -1,0 +1,115 @@
+# -*- coding: utf-8 -*-
+"""robots.txt compliance over crawl corpora (RFC 9309 subset — the
+documented semantics live in ``nlp/robots.py``, the shared kernel the
+frozen oracle replays).
+
+Spark-first shape:
+
+- ``parse_robots_rules``: one Arrow-batched pass over the (host,
+  robots_txt) table — robots files are KBs, one file per host, so this
+  relation is #hosts-sized (~70M rows for a full Common Crawl), never
+  corpus-sized. The parsed output explodes to one row per applicable
+  rule: ``(host, rule_allow, rule_path)``.
+- ``apply_robots_rules``: urls join the rules relation on host (the
+  rules side is one-to-few rows per host — AQE handles hot hosts), a
+  codegen ``startswith`` does the literal prefix match, and ONE
+  integer aggregate per url picks the longest allow/disallow match
+  (RFC 9309 longest-match, Allow wins ties). Urls on hosts with no
+  rules, or with no matching rule, stay allowed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.nlp.robots import parse_robots
+
+_RULES_TYPE = "rules array<struct<allow: boolean, path: string>>"
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_column: str = "host",
+    content_column: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, rule_allow, rule_path): the rules applicable to
+    ``user_agent``, one row per rule; hosts whose file yields no
+    applicable rule emit no rows (absent host == allowed)."""
+
+    @F.pandas_udf(_RULES_TYPE.split(" ", 1)[1])
+    def _parse(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield pd.Series(
+                [
+                    [
+                        {"allow": a, "path": p}
+                        for a, p in parse_robots(t, user_agent)
+                    ]
+                    for t in s
+                ]
+            )
+
+    return (
+        robots.select(
+            F.col(host_column).alias("host"),
+            F.explode(_parse(F.col(content_column))).alias("__r"),
+        )
+        .select(
+            "host",
+            F.col("__r.allow").alias("rule_allow"),
+            F.col("__r.path").alias("rule_path"),
+        )
+    )
+
+
+def url_path(url_col):
+    """Path component of a url ('' -> '/'), shared by both renderings."""
+    p = F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def apply_robots_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_column: str = "url",
+) -> DataFrame:
+    """Append ``robots_allowed`` per RFC 9309 longest-match."""
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+    u = urls.withColumn(
+        "__host", F.lower(F.regexp_extract(F.col(url_column), host_re, 1))
+    ).withColumn("__path", url_path(F.col(url_column)))
+    joined = u.select(F.col(url_column).alias("__u"), "__host", "__path").join(
+        rules.select(
+            F.col("host").alias("__host"), "rule_allow", "rule_path"
+        ),
+        on="__host",
+        how="left",
+    )
+    matched = joined.withColumn(
+        "__m", F.col("rule_path").isNotNull()
+        & F.col("__path").startswith(F.col("rule_path"))
+    )
+    verdict = matched.groupBy("__u").agg(
+        F.max(
+            F.when(F.col("__m") & F.col("rule_allow"), F.length("rule_path"))
+        ).alias("__ba"),
+        F.max(
+            F.when(F.col("__m") & ~F.col("rule_allow"), F.length("rule_path"))
+        ).alias("__bd"),
+    )
+    return (
+        u.join(
+            verdict, on=u[url_column] == verdict["__u"], how="left"
+        )
+        .withColumn(
+            "robots_allowed",
+            F.coalesce(F.col("__ba"), F.lit(-1))
+            >= F.coalesce(F.col("__bd"), F.lit(-1)),
+        )
+        .drop("__u", "__ba", "__bd", "__host", "__path")
+    )

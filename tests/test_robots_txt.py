@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""robots.txt compliance (nlp/robots.py kernel + operators/robots_txt.py)."""
+
+from dss_plugin_nlp_preparation_spark.nlp.robots import is_allowed, parse_robots
+from dss_plugin_nlp_preparation_spark.operators.robots_txt import (
+    apply_robots_rules,
+    parse_robots_rules,
+)
+
+ROBOTS = """# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow:        # empty value: allow everything (no rule)
+
+User-agent: specialbot
+User-agent: otherbot
+Disallow: /
+Allow: /public/
+Crawl-delay: 10
+User-agent: afterdelay
+Disallow: /x/
+"""
+
+
+class TestKernel:
+    def test_star_group(self):
+        rules = parse_robots(ROBOTS, "randombot")
+        assert rules == [(False, "/private/"), (True, "/private/ok")]
+        assert is_allowed("/home", rules)
+        assert not is_allowed("/private/secret", rules)
+        assert is_allowed("/private/okay", rules)  # longer allow wins
+
+    def test_exact_group_beats_star(self):
+        rules = parse_robots(ROBOTS, "SpecialBot")
+        assert rules == [(False, "/"), (True, "/public/")]
+        assert not is_allowed("/anything", rules)
+        assert is_allowed("/public/page", rules)
+
+    def test_group_after_non_directive(self):
+        rules = parse_robots(ROBOTS, "afterdelay")
+        assert rules == [(False, "/x/")]
+
+    def test_tie_allows(self):
+        rules = [(True, "/a/"), (False, "/a/")]
+        assert is_allowed("/a/x", rules)
+
+    def test_empty_and_garbage(self):
+        assert parse_robots(None) == []
+        assert parse_robots("") == []
+        assert parse_robots("no colons here\njust text") == []
+        # rules without a leading slash are ignored
+        assert parse_robots("User-agent: *\nDisallow: private") == []
+
+
+class TestSparkOperators:
+    def test_parse_and_apply(self, spark):
+        robots = spark.createDataFrame(
+            [
+                ("a.example", ROBOTS),
+                ("b.example", "User-agent: *\nDisallow: /\n"),
+                ("c.example", None),
+            ],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots_rules(robots)
+        got = {
+            (r["host"], r["rule_allow"], r["rule_path"])
+            for r in rules.collect()
+        }
+        assert got == {
+            ("a.example", False, "/private/"),
+            ("a.example", True, "/private/ok"),
+            ("b.example", False, "/"),
+        }
+
+        urls = spark.createDataFrame(
+            [
+                ("https://a.example/home",),
+                ("https://a.example/private/secret",),
+                ("https://a.example/private/okay",),
+                ("https://b.example/anything",),
+                ("https://nohost.example/x",),
+                ("https://a.example",),  # bare host -> path '/'
+            ],
+            "url string",
+        )
+        out = {
+            r["url"]: r["robots_allowed"]
+            for r in apply_robots_rules(urls, rules).collect()
+        }
+        assert out["https://a.example/home"]
+        assert not out["https://a.example/private/secret"]
+        assert out["https://a.example/private/okay"]
+        assert not out["https://b.example/anything"]
+        assert out["https://nohost.example/x"]
+        assert out["https://a.example"]
+        assert len(out) == 6
+
+    def test_specific_user_agent(self, spark):
+        robots = spark.createDataFrame(
+            [("a.example", ROBOTS)], "host string, robots_txt string"
+        )
+        rules = parse_robots_rules(robots, user_agent="specialbot")
+        got = {(r["rule_allow"], r["rule_path"]) for r in rules.collect()}
+        assert got == {(False, "/"), (True, "/public/")}

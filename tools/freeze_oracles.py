@@ -883,6 +883,42 @@ def freeze_compression_ratio(docs: pd.DataFrame) -> None:
     _write("compression_ratio", out)
 
 
+def freeze_robots_txt_compliance() -> None:
+    """Expected RFC 9309 verdicts for the synthetic robots/urls of the
+    robots_txt_compliance gate query: the SAME nlp/robots.py kernel the
+    Spark operator wraps, plus the same literal longest-prefix verdict,
+    run single-process."""
+    from dss_plugin_nlp_preparation_spark.nlp.robots import (
+        is_allowed,
+        parse_robots,
+    )
+
+    robots = {}
+    for k in range(23):
+        if k % 3 == 0:
+            robots[k] = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        elif k % 3 == 1:
+            robots[k] = (
+                "User-agent: *\nDisallow: /\n\n"
+                "User-agent: specialbot\nAllow: /\n"
+            )
+        else:
+            robots[k] = None
+    rules = {k: parse_robots(t) for k, t in robots.items()}
+    paths = ["/home", "/private/secret", "/private/okay", ""]
+    rows = []
+    for i in range(500):
+        k = i % 23
+        path = paths[i % 4]
+        url = f"https://h{k}{path}"
+        allowed = is_allowed(path or "/", rules[k])
+        rows.append((i, url, allowed))
+    _write(
+        "robots_txt_compliance",
+        pd.DataFrame(rows, columns=["doc_id", "url", "robots_allowed"]),
+    )
+
+
 def freeze_anchor_links() -> None:
     """Pure-Python replay of extract_anchor_links over the synthetic
     pages augmented with the same deterministic nofollow anchors the
@@ -1225,6 +1261,7 @@ def main() -> int:
     freeze_fix_mojibake(docs)
     freeze_warc_ingest()
     freeze_robots_directives()
+    freeze_robots_txt_compliance()
     freeze_anchor_links()
     freeze_compression_ratio(docs)
     freeze_paragraph_lang(docs)
