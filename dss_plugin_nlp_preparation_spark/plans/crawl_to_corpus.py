@@ -39,6 +39,8 @@ def crawl_to_corpus(
     wet_partitions: int | None = None,
     with_wat: bool = False,
     repair_encoding: bool = False,
+    robots: "DataFrame | None" = None,
+    robots_user_agent: str = "*",
 ) -> dict:
     """Run the whole crawl→corpus job under ``work_dir``; returns stats.
 
@@ -75,6 +77,18 @@ def crawl_to_corpus(
         n_wat = write_wat(build_wat(pages), os.path.join(work_dir, "wat"))
     if drop_noindex_pages:
         pages = drop_noindex(pages)
+    if robots is not None:
+        # RFC 9309 compliance: drop urls the host's robots.txt disallows
+        # for our user agent BEFORE any scoring work is spent on them
+        from dss_plugin_nlp_preparation_spark.operators.robots_txt import (
+            apply_robots_rules,
+            parse_robots_rules,
+        )
+
+        rules = parse_robots_rules(robots, user_agent=robots_user_agent)
+        pages = apply_robots_rules(pages, rules).where(
+            F.col("robots_allowed")
+        ).drop("robots_allowed")
 
     if repair_encoding:
         # mojibake repair + invisible-char hygiene run BEFORE LID,

@@ -67,3 +67,39 @@ def test_repair_encoding_opt_in(spark, tmp_path):
     )
     assert fixed["n_keep"] == base["n_keep"]
     assert fixed["n_wet_records"] == base["n_wet_records"]
+
+
+def test_robots_txt_enforcement(spark, tmp_path):
+    from dss_plugin_nlp_preparation_spark.plans.crawl_to_corpus import (
+        crawl_to_corpus,
+    )
+
+    crawl = str(tmp_path / "crawl")
+    synthesize_warc_files(crawl, n_rows=40, n_files=2)
+    base = crawl_to_corpus(
+        spark, crawl, str(tmp_path / "a"), with_perplexity=False
+    )
+    # find a host present in the crawl and disallow it entirely
+    pages = spark.read.parquet(base["paths"]["pages"])
+    host = (
+        pages.selectExpr(
+            "lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS h"
+        )
+        .groupBy("h").count().orderBy(F.desc("count")).limit(1)
+        .collect()[0]["h"]
+    )
+    robots = spark.createDataFrame(
+        [(host, "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    restricted = crawl_to_corpus(
+        spark, crawl, str(tmp_path / "b"), with_perplexity=False, robots=robots
+    )
+    assert restricted["n_scored"] < base["n_scored"]
+    filtered = spark.read.parquet(restricted["paths"]["filtered"])
+    n_from_host = filtered.where(
+        F.lower(
+            F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+        ) == host
+    ).count()
+    assert n_from_host == 0
