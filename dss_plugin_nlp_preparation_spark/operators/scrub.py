@@ -153,6 +153,67 @@ def add_toxicity_signal(
     )
 
 
+# Credential/secret shapes a web crawl leaks into training data (the
+# Stack/StarCoder-style secret scrubbing, re-expressed as a native
+# regexp_replace chain). Every pattern is SELF-IDENTIFYING — a fixed
+# vendor prefix or framing carries the precision, no context lookaround
+# needed — and written in the Java-regex/RE2 common subset (no
+# backreferences, no lookahead, repetition bounds < 1000) so the DuckDB
+# oracle replays each one verbatim. Ordered: the multi-line PEM block
+# first (its body could otherwise be nibbled by the token patterns).
+SECRET_PATTERNS = [
+    (
+        "pem_key",
+        r"(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----",
+        "[PRIVATE_KEY]",
+    ),
+    ("aws_key_id", r"\b(?:AKIA|ASIA|ABIA|ACCA)[0-9A-Z]{16}\b", "[AWS_KEY]"),
+    (
+        "github_token",
+        r"\b(?:gh[oprsu]_[A-Za-z0-9]{36,255}|github_pat_[A-Za-z0-9_]{22,255})\b",
+        "[GITHUB_TOKEN]",
+    ),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,250}\b", "[SLACK_TOKEN]"),
+    ("stripe_key", r"\b[sr]k_live_[A-Za-z0-9]{16,247}\b", "[STRIPE_KEY]"),
+    ("google_api_key", r"\bAIza[0-9A-Za-z_-]{35}\b", "[GOOGLE_KEY]"),
+    (
+        "jwt",
+        r"\beyJ[A-Za-z0-9_-]{8,}\.eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b",
+        "[JWT]",
+    ),
+]
+
+
+def scrub_secrets(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "secrets_scrubbed_text",
+) -> DataFrame:
+    """Mask leaked credentials (PEM private-key blocks, AWS key ids,
+    GitHub / Slack / Stripe / Google API tokens, JWTs) and append one
+    count column per category plus ``n_secrets`` total.
+
+    Spark-first shape: one codegen'd ``regexp_replace`` chain + one
+    ``regexp_count`` per category — a single narrow projection, zero
+    shuffle, zero Python. The input column is never modified
+    (byte-identity invariant). Counts are taken against the ORIGINAL
+    text, so an earlier replacement can't hide a later category's hits.
+    """
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    scrubbed = text
+    total = F.lit(0).cast("long")
+    counts = {}
+    for name, pattern, repl in SECRET_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pattern, repl)
+        c = F.regexp_count(text, F.lit(pattern)).cast("long")
+        counts[f"n_{name}"] = c
+        total = total + c
+    out = df.withColumn(output_column, scrubbed)
+    for name, expr in counts.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn("n_secrets", total)
+
+
 # IBAN-shaped candidates: 2 uppercase country letters + 2 check digits +
 # 11-30 alphanumerics (total 15-34). Checksum, not shape, carries the
 # precision (ISO 13616 mod-97: ~99% of random shape-matches fail it).
