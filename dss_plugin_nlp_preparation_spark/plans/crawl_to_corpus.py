@@ -41,6 +41,7 @@ def crawl_to_corpus(
     repair_encoding: bool = False,
     robots: "DataFrame | None" = None,
     robots_user_agent: str = "*",
+    **pipeline_kwargs,
 ) -> dict:
     """Run the whole crawl→corpus job under ``work_dir``; returns stats.
 
@@ -115,8 +116,13 @@ def crawl_to_corpus(
         )
     # Stage 0 (html→text) + Stage A–F; the html payload is pruned from
     # every node past extraction (extract_missing_text masks JVM-side)
+    # extra rule families / extended scrub (with_c4_rules,
+    # with_extended_scrub, ...) pass straight through to the pipeline
     result = quality_filter_pipeline(
-        pages, extract_missing_text=True, with_perplexity=with_perplexity
+        pages,
+        extract_missing_text=True,
+        with_perplexity=with_perplexity,
+        **pipeline_kwargs,
     )
     result.write.mode("overwrite").parquet(filtered_path)
 

@@ -117,6 +117,7 @@ def quality_filter_pipeline(
     with_fineweb_rules: bool = False,
     with_refinedweb_corrections: bool = False,
     with_dup_text_fractions: bool = False,
+    with_extended_scrub: bool = False,
 ) -> DataFrame:
     """pages -> pages + lang_detected/effective_lang + signals + keep/drop.
 
@@ -174,7 +175,18 @@ def quality_filter_pipeline(
         df = add_quality_signals(df, text_column="text", language_column="effective_lang")
         df = scrub_text(df, text_column="text")
         df = add_keep_drop(df, thresholds=thresholds, lang_score_column=lang_score_col)
-        return _maybe_classify(df, classifier_model)
+        return _apply_optins(
+            df,
+            classifier_model,
+            with_compression_ratio=with_compression_ratio,
+            with_gopher_rules=with_gopher_rules,
+            with_toxicity_filter=with_toxicity_filter,
+            with_c4_rules=with_c4_rules,
+            with_fineweb_rules=with_fineweb_rules,
+            with_refinedweb_corrections=with_refinedweb_corrections,
+            with_dup_text_fractions=with_dup_text_fractions,
+            with_extended_scrub=with_extended_scrub,
+        )
     if detect_missing_lang:
         # Only unlabeled rows pay the LID UDF: labeled rows feed '' into the
         # detector (constant-time empty-doc path). A pandas UDF always runs
@@ -216,9 +228,38 @@ def quality_filter_pipeline(
         df = add_perplexity(df, text_column="text", language_column="effective_lang")
     df = scrub_text(df, text_column="text")
     df = add_keep_drop(df, thresholds=thresholds, lang_score_column=lang_score_col)
+    return _apply_optins(
+        df,
+        classifier_model,
+        with_compression_ratio=with_compression_ratio,
+        with_gopher_rules=with_gopher_rules,
+        with_toxicity_filter=with_toxicity_filter,
+        with_c4_rules=with_c4_rules,
+        with_fineweb_rules=with_fineweb_rules,
+        with_refinedweb_corrections=with_refinedweb_corrections,
+        with_dup_text_fractions=with_dup_text_fractions,
+        with_extended_scrub=with_extended_scrub,
+    )
+
+
+def _apply_optins(
+    df: DataFrame,
+    classifier_model: DataFrame | None,
+    *,
+    with_compression_ratio: bool = False,
+    with_gopher_rules: bool = False,
+    with_toxicity_filter: bool = False,
+    with_c4_rules: bool = False,
+    with_fineweb_rules: bool = False,
+    with_refinedweb_corrections: bool = False,
+    with_dup_text_fractions: bool = False,
+    with_extended_scrub: bool = False,
+) -> DataFrame:
     # opt-in extended signals (defaults off: the graded output schema and
     # the frozen pages_pipeline oracle stay byte-stable). These ANNOTATE —
     # the rule-based keep column is not altered; callers combine flags.
+    # Shared by BOTH the fused LID+LM path and the staged path, so an
+    # opt-in flag can never be silently dropped by the fused fast path.
     if with_compression_ratio:
         from dss_plugin_nlp_preparation_spark.operators.repetition import (
             add_compression_ratio,
@@ -261,6 +302,14 @@ def quality_filter_pipeline(
         )
 
         df = add_duplicate_text_fractions(df, text_column="text")
+    if with_extended_scrub:
+        # checksum/shape-validated masking (Luhn cards, mod-97 IBANs,
+        # leaked credentials) layered over the Stage-E scrubbed_text
+        from dss_plugin_nlp_preparation_spark.operators.scrub import (
+            scrub_extended,
+        )
+
+        df = scrub_extended(df, text_column="scrubbed_text")
     return _maybe_classify(df, classifier_model)
 
 

@@ -17,7 +17,15 @@ def test_crawl_to_corpus_end_to_end(spark, tmp_path):
     synthesize_warc_files(crawl, n_rows=60, n_files=3)
 
     stats = crawl_to_corpus(
-        spark, crawl, work, run_id="run-1", with_perplexity=False, with_wat=True
+        spark,
+        crawl,
+        work,
+        run_id="run-1",
+        with_perplexity=False,
+        with_wat=True,
+        # rule-family opt-ins forward straight to the pipeline
+        with_c4_rules=True,
+        with_extended_scrub=True,
     )
     assert stats["processed_archives"] == 3
     assert stats["n_wat_records"] == stats["n_ingested"]
@@ -25,6 +33,8 @@ def test_crawl_to_corpus_end_to_end(spark, tmp_path):
     assert stats["n_scored"] <= 60  # noindex pages may drop pre-filter
     assert 0 < stats["n_keep"] <= stats["n_scored"]
     assert stats["n_wet_records"] == stats["n_keep"]
+    filtered_cols = set(spark.read.parquet(stats["paths"]["filtered"]).columns)
+    assert {"c4_keep", "n_cards_valid", "n_secrets"} <= filtered_cols
 
     # the WET deliverable round-trips: one conversion record per kept doc,
     # text == the scrubbed text of the filtered table

@@ -169,6 +169,79 @@ def test_pipeline_opt_in_extended_signals(spark):
     assert 0.0 <= row["compression_ratio"] <= 2.0
 
 
+def test_fused_path_honors_opt_ins(spark):
+    # Regression: the fused LID+perplexity fast path (the DEFAULT path)
+    # used to return before the opt-in rule-family block, silently
+    # dropping with_c4_rules etc. Both paths must honor every opt-in.
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 20, 2)
+    ext = quality_filter_pipeline(
+        pages,  # with_perplexity + detect_missing_lang default True = fused
+        with_compression_ratio=True,
+        with_gopher_rules=True,
+        with_toxicity_filter=True,
+        with_c4_rules=True,
+        with_fineweb_rules=True,
+        with_refinedweb_corrections=True,
+        with_dup_text_fractions=True,
+    )
+    assert {"compression_ratio", "gopher_quality_keep", "tox_keep",
+            "c4_keep", "fineweb_keep", "rw_keep", "dup_text_keep",
+            "log_ppl"} <= set(ext.columns)
+    assert ext.count() == 20
+
+
+def test_pipeline_extended_scrub(spark):
+    # with_extended_scrub layers Luhn-card / IBAN / credential masking
+    # over the Stage-E scrubbed_text IN PLACE, keeping count columns.
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                # unformatted Luhn-valid card: stage E's shape rule only
+                # covers the formatted form, so THIS one is the Luhn
+                # stage's catch; IBAN + token are extended-only too
+                "http://a.example/1",
+                "pay card 4111111111111111 or IBAN DE89370400440532013000 "
+                "with token ghp_" + "a" * 36 + " and mail bob@example.com ok "
+                "filler words to keep the quality rules content happy here",
+                "en",
+            ),
+            (
+                "http://a.example/2",
+                "order id 1234567890123456 is NOT a card (Luhn fails) and "
+                "plain text stays untouched across the whole scrub chain",
+                "en",
+            ),
+        ],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+        "html", F.lit(None).cast("binary")
+    )
+    out = quality_filter_pipeline(
+        pages, with_perplexity=False, with_extended_scrub=True
+    )
+    assert {"n_cards_valid", "n_ibans_valid", "n_secrets"} <= set(out.columns)
+    rows = {r["url"]: r for r in out.collect()}
+    t1 = rows["http://a.example/1"]["scrubbed_text"]
+    assert "[CARD]" in t1 and "[IBAN]" in t1 and "[GITHUB_TOKEN]" in t1
+    assert "[EMAIL]" in t1 or "bob@example.com" not in t1  # stage-E already masked
+    assert rows["http://a.example/1"]["n_cards_valid"] == 1
+    assert rows["http://a.example/1"]["n_secrets"] == 1
+    t2 = rows["http://a.example/2"]["scrubbed_text"]
+    assert "1234567890123456" in t2  # Luhn-invalid survives
+    assert rows["http://a.example/2"]["n_cards_valid"] == 0
+    # input text column is never modified (byte-identity invariant)
+    assert rows["http://a.example/1"]["text"].startswith("pay card 4111")
+
+
 def test_partition_reason_metrics(spark):
     from dss_plugin_nlp_preparation_spark.plans.pipeline import (
         partition_reason_metrics,
