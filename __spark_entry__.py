@@ -1360,6 +1360,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_secrets",
         )
 
+
+    def q_readability(spark, sf_dir):
+        # readability + lexical diversity (Flesch/FK, TTR, hapax): all
+        # native zero-shuffle expressions; full SQL replay below
+        from dss_plugin_nlp_preparation_spark.operators.quality import (
+            add_readability_signals,
+        )
+
+        return add_readability_signals(_docs(spark, sf_dir)).select(
+            "doc_id",
+            "n_sentences",
+            "n_syllables",
+            "flesch_reading_ease",
+            "fk_grade",
+            "ttr",
+            "hapax_frac",
+        )
+
     def q_pdedup_within_doc(spark, sf_dir):
         # within-doc paragraph dedup over the same dup-seeded synthetic
         # page construction as dup_text_fractions; full SQL replay
@@ -2041,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdedup_within_doc": q_pdedup_within_doc,
         "iban_scrub": q_iban_scrub,
         "secrets_scrub": q_secrets_scrub,
+        "readability": q_readability,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -2875,6 +2894,55 @@ def oracle_sql() -> dict[str, str]:
           FROM pages
         )
         SELECT *, CAST({_sec_total} AS BIGINT) AS n_secrets FROM counted
+    """
+
+    # readability + lexical diversity: same whitespace-token / vowel-group
+    # / sorted-neighbor-hapax definitions as add_readability_signals;
+    # TRUE OR NULL = TRUE covers the out-of-range neighbor at i=1 / i=nw
+    # (DuckDB returns NULL for an out-of-range list index)
+    sqls["readability"] = """
+        WITH toks AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+            list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                        w -> w != '') AS words
+          FROM documents
+        ), base AS (
+          SELECT doc_id, t, words, len(words) AS nw,
+            list_sort(list_transform(words, w -> lower(w))) AS sorted_w
+          FROM toks
+        ), sig AS (
+          SELECT doc_id, nw,
+            CASE WHEN nw > 0
+              THEN greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+              ELSE 0 END AS n_sentences,
+            CASE WHEN nw > 0
+              THEN len(regexp_extract_all(t, '[aeiouyAEIOUY]+'))
+                 + len(list_filter(words,
+                       w -> NOT regexp_matches(w, '[aeiouyAEIOUY]')))
+              ELSE 0 END AS n_syllables,
+            CASE WHEN nw > 0
+              THEN len(list_distinct(sorted_w)) / nw ELSE 0.0 END AS ttr_raw,
+            CASE WHEN nw > 0
+              THEN len(list_filter(range(1, nw + 1),
+                     i -> (i = 1 OR sorted_w[i] != sorted_w[i - 1])
+                      AND (i = nw OR sorted_w[i] != sorted_w[i + 1]))) / nw
+              ELSE 0.0 END AS hapax_raw
+          FROM base
+        )
+        SELECT doc_id,
+          CAST(n_sentences AS BIGINT) AS n_sentences,
+          CAST(n_syllables AS BIGINT) AS n_syllables,
+          round(CASE WHEN nw > 0
+            THEN 206.835 - 1.015 * (nw / n_sentences)
+                         - 84.6 * (n_syllables / nw)
+            ELSE 0.0 END, 4) AS flesch_reading_ease,
+          round(CASE WHEN nw > 0
+            THEN 0.39 * (nw / n_sentences) + 11.8 * (n_syllables / nw)
+                 - 15.59
+            ELSE 0.0 END, 4) AS fk_grade,
+          round(ttr_raw, 4) AS ttr,
+          round(hapax_raw, 4) AS hapax_frac
+        FROM sig
     """
     # within-doc paragraph dedup: same page construction as
     # dup_text_fractions; first occurrences kept via an indexed filter

@@ -1,230 +1,190 @@
 # -*- coding: utf-8 -*-
-"""DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
-2023, arXiv:2302.03169) as three deterministic Spark jobs.
+"""DSIR-style data selection: hashed n-gram importance resampling.
 
-DSIR selects raw web documents that look like a small high-quality target
-corpus: fit bag-of-hashed-n-grams unigram models p_target and p_raw, weight
-every raw document by its log importance ratio
-``log w(x) = Σ_f count_f(x) · (ln p_target[f] − ln p_raw[f])``, then draw
-the subset by Gumbel top-k on the log weights (sampling without
-replacement proportional to w(x)). It is the published middle ground
-between pure heuristics (Stage D/F) and the distilled classifier
-(operators/classifier.py): cheaper than a trained model, targeted unlike
-fixed rules.
+Re-expresses Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) Spark-first: documents are featurized as hashed
+unigram+bigram counts over ``n_buckets`` buckets, bag-of-buckets language
+models are trained on a TARGET corpus (the distribution you want more
+of) and on the RAW corpus (what you have), and each raw document gets a
+log importance weight  log p_target(doc) − log p_raw(doc)  under those
+models. Resampling with Gumbel-top-k then draws a target-like subset
+without replacement.
 
-Determinism (the repo-wide contract — identical output under any
-partitioning / retry / AQE re-plan, replayable by the DuckDB oracle):
+Scale shape (every stage is DataFrame-declarative):
 
-- features are the classifier's unigrams + adjacent bigrams hashed into
-  ``n_buckets`` integer buckets; the hash is a pure column expression
-  (xxhash64 default; md5-prefix variant kept because DuckDB can replay it
-  verbatim — same split as MinHash, operators/dedup.py),
-- model weights are add-α smoothed log ratios rounded to 6 dp, so both
-  engines score the exact same model (see classifier.py on why 6 dp),
-- the Gumbel noise is a pure function of the document key:
-  ``u = (md5_unit(key)+0.5)/2^32 ∈ (0,1)``, ``g = −ln(−ln u)`` — no RNG
-  state, stable across reruns and cluster sizes,
-- top-k rank ties break on the key, and the rank runs as the salted
-  two-phase window (per-salt top-k is a superset of the global top-k)
-  so no single task ever sorts more than ``n_salt · k`` rows.
+- featurization is a per-row codegen'd expression (split → zip_with
+  bigrams → md5 bucket), zero Python;
+- LM training is one explode + one groupBy over AT MOST ``n_buckets``
+  distinct keys — the shuffle carries integer counts only and map-side
+  combine collapses it to O(buckets) rows per task;
+- the log-ratio table is at most ``n_buckets`` rows (a few KB) and is
+  BROADCAST to score, so scoring costs one explode + broadcast join +
+  one groupBy(doc) with map-side combine: one shuffle of (doc_id,
+  partial integer sum) pairs;
+- resampling is ``TakeOrderedAndProject`` (per-partition top-k then a
+  k-row driver merge), never a global sort.
 
-Scale shape at 10^12 docs:
-
-- ``train_dsir``: two explode→bucket→groupBy count jobs (target corpus is
-  small by definition; the raw side is ONE map-side-combined shuffle of
-  integer bucket keys — at most ``n_buckets`` distinct keys, so partial
-  aggregation collapses each task's output to ≤ n_buckets rows before the
-  wire), then a full-outer join of two ≤ n_buckets relations. The model is
-  ≤ n_buckets rows — broadcast-sized by construction (no vocabulary prune
-  needed: hashing IS the prune).
-- ``score_dsir``: explode → bucket → broadcast-hash-join the model →
-  groupBy(key) sum. After the narrow explode every feature row of a
-  document stays in its input partition, so the partial aggregate
-  collapses to one row per document before the shuffle: wire volume is
-  ~1 row/doc regardless of document length. All expressions whole-stage
-  codegen; no Python in the hot path.
-- ``dsir_resample``: one projection (Gumbel key) + the salted two-phase
-  top-k. For "select 10% of the corpus" scales of k, skip ranking and use
-  the threshold variant (``frac=``): keep rows whose selection key clears
-  a fixed cutoff — zero shuffle, the statistically equivalent form when
-  k is a corpus-sized fraction.
-
-Reference parity: the reference plugin has no data-selection operator;
-this is a web-scale extension (SURVEY.md §2 training-data pipeline set).
+Determinism: bucket ids come from the engine-portable md5 pattern used
+across this repo (first 8 hex chars as an integer), and the log-ratio is
+QUANTISED to an int64 (``floor(x·1e6 + 0.5)``) before the per-doc sum —
+integer addition is associative, so the score is bit-identical under any
+partitioning, retry, or AQE re-plan, and replays exactly in DuckDB
+(same trick as operators/semantic.py's quantised centroid sums).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .classifier import _feature_array
-
-_W_DECIMALS = 6  # rounded model weights: Spark and DuckDB score the same model
-_U32 = 4294967296.0  # 2^32, the md5-prefix hash-unit denominator
+LAMBDA_SCALE = 1_000_000  # quantisation: log-ratio -> int64 micro-nats
 
 
-def _bucket_expr(col, n_buckets: int, hash_fn: str):
-    """Integer bucket 0..n_buckets-1 from a feature string, as a pure
-    column expression (codegen, no higher-order functions)."""
-    if hash_fn == "xxhash64":
-        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("long")
-    if hash_fn == "md5":
-        # first 8 md5 hex chars as an integer — DuckDB replays this as
-        # CAST('0x' || substr(md5(f),1,8) AS UBIGINT) % n_buckets
-        return (
-            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-            % F.lit(n_buckets)
-        ).cast("long")
-    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    """Engine-portable hash bucket: first 8 md5 hex chars mod n_buckets."""
+    h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
 
 
-def _bucket_counts(
-    df: DataFrame, text_column: str, n_buckets: int, hash_fn: str, out: str
-) -> DataFrame:
-    return (
-        df.select(F.explode(_feature_array(text_column)).alias("f"))
-        .select(_bucket_expr(F.col("f"), n_buckets, hash_fn).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias(out))
+def hashed_gram_buckets(text: Column, n_buckets: int = 4096) -> Column:
+    """array<long> of hashed unigram+bigram buckets for one document.
+
+    Words are lowercased whitespace tokens; bigrams join adjacent words
+    with a single space. Pure expression — no shuffle, no Python."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+"),
+        lambda w: w != "",
     )
-
-
-def train_dsir(
-    target_df: DataFrame,
-    raw_df: DataFrame,
-    text_column: str = "text",
-    n_buckets: int = 65536,
-    alpha: float = 0.5,
-    hash_fn: str = "xxhash64",
-) -> DataFrame:
-    """Fit the hashed-n-gram importance model.
-
-    Returns ``(bucket long, w double)`` with
-    ``w = ln((n_t+α)/(T+α·B)) − ln((n_r+α)/(R+α·B))`` where T/R are total
-    target/raw feature occurrences and B = ``n_buckets``; buckets unseen
-    in BOTH corpora are omitted — the scorer treats them as 0. (Their true
-    smoothed weight is the single shared constant
-    ``ln(α/(T+αB)) − ln(α/(R+αB)) = ln(R+αB) − ln(T+αB)``; a genuinely
-    novel bucket at scoring time would add that same constant per
-    occurrence to any document containing it, so dropping it only shifts
-    scores of out-of-support text, never reorders in-support comparisons.)
-
-    The result is ≤ n_buckets rows — collect/broadcast it freely.
-    """
-    t = _bucket_counts(target_df, text_column, n_buckets, hash_fn, "n_t")
-    r = _bucket_counts(raw_df, text_column, n_buckets, hash_fn, "n_r")
-    joined = (
-        t.join(r, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("n_t", F.lit(0)).alias("n_t"),
-            F.coalesce("n_r", F.lit(0)).alias("n_r"),
-        )
+    n = F.size(words)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, m),
+        F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    totals = joined.agg(F.sum("n_t").alias("T"), F.sum("n_r").alias("R"))
-    a = F.lit(float(alpha))
-    b = F.lit(float(n_buckets))
-    return joined.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            F.log((F.col("n_t") + a) / (F.col("T") + a * b))
-            - F.log((F.col("n_r") + a) / (F.col("R") + a * b)),
-            _W_DECIMALS,
-        ).alias("w"),
-    )
+    grams = F.concat(words, bigrams)
+    return F.transform(grams, lambda g: _bucket(g, n_buckets))
 
 
-def score_dsir(
+def train_hashed_lm(
     df: DataFrame,
-    model: DataFrame,
     text_column: str = "text",
-    key_column: str = "doc_id",
-    n_buckets: int = 65536,
-    hash_fn: str = "xxhash64",
+    n_buckets: int = 4096,
 ) -> DataFrame:
-    """Per-document log importance weight.
-
-    Returns ``(key, dsir_logw double, n_feats long)`` for EVERY input row
-    (documents with no features score 0.0). ``dsir_logw`` is the rounded
-    sum of bucket weights over the document's hashed features — the log
-    of the unnormalized importance ratio log(p_target(x)/p_raw(x)).
-
-    One shuffle of ~1 row/doc (see module docstring); the model joins in
-    as an explicit broadcast.
-    """
-    feats = df.select(
-        F.col(key_column).alias("__k"),
-        F.explode(_feature_array(text_column)).alias("f"),
-    ).select("__k", _bucket_expr(F.col("f"), n_buckets, hash_fn).alias("bucket"))
-    sums = (
-        feats.join(F.broadcast(model), "bucket", "left")
-        .groupBy("__k")
-        .agg(
-            F.round(F.sum(F.coalesce("w", F.lit(0.0))), _W_DECIMALS).alias(
-                "dsir_logw"
-            ),
-            F.count(F.lit(1)).alias("n_feats"),
+    """Bag-of-hashed-ngrams counts: (bucket long, cnt long), ≤ n_buckets
+    rows. One explode + one integer-count groupBy (map-side combined)."""
+    return (
+        df.select(
+            F.explode(
+                hashed_gram_buckets(F.col(text_column), n_buckets)
+            ).alias("bucket")
         )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-bucket quantised log importance ratio.
+
+    (bucket long, lambda_q long) where lambda_q = floor(1e6 · (
+    log((t_cnt+1)/(t_total+B)) − log((r_cnt+1)/(r_total+B))) + 0.5)
+    — add-one smoothing on both models, so buckets unseen in the target
+    corpus get a finite negative ratio. ≤ n_buckets rows; totals ride in
+    via broadcast single-row cross joins (no collect, no driver loop)."""
+    t_tot = target_lm.agg(F.sum("cnt").alias("t_total"))
+    r_tot = raw_lm.agg(F.sum("cnt").alias("r_total"))
+    joined = (
+        raw_lm.select("bucket", F.col("cnt").alias("r_cnt"))
+        .join(
+            target_lm.select("bucket", F.col("cnt").alias("t_cnt")),
+            "bucket",
+            "full",
+        )
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    b = F.lit(n_buckets)
+    lam = F.log(
+        (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("t_total"), F.lit(0)) + b)
+    ) - F.log(
+        (F.coalesce(F.col("r_cnt"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("r_total"), F.lit(0)) + b)
+    )
+    return joined.select(
+        "bucket",
+        F.floor(lam * LAMBDA_SCALE + F.lit(0.5)).cast("long").alias("lambda_q"),
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    log_ratio: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Append ``log_importance_weight`` (double) to ``df``.
+
+    Σ over the doc's hashed grams of the bucket's quantised ratio —
+    an EXACT int64 sum (associative under any partitioning), divided by
+    1e6 at the end. log_ratio is broadcast; one groupBy(doc) shuffle of
+    integer partials. Documents with no words weigh 0.0."""
+    grams = df.select(
+        F.col(id_column),
+        F.explode(
+            hashed_gram_buckets(F.col(text_column), n_buckets)
+        ).alias("bucket"),
+    )
+    sums = (
+        grams.join(F.broadcast(log_ratio), "bucket", "left")
+        .groupBy(id_column)
+        .agg(F.sum(F.coalesce("lambda_q", F.lit(0))).alias("__wq"))
     )
     return (
-        df.select(F.col(key_column))
-        .join(sums.withColumnRenamed("__k", key_column), key_column, "left")
-        .select(
-            key_column,
-            F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
-            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        df.join(sums, id_column, "left")
+        .withColumn(
+            "log_importance_weight",
+            F.coalesce(F.col("__wq") / F.lit(float(LAMBDA_SCALE)), F.lit(0.0)),
         )
+        .drop("__wq")
     )
-
-
-def gumbel_key_expr(key_column: str, score_column: str, temperature: float = 1.0):
-    """Selection key ``score/τ + Gumbel(key)``, a pure function of the row.
-
-    ``u = (int(md5(key)[:8], 16) + 0.5) / 2^32`` is strictly inside (0,1),
-    so ``g = −ln(−ln u)`` is always finite; Gumbel top-k on
-    ``score/τ + g`` draws k items without replacement with probability
-    proportional to ``exp(score/τ)`` (Vieira 2014 / Kool et al. 2019).
-    Rounded to 6 dp so both engines rank the identical keys.
-    """
-    u = (
-        F.conv(F.substring(F.md5(F.col(key_column).cast("string")), 1, 8), 16, 10).cast(
-            "double"
-        )
-        + F.lit(0.5)
-    ) / F.lit(_U32)
-    g = -F.log(-F.log(u))
-    return F.round(F.col(score_column) / F.lit(float(temperature)) + g, _W_DECIMALS)
 
 
 def dsir_resample(
-    scored: DataFrame,
+    df: DataFrame,
     k: int,
-    key_column: str = "doc_id",
-    score_column: str = "dsir_logw",
-    temperature: float = 1.0,
-    n_salt: int = 32,
+    id_column: str = "doc_id",
+    weight_column: str = "log_importance_weight",
+    seed: str = "dsir",
 ) -> DataFrame:
-    """Gumbel top-k resample: the k rows with the largest
-    ``score/τ + Gumbel(key)`` (ties → smaller key), i.e. a without-
-    replacement draw ∝ exp(score/τ). Appends ``sel_key double``.
-
-    The rank is the salted two-phase top-k (classifier.py vocab prune):
-    per-salt top-k is a superset of the global top-k under the same total
-    order, so the final single-partition window ranks ≤ n_salt·k rows.
-    """
-    with_key = scored.withColumn(
-        "sel_key", gumbel_key_expr(key_column, score_column, temperature)
-    )
-    order = (F.desc("sel_key"), F.asc(key_column))
-    w_salted = Window.partitionBy(
-        F.pmod(F.xxhash64(F.col(key_column).cast("string")), F.lit(n_salt))
-    ).orderBy(*order)
-    w_all = Window.partitionBy().orderBy(*order)
+    """Gumbel-top-k resampling: draw ``k`` docs without replacement with
+    probability ∝ exp(weight) — the Gumbel-max trick makes one
+    deterministic pass (key = weight + Gumbel(md5-unit(seed||id)))
+    equivalent to sequential weighted draws. orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition heaps, k-row merge, no global
+    sort. Key-pure in (seed, id), so stable under retry/AQE."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_column).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
     return (
-        with_key.withColumn("__r", F.row_number().over(w_salted))
-        .where(F.col("__r") <= k)
-        .withColumn("__r", F.row_number().over(w_all))
-        .where(F.col("__r") <= k)
-        .drop("__r")
+        df.withColumn("__gkey", F.col(weight_column) + gumbel)
+        .orderBy(F.col("__gkey").desc(), F.col(id_column))
+        .limit(k)
+        .drop("__gkey")
     )

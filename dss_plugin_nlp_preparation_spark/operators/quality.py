@@ -216,3 +216,89 @@ def add_gopher_quality_filter(
         .withColumn("g_n_ellipsis_lines", n_ellipsis.cast("long"))
         .withColumn("gopher_quality_keep", keep)
     )
+
+
+def add_readability_signals(
+    df: DataFrame,
+    text_column: str = "text",
+) -> DataFrame:
+    """Readability + lexical-diversity signals, all native expressions.
+
+    Appends (rounded to 4 decimals unless integer):
+
+    - ``n_sentences``   — runs of sentence-ending punctuation ``[.!?]+``,
+      clamped to >=1 whenever the document has words (a fragment with no
+      terminal punctuation is one sentence).
+    - ``n_syllables``   — documented heuristic: per word,
+      ``max(1, count of vowel groups [aeiouyAEIOUY]+)``. Vowel runs
+      cannot span whitespace, so the corpus-wide vowel-group count plus
+      the count of vowel-less words IS the per-word sum — one regexp
+      pass plus one array filter, no per-word loop.
+    - ``flesch_reading_ease`` — 206.835 − 1.015·(W/S) − 84.6·(Syll/W)
+      (Flesch 1948).
+    - ``fk_grade``      — 0.39·(W/S) + 11.8·(Syll/W) − 15.59
+      (Kincaid et al. 1975).
+    - ``ttr``           — type/token ratio over lowercased words.
+    - ``hapax_frac``    — fraction of words occurring exactly once
+      (lowercased), via the sorted-neighbor scan: sort the lowercased
+      words, then a token is a hapax iff it differs from both sorted
+      neighbors — O(n log n) per row, zero shuffle, zero Python.
+
+    Scale shape: one narrow projection per row; every column is a
+    codegen'd expression over the words array. Nothing here shuffles,
+    so the operator costs one scan regardless of corpus size. The whole
+    set replays verbatim in ANSI SQL (see ``oracle_sql()['readability']``).
+    """
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    words = words_col(text)
+    n_words = F.size(words)
+
+    n_sentences = F.when(
+        n_words > 0,
+        F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)),
+    ).otherwise(F.lit(0))
+
+    vowel_groups = F.regexp_count(text, F.lit(r"[aeiouyAEIOUY]+"))
+    vowelless = F.size(F.filter(words, lambda w: ~w.rlike("[aeiouyAEIOUY]")))
+    n_syllables = F.when(n_words > 0, vowel_groups + vowelless).otherwise(F.lit(0))
+
+    wps = n_words / n_sentences
+    spw = n_syllables / n_words
+    flesch = F.when(
+        n_words > 0, F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    ).otherwise(F.lit(0.0))
+    fk = F.when(
+        n_words > 0, F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    ).otherwise(F.lit(0.0))
+
+    lowered = F.array_sort(F.transform(words, F.lower))
+    ttr = F.when(
+        n_words > 0, F.size(F.array_distinct(lowered)) / n_words
+    ).otherwise(F.lit(0.0))
+    # sorted-neighbor hapax scan over 1-based positions (guards keep
+    # element_at indexes in range: position 0 / n+1 are never touched)
+    n = F.size(lowered)
+    idx = F.sequence(F.lit(1), n)
+    hapax = F.size(
+        F.filter(
+            idx,
+            lambda i: (
+                (i == 1)
+                | (F.element_at(lowered, i) != F.element_at(lowered, F.greatest(i - 1, F.lit(1))))
+            )
+            & (
+                (i == n)
+                | (F.element_at(lowered, i) != F.element_at(lowered, F.least(i + 1, n)))
+            ),
+        )
+    )
+    hapax_frac = F.when(n_words > 0, hapax / n_words).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("n_sentences", n_sentences.cast("long"))
+        .withColumn("n_syllables", n_syllables.cast("long"))
+        .withColumn("flesch_reading_ease", F.round(flesch, 4))
+        .withColumn("fk_grade", F.round(fk, 4))
+        .withColumn("ttr", F.round(ttr, 4))
+        .withColumn("hapax_frac", F.round(hapax_frac, 4))
+    )

@@ -380,3 +380,50 @@ class TestSecretsScrub:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = scrub_secrets(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestReadability:
+    def test_known_values(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.quality import (
+            add_readability_signals,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "The cat sat on the mat. The dog ran fast! Did it rain?"),
+                (2, "one two two three three three"),
+                (3, ""),
+                (4, None),
+                (5, "hmm grr pfft"),  # vowel-less words clamp to 1 syllable
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in add_readability_signals(df).collect()}
+        assert out[1]["n_sentences"] == 3
+        assert out[1]["n_syllables"] == 13
+        # hand-checked: 10 hapax of 13 lowercased whitespace tokens
+        assert out[1]["hapax_frac"] == round(10 / 13, 4)
+        assert out[2]["ttr"] == 0.5
+        assert out[2]["hapax_frac"] == round(1 / 6, 4)
+        assert out[2]["n_sentences"] == 1  # clamp: no terminal punctuation
+        for empty in (3, 4):
+            r = out[empty]
+            assert r["n_sentences"] == 0 and r["flesch_reading_ease"] == 0.0
+        assert out[5]["n_syllables"] == 3
+        # Flesch formula spot check on doc 2: W=6 S=1 Syll=7
+        expect = 206.835 - 1.015 * 6.0 - 84.6 * (7.0 / 6.0)
+        assert out[2]["flesch_reading_ease"] == round(expect, 4)
+
+    def test_zero_shuffle_zero_python(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.quality import (
+            add_readability_signals,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (
+            add_readability_signals(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
