@@ -1378,6 +1378,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hapax_frac",
         )
 
+
+    def q_dsir_weights(spark, sf_dir):
+        # DSIR importance weights: target = every 7th doc, raw = all
+        # docs; hashed unigram+bigram LMs (1024 md5 buckets), quantised
+        # log-ratio sums (exact int64) -> per-doc weight; full SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.dsir import (
+            dsir_importance_weights,
+            dsir_log_ratio,
+            train_hashed_lm,
+        )
+
+        d = _docs(spark, sf_dir)
+        lam = dsir_log_ratio(
+            train_hashed_lm(d.where("doc_id % 7 = 0"), n_buckets=1024),
+            train_hashed_lm(d, n_buckets=1024),
+            n_buckets=1024,
+        )
+        return dsir_importance_weights(d, lam, n_buckets=1024).select(
+            "doc_id",
+            F.round("log_importance_weight", 4).alias("log_iw"),
+        )
+
     def q_pdedup_within_doc(spark, sf_dir):
         # within-doc paragraph dedup over the same dup-seeded synthetic
         # page construction as dup_text_fractions; full SQL replay
@@ -2060,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iban_scrub": q_iban_scrub,
         "secrets_scrub": q_secrets_scrub,
         "readability": q_readability,
+        "dsir_weights": q_dsir_weights,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -2944,6 +2967,53 @@ def oracle_sql() -> dict[str, str]:
           round(hapax_raw, 4) AS hapax_frac
         FROM sig
     """
+
+    # DSIR importance weights: identical md5-bucket featurization
+    # (lowercased whitespace unigrams + space-joined bigrams, first 8
+    # md5 hex chars mod 1024), add-one-smoothed bucket LMs for target
+    # (doc_id % 7 = 0) vs raw (all), quantised log-ratio floor(x*1e6+.5)
+    # summed exactly per doc
+    sqls["dsir_weights"] = """
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                        w -> w != '') AS words
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+            list_concat(words,
+              list_transform(range(1, len(words)),
+                             i -> words[i] || ' ' || words[i + 1])) AS gs
+          FROM toks
+        ), expl AS (
+          SELECT doc_id,
+            CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % 1024
+                 AS BIGINT) AS bucket
+          FROM grams, unnest(gs) AS u(g)
+        ), r_lm AS (
+          SELECT bucket, count(*) AS r_cnt FROM expl GROUP BY bucket
+        ), t_lm AS (
+          SELECT bucket, count(*) AS t_cnt FROM expl
+          WHERE doc_id % 7 = 0 GROUP BY bucket
+        ), lam AS (
+          SELECT r.bucket,
+            CAST(floor((
+              ln((coalesce(t.t_cnt, 0) + 1) /
+                 ((SELECT coalesce(sum(t_cnt), 0) FROM t_lm) + 1024))
+            - ln((r.r_cnt + 1) /
+                 ((SELECT coalesce(sum(r_cnt), 0) FROM r_lm) + 1024))
+            ) * 1000000 + 0.5) AS BIGINT) AS lambda_q
+          FROM r_lm r LEFT JOIN t_lm t ON r.bucket = t.bucket
+        ), sums AS (
+          SELECT e.doc_id, sum(l.lambda_q) AS wq
+          FROM expl e JOIN lam l ON e.bucket = l.bucket
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+          round(coalesce(s.wq, 0) / 1000000.0, 4) AS log_iw
+        FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+    """
+
     # within-doc paragraph dedup: same page construction as
     # dup_text_fractions; first occurrences kept via an indexed filter
     # (list_position(paras, p) = i) because DuckDB's list_distinct does
