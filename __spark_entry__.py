@@ -1400,6 +1400,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("log_importance_weight", 4).alias("log_iw"),
         )
 
+
+    def q_bloom_url_probe(spark, sf_dir):
+        # Bloom-filter membership: build on the "already crawled" urls
+        # (doc_id % 3 != 0), probe every url; no false negatives by
+        # construction, false positives at the documented rate; full
+        # SQL replay of the md5 hash family and 32-bit word table
+        from dss_plugin_nlp_preparation_spark.operators.bloom import (
+            build_bloom_filter,
+            probe_bloom_filter,
+        )
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("http://h"),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example/p"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        bf = build_bloom_filter(
+            d.where("doc_id % 3 != 0"), n_bits=1 << 16, n_hashes=5
+        )
+        return (
+            probe_bloom_filter(d, bf, n_bits=1 << 16, n_hashes=5)
+            .withColumn("definitely_new", ~F.col("maybe_seen"))
+            .select("doc_id", "url", "maybe_seen", "definitely_new")
+        )
+
     def q_pdedup_within_doc(spark, sf_dir):
         # within-doc paragraph dedup over the same dup-seeded synthetic
         # page construction as dup_text_fractions; full SQL replay
@@ -2083,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scrub": q_secrets_scrub,
         "readability": q_readability,
         "dsir_weights": q_dsir_weights,
+        "bloom_url_probe": q_bloom_url_probe,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -3013,6 +3043,44 @@ def oracle_sql() -> dict[str, str]:
           round(coalesce(s.wq, 0) / 1000000.0, 4) AS log_iw
         FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
     """
+
+    # Bloom-filter membership: identical md5 hash family (position_i =
+    # int(md5(i ':' url)[:8]) mod 2^16), 32-bit filter words via
+    # bit_or(1 << pos%32) — 32-bit so the shift never touches a signed
+    # sign bit in either engine
+    sqls["bloom_url_probe"] = """
+        WITH urls AS (
+          SELECT doc_id,
+            'http://h' || CAST(doc_id % 37 AS VARCHAR) || '.example/p' ||
+            CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ), pos AS (
+          SELECT u.url,
+            CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || u.url), 1, 8)
+                 AS UBIGINT) % 65536 AS BIGINT) AS p
+          FROM urls u, unnest([0, 1, 2, 3, 4]) AS t(i)
+          WHERE u.doc_id % 3 != 0
+        ), words AS (
+          SELECT CAST(p // 32 AS BIGINT) AS word_idx,
+                 bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+          FROM pos GROUP BY 1
+        ), cpos AS (
+          SELECT u.doc_id, u.url,
+            CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || u.url), 1, 8)
+                 AS UBIGINT) % 65536 AS BIGINT) AS p
+          FROM urls u, unnest([0, 1, 2, 3, 4]) AS t(i)
+        ), checked AS (
+          SELECT c.doc_id, c.url,
+            bool_and((coalesce(w.word, 0) & (1::BIGINT << CAST(c.p % 32 AS INT))) != 0)
+              AS maybe_seen
+          FROM cpos c
+          LEFT JOIN words w ON CAST(c.p // 32 AS BIGINT) = w.word_idx
+          GROUP BY c.doc_id, c.url
+        )
+        SELECT doc_id, url, maybe_seen, NOT maybe_seen AS definitely_new
+        FROM checked
+    """
+
 
     # within-doc paragraph dedup: same page construction as
     # dup_text_fractions; first occurrences kept via an indexed filter

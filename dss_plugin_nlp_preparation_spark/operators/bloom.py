@@ -1,36 +1,31 @@
 # -*- coding: utf-8 -*-
-"""Distributed Bloom-filter membership for incremental crawl dedup.
+"""Distributed Bloom-filter membership index for crawl-scale dedup.
 
-At 10^12 documents the steady-state ingest problem is: a new crawl
-increment arrives and must be checked against everything already
-ingested. ``operators/dedup.py``'s incremental path does this with
-anti/semi joins against a persisted hash index — correct, but every
-increment row pays the shuffle. A Bloom filter moves the common case
-(documents never seen before — the overwhelming majority of a fresh
-crawl) onto a **broadcast, shuffle-free** path:
+"Have we already seen this URL?" at 10^12-document scale can't afford a
+join against the full history. A Bloom filter answers it in O(1) per
+candidate with a compact bit array: "definitely new" is exact, "maybe
+seen" has a tunable false-positive rate  (1 − e^(−k·n/m))^k  for n keys
+in m bits with k hashes.
 
-1. ``build_bloom`` folds the corpus's content hashes into an m-bit
-   filter represented as a DataFrame of ``(word, bits)`` int64 rows
-   (``m/64`` rows total — 2 MB of rows for a 2^27-bit filter). The build
-   is one explode + one ``bit_or`` hash aggregate with map-side partial
-   combine; no driver collect.
-2. ``probe_bloom`` broadcast-joins the word table to the increment's
-   k probe positions — a narrow stage, zero shuffle of the increment —
-   and classifies every row ``maybe_present`` / definitely new.
-   Bloom filters have **no false negatives**, so "definitely new" is
-   exact; only the ``maybe_present`` sliver (true duplicates + the
-   filter's false-positive rate) continues to the exact verification
-   join.
-3. ``incremental_bloom_dedup`` composes both with the exact anti-join
-   so the expensive shuffle probes ``fp_rate x |increment|`` rows
-   instead of ``|increment|``.
+Spark-first representation: the m-bit array lives as a DataFrame of
+``(word_idx long, word long)`` rows — one row per NON-ZERO 32-bit word
+(32, not 64: engines disagree on shifting into a signed 64-bit sign
+bit, and 32-bit masks replay portably everywhere), at most m/32 rows.
+That makes both phases pure DataFrame ops:
 
-Hashing: Kirsch-Mitzenmacher double hashing over Spark's native
-``xxhash64`` — ``pos_i = (h1 + i*h2) mod m`` with h1/h2 pre-reduced
-mod m so the arithmetic never overflows int64 (ANSI-safe). The frozen
-single-process oracle replays the identical positions via the
-Spark-parity pure-Python xxHash64 (``functions/xxh64.py``), the same
-mechanism that pins the MinHash xxhash64 family.
+- BUILD is explode(k positions per key) → groupBy(word_idx) →
+  ``bit_or(1 << bit)``: the shuffle carries integer pairs and map-side
+  combine collapses each task's contribution to ≤ m/32 rows, so the
+  reduce side sees O(tasks · words), never O(keys). Building from a
+  second batch and ``bit_or``-merging two filters is union + the same
+  groupBy (Bloom filters are closed under OR).
+- PROBE broadcasts the word table (m = 2^24 bits ≈ 512 K rows worst
+  case, ~8 MB) and checks each candidate's k bits with a broadcast
+  join + groupBy(candidate) bool_and — one shuffle of boolean partials.
+
+Hash family: the repo's engine-portable md5 pattern — position_i =
+int(md5(i ':' key)[:8 hex]) mod m — so build and probe replay verbatim
+in the DuckDB oracle and are key-pure under retry/AQE.
 """
 
 from __future__ import annotations
@@ -38,110 +33,103 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_M_BITS = 1 << 20
-DEFAULT_K = 5
 
-
-def probe_positions(col: Column, k: int = DEFAULT_K, m_bits: int = DEFAULT_M_BITS) -> Column:
-    """Array of k bit positions in [0, m_bits) for one value.
-
-    h2 is offset by +1 so a degenerate ``h2 mod m == 0`` (all probes
-    collapsing to one bit) needs both hashes to conspire, not one."""
-    h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m_bits - 1)) + F.lit(1)
-    return F.array([F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
-
-
-def build_bloom(
-    df: DataFrame,
-    column: str = "text",
-    k: int = DEFAULT_K,
-    m_bits: int = DEFAULT_M_BITS,
-) -> DataFrame:
-    """Fold ``df[column]`` into a Bloom filter: (word:int64, bits:int64),
-    one row per NON-ZERO 64-bit word (<= m_bits/64 rows). One explode +
-    one ``bit_or`` aggregate; fully distributed."""
-    pos = F.explode(probe_positions(F.col(column), k, m_bits)).alias("__pos")
-    ex = df.select(pos)
-    word = F.expr("__pos div 64").alias("word")
-    # SQL form: python F.shiftleft only takes a literal shift amount
-    mask = F.expr("shiftleft(1L, cast(pmod(__pos, 64) as int))")
-    return (
-        ex.select(word, mask.alias("__mask"))
-        .groupBy("word")
-        .agg(F.bit_or("__mask").alias("bits"))
+def _positions(key: Column, n_bits: int, n_hashes: int) -> Column:
+    """array<long> of ``n_hashes`` bit positions for one key."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_bits),
+            )
+            for i in range(n_hashes)
+        ]
     )
 
 
-def probe_bloom(
+def build_bloom_filter(
+    df: DataFrame,
+    key_column: str = "url",
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """-> (word_idx long, word long): the filter's non-zero 32-bit words.
+
+    NULL keys are skipped (they can't collide with anything). Distinct
+    keys need not be pre-deduplicated — setting a bit twice is a no-op
+    under bit_or."""
+    pos = F.explode(
+        _positions(F.col(key_column), n_bits, n_hashes)
+    ).alias("pos")
+    return (
+        df.where(F.col(key_column).isNotNull())
+        .select(pos)
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def merge_bloom_filters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two filters built with the SAME (n_bits, n_hashes)."""
+    return a.unionByName(b).groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def probe_bloom_filter(
     df: DataFrame,
     bloom: DataFrame,
-    column: str = "text",
-    k: int = DEFAULT_K,
-    m_bits: int = DEFAULT_M_BITS,
-    flag_column: str = "maybe_present",
+    key_column: str = "url",
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+    output_column: str = "maybe_seen",
 ) -> DataFrame:
-    """Append ``flag_column``: True iff every probe bit is set (value is
-    possibly in the corpus), False = value is CERTAINLY new.
+    """Append ``output_column`` (boolean): true iff ALL k bits are set.
 
-    Plan shape: k successive **broadcast** left joins of the (word,bits)
-    table — one per probe — then a pure AND of the bit tests. The
-    increment never shuffles and never explodes: every stage is narrow,
-    so probing composes with any upstream partitioning for free. (An
-    explode + groupBy(id) formulation would shuffle (id,pos) pairs AND
-    re-shuffle the increment to join the verdict back; k broadcast hash
-    joins cost only CPU.)"""
-    pos = probe_positions(F.col(column), k, m_bits)
-    out = df.withColumn("__bf_pos", pos)
-    hit_cols = []
-    for i in range(k):
-        out = out.withColumn(f"__bf_w{i}", F.expr(f"__bf_pos[{i}] div 64")).withColumn(
-            f"__bf_m{i}",
-            F.expr(f"shiftleft(1L, cast(pmod(__bf_pos[{i}], 64) as int))"),
+    false means DEFINITELY not in the build set; true means present or
+    a false positive at the documented rate. Probing runs on DISTINCT
+    keys (deterministic under retry — no synthetic row ids) and the
+    verdict joins back by key; the word table is broadcast. NULL keys
+    probe to false."""
+    key = F.col(key_column)
+    pos = (
+        df.where(key.isNotNull())
+        .select(key.alias("__k"))
+        .distinct()
+        .select(
+            "__k",
+            F.explode(_positions(F.col("__k"), n_bits, n_hashes)).alias("pos"),
         )
-        b = bloom.select(
-            F.col("word").alias(f"__bw{i}"), F.col("bits").alias(f"__bb{i}")
+        .select(
+            "__k",
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))"
+            ).alias("mask"),
         )
-        out = out.join(F.broadcast(b), out[f"__bf_w{i}"] == b[f"__bw{i}"], "left")
-        hit_cols.append(
-            F.coalesce(F.col(f"__bb{i}"), F.lit(0)).bitwiseAND(F.col(f"__bf_m{i}"))
-            == F.col(f"__bf_m{i}")
-        )
-    flag = hit_cols[0]
-    for h in hit_cols[1:]:
-        flag = flag & h
-    out = out.withColumn(flag_column, flag)
-    drop = ["__bf_pos"] + [
-        c for i in range(k) for c in (f"__bf_w{i}", f"__bf_m{i}", f"__bw{i}", f"__bb{i}")
-    ]
-    return out.drop(*drop)
-
-
-def incremental_bloom_dedup(
-    increment: DataFrame,
-    corpus: DataFrame,
-    column: str = "text",
-    k: int = DEFAULT_K,
-    m_bits: int = DEFAULT_M_BITS,
-) -> DataFrame:
-    """Rows of ``increment`` whose ``column`` value does not occur in
-    ``corpus`` (exact content dedup), with the Bloom filter pruning the
-    verification join: definitely-new rows (no false negatives) bypass
-    the shuffle entirely; only maybe-present rows anti-join the corpus
-    hash index. Output adds ``via_bloom_fastpath`` (True = the row never
-    touched the shuffle join)."""
-    probed = probe_bloom(
-        increment, build_bloom(corpus, column, k, m_bits), column, k, m_bits,
-        flag_column="__maybe",
     )
-    fast = probed.where(~F.col("__maybe")).drop("__maybe")
-    candidates = probed.where(F.col("__maybe")).drop("__maybe")
-    corpus_hashes = corpus.select(F.xxhash64(F.col(column)).alias("__ch")).distinct()
-    verified = candidates.join(
-        corpus_hashes,
-        F.xxhash64(candidates[column]) == corpus_hashes["__ch"],
-        "left_anti",
+    checked = (
+        pos.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "__hit",
+            F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
+            != 0,
+        )
+        .groupBy("__k")
+        .agg(F.bool_and("__hit").alias(output_column))
     )
-    return fast.withColumn("via_bloom_fastpath", F.lit(True)).unionByName(
-        verified.withColumn("via_bloom_fastpath", F.lit(False))
+    return (
+        df.join(checked, key == F.col("__k"), "left")
+        .withColumn(output_column, F.coalesce(F.col(output_column), F.lit(False)))
+        .drop("__k")
     )
