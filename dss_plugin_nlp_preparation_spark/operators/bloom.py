@@ -93,6 +93,7 @@ def probe_bloom_filter(
     n_bits: int = 1 << 24,
     n_hashes: int = 5,
     output_column: str = "maybe_seen",
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Append ``output_column`` (boolean): true iff ALL k bits are set.
 
@@ -100,7 +101,12 @@ def probe_bloom_filter(
     a false positive at the documented rate. Probing runs on DISTINCT
     keys (deterministic under retry — no synthetic row ids) and the
     verdict joins back by key; the word table is broadcast. NULL keys
-    probe to false."""
+    probe to false.
+
+    ``broadcast_filter=False`` shuffle-joins the word table on
+    word_idx instead — for filters sized for billions of keys (n_bits
+    in the 10^10+ range) whose word table exceeds broadcast limits;
+    the word-idx join keys are uniform by construction."""
     key = F.col(key_column)
     pos = (
         df.where(key.isNotNull())
@@ -118,8 +124,9 @@ def probe_bloom_filter(
             ).alias("mask"),
         )
     )
+    bloom_side = F.broadcast(bloom) if broadcast_filter else bloom
     checked = (
-        pos.join(F.broadcast(bloom), "word_idx", "left")
+        pos.join(bloom_side, "word_idx", "left")
         .withColumn(
             "__hit",
             F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
@@ -133,3 +140,49 @@ def probe_bloom_filter(
         .withColumn(output_column, F.coalesce(F.col(output_column), F.lit(False)))
         .drop("__k")
     )
+
+
+def bloom_incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    hash_column: str = "text_hash",
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup with a Bloom prefilter: the steady-state
+    crawl-ingestion shape where the history index holds 10^12 hashes
+    and the increment is tiny by comparison.
+
+    Instead of anti-joining EVERY increment row against the full index
+    (`operators/dedup.py:incremental_exact_dedup`), the increment first
+    probes a Bloom filter of the index. Rows probing "definitely new"
+    (no false negatives) skip the index entirely; only the "maybe seen"
+    sliver — true duplicates plus the documented false-positive rate —
+    pays the exact anti-join, so the expensive join's left side shrinks
+    from |increment| to |dups| + ε. Output: the genuinely-unseen rows
+    with their ``hash_column`` ready to append to the index, exactly
+    matching incremental_exact_dedup's result."""
+    hashed = new_docs.withColumn(
+        hash_column, F.md5(F.coalesce(F.col(text_column), F.lit("")))
+    )
+    bf = build_bloom_filter(
+        seen_hashes, key_column=hash_column, n_bits=n_bits, n_hashes=n_hashes
+    )
+    probed = probe_bloom_filter(
+        hashed,
+        bf,
+        key_column=hash_column,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        broadcast_filter=broadcast_filter,
+    )
+    fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    idx = seen_hashes.select(F.col(hash_column).alias("__seen_h")).distinct()
+    rescued = suspects.join(
+        idx, suspects[hash_column] == idx["__seen_h"], "left_anti"
+    )
+    return fresh.unionByName(rescued)

@@ -64,3 +64,44 @@ def test_probe_plan_broadcasts_filter(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_incremental_matches_plain_incremental(spark):
+    from dss_plugin_nlp_preparation_spark.operators.bloom import (
+        bloom_incremental_exact_dedup,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    history = spark.createDataFrame(
+        [(i, f"historic document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    seen = history.select(
+        F.md5(F.coalesce("text", F.lit(""))).alias("text_hash")
+    )
+    # increment: 30 re-crawled dups + 40 new docs + degenerate rows
+    inc = spark.createDataFrame(
+        [(1000 + i, f"historic document number {i}") for i in range(30)]
+        + [(2000 + i, f"fresh document {i}") for i in range(40)]
+        + [(3000, ""), (3001, None)],
+        "doc_id long, text string",
+    )
+    got = bloom_incremental_exact_dedup(inc, seen, n_bits=1 << 16)
+    want = incremental_exact_dedup(inc, seen)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == set(range(2000, 2040)) | {3000, 3001}
+
+
+def test_probe_shuffle_join_mode_matches_broadcast(spark):
+    bf = build_bloom_filter(_urls(spark, 0, 100), n_bits=M, n_hashes=K)
+    cand = _urls(spark, 50, 150)
+    a = probe_bloom_filter(cand, bf, n_bits=M, n_hashes=K)
+    b = probe_bloom_filter(
+        cand, bf, n_bits=M, n_hashes=K, broadcast_filter=False
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
