@@ -1429,6 +1429,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "url", "maybe_seen", "definitely_new")
         )
 
+
+    def q_signal_drift_psi(spark, sf_dir):
+        # crawl-to-crawl PSI drift monitor: even doc_ids are the
+        # "baseline crawl", odd the "new crawl"; fixed-width bins,
+        # add-one smoothing, nano-quantised exact bin sums; SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.drift import (
+            signal_drift_psi,
+        )
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("n_chars_sig"),
+            F.regexp_count(F.coalesce(F.col("text"), F.lit("")), F.lit(r"\S+"))
+            .cast("double")
+            .alias("n_words_sig"),
+        )
+        bounds = {"n_chars_sig": (0.0, 2000.0), "n_words_sig": (0.0, 400.0)}
+        return signal_drift_psi(
+            d.where("doc_id % 2 = 0"),
+            d.where("doc_id % 2 = 1"),
+            bounds,
+            n_bins=20,
+        ).select("signal", "psi", "n_base", "n_new")
+
     def q_pdedup_within_doc(spark, sf_dir):
         # within-doc paragraph dedup over the same dup-seeded synthetic
         # page construction as dup_text_fractions; full SQL replay
@@ -2113,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "dsir_weights": q_dsir_weights,
         "bloom_url_probe": q_bloom_url_probe,
+        "signal_drift_psi": q_signal_drift_psi,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -3080,6 +3105,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, url, maybe_seen, NOT maybe_seen AS definitely_new
         FROM checked
     """
+
+    # PSI drift monitor: identical fixed-width binning (NULL-gated
+    # clamp), add-one smoothing over bins observed in either corpus,
+    # per-bin contribution quantised to int64 nano-units before the sum
+    sqls["signal_drift_psi"] = """
+        WITH sig AS (
+          SELECT doc_id,
+            CAST(n_chars AS DOUBLE) AS n_chars_sig,
+            CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                 AS DOUBLE) AS n_words_sig
+          FROM documents
+        ), binned AS (
+          SELECT doc_id, u.signal,
+            CASE u.signal
+              WHEN 'n_chars_sig' THEN CAST(least(greatest(
+                floor((n_chars_sig - 0.0) / 100.0), 0), 19) AS INT)
+              ELSE CAST(least(greatest(
+                floor((n_words_sig - 0.0) / 20.0), 0), 19) AS INT)
+            END AS bin
+          FROM sig, unnest(['n_chars_sig', 'n_words_sig']) AS u(signal)
+        ), bc AS (
+          SELECT signal, bin, count(*) AS b_cnt FROM binned
+          WHERE doc_id % 2 = 0 GROUP BY signal, bin
+        ), nc AS (
+          SELECT signal, bin, count(*) AS n_cnt FROM binned
+          WHERE doc_id % 2 = 1 GROUP BY signal, bin
+        ), bt AS (SELECT signal, sum(b_cnt) AS b_tot FROM bc GROUP BY signal),
+        nt AS (SELECT signal, sum(n_cnt) AS n_tot FROM nc GROUP BY signal),
+        j AS (
+          SELECT coalesce(bc.signal, nc.signal) AS signal,
+                 coalesce(bc.bin, nc.bin) AS bin,
+                 coalesce(b_cnt, 0) AS b_cnt, coalesce(n_cnt, 0) AS n_cnt
+          FROM bc FULL JOIN nc ON bc.signal = nc.signal AND bc.bin = nc.bin
+        ), contrib AS (
+          SELECT j.signal,
+            CAST(floor(
+              ((n_cnt + 1) / (coalesce(nt.n_tot, 0) + 20)
+               - (b_cnt + 1) / (coalesce(bt.b_tot, 0) + 20))
+              * ln(((n_cnt + 1) / (coalesce(nt.n_tot, 0) + 20))
+                   / ((b_cnt + 1) / (coalesce(bt.b_tot, 0) + 20)))
+              * 1000000000 + 0.5) AS BIGINT) AS cq,
+            coalesce(bt.b_tot, 0) AS b_tot, coalesce(nt.n_tot, 0) AS n_tot
+          FROM j
+          LEFT JOIN bt ON j.signal = bt.signal
+          LEFT JOIN nt ON j.signal = nt.signal
+        )
+        SELECT signal,
+          round(sum(cq) / 1000000000.0, 6) AS psi,
+          CAST(max(b_tot) AS BIGINT) AS n_base,
+          CAST(max(n_tot) AS BIGINT) AS n_new
+        FROM contrib GROUP BY signal
+    """
+
 
 
     # within-doc paragraph dedup: same page construction as

@@ -1,0 +1,115 @@
+# -*- coding: utf-8 -*-
+"""Crawl-to-crawl distribution drift: Population Stability Index.
+
+A quality-filter pipeline run continuously over crawl snapshots needs a
+cheap alarm for "this month's crawl looks different": a spam wave moves
+the stopword-ratio distribution, an extractor regression moves doc
+lengths. PSI is the standard monitor:
+
+    PSI(signal) = Σ_bins (p_new − p_base) · ln(p_new / p_base)
+
+with the usual reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 major
+shift.
+
+Spark shape: ONE scan per corpus regardless of how many signals are
+monitored — each row explodes into (signal, bin) pairs from a single
+array-of-structs expression, then one integer-count groupBy with
+map-side combine. The joined bin tables are S·n_bins rows (hundreds),
+so everything after the two scans is negligible.
+
+Determinism: bins are FIXED-WIDTH over caller-declared (lo, hi) bounds
+(no approxQuantile — quantile edges would depend on sampling), counts
+are add-one smoothed, and each bin's contribution is quantised to
+int64 nano-units before the per-signal sum, so the result is
+bit-stable under any partitioning and replays exactly in DuckDB.
+Rows whose signal value is NULL are excluded from that signal's
+histogram; values outside [lo, hi] clamp into the edge bins. Only bins
+observed in at least one corpus contribute (the smoothed contribution
+of a bin empty in both is excluded by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PSI_SCALE = 1_000_000_000  # nano-unit quantisation for exact bin sums
+
+
+def _bin_counts(
+    df: DataFrame,
+    bounds: dict[str, tuple[float, float]],
+    n_bins: int,
+) -> DataFrame:
+    """One scan -> (signal string, bin int, cnt long)."""
+    entries = []
+    for sname, (lo, hi) in bounds.items():
+        width = (hi - lo) / n_bins
+        raw = F.floor((F.col(sname) - F.lit(float(lo))) / F.lit(width))
+        # greatest/least skip NULL operands (they'd silently coerce a
+        # NULL signal into bin 0), so gate the whole bin on nullity
+        b = (
+            F.when(
+                F.col(sname).isNotNull(),
+                F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)),
+            )
+        ).cast("int")
+        entries.append(
+            F.struct(F.lit(sname).alias("signal"), b.alias("bin"))
+        )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("sb"))
+        .select("sb.signal", "sb.bin")
+        .where(F.col("bin").isNotNull())
+        .groupBy("signal", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def signal_drift_psi(
+    base: DataFrame,
+    new: DataFrame,
+    bounds: dict[str, tuple[float, float]],
+    n_bins: int = 20,
+) -> DataFrame:
+    """-> (signal string, psi double, n_base long, n_new long).
+
+    ``bounds`` maps each monitored column (present in BOTH inputs) to
+    its fixed histogram range. See module docstring for semantics."""
+    bc = _bin_counts(base, bounds, n_bins).select(
+        "signal", "bin", F.col("cnt").alias("b_cnt")
+    )
+    nc = _bin_counts(new, bounds, n_bins).select(
+        "signal", "bin", F.col("cnt").alias("n_cnt")
+    )
+    b_tot = bc.groupBy("signal").agg(F.sum("b_cnt").alias("b_tot"))
+    n_tot = nc.groupBy("signal").agg(F.sum("n_cnt").alias("n_tot"))
+    joined = (
+        bc.join(nc, ["signal", "bin"], "full")
+        .join(b_tot, "signal", "left")
+        .join(n_tot, "signal", "left")
+    )
+    nb = F.lit(n_bins)
+    p_b = (F.coalesce("b_cnt", F.lit(0)) + 1) / (
+        F.coalesce("b_tot", F.lit(0)) + nb
+    )
+    p_n = (F.coalesce("n_cnt", F.lit(0)) + 1) / (
+        F.coalesce("n_tot", F.lit(0)) + nb
+    )
+    contrib_q = F.floor(
+        (p_n - p_b) * F.log(p_n / p_b) * F.lit(PSI_SCALE) + F.lit(0.5)
+    ).cast("long")
+    return (
+        joined.groupBy("signal")
+        .agg(
+            (F.sum(contrib_q) / F.lit(float(PSI_SCALE))).alias("psi"),
+            F.max(F.coalesce("b_tot", F.lit(0))).alias("n_base"),
+            F.max(F.coalesce("n_tot", F.lit(0))).alias("n_new"),
+        )
+        .select(
+            "signal",
+            F.round("psi", 6).alias("psi"),
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_new").cast("long").alias("n_new"),
+        )
+    )

@@ -1,0 +1,86 @@
+# -*- coding: utf-8 -*-
+"""PSI drift monitor (operators/drift.py)."""
+
+import math
+
+from dss_plugin_nlp_preparation_spark.operators.drift import (
+    PSI_SCALE,
+    signal_drift_psi,
+)
+
+BOUNDS = {"x": (0.0, 100.0)}
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(float(v),) for v in values], "x double")
+
+
+def _psi_reference(base_vals, new_vals, lo, hi, n_bins):
+    """Independent pure-Python replay of the documented semantics."""
+
+    def bins(vals):
+        width = (hi - lo) / n_bins
+        out = {}
+        for v in vals:
+            b = min(max(int(math.floor((v - lo) / width)), 0), n_bins - 1)
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    b, n = bins(base_vals), bins(new_vals)
+    tb, tn = sum(b.values()), sum(n.values())
+    total = 0
+    for k in sorted(set(b) | set(n)):
+        pb = (b.get(k, 0) + 1) / (tb + n_bins)
+        pn = (n.get(k, 0) + 1) / (tn + n_bins)
+        total += math.floor((pn - pb) * math.log(pn / pb) * PSI_SCALE + 0.5)
+    return round(total / PSI_SCALE, 6)
+
+
+def test_psi_matches_reference(spark):
+    base = [i % 100 for i in range(400)]  # uniform
+    new = [(i % 50) + 50 for i in range(300)]  # shifted to upper half
+    got = signal_drift_psi(
+        _df(spark, base), _df(spark, new), BOUNDS, n_bins=10
+    ).collect()[0]
+    assert got["signal"] == "x"
+    assert got["n_base"] == 400 and got["n_new"] == 300
+    assert got["psi"] == _psi_reference(base, new, 0.0, 100.0, 10)
+    assert got["psi"] > 0.25  # a half-range shift is a major drift
+
+
+def test_psi_stable_distribution_near_zero(spark):
+    vals = [i % 100 for i in range(500)]
+    got = signal_drift_psi(
+        _df(spark, vals), _df(spark, vals), BOUNDS, n_bins=10
+    ).collect()[0]
+    assert abs(got["psi"]) < 1e-9
+
+
+def test_psi_multi_signal_single_scan(spark):
+    df_a = spark.createDataFrame(
+        [(float(i % 10), float(i % 3), None) for i in range(60)],
+        "a double, b double, c double",
+    )
+    df_b = spark.createDataFrame(
+        [(float(i % 10), 2.0, 1.0) for i in range(60)],
+        "a double, b double, c double",
+    )
+    out = {
+        r["signal"]: r
+        for r in signal_drift_psi(
+            df_a,
+            df_b,
+            {"a": (0.0, 10.0), "b": (0.0, 3.0), "c": (0.0, 2.0)},
+            n_bins=5,
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    assert abs(out["a"]["psi"]) < 1e-9  # same distribution
+    assert out["b"]["psi"] > 0.25  # collapsed onto one bin
+    # NULLs excluded: base had no non-null c at all
+    assert out["c"]["n_base"] == 0 and out["c"]["n_new"] == 60
+
+    # clamping: out-of-range values land in edge bins, not errors
+    wild = spark.createDataFrame([(-5.0,), (500.0,)], "x double")
+    r = signal_drift_psi(wild, wild, BOUNDS, n_bins=4).collect()[0]
+    assert abs(r["psi"]) < 1e-9
