@@ -968,6 +968,68 @@ def plan_minhash_lsh(threshold: float, n_hashes: int = 128) -> dict:
     }
 
 
+def keep_best_in_cluster(
+    labeled: DataFrame,
+    quality_column: str,
+    cluster_column: str = "cluster_id",
+    id_column: str = "id",
+) -> DataFrame:
+    """(cluster_id, rep_id, rep_quality, cluster_size): one survivor per
+    near-duplicate cluster, chosen as the highest-quality member with a
+    deterministic tie-break toward the smallest id.
+
+    Production retention policy: ``near_dup_clusters`` marks the *minimum
+    id* canonical, which keeps an arbitrary crawl of the page; training
+    pipelines (FineWeb, SlimPajama) instead keep the *best* copy — longest
+    / highest-scoring — because near-dup clusters mix truncated and full
+    versions of the same page.
+
+    Scale: ONE aggregation shuffle on cluster_id with map-side combine —
+    ``min_by`` over a (negated-quality, id) struct keeps a single candidate
+    per cluster per task (the struct buffer makes Spark pick SortAggregate,
+    but the partial/final split is preserved, so the shuffle carries one
+    row per (task, cluster)). A ``row_number()`` window would instead sort
+    and materialise every row of the full corpus per cluster partition.
+    Deterministic under retry/AQE: the argmin is a pure function of the
+    cluster's rows.
+    """
+    q = F.col(quality_column).cast("double")
+    return labeled.groupBy(F.col(cluster_column).alias("cluster_id")).agg(
+        F.min_by(
+            F.col(id_column),
+            F.struct((-q).alias("nq"), F.col(id_column).alias("i")),
+        ).alias("rep_id"),
+        F.max(q).alias("rep_quality"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+
+
+def flag_best_in_cluster(
+    labeled: DataFrame,
+    quality_column: str,
+    cluster_column: str = "cluster_id",
+    id_column: str = "id",
+) -> DataFrame:
+    """Per-row audit variant of :func:`keep_best_in_cluster`: every input
+    row labeled with ``keep_best`` (true iff this row is its cluster's
+    chosen representative). Join key is (cluster_id, id) — both sides
+    shuffle on cluster_id once; the survivor relation has exactly one row
+    per cluster so the join never amplifies."""
+    best = keep_best_in_cluster(
+        labeled, quality_column, cluster_column, id_column
+    ).select(
+        F.col("cluster_id").alias("__cluster"),
+        F.col("rep_id").alias("__rep_id"),
+    )
+    return (
+        labeled.join(
+            best, F.col(cluster_column) == F.col("__cluster"), "left"
+        )
+        .withColumn("keep_best", F.col(id_column) == F.col("__rep_id"))
+        .drop("__cluster", "__rep_id")
+    )
+
+
 def dedup_paragraphs_within_doc(
     df: DataFrame,
     text_column: str = "text",

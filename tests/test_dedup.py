@@ -557,3 +557,58 @@ class TestWithinDocParagraphDedup:
             .toString()
         )
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestKeepBestInCluster:
+    def _labeled(self, spark):
+        # two clusters + a singleton; quality ties inside cluster 20
+        rows = [
+            (1, 1, 5.0),
+            (2, 1, 9.0),   # best of cluster 1
+            (3, 1, 9.0),   # tie with id 2 -> id 2 wins (smaller id)
+            (20, 20, 4.0),
+            (21, 20, 4.0),  # tie -> id 20 wins
+            (30, 30, 0.0),  # singleton
+        ]
+        return spark.createDataFrame(
+            rows, "id long, cluster_id long, q double"
+        )
+
+    def test_argmax_quality_min_id_tiebreak(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            keep_best_in_cluster,
+        )
+
+        out = {
+            r["cluster_id"]: r
+            for r in keep_best_in_cluster(self._labeled(spark), "q").collect()
+        }
+        assert out[1]["rep_id"] == 2 and out[1]["rep_quality"] == 9.0
+        assert out[1]["cluster_size"] == 3
+        assert out[20]["rep_id"] == 20 and out[20]["cluster_size"] == 2
+        assert out[30]["rep_id"] == 30 and out[30]["rep_quality"] == 0.0
+
+    def test_flag_variant_labels_every_row(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            flag_best_in_cluster,
+        )
+
+        out = flag_best_in_cluster(self._labeled(spark), "q").collect()
+        assert len(out) == 6  # no row amplification
+        kept = {r["id"] for r in out if r["keep_best"]}
+        assert kept == {2, 20, 30}
+
+    def test_single_shuffle_no_window_sort(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            keep_best_in_cluster,
+        )
+
+        plan = (
+            keep_best_in_cluster(self._labeled(spark), "q")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1  # one agg shuffle
+        assert "Window" not in plan  # never a full-corpus row_number sort
+        assert "partial_min_by" in plan  # map-side combine before the shuffle
