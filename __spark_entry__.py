@@ -412,6 +412,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hash_fn="md5",
         )
 
+    def q_cluster_keep_best(spark, sf_dir):
+        # quality-ranked survivor per near-dup cluster (FineWeb-style
+        # retention: keep the best copy, not the min-id copy); quality
+        # proxy = word count so the DuckDB replay is exact
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            keep_best_in_cluster,
+            near_dup_clusters,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.quality import words_col
+
+        docs = _docs(spark, sf_dir)
+        labeled = near_dup_clusters(
+            docs,
+            shingle_k=_SHINGLE_K,
+            num_bands=_NUM_BANDS,
+            hash_fn="md5",
+        ).select("id", "cluster_id")
+        quality = docs.select(
+            F.col("doc_id").alias("id"),
+            F.size(words_col(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("double")
+            .alias("q"),
+        )
+        return keep_best_in_cluster(
+            labeled.join(quality, "id"), "q", "cluster_id", "id"
+        )
+
+    def q_code_signals(spark, sf_dir):
+        # code-detection routing signals (native regexp; SQL replay uses
+        # the same RE2/Java-common patterns verbatim)
+        from dss_plugin_nlp_preparation_spark.operators.code_detect import (
+            add_code_signals,
+        )
+
+        return add_code_signals(_docs(spark, sf_dir)).select(
+            "doc_id",
+            "sym_frac",
+            "indent_line_frac",
+            "stmt_eol_frac",
+            "code_kw_hits",
+            "is_code",
+        )
+
     def q_simhash(spark, sf_dir):
         return simhash(_docs(spark, sf_dir))
 
@@ -2150,6 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_line_stats": q_repeated_line_stats,
         "top_tokens": q_top_tokens,
         "near_dup_clusters_star": q_near_dup_clusters_star,
+        "cluster_keep_best": q_cluster_keep_best,
+        "code_signals": q_code_signals,
         "video_frames": q_video_frames,
         "incremental_dedup": q_incremental_dedup,
         "media_features": q_media_features,
@@ -2642,6 +2687,75 @@ def oracle_sql() -> dict[str, str]:
     # propagation (component = min id), so it shares the recursive-CTE
     # oracle — two independent Spark algorithms checked against one SQL
     sqls["near_dup_clusters_star"] = sqls["near_dup_clusters"]
+    # quality-ranked survivor per cluster: reuse the clustering CTE, rank
+    # members by word count desc then id asc (Spark side is a min_by over
+    # a (-q, id) struct — same total order)
+    sqls["cluster_keep_best"] = f"""
+        WITH RECURSIVE
+        bands AS ({_MINHASH_SQL}),
+        ok AS (
+          SELECT band_id, band_min FROM bands
+          GROUP BY band_id, band_min
+          HAVING count(*) BETWEEN 2 AND {_MAX_BUCKET}
+        ),
+        kept AS (SELECT b.* FROM bands b JOIN ok USING (band_id, band_min)),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM kept a JOIN kept b
+            ON a.band_id = b.band_id AND a.band_min = b.band_min AND a.id < b.id
+        ),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, label) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id
+        ),
+        comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+        labeled AS (
+          SELECT d.doc_id AS id,
+                 coalesce(c.component, d.doc_id) AS cluster_id,
+                 CAST(len(list_filter(regexp_split_to_array(
+                     coalesce(d.text, ''), '\\s+'), w -> w <> '')) AS DOUBLE) AS q
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT cluster_id, rep_id, rep_quality, cluster_size FROM (
+          SELECT cluster_id, id AS rep_id,
+                 max(q) OVER (PARTITION BY cluster_id) AS rep_quality,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                 row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, id ASC) AS rn
+          FROM labeled
+        ) WHERE rn = 1
+    """
+    # code-detection signals: the SQL replays the exact Java/RE2-common
+    # regexes from the operator module (imported, not restated) — plain
+    # string concatenation because the patterns contain literal braces
+    from dss_plugin_nlp_preparation_spark.operators import code_detect as _cd
+
+    sqls["code_signals"] = (
+        "WITH s AS (SELECT doc_id, coalesce(text, '') AS t,"
+        " list_filter(string_split(coalesce(text, ''), chr(10)),"
+        " l -> trim(l) <> '') AS ls FROM documents),"
+        " m AS (SELECT doc_id,"
+        " CASE WHEN len(t) > 0 THEN round(len(regexp_extract_all(t, '"
+        + _cd.CODE_SYMBOLS_PATTERN
+        + "')) * 1.0 / len(t), 4) ELSE 0.0 END AS sym_frac,"
+        " CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls,"
+        " l -> regexp_matches(l, '" + _cd.INDENTED_LINE_PATTERN + "')))"
+        " * 1.0 / len(ls), 4) ELSE 0.0 END AS indent_line_frac,"
+        " CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls,"
+        " l -> regexp_matches(l, '" + _cd.STMT_EOL_PATTERN + "')))"
+        " * 1.0 / len(ls), 4) ELSE 0.0 END AS stmt_eol_frac,"
+        " CAST(len(regexp_extract_all(t, '" + _cd.CODE_KW_PATTERN + "'))"
+        " AS BIGINT) AS code_kw_hits FROM s)"
+        " SELECT doc_id, sym_frac, indent_line_frac, stmt_eol_frac,"
+        " code_kw_hits,"
+        f" ((sym_frac > {_cd.SYM_FRAC_MIN} AND (indent_line_frac > {_cd.LINE_FRAC_MIN}"
+        f" OR stmt_eol_frac > {_cd.LINE_FRAC_MIN})) OR code_kw_hits >= {_cd.KW_MIN})"
+        " AS is_code FROM m"
+    )
     sqls["decontaminate"] = """
         WITH tok AS (
           SELECT doc_id,

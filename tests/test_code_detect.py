@@ -1,0 +1,123 @@
+# -*- coding: utf-8 -*-
+"""Code-detection signal tests: verdicts on obvious code vs prose, edge
+cases, routing policies, and the zero-shuffle plan claim."""
+
+import pytest
+
+PY_SNIPPET = (
+    "def fib(n):\n"
+    "    if n < 2:\n"
+    "        return n\n"
+    "    return fib(n - 1) + fib(n - 2)\n"
+    "\n"
+    "import sys\n"
+    "print(fib(int(sys.argv[1])));\n"
+)
+
+C_SNIPPET = (
+    "#include <stdio.h>\n"
+    "int main(void) {\n"
+    "    printf(\"hi\");\n"
+    "    return 0;\n"
+    "}\n"
+)
+
+MINIFIED_JS = 'var x=function(a,b){return a<b?{v:a}:{v:b};};const y=x(1,2);'
+
+PROSE = (
+    "The committee met on Tuesday to discuss the harvest. Everyone "
+    "agreed that the weather had been unusually kind this year, and "
+    "the conversation soon turned to the autumn fair."
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    from dss_plugin_nlp_preparation_spark.operators.code_detect import (
+        add_code_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, PY_SNIPPET),
+            (2, C_SNIPPET),
+            (3, MINIFIED_JS),
+            (4, PROSE),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    return {r["doc_id"]: r for r in add_code_signals(df).collect()}
+
+
+class TestCodeSignals:
+    def test_code_detected(self, scored):
+        assert scored[1]["is_code"]  # python: indent + keywords
+        assert scored[2]["is_code"]  # C: stmt line endings + keywords
+        assert scored[3]["is_code"]  # minified: symbols + keywords
+
+    def test_prose_and_empty_not_code(self, scored):
+        assert not scored[4]["is_code"]
+        assert not scored[5]["is_code"] and scored[5]["sym_frac"] == 0.0
+        assert not scored[6]["is_code"]  # NULL text -> total, not an error
+
+    def test_fraction_values(self, scored):
+        r = scored[2]
+        # 5 non-empty lines; 2 indented; 4 end in ; { }
+        assert r["indent_line_frac"] == 0.4
+        assert r["stmt_eol_frac"] == 0.8
+        assert r["code_kw_hits"] >= 3
+
+    def test_prose_fractions_low(self, scored):
+        r = scored[4]
+        assert r["sym_frac"] < 0.01
+        assert r["indent_line_frac"] == 0.0 and r["stmt_eol_frac"] == 0.0
+        assert r["code_kw_hits"] == 0
+
+
+class TestRouting:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, C_SNIPPET), (2, PROSE)], "doc_id long, text string"
+        )
+
+    def test_separate(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.code_detect import (
+            route_code,
+        )
+
+        out = {r["doc_id"]: r["route"] for r in route_code(self._df(spark)).collect()}
+        assert out == {1: "code", 2: "prose"}
+
+    def test_drop_and_keep_only(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.code_detect import (
+            route_code,
+        )
+
+        df = self._df(spark)
+        assert [r["doc_id"] for r in route_code(df, policy="drop").collect()] == [2]
+        assert [
+            r["doc_id"] for r in route_code(df, policy="keep_only").collect()
+        ] == [1]
+
+    def test_bad_policy(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.code_detect import (
+            route_code,
+        )
+
+        with pytest.raises(ValueError):
+            route_code(self._df(spark), policy="nope")
+
+    def test_plan_is_shuffle_free_no_python(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.code_detect import (
+            add_code_signals,
+        )
+
+        plan = (
+            add_code_signals(self._df(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
