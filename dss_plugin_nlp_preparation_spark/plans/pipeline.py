@@ -118,6 +118,7 @@ def quality_filter_pipeline(
     with_refinedweb_corrections: bool = False,
     with_dup_text_fractions: bool = False,
     with_extended_scrub: bool = False,
+    with_code_routing: bool = False,
 ) -> DataFrame:
     """pages -> pages + lang_detected/effective_lang + signals + keep/drop.
 
@@ -186,6 +187,7 @@ def quality_filter_pipeline(
             with_refinedweb_corrections=with_refinedweb_corrections,
             with_dup_text_fractions=with_dup_text_fractions,
             with_extended_scrub=with_extended_scrub,
+            with_code_routing=with_code_routing,
         )
     if detect_missing_lang:
         # Only unlabeled rows pay the LID UDF: labeled rows feed '' into the
@@ -239,6 +241,7 @@ def quality_filter_pipeline(
         with_refinedweb_corrections=with_refinedweb_corrections,
         with_dup_text_fractions=with_dup_text_fractions,
         with_extended_scrub=with_extended_scrub,
+        with_code_routing=with_code_routing,
     )
 
 
@@ -254,6 +257,7 @@ def _apply_optins(
     with_refinedweb_corrections: bool = False,
     with_dup_text_fractions: bool = False,
     with_extended_scrub: bool = False,
+    with_code_routing: bool = False,
 ) -> DataFrame:
     # opt-in extended signals (defaults off: the graded output schema and
     # the frozen pages_pipeline oracle stay byte-stable). These ANNOTATE —
@@ -302,6 +306,17 @@ def _apply_optins(
         )
 
         df = add_duplicate_text_fractions(df, text_column="text")
+    if with_code_routing:
+        # source-code pages systematically fail prose rules (stopword
+        # ratio, sentence punctuation) — route them out of the prose
+        # verdict instead of silently dropping them: is_code + route
+        # annotate, and code pages get a prose-rule exemption flag so a
+        # caller keeping code as its own domain can OR it into `keep`
+        from dss_plugin_nlp_preparation_spark.operators.code_detect import (
+            route_code,
+        )
+
+        df = route_code(df, text_column="text", policy="separate")
     if with_extended_scrub:
         # checksum/shape-validated masking (Luhn cards, mod-97 IBANs,
         # leaked credentials) layered over the Stage-E scrubbed_text

@@ -242,6 +242,51 @@ def test_pipeline_extended_scrub(spark):
     assert rows["http://a.example/1"]["text"].startswith("pay card 4111")
 
 
+def test_pipeline_code_routing(spark):
+    # with_code_routing annotates is_code + route so source-code pages
+    # (which prose rules systematically drop) can be kept as their own
+    # domain; the rule-based keep column itself is never altered.
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+
+    code_text = "\n".join(
+        [
+            "#include <stdio.h>",
+            "static void greet(const char *who) {",
+            "    printf(\"hi %s\", who);",
+            "}",
+            "int main(void) { greet(\"world\"); return 0; }",
+        ]
+    )
+    prose_text = (
+        "The weather report said that it would rain all weekend, and the "
+        "market stalls were quieter than usual. Vendors talked about the "
+        "harvest and the roads while customers picked over late apples."
+    )
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/code", code_text, "en"),
+            ("http://a.example/prose", prose_text, "en"),
+        ],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+        "html", F.lit(None).cast("binary")
+    )
+    base = quality_filter_pipeline(pages, with_perplexity=False)
+    out = quality_filter_pipeline(
+        pages, with_perplexity=False, with_code_routing=True
+    )
+    assert {"is_code", "route", "sym_frac", "code_kw_hits"} <= set(out.columns)
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["http://a.example/code"]["route"] == "code"
+    assert rows["http://a.example/prose"]["route"] == "prose"
+    # annotate-only: keep decisions identical with and without the opt-in
+    a = base.select("url", "keep")
+    b = out.select("url", "keep")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_partition_reason_metrics(spark):
     from dss_plugin_nlp_preparation_spark.plans.pipeline import (
         partition_reason_metrics,
