@@ -1496,6 +1496,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bins=20,
         ).select("signal", "psi", "n_base", "n_new")
 
+    def q_holdout_split(spark, sf_dir):
+        # leakage-safe split keyed by source: every doc of a source lands
+        # in the same split; binary-exact fractions (.75/.125/.125) so
+        # the cumulative cut points replay bit-identically in SQL
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            holdout_split,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id", "source")
+        return holdout_split(
+            d,
+            {"train": 0.75, "val": 0.125, "test": 0.125},
+            group_column="source",
+        ).select("doc_id", "source", "split")
+
+    def q_crawl_diff(spark, sf_dir):
+        # snapshot diff: doc_id%7==0 removed from the new crawl,
+        # doc_id%5==0 absent from the old, doc_id%3==0 re-fetched with
+        # changed content; docs never shuffle (md5 projections join)
+        from dss_plugin_nlp_preparation_spark.operators.drift import (
+            crawl_diff,
+        )
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", F.col("doc_id").cast("string").alias("url"), "text"
+        )
+        old = d.where("doc_id % 7 != 0").select("url", "text")
+        new = d.where("doc_id % 5 != 0").select(
+            "url",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return crawl_diff(old, new, key_column="url")
+
     def q_pdedup_within_doc(spark, sf_dir):
         # within-doc paragraph dedup over the same dup-seeded synthetic
         # page construction as dup_text_fractions; full SQL replay
@@ -2181,6 +2218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "bloom_url_probe": q_bloom_url_probe,
         "signal_drift_psi": q_signal_drift_psi,
+        "holdout_split": q_holdout_split,
+        "crawl_diff": q_crawl_diff,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -3272,7 +3311,49 @@ def oracle_sql() -> dict[str, str]:
         FROM contrib GROUP BY signal
     """
 
+    # leakage-safe holdout split: same md5-hash-unit arithmetic as
+    # deterministic_sample, cut at the binary-exact cumulative bounds
+    sqls["holdout_split"] = """
+        SELECT doc_id, source,
+          CASE WHEN u < 0.75 THEN 'train'
+               WHEN u < 0.875 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5('split-v1' || CAST(source AS VARCHAR)), 1, 8)
+                 AS UBIGINT) / 4294967296.0 AS u
+          FROM documents
+        )
+    """
 
+    # crawl snapshot diff: md5-projection full-outer join, NULL text
+    # hashed to a sentinel so NULL -> text counts as changed
+    sqls["crawl_diff"] = """
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS url, text FROM documents
+        ), old AS (
+          SELECT url,
+            CASE WHEN text IS NOT NULL THEN md5(text)
+                 ELSE '__null__' END AS h
+          FROM d WHERE doc_id % 7 <> 0
+        ), new AS (
+          SELECT url,
+            CASE WHEN t IS NOT NULL THEN md5(t) ELSE '__null__' END AS h
+          FROM (
+            SELECT url,
+              CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS t
+            FROM d WHERE doc_id % 5 <> 0
+          )
+        )
+        SELECT url, status FROM (
+          SELECT coalesce(old.url, new.url) AS url,
+            CASE WHEN old.h IS NULL THEN 'added'
+                 WHEN new.h IS NULL THEN 'removed'
+                 WHEN old.h <> new.h THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM old FULL JOIN new ON old.url = new.url
+        ) WHERE status <> 'unchanged'
+    """
 
     # within-doc paragraph dedup: same page construction as
     # dup_text_fractions; first occurrences kept via an indexed filter

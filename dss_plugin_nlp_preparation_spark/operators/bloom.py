@@ -186,3 +186,124 @@ def bloom_incremental_exact_dedup(
         idx, suspects[hash_column] == idx["__seen_h"], "left_anti"
     )
     return fresh.unionByName(rescued)
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 production family (the gate- and bench-facing membership API).
+# Same structure, two deliberate differences: Kirsch-Mitzenmacher double
+# hashing over Spark-native xxhash64 (no md5 in the hot path — the same
+# production/oracle hash split as MinHash), and the probe is k successive
+# BROADCAST joins of the 64-bit word table, so the increment never
+# shuffles at all (the md5 family above trades that for a pure-SQL
+# DuckDB replay of build+probe). The frozen oracles (bloom_membership,
+# bloom_incremental_dedup) replay THESE positions via the Spark-parity
+# pure-Python xxHash64 in functions/xxh64.py.
+# ---------------------------------------------------------------------------
+
+DEFAULT_M_BITS = 1 << 20
+DEFAULT_K = 5
+
+
+def probe_positions(col: Column, k: int = DEFAULT_K, m_bits: int = DEFAULT_M_BITS) -> Column:
+    """Array of k bit positions in [0, m_bits) for one value.
+
+    h2 is offset by +1 so a degenerate ``h2 mod m == 0`` (all probes
+    collapsing to one bit) needs both hashes to conspire, not one."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m_bits - 1)) + F.lit(1)
+    return F.array([F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+
+
+def build_bloom(
+    df: DataFrame,
+    column: str = "text",
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+) -> DataFrame:
+    """Fold ``df[column]`` into a Bloom filter: (word:int64, bits:int64),
+    one row per NON-ZERO 64-bit word (<= m_bits/64 rows). One explode +
+    one ``bit_or`` aggregate; fully distributed."""
+    pos = F.explode(probe_positions(F.col(column), k, m_bits)).alias("__pos")
+    ex = df.select(pos)
+    word = F.expr("__pos div 64").alias("word")
+    # SQL form: python F.shiftleft only takes a literal shift amount
+    mask = F.expr("shiftleft(1L, cast(pmod(__pos, 64) as int))")
+    return (
+        ex.select(word, mask.alias("__mask"))
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def probe_bloom(
+    df: DataFrame,
+    bloom: DataFrame,
+    column: str = "text",
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+    flag_column: str = "maybe_present",
+) -> DataFrame:
+    """Append ``flag_column``: True iff every probe bit is set (value is
+    possibly in the corpus), False = value is CERTAINLY new.
+
+    Plan shape: k successive **broadcast** left joins of the (word,bits)
+    table — one per probe — then a pure AND of the bit tests. The
+    increment never shuffles and never explodes: every stage is narrow,
+    so probing composes with any upstream partitioning for free. (An
+    explode + groupBy(id) formulation would shuffle (id,pos) pairs AND
+    re-shuffle the increment to join the verdict back; k broadcast hash
+    joins cost only CPU.)"""
+    pos = probe_positions(F.col(column), k, m_bits)
+    out = df.withColumn("__bf_pos", pos)
+    hit_cols = []
+    for i in range(k):
+        out = out.withColumn(f"__bf_w{i}", F.expr(f"__bf_pos[{i}] div 64")).withColumn(
+            f"__bf_m{i}",
+            F.expr(f"shiftleft(1L, cast(pmod(__bf_pos[{i}], 64) as int))"),
+        )
+        b = bloom.select(
+            F.col("word").alias(f"__bw{i}"), F.col("bits").alias(f"__bb{i}")
+        )
+        out = out.join(F.broadcast(b), out[f"__bf_w{i}"] == b[f"__bw{i}"], "left")
+        hit_cols.append(
+            F.coalesce(F.col(f"__bb{i}"), F.lit(0)).bitwiseAND(F.col(f"__bf_m{i}"))
+            == F.col(f"__bf_m{i}")
+        )
+    flag = hit_cols[0]
+    for h in hit_cols[1:]:
+        flag = flag & h
+    out = out.withColumn(flag_column, flag)
+    drop = ["__bf_pos"] + [
+        c for i in range(k) for c in (f"__bf_w{i}", f"__bf_m{i}", f"__bw{i}", f"__bb{i}")
+    ]
+    return out.drop(*drop)
+
+
+def incremental_bloom_dedup(
+    increment: DataFrame,
+    corpus: DataFrame,
+    column: str = "text",
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+) -> DataFrame:
+    """Rows of ``increment`` whose ``column`` value does not occur in
+    ``corpus`` (exact content dedup), with the Bloom filter pruning the
+    verification join: definitely-new rows (no false negatives) bypass
+    the shuffle entirely; only maybe-present rows anti-join the corpus
+    hash index. Output adds ``via_bloom_fastpath`` (True = the row never
+    touched the shuffle join)."""
+    probed = probe_bloom(
+        increment, build_bloom(corpus, column, k, m_bits), column, k, m_bits,
+        flag_column="__maybe",
+    )
+    fast = probed.where(~F.col("__maybe")).drop("__maybe")
+    candidates = probed.where(F.col("__maybe")).drop("__maybe")
+    corpus_hashes = corpus.select(F.xxhash64(F.col(column)).alias("__ch")).distinct()
+    verified = candidates.join(
+        corpus_hashes,
+        F.xxhash64(candidates[column]) == corpus_hashes["__ch"],
+        "left_anti",
+    )
+    return fast.withColumn("via_bloom_fastpath", F.lit(True)).unionByName(
+        verified.withColumn("via_bloom_fastpath", F.lit(False))
+    )

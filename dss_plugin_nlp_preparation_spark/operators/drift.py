@@ -1,5 +1,5 @@
 # -*- coding: utf-8 -*-
-"""Crawl-to-crawl distribution drift: Population Stability Index.
+"""Crawl-to-crawl comparisons: PSI distribution drift + snapshot diff.
 
 A quality-filter pipeline run continuously over crawl snapshots needs a
 cheap alarm for "this month's crawl looks different": a spam wave moves
@@ -113,3 +113,50 @@ def signal_drift_psi(
             F.col("n_new").cast("long").alias("n_new"),
         )
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_column: str = "url",
+    text_column: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """-> (key, status) snapshot diff between two crawls of the same
+    sites: ``added`` (key only in ``new``), ``removed`` (only in
+    ``old``), ``changed`` (both, content hash differs), ``unchanged``
+    (both, identical — excluded by default: at web scale it is the
+    overwhelming majority and downstream jobs only act on the delta).
+
+    The crawl-ops companion to ``incremental_exact_dedup``: that one
+    asks "is this content anywhere in the index?", this one asks "what
+    happened to each URL between snapshots?" — feeding refetch
+    scheduling and the PSI monitor above.
+
+    Scale shape: each side is projected to (key, md5(text)) BEFORE the
+    join — full documents never shuffle — then one co-partitioned
+    full-outer join on the key. NULL text hashes to a sentinel distinct
+    from every real digest, so (NULL→"x") counts as changed. Engine
+    portability: md5 replays verbatim in DuckDB.
+    """
+    def _sig(df: DataFrame, name: str) -> DataFrame:
+        h = F.when(
+            F.col(text_column).isNotNull(), F.md5(F.col(text_column))
+        ).otherwise(F.lit("__null__"))
+        return df.select(F.col(key_column).alias("__k"), h.alias(name))
+
+    o = _sig(old, "__h_old")
+    n = _sig(new, "__h_new")
+    joined = o.join(n, "__k", "full")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        F.col("__k").alias(key_column), status.alias("status")
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out

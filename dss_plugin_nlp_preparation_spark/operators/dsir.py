@@ -34,8 +34,10 @@ partitioning, retry, or AQE re-plan, and replays exactly in DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .classifier import _feature_array
 
 LAMBDA_SCALE = 1_000_000  # quantisation: log-ratio -> int64 micro-nats
 
@@ -156,7 +158,7 @@ def dsir_importance_weights(
     )
 
 
-def dsir_resample(
+def gumbel_topk_resample(
     df: DataFrame,
     k: int,
     id_column: str = "doc_id",
@@ -187,4 +189,185 @@ def dsir_resample(
         .orderBy(F.col("__gkey").desc(), F.col(id_column))
         .limit(k)
         .drop("__gkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# High-level train/score/resample stack (the gate- and bench-facing API).
+# Same paper, same feature space (classifier.py unigrams+bigrams), but
+# scores are 6-dp-rounded double sums and the hash family is switchable
+# (xxhash64 production default / md5 for the pure-SQL oracle replay) —
+# the frozen oracles and BENCH extras pin THIS formula. The quantised-
+# int64 primitives above (train_hashed_lm/dsir_log_ratio/...) are the
+# bit-exact-under-any-partitioning variant with its own gate query
+# (dsir_weights).
+# ---------------------------------------------------------------------------
+
+_W_DECIMALS = 6  # rounded model weights: Spark and DuckDB score the same model
+_U32 = 4294967296.0  # 2^32, the md5-prefix hash-unit denominator
+
+
+def _bucket_expr(col, n_buckets: int, hash_fn: str):
+    """Integer bucket 0..n_buckets-1 from a feature string, as a pure
+    column expression (codegen, no higher-order functions)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("long")
+    if hash_fn == "md5":
+        # first 8 md5 hex chars as an integer — DuckDB replays this as
+        # CAST('0x' || substr(md5(f),1,8) AS UBIGINT) % n_buckets
+        return (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
+
+
+def _bucket_counts(
+    df: DataFrame, text_column: str, n_buckets: int, hash_fn: str, out: str
+) -> DataFrame:
+    return (
+        df.select(F.explode(_feature_array(text_column)).alias("f"))
+        .select(_bucket_expr(F.col("f"), n_buckets, hash_fn).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def train_dsir(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_column: str = "text",
+    n_buckets: int = 65536,
+    alpha: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Fit the hashed-n-gram importance model.
+
+    Returns ``(bucket long, w double)`` with
+    ``w = ln((n_t+α)/(T+α·B)) − ln((n_r+α)/(R+α·B))`` where T/R are total
+    target/raw feature occurrences and B = ``n_buckets``; buckets unseen
+    in BOTH corpora are omitted — the scorer treats them as 0. (Their true
+    smoothed weight is the single shared constant
+    ``ln(α/(T+αB)) − ln(α/(R+αB)) = ln(R+αB) − ln(T+αB)``; a genuinely
+    novel bucket at scoring time would add that same constant per
+    occurrence to any document containing it, so dropping it only shifts
+    scores of out-of-support text, never reorders in-support comparisons.)
+
+    The result is ≤ n_buckets rows — collect/broadcast it freely.
+    """
+    t = _bucket_counts(target_df, text_column, n_buckets, hash_fn, "n_t")
+    r = _bucket_counts(raw_df, text_column, n_buckets, hash_fn, "n_r")
+    joined = (
+        t.join(r, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_t", F.lit(0)).alias("n_t"),
+            F.coalesce("n_r", F.lit(0)).alias("n_r"),
+        )
+    )
+    totals = joined.agg(F.sum("n_t").alias("T"), F.sum("n_r").alias("R"))
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_buckets))
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("n_t") + a) / (F.col("T") + a * b))
+            - F.log((F.col("n_r") + a) / (F.col("R") + a * b)),
+            _W_DECIMALS,
+        ).alias("w"),
+    )
+
+
+def score_dsir(
+    df: DataFrame,
+    model: DataFrame,
+    text_column: str = "text",
+    key_column: str = "doc_id",
+    n_buckets: int = 65536,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document log importance weight.
+
+    Returns ``(key, dsir_logw double, n_feats long)`` for EVERY input row
+    (documents with no features score 0.0). ``dsir_logw`` is the rounded
+    sum of bucket weights over the document's hashed features — the log
+    of the unnormalized importance ratio log(p_target(x)/p_raw(x)).
+
+    One shuffle of ~1 row/doc (see module docstring); the model joins in
+    as an explicit broadcast.
+    """
+    feats = df.select(
+        F.col(key_column).alias("__k"),
+        F.explode(_feature_array(text_column)).alias("f"),
+    ).select("__k", _bucket_expr(F.col("f"), n_buckets, hash_fn).alias("bucket"))
+    sums = (
+        feats.join(F.broadcast(model), "bucket", "left")
+        .groupBy("__k")
+        .agg(
+            F.round(F.sum(F.coalesce("w", F.lit(0.0))), _W_DECIMALS).alias(
+                "dsir_logw"
+            ),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+    return (
+        df.select(F.col(key_column))
+        .join(sums.withColumnRenamed("__k", key_column), key_column, "left")
+        .select(
+            key_column,
+            F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        )
+    )
+
+
+def gumbel_key_expr(key_column: str, score_column: str, temperature: float = 1.0):
+    """Selection key ``score/τ + Gumbel(key)``, a pure function of the row.
+
+    ``u = (int(md5(key)[:8], 16) + 0.5) / 2^32`` is strictly inside (0,1),
+    so ``g = −ln(−ln u)`` is always finite; Gumbel top-k on
+    ``score/τ + g`` draws k items without replacement with probability
+    proportional to ``exp(score/τ)`` (Vieira 2014 / Kool et al. 2019).
+    Rounded to 6 dp so both engines rank the identical keys.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_column).cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(_U32)
+    g = -F.log(-F.log(u))
+    return F.round(F.col(score_column) / F.lit(float(temperature)) + g, _W_DECIMALS)
+
+
+def dsir_resample(
+    scored: DataFrame,
+    k: int,
+    key_column: str = "doc_id",
+    score_column: str = "dsir_logw",
+    temperature: float = 1.0,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Gumbel top-k resample: the k rows with the largest
+    ``score/τ + Gumbel(key)`` (ties → smaller key), i.e. a without-
+    replacement draw ∝ exp(score/τ). Appends ``sel_key double``.
+
+    The rank is the salted two-phase top-k (classifier.py vocab prune):
+    per-salt top-k is a superset of the global top-k under the same total
+    order, so the final single-partition window ranks ≤ n_salt·k rows.
+    """
+    with_key = scored.withColumn(
+        "sel_key", gumbel_key_expr(key_column, score_column, temperature)
+    )
+    order = (F.desc("sel_key"), F.asc(key_column))
+    w_salted = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col(key_column).cast("string")), F.lit(n_salt))
+    ).orderBy(*order)
+    w_all = Window.partitionBy().orderBy(*order)
+    return (
+        with_key.withColumn("__r", F.row_number().over(w_salted))
+        .where(F.col("__r") <= k)
+        .withColumn("__r", F.row_number().over(w_all))
+        .where(F.col("__r") <= k)
+        .drop("__r")
     )

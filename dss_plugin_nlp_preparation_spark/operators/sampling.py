@@ -250,3 +250,51 @@ def select_token_budget(
         .drop("__tok", "__sb", "__frac")
     )
     return out
+
+
+def holdout_split(
+    df: DataFrame,
+    fractions: "dict | None" = None,
+    group_column: str = "doc_id",
+    output_column: str = "split",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test split.
+
+    The split is a pure function of ``group_column`` — every row of a
+    group lands in the SAME split — so keying by host/source (instead of
+    doc id) keeps near-duplicate pages from one site out of the
+    evaluation set, the standard guard against train/val leakage in web
+    corpora. ``fractions`` is an ordered name→fraction map (must sum to
+    1); the hash-unit of md5(salt ‖ group) is cut at the cumulative
+    boundaries, so adjusting one fraction only moves rows across the
+    adjacent boundary (splits are nested under refinement, like
+    hash-bucketed holdouts). ``salt`` versions the assignment: a new salt
+    reshuffles every group.
+
+    Scale shape: one codegen expression per row — no shuffle, no Python,
+    stable across partitioning/retries/AQE (same contract as
+    ``deterministic_sample``). DuckDB replays the identical arithmetic.
+    """
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    vals = list(fractions.values())
+    if any(f <= 0 for f in vals):
+        raise ValueError(f"split fractions must be positive: {fractions}")
+    if abs(sum(vals) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {fractions}")
+    u = _hash_unit(
+        F.concat(F.lit(salt), F.col(group_column).cast("string"))
+    )
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = (u < F.lit(cum), F.lit(name))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    last = F.lit(names[-1])
+    out_col = last if expr is None else expr.otherwise(last)
+    return df.withColumn(output_column, out_col)

@@ -1,0 +1,83 @@
+# -*- coding: utf-8 -*-
+"""Distributed Bloom filter build/probe/incremental dedup
+(operators/bloom.py)."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.bloom import (
+    build_bloom,
+    incremental_bloom_dedup,
+    probe_bloom,
+    probe_positions,
+)
+
+
+def _docs(spark, n=300, mod=40):
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") % mod).cast("string")).alias("text"),
+    )
+
+
+def test_no_false_negatives(spark):
+    """Every value folded into the filter must probe maybe_present=True —
+    the Bloom guarantee the fastpath's correctness rests on."""
+    corpus = _docs(spark)
+    probed = probe_bloom(corpus, build_bloom(corpus, "text"), "text")
+    assert probed.where(~F.col("maybe_present")).count() == 0
+
+
+def test_definitely_new_is_exact(spark):
+    corpus = _docs(spark).where(F.col("doc_id") % 2 == 0)
+    inc = _docs(spark).where(F.col("doc_id") % 3 == 0)
+    corpus_texts = {r["text"] for r in corpus.collect()}
+    for r in probe_bloom(inc, build_bloom(corpus, "text"), "text").collect():
+        if not r["maybe_present"]:
+            assert r["text"] not in corpus_texts
+
+
+def test_incremental_dedup_matches_truth(spark):
+    corpus = _docs(spark).where(F.col("doc_id") % 2 == 0)
+    inc = _docs(spark).where(F.col("doc_id") % 3 == 0)
+    corpus_texts = {r["text"] for r in corpus.collect()}
+    truth = sorted(
+        r["doc_id"] for r in inc.collect() if r["text"] not in corpus_texts
+    )
+    out = incremental_bloom_dedup(inc, corpus, "text")
+    assert sorted(r["doc_id"] for r in out.collect()) == truth
+
+
+def test_null_text_probes_deterministically(spark):
+    corpus = spark.createDataFrame(
+        [(0, None), (1, "x")], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame([(2, None), (3, "y")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["maybe_present"]
+        for r in probe_bloom(inc, build_bloom(corpus, "text"), "text").collect()
+    }
+    # NULL hashes like Spark's xxhash64(NULL) (seed passthrough): the
+    # increment's NULL collides with the corpus NULL -> maybe_present
+    assert out[2] is True
+    assert out[3] is False
+
+
+def test_filter_size_bounded(spark):
+    m_bits = 1 << 14
+    bl = build_bloom(_docs(spark, 5000, 5000), "text", k=5, m_bits=m_bits)
+    assert bl.count() <= m_bits // 64 + 1
+
+
+def test_probe_plan_has_no_shuffle(spark):
+    """The probe must stay narrow: k broadcast joins, zero Exchange from
+    the increment side (scale contract: probing never shuffles the
+    corpus increment)."""
+    inc = _docs(spark).where(F.col("doc_id") % 3 == 0)
+    bl = build_bloom(_docs(spark).where(F.col("doc_id") % 2 == 0), "text")
+    # materialize the filter first so its own build shuffle is out of the
+    # probed plan (production: the filter is a persisted table)
+    bl = spark.createDataFrame(bl.collect(), "word long, bits long")
+    probed = probe_bloom(inc, bl, "text")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan

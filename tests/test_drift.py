@@ -84,3 +84,38 @@ def test_psi_multi_signal_single_scan(spark):
     wild = spark.createDataFrame([(-5.0,), (500.0,)], "x double")
     r = signal_drift_psi(wild, wild, BOUNDS, n_bins=4).collect()[0]
     assert abs(r["psi"]) < 1e-9
+
+
+def test_crawl_diff(spark):
+    from dss_plugin_nlp_preparation_spark.operators.drift import crawl_diff
+
+    old = spark.createDataFrame(
+        [
+            ("http://a/1", "alpha"),
+            ("http://a/2", "beta"),
+            ("http://a/3", "gamma"),
+            ("http://a/4", None),
+        ],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("http://a/1", "alpha"),      # unchanged
+            ("http://a/2", "beta v2"),    # changed
+            ("http://a/4", "delta"),      # NULL -> text = changed
+            ("http://a/5", "epsilon"),    # added
+        ],                                 # /3 removed
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "http://a/2": "changed",
+        "http://a/3": "removed",
+        "http://a/4": "changed",
+        "http://a/5": "added",
+    }
+    full = {
+        r["url"]: r["status"]
+        for r in crawl_diff(old, new, include_unchanged=True).collect()
+    }
+    assert full["http://a/1"] == "unchanged" and len(full) == 5

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 from dss_plugin_nlp_preparation_spark.operators.dsir import (
     dsir_importance_weights,
     dsir_log_ratio,
-    dsir_resample,
+    gumbel_topk_resample,
     hashed_gram_buckets,
     train_hashed_lm,
 )
@@ -82,14 +82,14 @@ def test_resample_prefers_heavy_docs(spark):
         n_buckets=B,
     )
     w = dsir_importance_weights(raw, lam, n_buckets=B)
-    top = dsir_resample(w, 8)
+    top = gumbel_topk_resample(w, 8)
     ids = [r["doc_id"] for r in top.collect()]
     assert len(ids) == 8
     # weight gap is ~78 nats here, far above Gumbel noise: all draws
     # land on target-like docs
     assert all(i % 2 == 1 for i in ids)
     # key-pure: identical second draw
-    assert sorted(ids) == sorted(r["doc_id"] for r in dsir_resample(w, 8).collect())
+    assert sorted(ids) == sorted(r["doc_id"] for r in gumbel_topk_resample(w, 8).collect())
     # TakeOrderedAndProject, not a global sort
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,147 @@
+# -*- coding: utf-8 -*-
+"""DSIR importance resampling: model weights vs a pure-Python replay,
+scoring totality/monotonicity, and Gumbel top-k determinism."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.dsir import (
+    dsir_resample,
+    score_dsir,
+    train_dsir,
+)
+
+N_BUCKETS = 512
+ALPHA = 0.5
+
+
+def _md5_bucket(feature: str) -> int:
+    return int(hashlib.md5(feature.encode()).hexdigest()[:8], 16) % N_BUCKETS
+
+
+def _features(text: str) -> list:
+    toks = [t for t in text.strip().lower().split() if t != ""]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _replay_weights(target_texts, raw_texts) -> dict:
+    nt, nr = {}, {}
+    for t in target_texts:
+        for f in _features(t):
+            b = _md5_bucket(f)
+            nt[b] = nt.get(b, 0) + 1
+    for t in raw_texts:
+        for f in _features(t):
+            b = _md5_bucket(f)
+            nr[b] = nr.get(b, 0) + 1
+    T, R = sum(nt.values()), sum(nr.values())
+    out = {}
+    for b in set(nt) | set(nr):
+        w = math.log((nt.get(b, 0) + ALPHA) / (T + ALPHA * N_BUCKETS)) - math.log(
+            (nr.get(b, 0) + ALPHA) / (R + ALPHA * N_BUCKETS)
+        )
+        out[b] = round(w, 6)
+    return out
+
+
+TARGET = [
+    "clean encyclopedic prose about science and history",
+    "well written article about history of science",
+    "prose article science history knowledge",
+]
+RAW = [
+    "clean encyclopedic prose about science and history",
+    "click here buy now free casino bonus",
+    "buy cheap casino click click click",
+    "the quick brown fox jumps over the lazy dog",
+    "prose about history",
+]
+
+
+@pytest.fixture(scope="module")
+def raw_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(RAW)], ["doc_id", "text"]
+    )
+
+
+@pytest.fixture(scope="module")
+def model(spark, raw_df):
+    target = spark.createDataFrame([(t,) for t in TARGET], ["text"])
+    return train_dsir(
+        target, raw_df, n_buckets=N_BUCKETS, alpha=ALPHA, hash_fn="md5"
+    ).cache()
+
+
+def test_weights_match_pure_replay(model):
+    expected = _replay_weights(TARGET, RAW)
+    got = {r["bucket"]: r["w"] for r in model.collect()}
+    assert got == expected
+
+
+def test_score_total_and_monotone(spark, raw_df, model):
+    scored = score_dsir(
+        raw_df, model, n_buckets=N_BUCKETS, hash_fn="md5"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in scored}
+    # every row scored, including nothing dropped
+    assert set(by_id) == set(range(len(RAW)))
+    # target-like text outranks spam
+    assert by_id[0]["dsir_logw"] > by_id[1]["dsir_logw"]
+    assert by_id[0]["dsir_logw"] > by_id[2]["dsir_logw"]
+    # replay one document's score exactly
+    weights = _replay_weights(TARGET, RAW)
+    want = round(sum(weights.get(_md5_bucket(f), 0.0) for f in _features(RAW[3])), 6)
+    assert by_id[3]["dsir_logw"] == pytest.approx(want, abs=1e-9)
+    assert by_id[3]["n_feats"] == len(_features(RAW[3]))
+
+
+def test_score_empty_text(spark, model):
+    df = spark.createDataFrame([(99, ""), (100, "   ")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in score_dsir(df, model, hash_fn="md5").collect()}
+    assert rows[99]["dsir_logw"] == 0.0 and rows[99]["n_feats"] == 0
+    assert rows[100]["dsir_logw"] == 0.0 and rows[100]["n_feats"] == 0
+
+
+def test_resample_deterministic_under_partitioning(spark, raw_df, model):
+    scored = score_dsir(raw_df, model, n_buckets=N_BUCKETS, hash_fn="md5")
+    a = dsir_resample(scored, k=3).select("doc_id", "sel_key").collect()
+    b = (
+        dsir_resample(scored.repartition(7), k=3)
+        .select("doc_id", "sel_key")
+        .collect()
+    )
+    assert sorted((r["doc_id"], r["sel_key"]) for r in a) == sorted(
+        (r["doc_id"], r["sel_key"]) for r in b
+    )
+    assert len(a) == 3
+
+
+def test_resample_matches_naive_rank(spark, raw_df, model):
+    """Salted two-phase top-k == a plain global sort on the same key."""
+    scored = score_dsir(raw_df, model, n_buckets=N_BUCKETS, hash_fn="md5")
+    got = {r["doc_id"] for r in dsir_resample(scored, k=2).collect()}
+    from dss_plugin_nlp_preparation_spark.operators.dsir import gumbel_key_expr
+
+    naive = (
+        scored.withColumn("sel_key", gumbel_key_expr("doc_id", "dsir_logw"))
+        .orderBy(F.desc("sel_key"), F.asc("doc_id"))
+        .limit(2)
+        .collect()
+    )
+    assert got == {r["doc_id"] for r in naive}
+
+
+def test_xxhash64_family(spark, raw_df):
+    """The production hash family trains and scores without error and
+    preserves the target-vs-spam ordering."""
+    target = spark.createDataFrame([(t,) for t in TARGET], ["text"])
+    m = train_dsir(target, raw_df, n_buckets=N_BUCKETS, hash_fn="xxhash64")
+    by_id = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in score_dsir(raw_df, m, n_buckets=N_BUCKETS).collect()
+    }
+    assert by_id[0] > by_id[1]

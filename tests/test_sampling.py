@@ -221,3 +221,64 @@ class TestTokenBudget:
         none = select_token_budget(df, 0).where("budget_keep").count()
         everything = select_token_budget(df, 10**9).where("budget_keep").count()
         assert none == 0 and everything == 2
+
+
+def test_holdout_split(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        holdout_split,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host-"), (F.col("id") % 97).cast("string")).alias(
+            "host"
+        ),
+    )
+    out = holdout_split(
+        df,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_column="host",
+    )
+    # leakage safety: every group maps to exactly one split
+    per_group = (
+        out.groupBy("host")
+        .agg(F.countDistinct("split").alias("n"))
+        .where("n > 1")
+        .count()
+    )
+    assert per_group == 0
+    shares = {
+        r["split"]: r["cnt"]
+        for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(shares) == {"train", "val", "test"}
+    assert shares["train"] > shares["val"] and shares["train"] > shares["test"]
+    # deterministic under repartitioning
+    again = holdout_split(
+        df.repartition(13),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_column="host",
+    )
+    assert out.exceptAll(again).count() == 0
+    # nesting under refinement: growing val only moves rows out of the
+    # train band that precedes it, never reshuffles existing val rows
+    wide = holdout_split(
+        df, {"train": 0.7, "val": 0.2, "test": 0.1}, group_column="host"
+    )
+    was_val = out.where("split = 'val'").select("doc_id")
+    still_val = wide.where("split = 'val'").select("doc_id")
+    assert was_val.exceptAll(still_val).count() == 0
+    # a new salt reshuffles assignments
+    salted = holdout_split(
+        df,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_column="host",
+        salt="split-v2",
+    )
+    assert out.exceptAll(salted).count() > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        holdout_split(df, {"train": 0.5, "val": 0.2})
+    with pytest.raises(ValueError):
+        holdout_split(df, {})
