@@ -1438,9 +1438,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             train_hashed_lm(d, n_buckets=1024),
             n_buckets=1024,
         )
+        # no display rounding: the weight is an exact int64 micro-nat sum
+        # divided by 1e6 — IEEE division gives bit-identical doubles in
+        # both engines, while round(x, 4) of a decimal half (e.g.
+        # -1.17935) resolves differently (JVM HALF_UP vs C rounding)
         return dsir_importance_weights(d, lam, n_buckets=1024).select(
             "doc_id",
-            F.round("log_importance_weight", 4).alias("log_iw"),
+            F.col("log_importance_weight").alias("log_iw"),
         )
 
 
@@ -3218,7 +3222,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY e.doc_id
         )
         SELECT d.doc_id,
-          round(coalesce(s.wq, 0) / 1000000.0, 4) AS log_iw
+          coalesce(s.wq, 0) / 1000000.0 AS log_iw
         FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
     """
 
