@@ -132,3 +132,59 @@ def test_warc_read_shuffle_free(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_holdout_split_no_exchange(spark, sf_dir):
+    # the split must be a pure per-row projection: zero shuffle, zero
+    # Python — it rides whatever scan feeds it at any corpus size
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        holdout_split,
+    )
+
+    plan = _plan(holdout_split(_docs(spark, sf_dir), group_column="source"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_code_signals_codegen_no_exchange(spark, sf_dir):
+    # code detection is regexp/array exprs inside whole-stage codegen
+    from dss_plugin_nlp_preparation_spark.operators.code_detect import (
+        add_code_signals,
+    )
+
+    plan = _plan(add_code_signals(_docs(spark, sf_dir)))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_crawl_diff_joins_hash_projections_only(spark, sf_dir):
+    # full documents must never shuffle: both join inputs are projected
+    # to (key, md5) BEFORE the exchange, so no plan node past the scans
+    # carries the text column
+    from dss_plugin_nlp_preparation_spark.operators.drift import crawl_diff
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    plan = _plan(crawl_diff(d.where("url != '1'"), d.where("url != '2'")))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_cluster_keep_best_agg_not_window(spark, sf_dir):
+    # survivor selection is one max_by/min_by struct aggregate per
+    # cluster (map-side partial agg), never a row_number window that
+    # would sort every row of a corpus-scale cluster in one task
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        flag_best_in_cluster,
+    )
+
+    clustered = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 50).alias("cluster_id"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    plan = _plan(flag_best_in_cluster(clustered, "score"))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_max" in plan or "min(" in plan
