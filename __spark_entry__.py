@@ -1500,6 +1500,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bins=20,
         ).select("signal", "psi", "n_base", "n_new")
 
+    def q_categorical_drift(spark, sf_dir):
+        # categorical PSI (lang + source mix drift): even doc_ids are the
+        # baseline crawl, odd the new crawl; top-3 base values per column
+        # so the __other__ lump path is exercised; full SQL replay (the
+        # salted two-phase top-N equals a plain global top-N by the
+        # superset property, which is what the oracle computes)
+        from dss_plugin_nlp_preparation_spark.operators.drift import (
+            categorical_drift_psi,
+        )
+
+        d = _docs(spark, sf_dir)
+        return categorical_drift_psi(
+            d.where("doc_id % 2 = 0"),
+            d.where("doc_id % 2 = 1"),
+            ["lang", "source"],
+            top_n=3,
+        ).select("signal", "psi", "n_base", "n_new")
+
     def q_holdout_split(spark, sf_dir):
         # leakage-safe split keyed by source: every doc of a source lands
         # in the same split; binary-exact fractions (.75/.125/.125) so
@@ -2224,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signal_drift_psi": q_signal_drift_psi,
         "holdout_split": q_holdout_split,
         "crawl_diff": q_crawl_diff,
+        "categorical_drift": q_categorical_drift,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -3302,6 +3321,70 @@ def oracle_sql() -> dict[str, str]:
                - (b_cnt + 1) / (coalesce(bt.b_tot, 0) + 20))
               * ln(((n_cnt + 1) / (coalesce(nt.n_tot, 0) + 20))
                    / ((b_cnt + 1) / (coalesce(bt.b_tot, 0) + 20)))
+              * 1000000000 + 0.5) AS BIGINT) AS cq,
+            coalesce(bt.b_tot, 0) AS b_tot, coalesce(nt.n_tot, 0) AS n_tot
+          FROM j
+          LEFT JOIN bt ON j.signal = bt.signal
+          LEFT JOIN nt ON j.signal = nt.signal
+        )
+        SELECT signal,
+          round(sum(cq) / 1000000000.0, 6) AS psi,
+          CAST(max(b_tot) AS BIGINT) AS n_base,
+          CAST(max(n_tot) AS BIGINT) AS n_new
+        FROM contrib GROUP BY signal
+    """
+
+    # categorical PSI: top-3 base values per column (cnt desc, value asc
+    # — the salted two-phase in Spark returns exactly this global top-N),
+    # __other__/__null__ lumps, add-one smoothing over top_n+2 bins,
+    # nano-quantised contributions (same arithmetic as signal_drift_psi)
+    sqls["categorical_drift"] = """
+        WITH vals AS (
+          SELECT doc_id, u.signal,
+            CASE u.signal WHEN 'lang' THEN coalesce(lang, '__null__')
+                          ELSE coalesce(source, '__null__') END AS value
+          FROM documents, unnest(['lang', 'source']) AS u(signal)
+        ), bc AS (
+          SELECT signal, value, count(*) AS b_cnt FROM vals
+          WHERE doc_id % 2 = 0 GROUP BY signal, value
+        ), nc AS (
+          SELECT signal, value, count(*) AS n_cnt FROM vals
+          WHERE doc_id % 2 = 1 GROUP BY signal, value
+        ), top AS (
+          SELECT signal, value, TRUE AS is_top FROM (
+            SELECT signal, value,
+              row_number() OVER (PARTITION BY signal
+                                 ORDER BY b_cnt DESC, value ASC) AS r
+            FROM bc
+          ) WHERE r <= 3
+        ), b AS (
+          SELECT bc.signal,
+            CASE WHEN t.is_top THEN bc.value ELSE '__other__' END AS bin,
+            sum(b_cnt) AS b_cnt
+          FROM bc LEFT JOIN top t
+            ON bc.signal = t.signal AND bc.value = t.value
+          GROUP BY 1, 2
+        ), n AS (
+          SELECT nc.signal,
+            CASE WHEN t.is_top THEN nc.value ELSE '__other__' END AS bin,
+            sum(n_cnt) AS n_cnt
+          FROM nc LEFT JOIN top t
+            ON nc.signal = t.signal AND nc.value = t.value
+          GROUP BY 1, 2
+        ), bt AS (SELECT signal, sum(b_cnt) AS b_tot FROM b GROUP BY signal),
+        nt AS (SELECT signal, sum(n_cnt) AS n_tot FROM n GROUP BY signal),
+        j AS (
+          SELECT coalesce(b.signal, n.signal) AS signal,
+                 coalesce(b.bin, n.bin) AS bin,
+                 coalesce(b_cnt, 0) AS b_cnt, coalesce(n_cnt, 0) AS n_cnt
+          FROM b FULL JOIN n ON b.signal = n.signal AND b.bin = n.bin
+        ), contrib AS (
+          SELECT j.signal,
+            CAST(floor(
+              ((n_cnt + 1) / (coalesce(nt.n_tot, 0) + 5)
+               - (b_cnt + 1) / (coalesce(bt.b_tot, 0) + 5))
+              * ln(((n_cnt + 1) / (coalesce(nt.n_tot, 0) + 5))
+                   / ((b_cnt + 1) / (coalesce(bt.b_tot, 0) + 5)))
               * 1000000000 + 0.5) AS BIGINT) AS cq,
             coalesce(bt.b_tot, 0) AS b_tot, coalesce(nt.n_tot, 0) AS n_tot
           FROM j

@@ -115,6 +115,122 @@ def signal_drift_psi(
     )
 
 
+def categorical_drift_psi(
+    base: DataFrame,
+    new: DataFrame,
+    columns: list,
+    top_n: int = 50,
+    n_salt: int = 32,
+) -> DataFrame:
+    """PSI over CATEGORICAL distributions (language mix, source mix,
+    host mix — the "this crawl is suddenly 30% one domain" alarm the
+    numeric monitor above can't raise).
+
+    Bins are the ``top_n`` most frequent values of each column in the
+    BASE corpus (ties → lexicographically smaller value, so the bin set
+    is deterministic); everything else — including values that appear
+    only in ``new`` — lumps into ``__other__``, which is exactly where
+    novel-category drift shows up. NULLs count as the ``__null__`` bin
+    (a categorical null rate IS signal, unlike a numeric null). Add-one
+    smoothing over ``top_n + 2`` bins and the same int64 nano-quantised
+    contributions as :func:`signal_drift_psi`.
+
+    Scale shape: one scan per corpus → (col, value) integer-count
+    groupBy (map-side combine collapses to ≤ distinct-values rows per
+    task). The value relation can be web-scale wide for host-like
+    columns, so the top-N rank is the salted two-phase top-k (per-salt
+    top-N is a superset of the global top-N): no task ever sorts more
+    than n_salt·top_n rows per column. Everything after is ≤
+    cols·(top_n+2) rows.
+    """
+    from pyspark.sql.window import Window
+
+    if not columns:
+        raise ValueError("columns must name at least one categorical")
+
+    def _val_counts(df: DataFrame, out: str) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(c).alias("signal"),
+                F.coalesce(F.col(c).cast("string"), F.lit("__null__")).alias(
+                    "value"
+                ),
+            )
+            for c in columns
+        ]
+        return (
+            df.select(F.explode(F.array(*entries)).alias("sv"))
+            .select("sv.signal", "sv.value")
+            .groupBy("signal", "value")
+            .agg(F.count("*").alias(out))
+        )
+
+    bc = _val_counts(base, "b_cnt")
+    nc = _val_counts(new, "n_cnt")
+
+    # deterministic top-N per column from BASE counts, salted two-phase
+    order = (F.desc("b_cnt"), F.asc("value"))
+    w_salt = Window.partitionBy(
+        "signal", F.pmod(F.xxhash64("value"), F.lit(n_salt))
+    ).orderBy(*order)
+    w_all = Window.partitionBy("signal").orderBy(*order)
+    top = (
+        bc.withColumn("__r", F.row_number().over(w_salt))
+        .where(F.col("__r") <= top_n)
+        .withColumn("__r", F.row_number().over(w_all))
+        .where(F.col("__r") <= top_n)
+        .select("signal", "value", F.lit(True).alias("__top"))
+    )
+
+    def _binned(cnts: DataFrame, out: str) -> DataFrame:
+        return (
+            cnts.join(F.broadcast(top), ["signal", "value"], "left")
+            .select(
+                "signal",
+                F.when(F.col("__top"), F.col("value"))
+                .otherwise(F.lit("__other__"))
+                .alias("bin"),
+                F.col(out),
+            )
+            .groupBy("signal", "bin")
+            .agg(F.sum(out).alias(out))
+        )
+
+    b = _binned(bc, "b_cnt")
+    n = _binned(nc, "n_cnt")
+    b_tot = b.groupBy("signal").agg(F.sum("b_cnt").alias("b_tot"))
+    n_tot = n.groupBy("signal").agg(F.sum("n_cnt").alias("n_tot"))
+    joined = (
+        b.join(n, ["signal", "bin"], "full")
+        .join(b_tot, "signal", "left")
+        .join(n_tot, "signal", "left")
+    )
+    nb = F.lit(top_n + 2)  # smoothing denominator: top_n + __other__ + __null__
+    p_b = (F.coalesce("b_cnt", F.lit(0)) + 1) / (
+        F.coalesce("b_tot", F.lit(0)) + nb
+    )
+    p_n = (F.coalesce("n_cnt", F.lit(0)) + 1) / (
+        F.coalesce("n_tot", F.lit(0)) + nb
+    )
+    contrib_q = F.floor(
+        (p_n - p_b) * F.log(p_n / p_b) * F.lit(PSI_SCALE) + F.lit(0.5)
+    ).cast("long")
+    return (
+        joined.groupBy("signal")
+        .agg(
+            (F.sum(contrib_q) / F.lit(float(PSI_SCALE))).alias("psi"),
+            F.max(F.coalesce("b_tot", F.lit(0))).alias("n_base"),
+            F.max(F.coalesce("n_tot", F.lit(0))).alias("n_new"),
+        )
+        .select(
+            "signal",
+            F.round("psi", 6).alias("psi"),
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_new").cast("long").alias("n_new"),
+        )
+    )
+
+
 def crawl_diff(
     old: DataFrame,
     new: DataFrame,

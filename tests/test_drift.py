@@ -119,3 +119,52 @@ def test_crawl_diff(spark):
         for r in crawl_diff(old, new, include_unchanged=True).collect()
     }
     assert full["http://a/1"] == "unchanged" and len(full) == 5
+
+
+def test_categorical_drift_psi(spark):
+    from dss_plugin_nlp_preparation_spark.operators.drift import (
+        categorical_drift_psi,
+    )
+
+    base = spark.createDataFrame(
+        [("en", "web")] * 40 + [("fr", "web")] * 30 + [("de", "wiki")] * 30,
+        "lang string, source string",
+    )
+    # lang mix shifts hard (en collapses, a NOVEL value floods in);
+    # source mix stays identical
+    new = spark.createDataFrame(
+        [("xx", "web")] * 40 + [("fr", "web")] * 30 + [("de", "wiki")] * 30,
+        "lang string, source string",
+    )
+    out = {
+        r["signal"]: r
+        for r in categorical_drift_psi(
+            base, new, ["lang", "source"], top_n=2
+        ).collect()
+    }
+    assert set(out) == {"lang", "source"}
+    # novel 'xx' lumps into __other__ (it is not a base top-2 value) and
+    # en vanishes -> major shift
+    assert out["lang"]["psi"] > 0.25
+    assert abs(out["source"]["psi"]) < 1e-6
+    assert out["lang"]["n_base"] == 100 and out["lang"]["n_new"] == 100
+
+    # NULLs are a bin, not an exclusion: a null-rate jump is drift
+    b2 = spark.createDataFrame([("en",)] * 50, "lang string")
+    n2 = spark.createDataFrame(
+        [("en",)] * 25 + [(None,)] * 25, "lang string"
+    )
+    r2 = categorical_drift_psi(b2, n2, ["lang"], top_n=5).collect()[0]
+    assert r2["psi"] > 0.25
+    assert r2["n_base"] == 50 and r2["n_new"] == 50
+
+    # deterministic under repartitioning
+    a = categorical_drift_psi(base.repartition(7), new.repartition(3),
+                              ["lang", "source"], top_n=2)
+    bvals = {(r["signal"], r["psi"]) for r in a.collect()}
+    assert bvals == {(k, v["psi"]) for k, v in out.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        categorical_drift_psi(base, new, [])
