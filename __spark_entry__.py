@@ -1500,6 +1500,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bins=20,
         ).select("signal", "psi", "n_base", "n_new")
 
+    def q_examples_per_reason(spark, sf_dir):
+        # audit samples: k deterministic example docs per drop reason
+        # (reasons derived from doc_id so the replay is pure SQL); the
+        # salted two-phase rank equals the oracle's global row_number by
+        # the superset property
+        from dss_plugin_nlp_preparation_spark.operators.funnel import (
+            examples_per_reason,
+        )
+
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("url"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("low_quality"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("near_dup"))
+            .otherwise(F.lit(None))
+            .alias("drop_reason"),
+            "text",
+        )
+        return examples_per_reason(d, k=5)
+
     def q_categorical_drift(spark, sf_dir):
         # categorical PSI (lang + source mix drift): even doc_ids are the
         # baseline crawl, odd the new crawl; top-3 base values per column
@@ -2243,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "crawl_diff": q_crawl_diff,
         "categorical_drift": q_categorical_drift,
+        "examples_per_reason": q_examples_per_reason,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -3332,6 +3352,32 @@ def oracle_sql() -> dict[str, str]:
           CAST(max(b_tot) AS BIGINT) AS n_base,
           CAST(max(n_tot) AS BIGINT) AS n_new
         FROM contrib GROUP BY signal
+    """
+
+    # audit examples: global row_number replay of the salted two-phase
+    # top-k (identical result by the superset property); 200-char text
+    sqls["examples_per_reason"] = """
+        WITH d AS (
+          SELECT doc_id AS url,
+            CASE WHEN doc_id % 4 = 0 THEN 'low_quality'
+                 WHEN doc_id % 4 = 1 THEN 'near_dup'
+                 ELSE 'kept' END AS reason,
+            text
+          FROM documents
+        ), ranked AS (
+          SELECT reason,
+            CAST(url AS VARCHAR) AS example_id,
+            substr(coalesce(text, ''), 1, 200) AS example_text,
+            row_number() OVER (
+              PARTITION BY reason
+              ORDER BY md5(reason || ':' || CAST(url AS VARCHAR)) ASC,
+                       CAST(url AS VARCHAR) ASC
+            ) AS r
+          FROM d
+        )
+        SELECT reason, CAST(r AS BIGINT) AS example_rank,
+               example_id, example_text
+        FROM ranked WHERE r <= 5
     """
 
     # categorical PSI: top-3 base values per column (cnt desc, value asc

@@ -71,3 +71,63 @@ def keep_funnel(
         F.col("s.n_pass_alone").alias("n_pass_alone"),
         F.col("s.n_survivors").alias("n_survivors"),
     )
+
+
+def examples_per_reason(
+    df: DataFrame,
+    k: int = 5,
+    reason_column: str = "drop_reason",
+    id_column: str = "url",
+    text_column: str = "text",
+    max_chars: int = 200,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Up to ``k`` example documents per drop reason — the audit table a
+    curation team eyeballs next to the funnel counts ("show me 5 pages we
+    dropped for low_stopword_ratio"). Kept rows appear under ``"kept"``.
+
+    Deterministic: examples rank by md5(reason ‖ id) with the id as the
+    tie-break, so the sample is a pure function of the data — stable
+    across partitioning/retries/AQE and replayable by the SQL oracle.
+    Text is truncated to ``max_chars`` so the report stays eyeball-sized.
+
+    100-TB shape: a reason's partition is corpus-scale (millions of rows
+    share one drop_reason), so a naive per-reason window would sort a
+    whole reason in one task. Same cure as cap_per_host: the salted
+    two-phase top-k — per-(reason, salt) top-k is a superset of the
+    global top-k, so no task ever sorts more than ``n_salt·k`` rows.
+    Output is ≤ #reasons × k rows (a screenful) at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    reason = F.coalesce(F.col(reason_column), F.lit("kept"))
+    rank_key = F.md5(
+        F.concat(reason, F.lit(":"), F.col(id_column).cast("string"))
+    )
+    base = df.select(
+        reason.alias("reason"),
+        rank_key.alias("__rk"),
+        F.col(id_column).cast("string").alias("example_id"),
+        F.substring(
+            F.coalesce(F.col(text_column), F.lit("")), 1, max_chars
+        ).alias("example_text"),
+    )
+    order = (F.asc("__rk"), F.asc("example_id"))
+    w_salt = Window.partitionBy(
+        "reason", F.pmod(F.xxhash64("example_id"), F.lit(n_salt))
+    ).orderBy(*order)
+    w_all = Window.partitionBy("reason").orderBy(*order)
+    return (
+        base.withColumn("__r", F.row_number().over(w_salt))
+        .where(F.col("__r") <= k)
+        .withColumn("__r", F.row_number().over(w_all))
+        .where(F.col("__r") <= k)
+        .select(
+            "reason",
+            F.col("__r").cast("long").alias("example_rank"),
+            "example_id",
+            "example_text",
+        )
+    )

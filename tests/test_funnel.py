@@ -97,3 +97,31 @@ def test_grouped_funnel(spark):
     assert out[("fr", "a")]["n_survivors"] == 1
     assert out[("fr", "b")]["n_survivors"] == 1
     assert len(rows) == 4
+
+
+def test_examples_per_reason(spark):
+    from dss_plugin_nlp_preparation_spark.operators.funnel import (
+        examples_per_reason,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "low_quality" if i % 3 == 0 else None, "x" * 300) for i in range(60)],
+        "url bigint, drop_reason string, text string",
+    )
+    out = examples_per_reason(df, k=4)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["reason"], []).append(r)
+    assert set(per) == {"low_quality", "kept"}
+    assert len(per["low_quality"]) == 4 and len(per["kept"]) == 4
+    # ranks are 1..k and text is truncated
+    assert sorted(r["example_rank"] for r in per["kept"]) == [1, 2, 3, 4]
+    assert all(len(r["example_text"]) == 200 for r in rows)
+    # deterministic under repartitioning
+    again = examples_per_reason(df.repartition(7), k=4)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        examples_per_reason(df, k=0)
