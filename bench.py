@@ -747,6 +747,42 @@ def main() -> int:
         .collect(),
     )
 
+    # crawl-ops set: leakage-safe split, snapshot diff, categorical-mix
+    # drift, per-reason audit samples (all pure codegen / tiny-relation
+    # shapes — included for regression visibility, not cost)
+    from dss_plugin_nlp_preparation_spark.operators.drift import (
+        categorical_drift_psi,
+        crawl_diff,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.funnel import (
+        examples_per_reason,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        holdout_split,
+    )
+
+    def _crawl_ops():
+        n = holdout_split(docs, group_column="source").where(
+            "split = 'train'"
+        ).count()
+        d = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+        n += crawl_diff(d.where("url != '1'"), d.where("url != '2'")).count()
+        n += categorical_drift_psi(
+            docs.where("doc_id % 2 = 0"),
+            docs.where("doc_id % 2 = 1"),
+            ["lang", "source"],
+        ).count()
+        n += examples_per_reason(
+            docs.withColumn(
+                "drop_reason",
+                F.when(F.col("doc_id") % 4 == 0, F.lit("low_quality")),
+            ),
+            id_column="doc_id",
+        ).count()
+        return n
+
+    timed_extra("crawl_ops_suite", _crawl_ops)
+
     # two interleaved passes over every registered extra; report the min
     # (storm-robust: contention only slows samples), with one bounded
     # retry sweep for extras whose every sample overlapped a storm
