@@ -131,3 +131,27 @@ def examples_per_reason(
             "example_text",
         )
     )
+
+
+def corpus_report(result: DataFrame, k_examples: int = 5) -> dict:
+    """The post-run triage bundle, one call over a scored pipeline
+    result: the keep funnel (every keep-flag family present on the
+    result), the per-partition drop-reason breakdown, and k audit
+    examples per reason. Returns
+    ``{"funnel": DF, "reasons": DF, "examples": DF}`` — three lazy
+    DataFrames sharing the result's scan; nothing is collected here.
+
+    Each component keeps its own 100-TB shape (one integer aggregate /
+    bounded-relation shuffle / salted top-k); composing them adds no new
+    plan nodes beyond the three jobs a team would run anyway.
+    """
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        partition_reason_metrics,
+        pipeline_funnel,
+    )
+
+    return {
+        "funnel": pipeline_funnel(result),
+        "reasons": partition_reason_metrics(result),
+        "examples": examples_per_reason(result, k=k_examples),
+    }

@@ -125,3 +125,29 @@ def test_examples_per_reason(spark):
 
     with pytest.raises(ValueError):
         examples_per_reason(df, k=0)
+
+
+def test_corpus_report(spark):
+    from dss_plugin_nlp_preparation_spark.operators.funnel import corpus_report
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    result = quality_filter_pipeline(
+        synthesize_pages(spark, 80, 4), with_perplexity=False
+    )
+    rep = corpus_report(result, k_examples=3)
+    assert set(rep) == {"funnel", "reasons", "examples"}
+    funnel = rep["funnel"].collect()
+    assert funnel and all(r["n_total"] == 80 for r in funnel)
+    reasons = rep["reasons"].collect()
+    assert sum(r["n_docs"] for r in reasons) == 80
+    ex = rep["examples"].collect()
+    by_reason = {}
+    for r in ex:
+        by_reason.setdefault(r["reason"], []).append(r)
+    assert "kept" in by_reason
+    assert all(len(v) <= 3 for v in by_reason.values())
+    # examples cover the same reason set the breakdown reports
+    assert set(by_reason) == {r["drop_reason"] for r in reasons}
