@@ -1500,6 +1500,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bins=20,
         ).select("signal", "psi", "n_base", "n_new")
 
+    def q_profile_columns(spark, sf_dir):
+        # one-pass column profiler (exact mode = oracle-replayable):
+        # null rate, cardinality, string-length shape per column
+        from dss_plugin_nlp_preparation_spark.operators.profile import (
+            profile_columns,
+        )
+
+        return profile_columns(
+            _docs(spark, sf_dir), ["lang", "source", "text"]
+        )
+
     def q_examples_per_reason(spark, sf_dir):
         # audit samples: k deterministic example docs per drop reason
         # (reasons derived from doc_id so the replay is pure SQL); the
@@ -2263,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "categorical_drift": q_categorical_drift,
         "examples_per_reason": q_examples_per_reason,
+        "profile_columns": q_profile_columns,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -3352,6 +3364,37 @@ def oracle_sql() -> dict[str, str]:
           CAST(max(b_tot) AS BIGINT) AS n_base,
           CAST(max(n_tot) AS BIGINT) AS n_new
         FROM contrib GROUP BY signal
+    """
+
+    # column profiler: identical per-column stats over the same table
+    sqls["profile_columns"] = """
+        WITH stats AS (
+          SELECT u.col AS "column",
+            count(*) AS n_rows,
+            sum(CASE u.col WHEN 'lang' THEN CASE WHEN lang IS NULL THEN 1 ELSE 0 END
+                           WHEN 'source' THEN CASE WHEN source IS NULL THEN 1 ELSE 0 END
+                           ELSE CASE WHEN text IS NULL THEN 1 ELSE 0 END END) AS n_nulls,
+            count(DISTINCT CASE u.col WHEN 'lang' THEN lang
+                                      WHEN 'source' THEN source
+                                      ELSE text END) AS n_distinct,
+            min(length(CASE u.col WHEN 'lang' THEN lang
+                                  WHEN 'source' THEN source
+                                  ELSE text END)) AS min_len,
+            max(length(CASE u.col WHEN 'lang' THEN lang
+                                  WHEN 'source' THEN source
+                                  ELSE text END)) AS max_len,
+            round(avg(length(CASE u.col WHEN 'lang' THEN lang
+                                        WHEN 'source' THEN source
+                                        ELSE text END)), 4) AS avg_len
+          FROM documents, unnest(['lang', 'source', 'text']) AS u(col)
+          GROUP BY u.col
+        )
+        SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_nulls AS BIGINT) AS n_nulls,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(min_len AS BIGINT) AS min_len,
+               CAST(max_len AS BIGINT) AS max_len, avg_len
+        FROM stats
     """
 
     # audit examples: global row_number replay of the salted two-phase

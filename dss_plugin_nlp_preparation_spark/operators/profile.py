@@ -1,0 +1,77 @@
+# -*- coding: utf-8 -*-
+"""One-pass corpus column profiler — the "what's in this table?" report
+a data team runs before pointing the pipeline at a new crawl dump:
+per-column null rate, cardinality, and string-length shape.
+
+Spark shape: ONE scan, ONE global aggregate computing every statistic
+for every profiled column in the same projection (map-side partials
+collapse each task to a single row; wire bytes = #cols × a few ints),
+then the per-column rows are exploded from that single row — no
+per-column jobs, no driver loops. Identical structure to
+``funnel.keep_funnel``.
+
+Cardinality: ``exact=True`` (default) uses COUNT(DISTINCT) — at most
+#cols distinct-aggregates in one logical agg (Spark plans them as an
+expand + two-phase agg; exact and oracle-replayable). ``exact=False``
+switches to ``approx_count_distinct`` (HyperLogLog++, one pass, bounded
+memory) — the 10^12-row production setting, where an exact distinct of
+a high-cardinality column would shuffle the column's whole value set;
+estimates are engine-specific, so only the exact mode carries the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, columns: list, exact: bool = True
+) -> DataFrame:
+    """-> one row per profiled column:
+    ``(column, n_rows, n_nulls, n_distinct, min_len, max_len, avg_len)``.
+
+    Length stats apply to the column's string form (cast), NULLs
+    excluded; an all-NULL column reports NULL lengths and 0 distinct.
+    ``avg_len`` rounds to 4 decimals.
+    """
+    if not columns:
+        raise ValueError("columns must name at least one column to profile")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(columns):
+        col = F.col(c)
+        s = col.cast("string")
+        distinct = (
+            F.count_distinct(col) if exact else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__nn_{i}"),
+            distinct.alias(f"__nd_{i}"),
+            F.min(F.length(s)).alias(f"__mn_{i}"),
+            F.max(F.length(s)).alias(f"__mx_{i}"),
+            F.round(F.avg(F.length(s)), 4).alias(f"__av_{i}"),
+        ]
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__nn_{i}").cast("long").alias("n_nulls"),
+            F.col(f"__nd_{i}").cast("long").alias("n_distinct"),
+            F.col(f"__mn_{i}").cast("long").alias("min_len"),
+            F.col(f"__mx_{i}").cast("long").alias("max_len"),
+            F.col(f"__av_{i}").alias("avg_len"),
+        )
+        for i, c in enumerate(columns)
+    ]
+    return row.select(
+        F.explode(F.array(*entries)).alias("p"), F.col("n_rows")
+    ).select(
+        "p.column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "p.n_nulls",
+        "p.n_distinct",
+        "p.min_len",
+        "p.max_len",
+        "p.avg_len",
+    )

@@ -1,0 +1,52 @@
+# -*- coding: utf-8 -*-
+"""One-pass column profiler (operators/profile.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.profile import profile_columns
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", None),
+            (2, "beta", 2.5),
+            (3, "beta", 2.5),
+            (4, None, 10.25),
+        ],
+        "id bigint, name string, score double",
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["name", "score"]).collect()}
+    assert set(out) == {"name", "score"}
+    n = out["name"]
+    assert n["n_rows"] == 4 and n["n_nulls"] == 1 and n["n_distinct"] == 2
+    assert n["min_len"] == 4 and n["max_len"] == 5
+    assert abs(n["avg_len"] - (5 + 4 + 4) / 3) < 1e-4  # avg rounds to 4dp
+    s = out["score"]
+    assert s["n_nulls"] == 1 and s["n_distinct"] == 2
+
+    # all-NULL column: 0 distinct, NULL lengths — total, never raises
+    df2 = df.withColumn("empty", F.lit(None).cast("string"))
+    e = {r["column"]: r for r in profile_columns(df2, ["empty"]).collect()}["empty"]
+    assert e["n_nulls"] == 4 and e["n_distinct"] == 0
+    assert e["min_len"] is None and e["avg_len"] is None
+
+    # approx mode runs (estimate, not compared to exact)
+    a = {r["column"]: r for r in profile_columns(df, ["name"], exact=False).collect()}
+    assert a["name"]["n_distinct"] >= 1
+
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
+
+
+def test_profile_single_aggregate_plan(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = profile_columns(docs, ["lang", "source", "text"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one scan, no Python; the multi-distinct agg may Expand but must not
+    # re-scan per column
+    assert plan.count("Scan parquet") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
