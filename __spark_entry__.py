@@ -1500,6 +1500,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bins=20,
         ).select("signal", "psi", "n_base", "n_new")
 
+    def q_exact_dedup_norm(spark, sf_dir):
+        # normalized variant: casefold + whitespace-collapse + trim
+        # before hashing, so trivially reformatted copies collide
+        return exact_dedup(_docs(spark, sf_dir), normalize=True).select(
+            "text_hash",
+            "canonical_id",
+            F.col("dup_count").cast("long").alias("dup_count"),
+        )
+
     def q_profile_columns(spark, sf_dir):
         # one-pass column profiler (exact mode = oracle-replayable):
         # null rate, cardinality, string-length shape per column
@@ -2275,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift": q_categorical_drift,
         "examples_per_reason": q_examples_per_reason,
         "profile_columns": q_profile_columns,
+        "exact_dedup_norm": q_exact_dedup_norm,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -3364,6 +3374,16 @@ def oracle_sql() -> dict[str, str]:
           CAST(max(b_tot) AS BIGINT) AS n_base,
           CAST(max(n_tot) AS BIGINT) AS n_new
         FROM contrib GROUP BY signal
+    """
+
+    # normalized exact dedup: the same light normalization in SQL
+    # (regexp_replace needs the 'g' flag in DuckDB)
+    sqls["exact_dedup_norm"] = """
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS text_hash,
+               min(doc_id) AS canonical_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
     """
 
     # column profiler: identical per-column stats over the same table

@@ -39,10 +39,25 @@ def _shingles(text: Column, k: int) -> Column:
     )
 
 
-def exact_dedup(df: DataFrame, text_column: str = "text", id_column: str = "doc_id") -> DataFrame:
-    """One row per distinct text: (text_hash, canonical_id, dup_count)."""
+def exact_dedup(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """One row per distinct text: (text_hash, canonical_id, dup_count).
+
+    ``normalize=True`` hashes the casefolded, whitespace-collapsed,
+    trimmed text instead of the raw bytes — the light normalization
+    web pipelines apply before doc-level exact dedup so trivially
+    reformatted copies (trailing newline, double spaces, case-only
+    edits) collide. Still one codegen expression; the default stays
+    byte-exact (the form the incremental index and spans use)."""
+    key = F.col(text_column)
+    if normalize:
+        key = F.trim(F.regexp_replace(F.lower(key), r"\s+", " "))
     return (
-        df.groupBy(F.md5(F.col(text_column)).alias("text_hash"))
+        df.groupBy(F.md5(key).alias("text_hash"))
         .agg(
             F.min(id_column).alias("canonical_id"),
             F.count(F.lit(1)).alias("dup_count"),

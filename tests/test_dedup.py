@@ -612,3 +612,23 @@ class TestKeepBestInCluster:
         assert plan.count("Exchange") == 1  # one agg shuffle
         assert "Window" not in plan  # never a full-corpus row_number sort
         assert "partial_min_by" in plan  # map-side combine before the shuffle
+
+
+def test_exact_dedup_normalized(spark):
+    from dss_plugin_nlp_preparation_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world\n"),
+            (3, "  HELLO\tWORLD "),
+            (4, "different"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # byte-exact: all four distinct
+    assert exact_dedup(df).count() == 4
+    # normalized: the three reformatted copies collide, min id survives
+    out = {r["canonical_id"]: r["dup_count"]
+           for r in exact_dedup(df, normalize=True).collect()}
+    assert out == {1: 3, 4: 1}
