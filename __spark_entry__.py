@@ -3377,9 +3377,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # normalized exact dedup: the same light normalization in SQL
-    # (regexp_replace needs the 'g' flag in DuckDB)
+    # (regexp_replace needs the 'g' flag in DuckDB; explicit ASCII
+    # whitespace class — Java \\s and RE2 \\s disagree on \\x0B)
     sqls["exact_dedup_norm"] = """
-        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        SELECT md5(trim(regexp_replace(lower(text),
+                                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
                  AS text_hash,
                min(doc_id) AS canonical_id,
                count(*) AS dup_count

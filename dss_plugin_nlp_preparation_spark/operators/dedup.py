@@ -55,7 +55,12 @@ def exact_dedup(
     byte-exact (the form the incremental index and spans use)."""
     key = F.col(text_column)
     if normalize:
-        key = F.trim(F.regexp_replace(F.lower(key), r"\s+", " "))
+        # explicit ASCII whitespace class, NOT \s: Java's \s matches
+        # \x0B, RE2's (DuckDB oracle) does not — the class is the
+        # Java/RE2 common subset so both engines hash the same bytes
+        key = F.trim(
+            F.regexp_replace(F.lower(key), "[ \\t\\n\\r\\f\\x0B]+", " ")
+        )
     return (
         df.groupBy(F.md5(key).alias("text_hash"))
         .agg(

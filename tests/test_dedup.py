@@ -632,3 +632,27 @@ def test_exact_dedup_normalized(spark):
     out = {r["canonical_id"]: r["dup_count"]
            for r in exact_dedup(df, normalize=True).collect()}
     assert out == {1: 3, 4: 1}
+
+
+def test_exact_dedup_normalized_vertical_tab_cross_engine(spark):
+    """The normalize class must be the Java/RE2 common subset: Java \\s
+    matches U+000B, RE2 (the DuckDB oracle) does not. Pin the explicit
+    class by checking Spark's hash of a vertical-tab text equals the
+    oracle formula computed in DuckDB."""
+    import duckdb
+
+    from dss_plugin_nlp_preparation_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\x0bb"), (2, "a b"), (3, "a\x0b\x0b  b")],
+        "doc_id bigint, text string",
+    )
+    rows = exact_dedup(df, normalize=True).collect()
+    # \x0B collapses to a single space in BOTH engines → all three collide
+    assert {r["canonical_id"]: r["dup_count"] for r in rows} == {1: 3}
+    spark_hash = rows[0]["text_hash"]
+    duck_hash = duckdb.sql(
+        "SELECT md5(trim(regexp_replace(lower('a' || chr(11) || 'b'),"
+        " '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))"
+    ).fetchone()[0]
+    assert spark_hash == duck_hash
