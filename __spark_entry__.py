@@ -874,6 +874,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("recovered"),
         )
 
+    def q_image_dhash(spark, sf_dir):
+        # 64-bit perceptual fingerprints over the 300-row image-variant
+        # table (real BMP/PNG/PPM/JPEG decode); the frozen oracle runs
+        # the same integer-only kernel on byte-identical payloads
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import image_dhash
+        from dss_plugin_nlp_preparation_spark.sources.media import (
+            synthesize_image_variants,
+        )
+
+        return image_dhash(synthesize_image_variants(spark, 60))
+
+    def q_image_near_dup(spark, sf_dir):
+        # perceptual near-dup pairs (format re-encodes, JPEG q85
+        # recompression, brightness shifts of planted base images) via
+        # the shared pigeonhole hamming banding — frozen all-pairs
+        # oracle, equal by the exact-recall argument (6 < 8 blocks)
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+            image_near_dup,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.media import (
+            synthesize_image_variants,
+        )
+
+        return image_near_dup(synthesize_image_variants(spark, 60), max_hamming=6)
+
     def q_pages_pipeline(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.plans.pipeline import (
             quality_filter_pipeline,
@@ -2319,6 +2344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         # -- encoding repair (mojibake; frozen kernel oracle) --
         "fix_mojibake": q_fix_mojibake,
+        # -- perceptual image dedup (dHash; frozen kernel oracles) --
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
     }
 
 
@@ -2497,6 +2525,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _frozen("bloom_membership"),
         "bloom_incremental_dedup": _frozen("bloom_incremental_dedup"),
         "fix_mojibake": _frozen("fix_mojibake"),
+        "image_dhash": _frozen("image_dhash"),
+        "image_near_dup": _frozen("image_near_dup"),
         "warc_ingest": _frozen("warc_ingest"),
         "robots_directives": _frozen("robots_directives"),
         "robots_txt_compliance": _frozen("robots_txt_compliance"),

@@ -747,6 +747,20 @@ def main() -> int:
         .collect(),
     )
 
+    # perceptual image dedup: decode (Arrow, blob pruned) + dHash +
+    # pigeonhole hamming banding over a 2000-image variant table
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import image_near_dup
+    from dss_plugin_nlp_preparation_spark.sources.media import (
+        synthesize_image_variants,
+    )
+
+    imgs = synthesize_image_variants(spark, 400, int(CPUS)).persist()
+    n_imgs = imgs.count()
+    timed_extra(
+        "image_near_dup",
+        lambda: image_near_dup(imgs, max_hamming=6).count(),
+    )
+
     # crawl-ops set: leakage-safe split, snapshot diff, categorical-mix
     # drift, per-reason audit samples (all pure codegen / tiny-relation
     # shapes — included for regression visibility, not cost)
@@ -818,6 +832,9 @@ def main() -> int:
     )
     extras["media_real_decode_docs_per_sec"] = round(
         n_media / extras["media_real_decode_sec"], 1
+    )
+    extras["image_near_dup_imgs_per_sec"] = round(
+        n_imgs / extras["image_near_dup_sec"], 1
     )
     extras["warc_ingest_docs_per_sec"] = round(
         8000 / extras["warc_ingest_sec"], 1

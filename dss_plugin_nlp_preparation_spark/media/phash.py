@@ -1,0 +1,120 @@
+# -*- coding: utf-8 -*-
+"""Perceptual image fingerprinting (difference hash) for image-level
+near-duplicate detection — the multimodal analogue of SimHash over text.
+
+A multimodal training-data pipeline deduplicates images across format
+re-encodes (the same photo served as BMP/PNG/JPEG), recompressions and
+global brightness shifts; byte-level hashing misses all of those. dHash
+(difference hash, the classic 64-bit perceptual fingerprint) survives
+them: downscale to a 9x8 luma grid with deterministic nearest-neighbor
+sampling, then emit one bit per horizontal luma gradient. Near-identical
+images land within a small Hamming distance, so the existing SimHash
+pigeonhole banding (``operators/dedup.py``) finds neighbors without an
+all-pairs join.
+
+Everything here is integer arithmetic (BT.601 luma via ``//1000``, index
+math for the resize) — bit-identical on every machine, so the Spark
+operator and the frozen oracle agree by construction.
+
+The reference plugin has no image operators; this extends its cleaning
+pipeline to the multimodal columns the 100 TB crawl tables carry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["luma_grid", "dhash64", "decode_image", "dhash_of_payload", "hamming64"]
+
+
+def luma_grid(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """HxWx3 (or HxW grayscale) uint8 -> (height, width) int32 luma grid.
+
+    Nearest-neighbor sampling (same index math as codecs.resize_nearest)
+    then integer BT.601 luma ``(299R + 587G + 114B) // 1000`` — no float
+    anywhere, so the grid is bit-identical across numpy/BLAS builds.
+    """
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    small = a[ys][:, xs].astype(np.int32)
+    return (299 * small[:, :, 0] + 587 * small[:, :, 1] + 114 * small[:, :, 2]) // 1000
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of an image array, as a SIGNED 64-bit int
+    (Spark ``long`` convention, matching the SimHash column).
+
+    9x8 luma grid -> bit (r*8+c) set iff ``L[r, c+1] > L[r, c]``; bit 0
+    of the grid is the MSB. A global brightness shift adds a constant to
+    every luma sample (until clipping), leaving every comparison — and
+    the hash — unchanged.
+    """
+    grid = luma_grid(img, 9, 8)
+    bits = grid[:, 1:] > grid[:, :-1]  # 8x8, row-major
+    v = 0
+    for b in bits.ravel():
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def decode_image(payload: bytes):
+    """Payload bytes -> HxWx3 uint8 array for the still-image formats the
+    in-repo codecs decode (JPEG/PNG/GIF/BMP/PPM; first composited frame
+    for animated GIF / FRMS containers), else None. Total: malformed or
+    non-image payloads return None, never raise (crawl payloads are
+    arbitrary bytes — a poison row must not kill the Spark task)."""
+    import struct as _struct
+
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_bmp,
+        decode_frames,
+        decode_gif,
+        decode_jpeg,
+        decode_png,
+        decode_ppm,
+        detect_media_type,
+    )
+
+    t = detect_media_type(payload)
+    try:
+        if t == "jpeg":
+            return decode_jpeg(payload)
+        if t == "png":
+            return decode_png(payload)
+        if t == "gif":
+            return decode_gif(payload)[0]
+        if t == "bmp":
+            return decode_bmp(payload)
+        if t == "ppm":
+            return decode_ppm(payload)
+        if t == "frames":
+            frames = decode_frames(payload)
+            if frames:
+                return decode_image(frames[0])
+    except (ValueError, _struct.error, ZeroDivisionError, OverflowError, IndexError):
+        return None
+    return None
+
+
+def dhash_of_payload(payload: bytes):
+    """bytes -> signed-64 dHash, or None for non-image/undecodable
+    payloads. The shared kernel between the Spark operator
+    (operators/multimodal.py:image_dhash) and the frozen oracle
+    (tools/freeze_oracles.py)."""
+    img = decode_image(payload)
+    if img is None:
+        return None
+    return dhash64(img)
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance between two signed-64 fingerprints."""
+    return int(bin((a ^ b) & ((1 << 64) - 1)).count("1"))

@@ -330,12 +330,42 @@ def simhash_near_dup(
 
     Requires ``max_hamming < n_blocks`` for exact recall (default 3 < 4).
     """
+    sh = simhash(df, text_column, id_column, bits)
+    return hamming_near_dup(
+        sh,
+        hash_column="simhash",
+        id_column="id",
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_dup(
+    df: DataFrame,
+    hash_column: str,
+    id_column: str = "id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) over a precomputed fingerprint
+    column (SimHash, image dHash, …) via bit-sampling pigeonhole banding —
+    the shared candidate engine behind :func:`simhash_near_dup` and
+    :func:`operators.multimodal.image_near_dup`. Rows with a NULL
+    fingerprint (e.g. undecodable media payloads) are skipped. Same plan
+    shape as documented on :func:`simhash_near_dup`.
+    """
     from pyspark.sql import Window
 
     assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    sh = simhash(df, text_column, id_column, bits)
+    sh = df.select(
+        F.col(id_column).alias("id"), F.col(hash_column).alias("simhash")
+    ).where(F.col(hash_column).isNotNull())
     blocks = sh.select(
         "id",
         "simhash",

@@ -426,3 +426,83 @@ def probe_media_metadata(
             yield pd.DataFrame(out)
 
     return df.select(url_column, payload_column).mapInPandas(_probe, METADATA_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("media_type", StringType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+) -> DataFrame:
+    """mapInPandas: (url, media_type, dhash) — 64-bit perceptual
+    difference hash per image payload (``media/phash.py``), NULL for
+    non-image/undecodable payloads.
+
+    Same 100 TB shape as the other media operators: the blob is consumed
+    inside the Arrow batch and pruned from the output, so downstream
+    dedup shuffles 16 bytes per image, not the image. Pure integer
+    kernel — the fingerprint is machine-independent, which is what makes
+    a cross-crawl incremental image-dedup index possible.
+    """
+    from dss_plugin_nlp_preparation_spark.media import detect_media_type
+    from dss_plugin_nlp_preparation_spark.media.phash import dhash_of_payload
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_column]
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_column].astype(str),
+                    "media_type": [
+                        detect_media_type(p) or "binary" for p in payloads
+                    ],
+                    "dhash": pd.array(
+                        [dhash_of_payload(p) for p in payloads], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(url_column, payload_column).mapInPandas(_hash, DHASH_SCHEMA)
+
+
+def image_near_dup(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming): perceptual image
+    near-duplicates — the same photo re-encoded (BMP vs PNG vs JPEG),
+    recompressed, or brightness-shifted collides under dHash within a
+    few bits.
+
+    Composition: :func:`image_dhash` (Arrow decode, blob pruned) feeds
+    the generic pigeonhole banding of
+    :func:`operators.dedup.hamming_near_dup` — candidate generation is a
+    capped groupBy on 8-bit hash blocks, never an all-pairs join, and
+    only (url, long) rows ever shuffle. Exact recall for
+    hamming ≤ n_blocks-1 (default 6 < 8). Non-image payloads drop out at
+    the NULL-fingerprint filter.
+    """
+    from dss_plugin_nlp_preparation_spark.operators.dedup import hamming_near_dup
+
+    hashes = image_dhash(df, payload_column, url_column)
+    return hamming_near_dup(
+        hashes,
+        hash_column="dhash",
+        id_column="url",
+        bits=64,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size,
+    )

@@ -140,3 +140,72 @@ def synthesize_media(spark: SparkSession, n_rows: int = 500, partitions: int = 8
             )
 
     return spark.range(0, n_rows, 1, partitions).mapInPandas(_gen, _SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image-variant table: planted perceptual near-duplicates
+# ---------------------------------------------------------------------------
+
+N_IMAGE_VARIANTS = 5
+
+
+def _variant_base(group: int) -> np.ndarray:
+    """36x36x3 uint8 base image for a group: a 9x9 grid of 4x4
+    constant-color cells from chained md5. Cell-constant structure keeps
+    the image locally flat (so the in-repo JPEG codec preserves the
+    perceptual layout at q85) while the cell colors stay random per
+    group (so dHash fingerprints are ~uniform across groups — no
+    accidental cross-group collisions)."""
+    cells = _seed_bytes(1_000_000 + group, 9 * 9 * 3).reshape(9, 9, 3)
+    return np.repeat(np.repeat(cells, 4, axis=0), 4, axis=1)
+
+
+def make_image_variant(image_id: int) -> bytes:
+    """The payload for image_id — group ``image_id // 5``, variant
+    ``image_id % 5``. Shared by the Spark synthesizer and the frozen
+    oracle kernel (tools/freeze_oracles.py), like ``make_payload``.
+
+    Variants of a group's base image:
+      0. BMP of the base pixels
+      1. PNG (or PPM, alternating by group) of the SAME pixels —
+         dHash-identical to 0 (format re-encode)
+      2. brightness +6 (clipped) as BMP — dHash-identical or within a
+         bit or two of 0 (global shift cancels in the gradient)
+      3. JPEG q85 re-encode — small Hamming distance to 0
+      4. unrelated image (different seed chain) — far from everything
+    """
+    g, v = image_id // N_IMAGE_VARIANTS, image_id % N_IMAGE_VARIANTS
+    base = _variant_base(g)
+    if v == 0:
+        return encode_bmp(base)
+    if v == 1:
+        return encode_ppm(base) if g % 2 else encode_png(base)
+    if v == 2:
+        return encode_bmp(np.minimum(base.astype(np.int32) + 6, 255).astype(np.uint8))
+    if v == 3:
+        return encode_jpeg(base, quality=85)
+    return encode_bmp(_variant_base(7_000_000 + g))
+
+
+def synthesize_image_variants(
+    spark: SparkSession, n_groups: int = 60, partitions: int = 8
+) -> DataFrame:
+    """(media_id, url, payload) with ``5 * n_groups`` rows — each group a
+    base image plus format/recompression/brightness variants and one
+    unrelated decoy (see :func:`make_image_variant`). The perceptual-
+    dedup test/gate relation."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "url": [f"https://img.example.org/item/{i}" for i in ids],
+                    "payload": [bytearray(make_image_variant(i)) for i in ids],
+                }
+            )
+
+    return spark.range(0, n_groups * N_IMAGE_VARIANTS, 1, partitions).mapInPandas(
+        _gen, _SCHEMA
+    )

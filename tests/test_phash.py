@@ -1,0 +1,214 @@
+# -*- coding: utf-8 -*-
+"""Perceptual image hashing (media/phash.py) and the image dedup
+operators (operators/multimodal.py: image_dhash / image_near_dup).
+
+The reference plugin has no image operators (its scope is text —
+/root/reference/python-lib/); these extend the cleaning pipeline to the
+multimodal columns a 100 TB crawl table carries, mirroring the text
+SimHash design (fingerprint + pigeonhole hamming banding)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dss_plugin_nlp_preparation_spark.media import (
+    encode_bmp,
+    encode_jpeg,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+)
+from dss_plugin_nlp_preparation_spark.media.phash import (
+    dhash64,
+    dhash_of_payload,
+    hamming64,
+    luma_grid,
+)
+from dss_plugin_nlp_preparation_spark.sources.media import (
+    N_IMAGE_VARIANTS,
+    make_image_variant,
+    synthesize_image_variants,
+)
+
+
+def _img(seed: int, h: int = 36, w: int = 36) -> np.ndarray:
+    """Cell-structured deterministic test image (same recipe as the
+    variant table: locally flat, globally random)."""
+    rng = np.random.default_rng(seed)
+    cells = rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(cells, h // 9, axis=0), w // 9, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def test_dhash_is_signed_64bit_and_deterministic():
+    h1, h2 = dhash64(_img(1)), dhash64(_img(1))
+    assert h1 == h2
+    assert -(1 << 63) <= h1 < (1 << 63)
+    assert dhash64(_img(2)) != h1
+
+
+def test_dhash_known_value_pinned():
+    # all-zero image: every gradient comparison is False -> hash 0;
+    # a single bright column at grid x=1 sets exactly the 8 bits where
+    # L[r,1] > L[r,0] (bit positions r*8+0, MSB-first from bit 63)
+    img = np.zeros((36, 36, 3), dtype=np.uint8)
+    assert dhash64(img) == 0
+    img[:, 4:8] = 255  # grid column 1 under the (arange(9)*36)//9 sampling
+    expected = 0
+    for r in range(8):
+        expected |= 1 << (63 - r * 8)
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert dhash64(img) == expected
+
+
+def test_dhash_brightness_shift_invariant():
+    base = np.minimum(_img(3), 200)  # headroom: no clipping at +20
+    shifted = (base.astype(np.int32) + 20).astype(np.uint8)
+    assert dhash64(base) == dhash64(shifted)
+
+
+def test_dhash_grayscale_2d_accepted():
+    g = np.arange(36 * 36, dtype=np.uint8).reshape(36, 36) % 251
+    h = dhash64(g)
+    assert dhash64(np.stack([g, g, g], axis=-1)) == h
+
+
+def test_luma_grid_is_integer_bt601():
+    img = np.full((4, 4, 3), (100, 50, 200), dtype=np.uint8)
+    grid = luma_grid(img, 2, 2)
+    assert grid.dtype == np.int32
+    assert int(grid[0, 0]) == (299 * 100 + 587 * 50 + 114 * 200) // 1000
+
+
+def test_dhash_format_reencode_invariant():
+    px = _img(4)
+    hs = {
+        dhash_of_payload(encode_bmp(px)),
+        dhash_of_payload(encode_png(px)),
+        dhash_of_payload(encode_ppm(px)),
+    }
+    assert len(hs) == 1  # lossless re-encodes collide exactly
+
+
+def test_dhash_jpeg_recompression_is_near_not_exact_match_of_unrelated():
+    px = _img(5)
+    h0 = dhash_of_payload(encode_bmp(px))
+    hj = dhash_of_payload(encode_jpeg(px, quality=85))
+    assert hamming64(h0, hj) <= 6
+    h_other = dhash_of_payload(encode_bmp(_img(6)))
+    assert hamming64(h0, h_other) > 6
+
+
+def test_dhash_of_payload_total_on_non_images():
+    assert dhash_of_payload(b"") is None
+    assert dhash_of_payload(b"not an image") is None
+    assert dhash_of_payload(bytes(encode_wav(np.zeros(64, dtype="<i2")))) is None
+    # valid magic, malformed body: must return None, not raise
+    assert dhash_of_payload(b"BM" + b"\x01" * 20) is None
+    assert dhash_of_payload(b"\x89PNG\r\n\x1a\n" + b"junk") is None
+    assert dhash_of_payload(b"P6 \xff\xff garbage") is None
+
+
+def test_image_variant_table_distances():
+    # the planted relation the gate relies on: lossless variants exact,
+    # jpeg near, decoy and cross-group far
+    for g in (0, 7, 31):
+        hs = [
+            dhash_of_payload(make_image_variant(g * N_IMAGE_VARIANTS + v))
+            for v in range(N_IMAGE_VARIANTS)
+        ]
+        assert hs[0] == hs[1]
+        assert hamming64(hs[0], hs[2]) <= 2
+        assert hamming64(hs[0], hs[3]) <= 6
+        assert hamming64(hs[0], hs[4]) > 6
+    ha = dhash_of_payload(make_image_variant(0))
+    hb = dhash_of_payload(make_image_variant(5))
+    assert hamming64(ha, hb) > 6
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def variants(spark):
+    from dss_plugin_nlp_preparation_spark.sources.media import (
+        synthesize_image_variants as s,
+    )
+
+    return s(spark, 8).cache()
+
+
+def test_image_dhash_operator_matches_kernel(spark, variants):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import image_dhash
+
+    rows = {r["url"]: (r["media_type"], r["dhash"]) for r in image_dhash(variants).collect()}
+    assert len(rows) == 8 * N_IMAGE_VARIANTS
+    for i in (0, 1, 3, 17, 39):
+        url = f"https://img.example.org/item/{i}"
+        assert rows[url][1] == dhash_of_payload(make_image_variant(i))
+    # sniffed types: v0 bmp, v1 png/ppm, v3 jpeg
+    assert rows["https://img.example.org/item/0"][0] == "bmp"
+    assert rows["https://img.example.org/item/3"][0] == "jpeg"
+
+
+def test_image_dhash_null_for_non_images(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"junk bytes")), ("u2", bytearray(encode_bmp(_img(9))))],
+        "url string, payload binary",
+    )
+    out = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert out["u1"] is None
+    assert out["u2"] is not None
+
+
+def test_image_near_dup_finds_planted_pairs_only(spark, variants):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import image_near_dup
+
+    pairs = image_near_dup(variants, max_hamming=6).collect()
+
+    def gid(url):
+        return int(url.rsplit("/", 1)[1]) // N_IMAGE_VARIANTS
+
+    def vid(url):
+        return int(url.rsplit("/", 1)[1]) % N_IMAGE_VARIANTS
+
+    # every pair is within one group and never involves the decoy
+    for r in pairs:
+        assert gid(r["id_a"]) == gid(r["id_b"])
+        assert vid(r["id_a"]) != 4 and vid(r["id_b"]) != 4
+        assert r["hamming"] <= 6
+    # all C(4,2)=6 within-group pairs found for all 8 groups
+    assert len(pairs) == 8 * 6
+
+
+def test_image_near_dup_skips_null_fingerprints(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import image_near_dup
+
+    px = _img(10)
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(encode_bmp(px))),
+            ("b", bytearray(encode_png(px))),
+            ("x", bytearray(b"undecodable")),
+            ("y", bytearray(b"also junk")),
+        ],
+        "url string, payload binary",
+    )
+    pairs = [(r["id_a"], r["id_b"]) for r in image_near_dup(df).collect()]
+    assert pairs == [("a", "b")]
+
+
+def test_image_near_dup_plan_has_no_cartesian(spark, variants):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import image_near_dup
+
+    plan = image_near_dup(variants)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

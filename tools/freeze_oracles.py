@@ -763,6 +763,58 @@ def freeze_paragraph_lang(docs: pd.DataFrame) -> None:
     _write("paragraph_lang", out)
 
 
+def freeze_image_dhash() -> None:
+    """Expected (url, media_type, dhash) over the 300-row image-variant
+    table — the SAME make_image_variant/dhash_of_payload kernels the
+    Spark operator runs (integer-only luma/resize, so agreement is by
+    construction on any machine)."""
+    from dss_plugin_nlp_preparation_spark.media import detect_media_type
+    from dss_plugin_nlp_preparation_spark.media.phash import dhash_of_payload
+    from dss_plugin_nlp_preparation_spark.sources.media import make_image_variant
+
+    recs = []
+    for i in range(300):
+        p = make_image_variant(i)
+        recs.append(
+            (
+                f"https://img.example.org/item/{i}",
+                detect_media_type(p) or "binary",
+                dhash_of_payload(p),
+            )
+        )
+    out = pd.DataFrame(recs, columns=["url", "media_type", "dhash"])
+    out["dhash"] = out["dhash"].astype("Int64")
+    _write("image_dhash", out)
+
+
+def freeze_image_near_dup() -> None:
+    """Expected (id_a, id_b, hamming) pairs at max_hamming=6 over the
+    image-variant table. The engine's pigeonhole banding (8 blocks,
+    bucket cap 1024) has exact recall for hamming ≤ 7 and no bucket here
+    approaches the cap, so the banded result equals this all-pairs
+    filter; pair orientation matches the engine's sort_array(struct(id,
+    hash)) ordering (ids are unique ASCII urls -> plain lexicographic)."""
+    from dss_plugin_nlp_preparation_spark.media.phash import (
+        dhash_of_payload,
+        hamming64,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import make_image_variant
+
+    hs = sorted(
+        (f"https://img.example.org/item/{i}", dhash_of_payload(make_image_variant(i)))
+        for i in range(300)
+    )
+    recs = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = hamming64(hs[i][1], hs[j][1])
+            if d <= 6:
+                recs.append((hs[i][0], hs[j][0], d))
+    out = pd.DataFrame(recs, columns=["id_a", "id_b", "hamming"])
+    out["hamming"] = out["hamming"].astype("int32")
+    _write("image_near_dup", out)
+
+
 def freeze_collapse_canonical() -> None:
     """Canonical-URL consolidation replay: same marker rules as the
     Spark query (i%3==0 same-host canonical to /canon/{i%10}, i%7==0
@@ -1267,6 +1319,8 @@ def main() -> int:
     freeze_paragraph_lang(docs)
     freeze_paragraph_signals(docs)
     freeze_collapse_canonical()
+    freeze_image_dhash()
+    freeze_image_near_dup()
     return 0
 
 
