@@ -874,6 +874,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("recovered"),
         )
 
+    def q_host_categories(spark, sf_dir):
+        # UT1-style categorized blocklist with longest-suffix-wins
+        # semantics over deterministic synthetic hosts; full SQL replay
+        # (LIKE-on-label-boundary join + max_by in DuckDB)
+        from dss_plugin_nlp_preparation_spark.operators.urls import categorize_hosts
+
+        d = _docs(spark, sf_dir).withColumn(
+            "host",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("ads.example.com"))
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.lit("sub"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".example.com"),
+                ),
+            )
+            .when(F.col("doc_id") % 5 == 2, F.lit("cdn.adsnet.io"))
+            .when(
+                F.col("doc_id") % 5 == 3,
+                F.concat(
+                    F.lit("host"),
+                    (F.col("doc_id") % 23).cast("string"),
+                    F.lit(".clean.org"),
+                ),
+            )
+            .otherwise(F.lit("shop.example.com.evil.biz")),
+        )
+        cats = spark.createDataFrame(
+            [
+                ("example.com", "parked"),
+                ("ads.example.com", "ads"),
+                ("adsnet.io", "ads"),
+                ("evil.biz", "malware"),
+                ("evil.biz", "zmalware"),
+            ],
+            "host string, category string",
+        )
+        return categorize_hosts(d, cats, host_column="host").select(
+            "doc_id", "host", "host_category"
+        )
+
     def q_image_dhash(spark, sf_dir):
         # 64-bit perceptual fingerprints over the 300-row image-variant
         # table (real BMP/PNG/PPM/JPEG decode); the frozen oracle runs
@@ -2344,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         # -- encoding repair (mojibake; frozen kernel oracle) --
         "fix_mojibake": q_fix_mojibake,
+        # -- categorized host blocklist (UT1-style; full SQL replay) --
+        "host_categories": q_host_categories,
         # -- perceptual image dedup (dHash; frozen kernel oracles) --
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
@@ -2527,6 +2571,36 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": _frozen("fix_mojibake"),
         "image_dhash": _frozen("image_dhash"),
         "image_near_dup": _frozen("image_near_dup"),
+        # longest-suffix-wins categorized blocklist: the LIKE join hits
+        # dot-boundary suffixes only; max_by ties are impossible (one
+        # host's matching suffixes all have distinct lengths)
+        "host_categories": """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 'ads.example.com'
+                   WHEN 1 THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+                   WHEN 2 THEN 'cdn.adsnet.io'
+                   WHEN 3 THEN 'host' || CAST(doc_id % 23 AS VARCHAR) || '.clean.org'
+                   ELSE 'shop.example.com.evil.biz' END AS host
+          FROM documents
+        ),
+        bl AS (
+          SELECT lower(h) AS bhost, min(c) AS category
+          FROM (VALUES ('example.com','parked'),('ads.example.com','ads'),
+                       ('adsnet.io','ads'),('evil.biz','malware'),
+                       ('evil.biz','zmalware')) t(h, c)
+          GROUP BY 1
+        ),
+        m AS (
+          SELECT host, max_by(category, length(bhost)) AS host_category
+          FROM (SELECT DISTINCT host FROM d) dh
+          JOIN bl ON dh.host = bl.bhost OR dh.host LIKE '%.' || bl.bhost
+          GROUP BY host
+        )
+        SELECT d.doc_id, d.host, m.host_category
+        FROM d LEFT JOIN m USING (host)
+        """,
         "warc_ingest": _frozen("warc_ingest"),
         "robots_directives": _frozen("robots_directives"),
         "robots_txt_compliance": _frozen("robots_txt_compliance"),

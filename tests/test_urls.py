@@ -548,3 +548,71 @@ def test_collapse_to_canonical_latest(spark):
 
     with _pytest.raises(ValueError):
         collapse_to_canonical(df, keep="newest")
+
+
+# ---------------------------------------------------------------------------
+# categorized blocklist (UT1-style)
+# ---------------------------------------------------------------------------
+
+def _cat_fixture(spark):
+    from dss_plugin_nlp_preparation_spark.operators.urls import categorize_hosts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/x"),        # specific beats parent
+            (2, "https://sub.a.example.com/y"),      # inherits grandparent
+            (3, "https://cdn.adsnet.io/z"),
+            (4, "https://clean.org/"),
+            (5, "https://shop.example.com.evil.biz/"),  # label-boundary only
+            (6, "https://notexample.com/"),          # no substring matching
+        ],
+        "doc_id bigint, url string",
+    )
+    cats = spark.createDataFrame(
+        [
+            ("example.com", "parked"),
+            ("ads.example.com", "ads"),
+            ("adsnet.io", "ads"),
+            ("evil.biz", "malware"),
+            ("evil.biz", "zmalware"),  # dup entry -> min() wins
+        ],
+        "host string, category string",
+    )
+    return categorize_hosts, docs, cats
+
+
+EXPECTED_CATS = {1: "ads", 2: "parked", 3: "ads", 4: None, 5: "malware", 6: None}
+
+
+def test_categorize_hosts_broadcast_path(spark):
+    categorize_hosts, docs, cats = _cat_fixture(spark)
+    out = {
+        r["doc_id"]: r["host_category"]
+        for r in categorize_hosts(docs, cats).collect()
+    }
+    assert out == EXPECTED_CATS
+
+
+def test_categorize_hosts_join_path_matches(spark):
+    categorize_hosts, docs, cats = _cat_fixture(spark)
+    out = {
+        r["doc_id"]: r["host_category"]
+        for r in categorize_hosts(docs, cats, max_driver_rows=0).collect()
+    }
+    assert out == EXPECTED_CATS
+
+
+def test_categorize_hosts_host_column_and_rename(spark):
+    from dss_plugin_nlp_preparation_spark.operators.urls import categorize_hosts
+
+    docs = spark.createDataFrame(
+        [(1, "a.b.c"), (2, "")], "doc_id bigint, host string"
+    )
+    cats = spark.createDataFrame([("b.c", "x")], "host string, category string")
+    out = {
+        r["doc_id"]: r["cat"]
+        for r in categorize_hosts(
+            docs, cats, host_column="host", output_column="cat"
+        ).collect()
+    }
+    assert out == {1: "x", 2: None}
