@@ -916,6 +916,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "host", "host_category"
         )
 
+    def q_incremental_image_dedup(spark, sf_dir):
+        # steady-state multimodal ingestion: the increment (image ids
+        # 160-299) probes the banded fingerprint index persisted from
+        # history (ids 0-199); band candidates are verified exactly, so
+        # the frozen all-pairs-minimum oracle equals the banded verdict
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+            image_band_index,
+            image_dhash,
+            incremental_image_dedup,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.media import (
+            synthesize_image_variants,
+        )
+
+        all_imgs = synthesize_image_variants(spark, 60)
+        history = all_imgs.where(F.col("media_id") < 200)
+        increment = all_imgs.where(F.col("media_id") >= 160)
+        idx = image_band_index(image_dhash(history))
+        return incremental_image_dedup(increment, idx).select(
+            "url", "media_type", "dhash", "image_seen"
+        )
+
     def q_image_dhash(spark, sf_dir):
         # 64-bit perceptual fingerprints over the 300-row image-variant
         # table (real BMP/PNG/PPM/JPEG decode); the frozen oracle runs
@@ -2391,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- perceptual image dedup (dHash; frozen kernel oracles) --
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
+        "incremental_image_dedup": q_incremental_image_dedup,
     }
 
 
@@ -2571,6 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": _frozen("fix_mojibake"),
         "image_dhash": _frozen("image_dhash"),
         "image_near_dup": _frozen("image_near_dup"),
+        "incremental_image_dedup": _frozen("incremental_image_dedup"),
         # longest-suffix-wins categorized blocklist: the LIKE join hits
         # dot-boundary suffixes only; max_by ties are impossible (one
         # host's matching suffixes all have distinct lengths)

@@ -212,3 +212,65 @@ def test_image_near_dup_plan_has_no_cartesian(spark, variants):
     plan = image_near_dup(variants)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_band_index_shape(spark, variants):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        image_band_index,
+        image_dhash,
+    )
+
+    idx = image_band_index(image_dhash(variants)).collect()
+    assert {r["block_id"] for r in idx} == set(range(8))
+    for r in idx:
+        assert 0 <= r["block_val"] <= 0xFF
+
+
+def test_incremental_image_dedup_flags_reencodes_of_history(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        image_band_index,
+        image_dhash,
+        incremental_image_dedup,
+    )
+
+    all_imgs = synthesize_image_variants(spark, 12)  # ids 0..59
+    history = all_imgs.where("media_id < 40")  # groups 0..7
+    increment = all_imgs.where("media_id >= 30")  # groups 6..11
+    idx = image_band_index(image_dhash(history))
+    out = {
+        int(r["url"].rsplit("/", 1)[1]): r["image_seen"]
+        for r in incremental_image_dedup(increment, idx).collect()
+    }
+    assert len(out) == 30
+    for i, seen in out.items():
+        # groups 6,7 are in history (incl. their decoys, byte-identical
+        # there); groups 8+ are unseen
+        assert seen == (i < 40), i
+
+
+def test_incremental_image_dedup_null_fingerprint_not_seen(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        image_band_index,
+        image_dhash,
+        incremental_image_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [("h1", bytearray(encode_bmp(_img(20))))], "url string, payload binary"
+    )
+    inc = spark.createDataFrame(
+        [
+            ("n1", bytearray(b"junk, not an image")),
+            ("n2", bytearray(encode_png(_img(20)))),  # re-encode of history
+            ("n3", bytearray(encode_bmp(_img(21)))),  # unrelated
+        ],
+        "url string, payload binary",
+    )
+    idx = image_band_index(image_dhash(history))
+    out = {
+        r["url"]: (r["image_seen"], r["dhash"])
+        for r in incremental_image_dedup(inc, idx).collect()
+    }
+    assert out["n1"] == (False, None)
+    assert out["n2"][0] is True
+    assert out["n3"][0] is False

@@ -815,6 +815,39 @@ def freeze_image_near_dup() -> None:
     _write("image_near_dup", out)
 
 
+def freeze_incremental_image_dedup() -> None:
+    """Expected (url, media_type, dhash, image_seen) for the increment
+    ids [160, 300) probed against the history ids [0, 200): seen iff
+    some history fingerprint is within 6 bits. The engine's banded
+    probe verifies candidates exactly and pigeonhole recall is exact
+    for 6 < 8 blocks with no bucket caps, so this all-pairs minimum
+    equals the banded verdict."""
+    from dss_plugin_nlp_preparation_spark.media import detect_media_type
+    from dss_plugin_nlp_preparation_spark.media.phash import (
+        dhash_of_payload,
+        hamming64,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import make_image_variant
+
+    history = [dhash_of_payload(make_image_variant(i)) for i in range(200)]
+    recs = []
+    for i in range(160, 300):
+        p = make_image_variant(i)
+        h = dhash_of_payload(p)
+        seen = h is not None and any(hamming64(h, g) <= 6 for g in history)
+        recs.append(
+            (
+                f"https://img.example.org/item/{i}",
+                detect_media_type(p) or "binary",
+                h,
+                seen,
+            )
+        )
+    out = pd.DataFrame(recs, columns=["url", "media_type", "dhash", "image_seen"])
+    out["dhash"] = out["dhash"].astype("Int64")
+    _write("incremental_image_dedup", out)
+
+
 def freeze_collapse_canonical() -> None:
     """Canonical-URL consolidation replay: same marker rules as the
     Spark query (i%3==0 same-host canonical to /canon/{i%10}, i%7==0
@@ -1321,6 +1354,7 @@ def main() -> int:
     freeze_collapse_canonical()
     freeze_image_dhash()
     freeze_image_near_dup()
+    freeze_incremental_image_dedup()
     return 0
 
 
