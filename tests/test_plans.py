@@ -188,3 +188,59 @@ def test_cluster_keep_best_agg_not_window(spark, sf_dir):
     plan = _plan(flag_best_in_cluster(clustered, "score"))
     assert "Window" not in plan
     assert "partial_min" in plan or "partial_max" in plan or "min(" in plan
+
+
+def test_image_near_dup_banded_no_cartesian_blob_pruned(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import image_near_dup
+    from dss_plugin_nlp_preparation_spark.sources.media import (
+        synthesize_image_variants,
+    )
+
+    plan = _plan(image_near_dup(synthesize_image_variants(spark, 8)))
+    # candidate generation is a hash aggregate on hash blocks, never a
+    # pair join of any kind
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the binary payload dies inside the Arrow stage: no operator
+    # downstream of the decode (printed ABOVE MapInPandas in the
+    # root-first plan dump) carries the blob column
+    assert "MapInPandas" in plan
+    assert "payload" not in plan.split("MapInPandas")[0]
+    assert "HashAggregate" in plan
+
+
+def test_incremental_image_dedup_probe_join_on_blocks(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        image_band_index,
+        image_dhash,
+        incremental_image_dedup,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import (
+        synthesize_image_variants,
+    )
+
+    imgs = synthesize_image_variants(spark, 8)
+    idx = image_band_index(image_dhash(imgs.where("media_id < 20")))
+    plan = _plan(incremental_image_dedup(imgs.where("media_id >= 20"), idx))
+    # the probe is an equi-join keyed on (block_id, block_val) — 16-byte
+    # rows — never a nested-loop over fingerprints
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "block_id" in plan and "block_val" in plan
+
+
+def test_categorize_hosts_broadcast_path_shuffle_free(spark, sf_dir):
+    from dss_plugin_nlp_preparation_spark.operators.urls import categorize_hosts
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("https://h"), (F.col("doc_id") % 9).cast("string"), F.lit(".example.com/"))
+    )
+    cats = spark.createDataFrame(
+        [("example.com", "parked")], "host string, category string"
+    )
+    plan = _plan(categorize_hosts(docs, cats).select("doc_id", "host_category"))
+    # MB-scale list -> broadcast dict + Arrow probe: the corpus never
+    # shuffles and never joins
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -348,6 +348,41 @@ def main() -> int:
         )
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        image_band_index,
+        image_dhash,
+        image_near_dup,
+        incremental_image_dedup,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import (
+        synthesize_image_variants,
+    )
+
+    imgs = synthesize_image_variants(spark, 20)
+    sections.append(
+        (
+            "image_near_dup (Arrow dHash with the blob pruned inside the"
+            " batch -> pigeonhole block banding: capped groupBy on 8-bit"
+            " hash blocks, xor+bit_count verify — 16 bytes/image on the"
+            " wire, no pair join of any kind)",
+            _explain(image_near_dup(imgs)),
+        )
+    )
+    sections.append(
+        (
+            "incremental_image_dedup (increment fingerprints explode into"
+            " (block_id, block_val) probes of the persisted band index;"
+            " candidates verified exactly; flags join back by url — the"
+            " image history is never rescanned)",
+            _explain(
+                incremental_image_dedup(
+                    imgs.where("media_id >= 50"),
+                    image_band_index(image_dhash(imgs.where("media_id < 50"))),
+                )
+            ),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text in sections:
         out.append(f"\n## {title}\n\n```\n{text}\n```\n")
