@@ -938,6 +938,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "media_type", "dhash", "image_seen"
         )
 
+    def q_audio_ahash(spark, sf_dir):
+        # loudness-envelope fingerprints over the 300-row audio-variant
+        # table (real WAV decode); frozen integer-kernel oracle
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import audio_ahash
+        from dss_plugin_nlp_preparation_spark.sources.media import (
+            synthesize_audio_variants,
+        )
+
+        return audio_ahash(synthesize_audio_variants(spark, 60))
+
+    def q_audio_near_dup(spark, sf_dir):
+        # perceptual audio near-dup pairs (gain/resample/trim re-encodes
+        # of planted base clips) via the shared hamming banding
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+            audio_near_dup,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.media import (
+            synthesize_audio_variants,
+        )
+
+        return audio_near_dup(synthesize_audio_variants(spark, 60), max_hamming=6)
+
     def q_image_dhash(spark, sf_dir):
         # 64-bit perceptual fingerprints over the 300-row image-variant
         # table (real BMP/PNG/PPM/JPEG decode); the frozen oracle runs
@@ -2414,6 +2436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "incremental_image_dedup": q_incremental_image_dedup,
+        # -- perceptual audio dedup (envelope hash; frozen oracles) --
+        "audio_ahash": q_audio_ahash,
+        "audio_near_dup": q_audio_near_dup,
     }
 
 
@@ -2595,6 +2620,8 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _frozen("image_dhash"),
         "image_near_dup": _frozen("image_near_dup"),
         "incremental_image_dedup": _frozen("incremental_image_dedup"),
+        "audio_ahash": _frozen("audio_ahash"),
+        "audio_near_dup": _frozen("audio_near_dup"),
         # longest-suffix-wins categorized blocklist: the LIKE join hits
         # dot-boundary suffixes only; max_by ties are impossible (one
         # host's matching suffixes all have distinct lengths)

@@ -24,7 +24,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["luma_grid", "dhash64", "decode_image", "dhash_of_payload", "hamming64"]
+__all__ = [
+    "luma_grid",
+    "dhash64",
+    "decode_image",
+    "dhash_of_payload",
+    "hamming64",
+    "audio_envelope_hash",
+    "ahash_of_payload",
+]
 
 
 def luma_grid(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -118,3 +126,57 @@ def dhash_of_payload(payload: bytes):
 def hamming64(a: int, b: int) -> int:
     """Hamming distance between two signed-64 fingerprints."""
     return int(bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+
+
+def audio_envelope_hash(samples: np.ndarray, n_windows: int = 65) -> int:
+    """64-bit perceptual audio fingerprint: the dHash idea applied to the
+    loudness envelope. Split the (mono) sample stream into ``n_windows``
+    contiguous windows by pure index math, take each window's mean
+    absolute amplitude with integer sums, and emit one bit per
+    window-to-window gradient (``env[i+1] > env[i]``).
+
+    Survives the transformations a re-served audio clip goes through:
+    gain changes (a positive scale preserves every comparison),
+    resampling (windows are time-proportional), and small trims (the
+    envelope shifts by under a window). Integer arithmetic end-to-end —
+    bit-identical across machines, like :func:`dhash64`.
+    """
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim > 1:
+        x = x.mean(axis=1).astype(np.int64)
+    n = len(x)
+    if n < n_windows:
+        raise ValueError(f"need >= {n_windows} samples, got {n}")
+    edges = (np.arange(n_windows + 1) * n) // n_windows
+    absx = np.abs(x)
+    csum = np.concatenate(([0], np.cumsum(absx)))
+    sums = csum[edges[1:]] - csum[edges[:-1]]
+    counts = edges[1:] - edges[:-1]
+    env = sums // counts
+    bits = env[1:] > env[:-1]  # 64 gradients from 65 windows
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def ahash_of_payload(payload: bytes):
+    """bytes -> signed-64 audio envelope hash, or None for non-audio /
+    undecodable / too-short payloads. Total, like
+    :func:`dhash_of_payload`. Channels are averaged to mono first (a
+    stereo re-encode of the same clip keeps its envelope)."""
+    import struct as _struct
+
+    from dss_plugin_nlp_preparation_spark.media import decode_wav, detect_media_type
+
+    if detect_media_type(payload) != "wav":
+        return None
+    try:
+        samples, rate, channels = decode_wav(payload)
+        if channels > 1:
+            samples = samples.reshape(-1, channels)
+        return audio_envelope_hash(samples)
+    except (ValueError, _struct.error, ZeroDivisionError, OverflowError, IndexError):
+        return None

@@ -606,3 +606,73 @@ def incremental_image_dedup(
         .withColumn(flag_column, F.col("__hit_url").isNotNull())
         .drop("__hit_url")
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("media_type", StringType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def audio_ahash(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+) -> DataFrame:
+    """mapInPandas: (url, media_type, ahash) — 64-bit loudness-envelope
+    fingerprint per audio payload (``media/phash.py:audio_envelope_hash``),
+    NULL for non-audio/undecodable payloads. The audio twin of
+    :func:`image_dhash`: the blob is consumed inside the Arrow batch and
+    pruned, gain/resample/small-trim re-encodes of the same clip land
+    within a few bits."""
+    from dss_plugin_nlp_preparation_spark.media import detect_media_type
+    from dss_plugin_nlp_preparation_spark.media.phash import ahash_of_payload
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_column]
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_column].astype(str),
+                    "media_type": [
+                        detect_media_type(p) or "binary" for p in payloads
+                    ],
+                    "ahash": pd.array(
+                        [ahash_of_payload(p) for p in payloads], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(url_column, payload_column).mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def audio_near_dup(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming): perceptual audio
+    near-duplicates — the same clip re-served with a gain change,
+    resampled, or slightly trimmed collides under the envelope hash.
+    Identical composition to :func:`image_near_dup`: Arrow fingerprint
+    with the blob pruned, then the shared pigeonhole banding of
+    :func:`operators.dedup.hamming_near_dup` (exact recall for
+    hamming ≤ n_blocks-1)."""
+    from dss_plugin_nlp_preparation_spark.operators.dedup import hamming_near_dup
+
+    hashes = audio_ahash(df, payload_column, url_column)
+    return hamming_near_dup(
+        hashes,
+        hash_column="ahash",
+        id_column="url",
+        bits=64,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size,
+    )

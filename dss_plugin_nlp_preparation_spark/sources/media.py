@@ -209,3 +209,76 @@ def synthesize_image_variants(
     return spark.range(0, n_groups * N_IMAGE_VARIANTS, 1, partitions).mapInPandas(
         _gen, _SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-variant table: planted perceptual near-duplicates
+# ---------------------------------------------------------------------------
+
+N_AUDIO_VARIANTS = 5
+
+
+def _audio_base(group: int) -> np.ndarray:
+    """6500 int16-range mono samples for a group: 65 bursts of 100
+    samples, each an alternating-sign square wave at an md5-random
+    amplitude — the windowed envelope IS the amplitude sequence, random
+    per group (no cross-group fingerprint collisions), and exactly
+    preserved by the gain/resample variants."""
+    amps = (
+        _seed_bytes(2_000_000 + group, 65 * 2)
+        .view("<u2")
+        .astype(np.int64)
+        % 28000
+        + 500
+    )
+    x = np.repeat(amps, 100)
+    x[1::2] *= -1
+    return x
+
+
+def make_audio_variant(clip_id: int) -> bytes:
+    """The WAV payload for clip_id — group ``clip_id // 5``, variant
+    ``clip_id % 5``; shared by the Spark synthesizer and the frozen
+    oracle kernel.
+
+    Variants of a group's base clip (all survive the envelope hash):
+      0. original mono 16 kHz
+      1. gain 0.7 re-encode — envelope order preserved exactly
+      2. naive 2:1 downsample at 8 kHz — windows stay time-proportional
+      3. 10-sample head trim — envelope shifts by 10% of a window
+      4. unrelated clip (different seed chain) — far from everything
+    """
+    g, v = clip_id // N_AUDIO_VARIANTS, clip_id % N_AUDIO_VARIANTS
+    x = _audio_base(g)
+    if v == 0:
+        return encode_wav(x.astype("<i2"), 16000)
+    if v == 1:
+        return encode_wav((x * 7 // 10).astype("<i2"), 16000)
+    if v == 2:
+        return encode_wav(x[::2].astype("<i2"), 8000)
+    if v == 3:
+        return encode_wav(x[10:].astype("<i2"), 16000)
+    return encode_wav(_audio_base(9_000_000 + g).astype("<i2"), 16000)
+
+
+def synthesize_audio_variants(
+    spark: SparkSession, n_groups: int = 60, partitions: int = 8
+) -> DataFrame:
+    """(media_id, url, payload) with ``5 * n_groups`` WAV rows — each
+    group a base clip plus gain/resample/trim variants and one unrelated
+    decoy (see :func:`make_audio_variant`)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "url": [f"https://audio.example.org/item/{i}" for i in ids],
+                    "payload": [bytearray(make_audio_variant(i)) for i in ids],
+                }
+            )
+
+    return spark.range(0, n_groups * N_AUDIO_VARIANTS, 1, partitions).mapInPandas(
+        _gen, _SCHEMA
+    )

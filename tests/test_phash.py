@@ -274,3 +274,74 @@ def test_incremental_image_dedup_null_fingerprint_not_seen(spark):
     assert out["n1"] == (False, None)
     assert out["n2"][0] is True
     assert out["n3"][0] is False
+
+
+# ---------------------------------------------------------------------------
+# audio envelope fingerprint
+# ---------------------------------------------------------------------------
+
+def _clip(seed: int) -> np.ndarray:
+    from dss_plugin_nlp_preparation_spark.sources.media import _audio_base
+
+    return _audio_base(seed)
+
+
+def test_audio_hash_gain_and_resample_invariant():
+    from dss_plugin_nlp_preparation_spark.media.phash import audio_envelope_hash
+
+    x = _clip(100)
+    h0 = audio_envelope_hash(x)
+    assert audio_envelope_hash(x * 7 // 10) == h0  # gain preserves order
+    assert audio_envelope_hash(x[::2]) == h0  # windows are proportional
+    assert -(1 << 63) <= h0 < (1 << 63)
+
+
+def test_audio_hash_trim_near_unrelated_far():
+    from dss_plugin_nlp_preparation_spark.media.phash import (
+        audio_envelope_hash,
+        hamming64,
+    )
+
+    x = _clip(101)
+    h0 = audio_envelope_hash(x)
+    assert hamming64(h0, audio_envelope_hash(x[20:])) <= 6
+    assert hamming64(h0, audio_envelope_hash(_clip(102))) > 6
+
+
+def test_audio_hash_stereo_mean_matches_mono():
+    from dss_plugin_nlp_preparation_spark.media.phash import audio_envelope_hash
+
+    x = _clip(103)
+    stereo = np.stack([x, x], axis=1)
+    assert audio_envelope_hash(stereo) == audio_envelope_hash(x)
+
+
+def test_ahash_of_payload_total():
+    from dss_plugin_nlp_preparation_spark.media.phash import ahash_of_payload
+
+    assert ahash_of_payload(b"") is None
+    assert ahash_of_payload(b"RIFFxxxxWAVE") is None  # truncated header
+    assert ahash_of_payload(bytes(encode_bmp(_img(11)))) is None  # image
+    # a real but too-short clip (< 65 samples) must not raise
+    assert ahash_of_payload(bytes(encode_wav(np.zeros(10, dtype="<i2")))) is None
+
+
+def test_audio_near_dup_finds_planted_pairs_only(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import audio_near_dup
+    from dss_plugin_nlp_preparation_spark.sources.media import (
+        N_AUDIO_VARIANTS,
+        synthesize_audio_variants,
+    )
+
+    pairs = audio_near_dup(synthesize_audio_variants(spark, 8), max_hamming=6).collect()
+
+    def gid(url):
+        return int(url.rsplit("/", 1)[1]) // N_AUDIO_VARIANTS
+
+    def vid(url):
+        return int(url.rsplit("/", 1)[1]) % N_AUDIO_VARIANTS
+
+    for r in pairs:
+        assert gid(r["id_a"]) == gid(r["id_b"])
+        assert vid(r["id_a"]) != 4 and vid(r["id_b"]) != 4
+    assert len(pairs) == 8 * 6  # all C(4,2) pairs per group

@@ -848,6 +848,56 @@ def freeze_incremental_image_dedup() -> None:
     _write("incremental_image_dedup", out)
 
 
+def freeze_audio_ahash() -> None:
+    """Expected (url, media_type, ahash) over the 300-row audio-variant
+    table — the SAME make_audio_variant/ahash_of_payload kernels the
+    Spark operator runs (integer envelope math, agreement by
+    construction)."""
+    from dss_plugin_nlp_preparation_spark.media import detect_media_type
+    from dss_plugin_nlp_preparation_spark.media.phash import ahash_of_payload
+    from dss_plugin_nlp_preparation_spark.sources.media import make_audio_variant
+
+    recs = []
+    for i in range(300):
+        p = make_audio_variant(i)
+        recs.append(
+            (
+                f"https://audio.example.org/item/{i}",
+                detect_media_type(p) or "binary",
+                ahash_of_payload(p),
+            )
+        )
+    out = pd.DataFrame(recs, columns=["url", "media_type", "ahash"])
+    out["ahash"] = out["ahash"].astype("Int64")
+    _write("audio_ahash", out)
+
+
+def freeze_audio_near_dup() -> None:
+    """Expected (id_a, id_b, hamming) pairs at max_hamming=6 over the
+    audio-variant table — all-pairs filter equals the banded engine
+    result by the same exact-recall/no-cap argument as
+    freeze_image_near_dup."""
+    from dss_plugin_nlp_preparation_spark.media.phash import (
+        ahash_of_payload,
+        hamming64,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import make_audio_variant
+
+    hs = sorted(
+        (f"https://audio.example.org/item/{i}", ahash_of_payload(make_audio_variant(i)))
+        for i in range(300)
+    )
+    recs = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = hamming64(hs[i][1], hs[j][1])
+            if d <= 6:
+                recs.append((hs[i][0], hs[j][0], d))
+    out = pd.DataFrame(recs, columns=["id_a", "id_b", "hamming"])
+    out["hamming"] = out["hamming"].astype("int32")
+    _write("audio_near_dup", out)
+
+
 def freeze_collapse_canonical() -> None:
     """Canonical-URL consolidation replay: same marker rules as the
     Spark query (i%3==0 same-host canonical to /canon/{i%10}, i%7==0
@@ -1355,6 +1405,8 @@ def main() -> int:
     freeze_image_dhash()
     freeze_image_near_dup()
     freeze_incremental_image_dedup()
+    freeze_audio_ahash()
+    freeze_audio_near_dup()
     return 0
 
 
