@@ -938,6 +938,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "media_type", "dhash", "image_seen"
         )
 
+    def q_dedup_images(spark, sf_dir):
+        # end-to-end perceptual image dedup with best-copy retention:
+        # banded pairs -> min-label components -> keep the largest
+        # payload per cluster; frozen union-find replay oracle
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+            dedup_images,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.media import (
+            synthesize_image_variants,
+        )
+
+        return dedup_images(synthesize_image_variants(spark, 60), max_hamming=6)
+
     def q_audio_ahash(spark, sf_dir):
         # loudness-envelope fingerprints over the 300-row audio-variant
         # table (real WAV decode); frozen integer-kernel oracle
@@ -2439,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- perceptual audio dedup (envelope hash; frozen oracles) --
         "audio_ahash": q_audio_ahash,
         "audio_near_dup": q_audio_near_dup,
+        "dedup_images": q_dedup_images,
     }
 
 
@@ -2622,6 +2636,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_image_dedup": _frozen("incremental_image_dedup"),
         "audio_ahash": _frozen("audio_ahash"),
         "audio_near_dup": _frozen("audio_near_dup"),
+        "dedup_images": _frozen("dedup_images"),
         # longest-suffix-wins categorized blocklist: the LIKE join hits
         # dot-boundary suffixes only; max_by ties are impossible (one
         # host's matching suffixes all have distinct lengths)

@@ -676,3 +676,66 @@ def audio_near_dup(
         n_blocks=n_blocks,
         max_bucket_size=max_bucket_size,
     )
+
+
+def dedup_images(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """End-to-end perceptual image dedup with best-copy retention:
+    (url, media_type, dhash, byte_len, cluster_id, image_keep) per input
+    row. Rows in a perceptual near-dup cluster keep exactly ONE
+    representative — the LARGEST payload (the highest-fidelity copy: a
+    re-served image loses bytes to recompression), ties broken toward
+    the smallest url; unclustered rows keep themselves (cluster_id
+    NULL).
+
+    The image analogue of the text `near_dup_clusters` +
+    `keep_best_in_cluster` retention (FineWeb/SlimPajama keep the best
+    copy, not an arbitrary one). Composition is entirely existing scale
+    shapes: :func:`image_dhash` (blob pruned in the Arrow batch; only
+    (url, byte_len) survives it) -> shared pigeonhole banding ->
+    min-label connected components (near-dup image graphs are tiny
+    cliques) -> one `min_by` aggregation shuffle per cluster + a
+    never-amplifying flag join back.
+    """
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        connected_components,
+        flag_best_in_cluster,
+        hamming_near_dup,
+    )
+
+    hashes = image_dhash(df, payload_column, url_column)
+    sizes = df.select(
+        F.col(url_column).alias("url"),
+        F.length(F.col(payload_column)).cast("long").alias("byte_len"),
+    )
+    base = hashes.join(sizes, "url")
+    pairs = hamming_near_dup(
+        hashes,
+        hash_column="dhash",
+        id_column="url",
+        bits=64,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size,
+    )
+    cc = connected_components(pairs).select(
+        F.col("id").alias("url"), F.col("component").alias("cluster_id")
+    )
+    labeled = base.join(cc, "url", "left")
+    cols = ["url", "media_type", "dhash", "byte_len", "cluster_id", "image_keep"]
+    clustered = flag_best_in_cluster(
+        labeled.where(F.col("cluster_id").isNotNull()),
+        quality_column="byte_len",
+        cluster_column="cluster_id",
+        id_column="url",
+    ).withColumnRenamed("keep_best", "image_keep")
+    singletons = labeled.where(F.col("cluster_id").isNull()).withColumn(
+        "image_keep", F.lit(True)
+    )
+    return clustered.select(*cols).unionByName(singletons.select(*cols))

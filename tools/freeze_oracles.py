@@ -848,6 +848,82 @@ def freeze_incremental_image_dedup() -> None:
     _write("incremental_image_dedup", out)
 
 
+def freeze_dedup_images() -> None:
+    """Expected (url, media_type, dhash, byte_len, cluster_id,
+    image_keep) over the image-variant table: union-find over the
+    all-pairs hamming<=6 graph (== the engine's banded pairs by exact
+    recall), component label = min member url (== min-label
+    propagation's fixpoint), representative = max byte_len with min-url
+    tie-break (== the engine's min_by((-q, id)) struct)."""
+    from dss_plugin_nlp_preparation_spark.media import detect_media_type
+    from dss_plugin_nlp_preparation_spark.media.phash import (
+        dhash_of_payload,
+        hamming64,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import make_image_variant
+
+    items = []
+    for i in range(300):
+        p = make_image_variant(i)
+        items.append(
+            (
+                f"https://img.example.org/item/{i}",
+                detect_media_type(p) or "binary",
+                dhash_of_payload(p),
+                len(p),
+            )
+        )
+    parent = {u: u for u, _, _, _ in items}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            if hamming64(items[i][2], items[j][2]) <= 6:
+                union(items[i][0], items[j][0])
+    comp: dict = {}
+    for u, _, _, _ in items:
+        comp.setdefault(find(u), []).append(u)
+    cluster_of = {}
+    rep_of = {}
+    for members in comp.values():
+        if len(members) < 2:
+            continue
+        label = min(members)
+        by_url = {u: next(it for it in items if it[0] == u) for u in members}
+        rep = min(members, key=lambda u: (-by_url[u][3], u))
+        for u in members:
+            cluster_of[u] = label
+            rep_of[u] = rep
+    recs = [
+        (
+            u,
+            t,
+            h,
+            n,
+            cluster_of.get(u),
+            cluster_of.get(u) is None or rep_of[u] == u,
+        )
+        for u, t, h, n in items
+    ]
+    out = pd.DataFrame(
+        recs,
+        columns=["url", "media_type", "dhash", "byte_len", "cluster_id", "image_keep"],
+    )
+    out["dhash"] = out["dhash"].astype("Int64")
+    out["byte_len"] = out["byte_len"].astype("int64")
+    _write("dedup_images", out)
+
+
 def freeze_audio_ahash() -> None:
     """Expected (url, media_type, ahash) over the 300-row audio-variant
     table — the SAME make_audio_variant/ahash_of_payload kernels the
@@ -1407,6 +1483,7 @@ def main() -> int:
     freeze_incremental_image_dedup()
     freeze_audio_ahash()
     freeze_audio_near_dup()
+    freeze_dedup_images()
     return 0
 
 
