@@ -276,6 +276,39 @@ def test_incremental_image_dedup_null_fingerprint_not_seen(spark):
     assert out["n3"][0] is False
 
 
+def test_dedup_images_one_keeper_per_cluster(spark, variants):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import dedup_images
+
+    rows = dedup_images(variants, max_hamming=6).collect()
+    assert len(rows) == 8 * N_IMAGE_VARIANTS
+    by_url = {r["url"]: r for r in rows}
+    clusters: dict = {}
+    for r in rows:
+        i = int(r["url"].rsplit("/", 1)[1])
+        if i % N_IMAGE_VARIANTS == 4:
+            # decoys are singletons: no cluster, kept by default
+            assert r["cluster_id"] is None and r["image_keep"] is True, r
+        else:
+            assert r["cluster_id"] is not None, r
+            clusters.setdefault(r["cluster_id"], []).append(r)
+    assert len(clusters) == 8
+    for label, members in clusters.items():
+        # each group's 4 perceptual variants form exactly one cluster,
+        # labeled with the min member url
+        assert len(members) == 4
+        groups = {int(m["url"].rsplit("/", 1)[1]) // N_IMAGE_VARIANTS
+                  for m in members}
+        assert len(groups) == 1
+        assert label == min(m["url"] for m in members)
+        keepers = [m for m in members if m["image_keep"]]
+        assert len(keepers) == 1
+        # the keeper is the largest payload, min-url on ties
+        best = min(members, key=lambda m: (-m["byte_len"], m["url"]))
+        assert keepers[0]["url"] == best["url"]
+    # every row appears exactly once
+    assert len(by_url) == len(rows)
+
+
 # ---------------------------------------------------------------------------
 # audio envelope fingerprint
 # ---------------------------------------------------------------------------

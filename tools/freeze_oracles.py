@@ -502,6 +502,10 @@ def freeze_semantic_dedup(embs: pd.DataFrame) -> None:
     # capped Spark path and this uncapped replay agree
     assert max(np.bincount(cid)) <= 256
 
+    # pair cosines are EMPIRICALLY aligned with the engine, not
+    # shared-kernel: numpy pre-normalized dots here vs the JVM
+    # cosine_expr aggregate there; both round to 6 decimals before the
+    # threshold compare (see operators/semantic.py module docstring)
     Vn = V / norms[:, None]
     dup_of = {}
     by_cluster: dict = {}
