@@ -951,6 +951,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dedup_images(synthesize_image_variants(spark, 60), max_hamming=6)
 
+    def q_script_mix(spark, sf_dir):
+        # writing-system mix per document: native regexp_count over
+        # \x{..}-range classes (the Java/RE2 common subset), dominant
+        # script + share; non-Latin runs planted by doc_id residue.
+        # Full SQL replay (repeat(chr(..)) + regexp_extract_all counts)
+        from dss_plugin_nlp_preparation_spark.operators.scripts import (
+            add_script_mix,
+        )
+
+        d = _docs(spark, sf_dir)
+        n = (F.col("doc_id") % 5 + 2).cast("int")
+        ch = (
+            F.when(F.col("doc_id") % 4 == 1, F.lit("д"))  # CYRILLIC DE
+            .when(F.col("doc_id") % 4 == 2, F.lit("中"))  # HAN 'middle'
+            .when(F.col("doc_id") % 4 == 3, F.lit("م"))  # ARABIC MEEM
+            .otherwise(F.lit(""))
+        )
+        base = F.coalesce(F.col("text"), F.lit(""))
+        rep = F.repeat(ch, n)
+        t2 = (
+            F.when(F.col("doc_id") % 16 == 7, F.lit("12345 !!!"))
+            .when(F.col("doc_id") % 8 == 5, rep)
+            .otherwise(F.concat(base, F.lit(" "), rep))
+        )
+        out = add_script_mix(d.withColumn("text", t2))
+        return out.select(
+            "doc_id",
+            "n_latin",
+            "n_cyrillic",
+            "n_greek",
+            "n_arabic",
+            "n_hebrew",
+            "n_devanagari",
+            "n_thai",
+            "n_han",
+            "n_hiragana",
+            "n_katakana",
+            "n_hangul",
+            "n_script_total",
+            "dominant_script",
+            "script_frac",
+        )
+
     def q_audio_ahash(spark, sf_dir):
         # loudness-envelope fingerprints over the 300-row audio-variant
         # table (real WAV decode); frozen integer-kernel oracle
@@ -2453,6 +2496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ahash": q_audio_ahash,
         "audio_near_dup": q_audio_near_dup,
         "dedup_images": q_dedup_images,
+        # -- writing-system router (native regexp_count; full SQL replay) --
+        "script_mix": q_script_mix,
     }
 
 
@@ -2637,6 +2682,72 @@ def oracle_sql() -> dict[str, str]:
         "audio_ahash": _frozen("audio_ahash"),
         "audio_near_dup": _frozen("audio_near_dup"),
         "dedup_images": _frozen("dedup_images"),
+        # writing-system mix: the same \x{..}-range classes (Java/RE2
+        # common subset) counted via regexp_extract_all; dominance CASE
+        # mirrors the operator's first-wins order exactly
+        "script_mix": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN CAST(doc_id % 16 AS INT) = 7 THEN '12345 !!!'
+                   WHEN CAST(doc_id % 8 AS INT) = 5 THEN
+                        repeat(CASE CAST(doc_id % 4 AS INT)
+                               WHEN 1 THEN chr(1076) WHEN 2 THEN chr(20013)
+                               WHEN 3 THEN chr(1605) ELSE '' END,
+                               CAST(doc_id % 5 + 2 AS INT))
+                   ELSE coalesce(text, '') || ' ' ||
+                        repeat(CASE CAST(doc_id % 4 AS INT)
+                               WHEN 1 THEN chr(1076) WHEN 2 THEN chr(20013)
+                               WHEN 3 THEN chr(1605) ELSE '' END,
+                               CAST(doc_id % 5 + 2 AS INT))
+                 END AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')) AS BIGINT) AS n_latin,
+            CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+            CAST(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+            CAST(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+            CAST(len(regexp_extract_all(t, '[\x{0590}-\x{05FF}]')) AS BIGINT) AS n_hebrew,
+            CAST(len(regexp_extract_all(t, '[\x{0900}-\x{097F}]')) AS BIGINT) AS n_devanagari,
+            CAST(len(regexp_extract_all(t, '[\x{0E00}-\x{0E7F}]')) AS BIGINT) AS n_thai,
+            CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_han,
+            CAST(len(regexp_extract_all(t, '[\x{3040}-\x{309F}]')) AS BIGINT) AS n_hiragana,
+            CAST(len(regexp_extract_all(t, '[\x{30A0}-\x{30FF}]')) AS BIGINT) AS n_katakana,
+            CAST(len(regexp_extract_all(t, '[\x{AC00}-\x{D7AF}]')) AS BIGINT) AS n_hangul
+          FROM d
+        ),
+        s AS (
+          SELECT *,
+                 n_latin + n_cyrillic + n_greek + n_arabic + n_hebrew
+                 + n_devanagari + n_thai + n_han + n_hiragana + n_katakana
+                 + n_hangul AS n_script_total,
+                 greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+                          n_devanagari, n_thai, n_han, n_hiragana,
+                          n_katakana, n_hangul) AS mx
+          FROM c
+        )
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+               n_devanagari, n_thai, n_han, n_hiragana, n_katakana, n_hangul,
+               n_script_total,
+               CASE WHEN n_script_total = 0 THEN 'none'
+                    WHEN n_latin = mx THEN 'latin'
+                    WHEN n_cyrillic = mx THEN 'cyrillic'
+                    WHEN n_greek = mx THEN 'greek'
+                    WHEN n_arabic = mx THEN 'arabic'
+                    WHEN n_hebrew = mx THEN 'hebrew'
+                    WHEN n_devanagari = mx THEN 'devanagari'
+                    WHEN n_thai = mx THEN 'thai'
+                    WHEN n_han = mx THEN 'han'
+                    WHEN n_hiragana = mx THEN 'hiragana'
+                    WHEN n_katakana = mx THEN 'katakana'
+                    ELSE 'hangul' END AS dominant_script,
+               CASE WHEN n_script_total > 0
+                    THEN CAST(mx AS DOUBLE) / n_script_total
+                    ELSE 0.0 END AS script_frac
+        FROM s
+        """,
         # longest-suffix-wins categorized blocklist: the LIKE join hits
         # dot-boundary suffixes only; max_by ties are impossible (one
         # host's matching suffixes all have distinct lengths)

@@ -1,0 +1,99 @@
+# -*- coding: utf-8 -*-
+"""Writing-system (Unicode script) mix per document — pure codegen.
+
+The reference plugin routes documents by language before cleaning and
+spellchecking (`/root/reference/python-lib/language_support.py` keys
+every model on a language code); its LID depends on pycld3. A 100 TB
+crawl pipeline wants a CHEAPER first router: the writing system alone
+resolves most non-Latin traffic (a page that is 90% Han codepoints
+never needs the Latin spellcheck path) and is a standard corpus-audit
+facet (CC-Net, mC4 report per-script volumes). The in-repo LID kernel
+(`nlp/langid.py:73-204`) already votes on script counts, but inside a
+Python UDF; this operator exposes the same named ranges as NATIVE
+`regexp_count` expressions so the mix rides the scan — zero shuffle,
+zero Python, fully pushdown-friendly.
+
+Patterns use explicit `\\x{...}` codepoint ranges (the Java/RE2 common
+subset — both engines interpret them identically, unlike `\\p{script=}`
+whose Unicode tables can drift between engines), all inside the BMP so
+UTF-16/UTF-8 length conventions cannot diverge.
+
+Scale shape: one projection over the scan — N regex passes per
+document, all inside WholeStageCodegen; no shuffle, no UDF, no
+driver-side state. At 10^12 documents this is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, character-class) in canonical order — first-wins on count ties.
+# Ranges mirror nlp/langid.py's named script boundaries (letters only:
+# the Latin class skips the 00D7/00F7 multiplication/division signs).
+DEFAULT_SCRIPTS: tuple[tuple[str, str], ...] = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("hebrew", r"[\x{0590}-\x{05FF}]"),
+    ("devanagari", r"[\x{0900}-\x{097F}]"),
+    ("thai", r"[\x{0E00}-\x{0E7F}]"),
+    ("han", r"[\x{4E00}-\x{9FFF}]"),
+    ("hiragana", r"[\x{3040}-\x{309F}]"),
+    ("katakana", r"[\x{30A0}-\x{30FF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}]"),
+)
+
+
+def script_counts(
+    text: Column, scripts: tuple[tuple[str, str], ...] = DEFAULT_SCRIPTS
+) -> dict[str, Column]:
+    """``{name: codepoint-count}`` native expressions over ``text``."""
+    t = F.coalesce(text, F.lit(""))
+    return {
+        name: F.regexp_count(t, F.lit(pattern)).cast("long")
+        for name, pattern in scripts
+    }
+
+
+def add_script_mix(
+    df: DataFrame,
+    text_column: str = "text",
+    scripts: tuple[tuple[str, str], ...] = DEFAULT_SCRIPTS,
+) -> DataFrame:
+    """Append per-script codepoint counts ``n_<script>``, their sum
+    ``n_script_total``, the ``dominant_script`` (most frequent script;
+    count ties resolve to the earlier entry in ``scripts``; ``none``
+    when no counted codepoint occurs) and ``script_frac`` (dominant
+    share of counted codepoints, 0.0 when none).
+
+    ``script_frac`` is the exact IEEE quotient of two longs — identical
+    across engines by construction, no rounding step needed.
+    """
+    counts = script_counts(F.col(text_column), scripts)
+    out = df
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c)
+    cols = [F.col(f"n_{name}") for name, _ in scripts]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    out = out.withColumn("n_script_total", total)
+    top = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    dominant = F.lit("none")
+    # built back-to-front: each iteration wraps the previous CASE, so
+    # after the loop the FIRST entry in `scripts` is the outermost
+    # (highest-priority) branch — earlier scripts win count ties
+    for name, _ in reversed(scripts):
+        dominant = F.when(
+            (F.col("n_script_total") > 0) & (F.col(f"n_{name}") == top),
+            F.lit(name),
+        ).otherwise(dominant)
+    frac = F.when(
+        F.col("n_script_total") > 0,
+        top.cast("double") / F.col("n_script_total").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("dominant_script", dominant).withColumn(
+        "script_frac", frac
+    )

@@ -1,0 +1,60 @@
+# -*- coding: utf-8 -*-
+"""Writing-system mix operator (operators/scripts.py).
+
+The reference routes documents by language code before every model step
+(/root/reference/python-lib/language_support.py); script detection is
+the cheaper scan-level router in front of it. These pin the native
+regexp_count ranges against hand-counted expectations, the first-wins
+tie-break, and the none/empty edge cases."""
+
+from __future__ import annotations
+
+
+def _mix(spark, texts):
+    from dss_plugin_nlp_preparation_spark.operators.scripts import add_script_mix
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in add_script_mix(df).collect()}
+
+
+def test_script_counts_and_dominant(spark):
+    # "abc" + 2 cyrillic + 1 han; latin dominant
+    rows = _mix(spark, ["abc дж 中"])
+    r = rows[0]
+    assert r["n_latin"] == 3
+    assert r["n_cyrillic"] == 2
+    assert r["n_han"] == 1
+    assert r["n_script_total"] == 6
+    assert r["dominant_script"] == "latin"
+    assert abs(r["script_frac"] - 0.5) < 1e-12
+
+
+def test_dominant_switches_to_majority_script(spark):
+    rows = _mix(spark, ["ab дддд"])
+    assert rows[0]["dominant_script"] == "cyrillic"
+
+
+def test_tie_resolves_to_canonical_order(spark):
+    # 2 latin vs 2 cyrillic: latin is earlier in DEFAULT_SCRIPTS
+    rows = _mix(spark, ["ab дж"])
+    assert rows[0]["dominant_script"] == "latin"
+    # 2 greek vs 2 hangul: greek earlier
+    rows = _mix(spark, ["αβ 가각"])
+    assert rows[0]["dominant_script"] == "greek"
+
+
+def test_no_counted_codepoints_is_none(spark):
+    rows = _mix(spark, ["12345 !!!", "", None])
+    for i in range(3):
+        assert rows[i]["dominant_script"] == "none"
+        assert rows[i]["n_script_total"] == 0
+        assert rows[i]["script_frac"] == 0.0
+
+
+def test_latin_extended_letters_counted_symbols_skipped(spark):
+    # é (00E9) counts; × (00D7) and ÷ (00F7) are excluded from the class
+    rows = _mix(spark, ["é×÷"])
+    assert rows[0]["n_latin"] == 1
+    assert rows[0]["n_script_total"] == 1
