@@ -994,6 +994,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "script_frac",
         )
 
+    def q_temperature_mix(spark, sf_dir):
+        # share^alpha temperature rebalancing budgets (mBERT/XLM-R
+        # exponent sampling): one corpus agg + tiny-relation windows;
+        # full SQL replay (pow + window sums)
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            temperature_budgets,
+        )
+
+        return temperature_budgets(_docs(spark, sf_dir), alpha=0.3)
+
+    def q_temperature_resample(spark, sf_dir):
+        # budgets piped into the epoch-explode mixture sampler: the
+        # full corpus-rebalance pipeline; SQL replays budgets + the
+        # md5-threshold epoch decomposition
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        return temperature_mixture_sample(
+            _docs(spark, sf_dir), alpha=0.5
+        ).select("doc_id", "source", "epoch")
+
     def q_audio_ahash(spark, sf_dir):
         # loudness-envelope fingerprints over the 300-row audio-variant
         # table (real WAV decode); frozen integer-kernel oracle
@@ -2498,6 +2520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_images": q_dedup_images,
         # -- writing-system router (native regexp_count; full SQL replay) --
         "script_mix": q_script_mix,
+        # -- temperature-scaled domain rebalancing (share^alpha) --
+        "temperature_mix": q_temperature_mix,
+        "temperature_resample": q_temperature_resample,
     }
 
 
@@ -2747,6 +2772,70 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(mx AS DOUBLE) / n_script_total
                     ELSE 0.0 END AS script_frac
         FROM s
+        """,
+        # temperature budgets: pow + window sums over the tiny per-source
+        # relation; budget rounded to a whole weight unit both engines
+        "temperature_mix": """
+        WITH avail AS (
+          SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail
+          FROM documents GROUP BY source HAVING sum(n_chars) > 0
+        ),
+        s AS (
+          SELECT source, avail,
+                 avail / sum(avail) OVER () AS share,
+                 sum(avail) OVER () AS tot
+          FROM avail
+        ),
+        p AS (SELECT *, pow(share, 0.3) AS pw FROM s),
+        t AS (
+          SELECT source, avail, share, tot,
+                 pw / sum(pw) OVER () AS target_share
+          FROM p
+        ),
+        b AS (
+          SELECT source, avail, share, target_share,
+                 round(target_share * tot, 0) AS budget
+          FROM t
+        )
+        SELECT source, avail, share, target_share, budget,
+               CAST(floor(budget / avail) AS BIGINT) AS n_epochs,
+               (budget - CAST(floor(budget / avail) AS BIGINT) * avail)
+                 / avail AS partial_fraction
+        FROM b
+        """,
+        # budgets at alpha=0.5 fed into the mixture_sample epoch explode
+        # (same md5-threshold replay as the mixture_sample oracle)
+        "temperature_resample": """
+        WITH avail AS (
+          SELECT source, CAST(sum(n_chars) AS DOUBLE) AS av
+          FROM documents GROUP BY source HAVING sum(n_chars) > 0
+        ),
+        s AS (
+          SELECT source, av, av / sum(av) OVER () AS share,
+                 sum(av) OVER () AS tot
+          FROM avail
+        ),
+        p AS (SELECT *, pow(share, 0.5) AS pw FROM s),
+        par AS (
+          SELECT source, av,
+                 round(pw / sum(pw) OVER () * tot, 0) AS budget
+          FROM p
+        ),
+        j AS (
+          SELECT d.doc_id, d.source, p.av, p.budget,
+                 CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                 / 4294967296.0 AS u
+          FROM documents d JOIN par p USING (source)
+        ),
+        e AS (
+          SELECT doc_id, source,
+                 CAST(floor(budget / av) AS BIGINT)
+                 + CASE WHEN u < (budget - floor(budget / av) * av) / av
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM j
+        )
+        SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+        FROM e WHERE n_copies >= 1
         """,
         # longest-suffix-wins categorized blocklist: the LIKE join hits
         # dot-boundary suffixes only; max_by ties are impossible (one

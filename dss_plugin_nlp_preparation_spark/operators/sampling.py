@@ -106,6 +106,102 @@ def mixture_sample(
     )
 
 
+def temperature_budgets(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_column: str = "source",
+    weight_column: str = "n_chars",
+    total_budget: float | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture budgets: per-source targets
+    proportional to ``share^alpha`` (the standard multilingual/domain
+    rebalancing rule — mBERT/XLM-R exponent sampling, GPT-3 domain
+    weights). ``alpha=1`` keeps natural proportions, ``alpha=0`` flattens
+    to uniform; 0.2-0.7 up-weights the tail without drowning the head.
+
+    Returns one row per source with ``avail`` (observed weight sum),
+    ``share`` (natural proportion), ``target_share`` (temperature-scaled,
+    normalized), ``budget`` (target weight units, rounded to a whole
+    unit; totals ``total_budget``, default the observed corpus total),
+    ``n_epochs`` (full passes of the source) and ``partial_fraction``
+    (hash-selected fraction of the final partial epoch) — exactly the
+    ``budgets`` dict :func:`mixture_sample` consumes plus its epoch
+    decomposition. Sources with zero/NULL total weight are dropped (they
+    cannot be upsampled).
+
+    Scale shape: ONE map-side-combined aggregation over the corpus; the
+    per-source relation is tiny (#sources rows), so the unpartitioned
+    windows over it are a deliberate single-task step, not a skew risk.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("alpha must be in [0, 1]")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    avail = (
+        df.groupBy(F.col(source_column).alias("source"))
+        .agg(F.sum(weight_column).cast("double").alias("avail"))
+        .where(F.col("avail") > 0)
+    )
+    share = F.col("avail") / F.sum("avail").over(w)
+    out = avail.withColumn("share", share)
+    pw = F.pow(F.col("share"), F.lit(float(alpha)))
+    out = out.withColumn("__pw", pw).withColumn(
+        "target_share", F.col("__pw") / F.sum("__pw").over(w)
+    )
+    bt = (
+        F.lit(float(total_budget))
+        if total_budget is not None
+        else F.sum("avail").over(w)
+    )
+    out = out.withColumn(
+        "budget", F.round(F.col("target_share") * bt, 0).cast("double")
+    )
+    n_epochs = F.floor(F.col("budget") / F.col("avail")).cast("long")
+    out = out.withColumn("n_epochs", n_epochs).withColumn(
+        "partial_fraction",
+        (F.col("budget") - F.col("n_epochs") * F.col("avail")) / F.col("avail"),
+    )
+    return out.select(
+        "source",
+        "avail",
+        "share",
+        "target_share",
+        "budget",
+        "n_epochs",
+        "partial_fraction",
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_column: str = "source",
+    weight_column: str = "n_chars",
+    key_column: str = "doc_id",
+    total_budget: float | None = None,
+    max_driver_rows: int = 100_000,
+) -> DataFrame:
+    """:func:`temperature_budgets` piped into :func:`mixture_sample`:
+    rebalance the corpus to ``share^alpha`` proportions in one call.
+    The collected budgets relation is one row per source — guarded by
+    ``max_driver_rows`` like the other bounded driver-side collects
+    (``operators/perplexity.py:333``)."""
+    b = temperature_budgets(
+        df, alpha, source_column, weight_column, total_budget
+    )
+    rows = b.select("source", "budget").limit(max_driver_rows + 1).collect()
+    if len(rows) > max_driver_rows:
+        raise ValueError(
+            f"more than {max_driver_rows} distinct sources; raise "
+            "max_driver_rows only if the driver can hold the budget map"
+        )
+    budgets = {r["source"]: float(r["budget"]) for r in rows}
+    return mixture_sample(
+        df, budgets, source_column, weight_column, key_column
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     seq_len: int = 2048,

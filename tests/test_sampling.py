@@ -124,6 +124,72 @@ def test_mixture_empty_budgets_rejected(spark):
         mixture_sample(_mix_corpus(spark), {})
 
 
+def test_temperature_budgets_alpha_one_keeps_natural_shares(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        temperature_budgets,
+    )
+
+    b = {r["source"]: r for r in temperature_budgets(
+        _mix_corpus(spark), alpha=1.0
+    ).collect()}
+    for r in b.values():
+        assert abs(r["target_share"] - r["share"]) < 1e-12
+        # budget == avail (rounded): one natural epoch each
+        assert abs(r["budget"] - r["avail"]) <= 0.5
+        assert r["n_epochs"] >= 1 or r["partial_fraction"] > 0.99
+
+
+def test_temperature_budgets_alpha_zero_flattens(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        temperature_budgets,
+    )
+
+    rows = temperature_budgets(_mix_corpus(spark), alpha=0.0).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert abs(r["target_share"] - 0.5) < 1e-12
+    # total weight is conserved (within rounding to whole units)
+    tot = sum(r["avail"] for r in rows)
+    assert abs(sum(r["budget"] for r in rows) - tot) <= 1.0
+    # the small source (wiki) is upsampled, the big one thinned
+    by = {r["source"]: r for r in rows}
+    assert by["wiki"]["budget"] > by["wiki"]["avail"]
+    assert by["web"]["budget"] < by["web"]["avail"]
+
+
+def test_temperature_budgets_rejects_bad_alpha_and_zero_sources(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        temperature_budgets,
+    )
+
+    with pytest.raises(ValueError):
+        temperature_budgets(_mix_corpus(spark), alpha=1.5)
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "b", 10.0)], "doc_id long, source string, n_chars double"
+    )
+    rows = temperature_budgets(df, alpha=0.5).collect()
+    assert [r["source"] for r in rows] == ["b"]  # zero-weight source dropped
+
+
+def test_temperature_mixture_sample_rebalances(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        temperature_budgets,
+        temperature_mixture_sample,
+    )
+
+    df = _mix_corpus(spark)
+    out = temperature_mixture_sample(df, alpha=0.0).collect()
+    budgets = {
+        r["source"]: r["budget"]
+        for r in temperature_budgets(df, alpha=0.0).collect()
+    }
+    achieved: dict = {}
+    for r in out:
+        achieved[r["source"]] = achieved.get(r["source"], 0.0) + r["n_chars"]
+    for s, budget in budgets.items():
+        assert abs(achieved[s] - budget) / budget < 0.35  # coarse at 60 docs
+
+
 def test_pack_sequences_layout(spark):
     from dss_plugin_nlp_preparation_spark.operators.sampling import pack_sequences
 
