@@ -994,6 +994,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "script_frac",
         )
 
+    def q_host_link_spam(spark, sf_dir):
+        # bad-neighborhood flag: fraction of each host's DISTINCT
+        # external outlink hosts on a categorized blocklist (one-hop
+        # anti-trust propagation); oracle = suffix LIKE join + groupBy
+        # over the frozen extract_links replay
+        from dss_plugin_nlp_preparation_spark.operators.links import (
+            extract_links,
+            host_link_spam,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        cats = spark.createDataFrame(
+            [(f"host{n}.example.org", "adult") for n in range(3, 997, 10)]
+            + [("example.net", "ads"), ("www.example.org", "parked")],
+            "host string, category string",
+        )
+        return host_link_spam(
+            extract_links(synthesize_pages(spark, 500, 8)), cats, threshold=0.25
+        )
+
     def q_temperature_mix(spark, sf_dir):
         # share^alpha temperature rebalancing budgets (mBERT/XLM-R
         # exponent sampling): one corpus agg + tiny-relation windows;
@@ -2523,6 +2543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- temperature-scaled domain rebalancing (share^alpha) --
         "temperature_mix": q_temperature_mix,
         "temperature_resample": q_temperature_resample,
+        # -- link-graph bad-neighborhood flag (blocklist one-hop) --
+        "host_link_spam": q_host_link_spam,
     }
 
 
@@ -2836,6 +2858,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
         FROM e WHERE n_copies >= 1
+        """,
+        # bad-neighborhood flag over the frozen extract_links replay:
+        # distinct external host->host edges, longest-suffix blocklist
+        # categories on the destinations, per-source fraction
+        "host_link_spam": f"""
+        WITH edges AS (
+          SELECT DISTINCT lower(src_host) AS src_host,
+                          lower(dst_host) AS dst_host
+          FROM ({_frozen("extract_links")})
+          WHERE NOT is_internal AND dst_host IS NOT NULL
+                AND dst_host <> '' AND src_host <> ''
+        ),
+        bl AS (
+          SELECT lower(h) AS bhost, min(c) AS category FROM (
+            SELECT 'host' || CAST(range AS VARCHAR) || '.example.org' AS h,
+                   'adult' AS c
+            FROM range(0, 997) WHERE range % 10 = 3
+            UNION ALL SELECT 'example.net', 'ads'
+            UNION ALL SELECT 'www.example.org', 'parked'
+          ) GROUP BY 1
+        ),
+        m AS (
+          SELECT host, max_by(category, length(bhost)) AS host_category
+          FROM (SELECT DISTINCT dst_host AS host FROM edges) dh
+          JOIN bl ON dh.host = bl.bhost OR dh.host LIKE '%.' || bl.bhost
+          GROUP BY host
+        ),
+        e AS (
+          SELECT edges.src_host,
+                 CASE WHEN m.host_category IS NOT NULL THEN 1 ELSE 0 END AS bad
+          FROM edges LEFT JOIN m ON edges.dst_host = m.host
+        )
+        SELECT src_host,
+               CAST(count(*) AS BIGINT) AS n_out_hosts,
+               CAST(sum(bad) AS BIGINT) AS n_flagged,
+               CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
+               (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
+        FROM e GROUP BY src_host
         """,
         # longest-suffix-wins categorized blocklist: the LIKE join hits
         # dot-boundary suffixes only; max_by ties are impossible (one

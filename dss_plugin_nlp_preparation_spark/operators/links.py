@@ -281,3 +281,65 @@ def host_rank(
         "rank_q",
         (F.col("rank_q").cast("double") / _SCALE).alias("rank"),
     )
+
+
+def host_link_spam(
+    links: DataFrame,
+    categories: DataFrame,
+    threshold: float = 0.25,
+    flag_categories: tuple | None = None,
+    include_internal: bool = False,
+) -> DataFrame:
+    """Bad-neighborhood flag per source host: the fraction of a host's
+    DISTINCT external outlink hosts that land on a categorized blocklist
+    (adult/ads/malware...). Link-farm and spam pages overwhelmingly link
+    to other spam; UT1-style lists only cover known hosts, so the
+    standard ingest move (TrustRank/Anti-Trust propagation, one hop) is
+    to flag the *linkers*: a page whose outlinks are mostly listed is
+    dropped even though its own host is not on the list.
+
+    Returns (src_host, n_out_hosts, n_flagged, spam_frac, spam_neighbor)
+    — ``spam_neighbor = spam_frac >= threshold``. ``flag_categories``
+    narrows which categories count (default: any listed category).
+
+    Scale shape: page-level links collapse to the DISTINCT host->host
+    edge set first (one shuffle, map-side combined), so the mega-host's
+    millions of pages cost nothing downstream; blocklist categorization
+    runs on the DISTINCT destination hosts only (broadcast-dict probe,
+    :func:`~dss_plugin_nlp_preparation_spark.operators.urls.categorize_hosts`);
+    the final aggregate is host-keyed. No step touches page rows twice.
+    """
+    from dss_plugin_nlp_preparation_spark.operators.urls import categorize_hosts
+
+    e = links if include_internal else links.where(~F.col("is_internal"))
+    edges = (
+        e.select(
+            F.lower(F.col("src_host")).alias("src_host"),
+            F.lower(F.col("dst_host")).alias("dst_host"),
+        )
+        .where(
+            F.col("dst_host").isNotNull()
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != "")
+        )
+        .distinct()
+    )
+    dst = edges.select(F.col("dst_host").alias("host")).distinct()
+    cat = categorize_hosts(dst, categories, host_column="host")
+    bad = F.col("host_category").isNotNull()
+    if flag_categories:
+        bad = bad & F.col("host_category").isin(*flag_categories)
+    labeled = edges.join(
+        cat.select(
+            F.col("host").alias("dst_host"), bad.alias("__bad")
+        ),
+        "dst_host",
+    )
+    out = labeled.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out_hosts"),
+        F.sum(F.col("__bad").cast("long")).alias("n_flagged"),
+    )
+    frac = F.col("n_flagged").cast("double") / F.col("n_out_hosts")
+    return out.withColumn("spam_frac", frac).withColumn(
+        "spam_neighbor", frac >= F.lit(float(threshold))
+    )

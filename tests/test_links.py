@@ -182,3 +182,39 @@ class TestAnchorLinks:
         assert "b.example" in hosts_all
         # the nofollow edge (and the host it pointed at) leaves the graph
         assert hosts_follow == {"b.example", "c.example"}
+
+
+def test_host_link_spam_fraction_and_flag(spark):
+    from dss_plugin_nlp_preparation_spark.operators.links import host_link_spam
+
+    # a.example: 2 distinct external dst hosts, 1 listed (0.5 >= 0.25)
+    # b.example: 4 distinct dst, 0 listed; duplicate page-level edges and
+    # an internal self-edge must not inflate the counts
+    links = spark.createDataFrame(
+        [
+            ("https://a.example/1", "a.example", "https://bad.ads.net/x", "bad.ads.net", False),
+            ("https://a.example/2", "a.example", "https://bad.ads.net/y", "bad.ads.net", False),
+            ("https://a.example/1", "a.example", "https://ok1.org/x", "ok1.org", False),
+            ("https://a.example/1", "a.example", "https://a.example/self", "a.example", True),
+            ("https://b.example/1", "b.example", "https://ok1.org/x", "ok1.org", False),
+            ("https://b.example/1", "b.example", "https://ok2.org/x", "ok2.org", False),
+            ("https://b.example/1", "b.example", "https://ok3.org/x", "ok3.org", False),
+            ("https://b.example/1", "b.example", "https://ok4.org/x", "ok4.org", False),
+        ],
+        "src_url string, src_host string, dst_url string, dst_host string, is_internal boolean",
+    )
+    cats = spark.createDataFrame(
+        [("ads.net", "ads")], "host string, category string"
+    )
+    out = {r["src_host"]: r for r in host_link_spam(links, cats).collect()}
+    a, b = out["a.example"], out["b.example"]
+    assert (a["n_out_hosts"], a["n_flagged"]) == (2, 1)
+    assert a["spam_frac"] == 0.5 and a["spam_neighbor"]
+    assert (b["n_out_hosts"], b["n_flagged"]) == (4, 0)
+    assert b["spam_frac"] == 0.0 and not b["spam_neighbor"]
+    # narrowing flag_categories to a non-matching set clears the flag
+    narrowed = {
+        r["src_host"]: r
+        for r in host_link_spam(links, cats, flag_categories=("malware",)).collect()
+    }
+    assert narrowed["a.example"]["n_flagged"] == 0
