@@ -1014,6 +1014,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_links(synthesize_pages(spark, 500, 8)), cats, threshold=0.25
         )
 
+    def q_page_dates(spark, sf_dir):
+        # publication-date extraction (meta > time > url precedence) over
+        # a deterministic SQL-constructible page table: per-branch markup
+        # (fwd/rev meta attribute order, time tag, /YYYY/MM/DD/ path,
+        # dashed slug date, description-meta + invalid-month decoys) plus
+        # loser-date markers that must be out-ranked; full SQL replay of
+        # the same RE2-safe patterns
+        from dss_plugin_nlp_preparation_spark.operators.dates import (
+            add_publication_date,
+        )
+
+        i = F.col("doc_id")
+        y = (F.lit(2015) + i % 10).cast("string")
+        mo = F.lpad((F.lit(1) + i % 12).cast("string"), 2, "0")
+        dd = F.lpad((F.lit(1) + i % 27).cast("string"), 2, "0")
+        dd2 = F.lpad((F.lit(2) + i % 27).cast("string"), 2, "0")
+        ds = F.concat_ws("-", y, mo, dd)
+        ds2 = F.concat_ws("-", y, mo, dd2)
+        host = F.concat(
+            F.lit("https://h"), (i % 37).cast("string"), F.lit(".example.org")
+        )
+        b = i % 6
+        url = (
+            F.when(
+                b == 3,
+                F.concat(
+                    host, F.lit("/"), y, F.lit("/"), mo, F.lit("/"), dd,
+                    F.lit("/slug-"), i.cast("string"),
+                ),
+            )
+            .when(
+                b == 2,
+                F.concat(host, F.lit("/arch/x-"), ds2, F.lit("/post-"), i.cast("string")),
+            )
+            .when(b == 4, F.concat(host, F.lit("/news/x-"), ds, F.lit(".html")))
+            .when(b == 5, F.concat(host, F.lit("/p/"), (i + 100000).cast("string")))
+            .otherwise(F.concat(host, F.lit("/doc/"), i.cast("string")))
+        )
+        html = (
+            F.when(
+                b == 0,
+                F.concat(
+                    F.lit('<meta property="article:published_time" content="'),
+                    ds, F.lit('T08:30:00Z">'),
+                ),
+            )
+            .when(
+                b == 1,
+                F.concat(
+                    F.lit('<meta content="'), ds,
+                    F.lit('T00:01:02+02:00" name="pubdate"><time datetime="'),
+                    ds2, F.lit('">x</time>'),
+                ),
+            )
+            .when(
+                b == 2,
+                F.concat(F.lit('<div><time datetime="'), ds, F.lit('">d</time></div>')),
+            )
+            .otherwise(
+                F.lit('<meta name="description" content="2020-01-01"><p>plain</p>')
+            )
+        )
+        aug = _docs(spark, sf_dir).select(
+            "doc_id", url.alias("url"), html.alias("html")
+        )
+        return add_publication_date(aug).select(
+            "doc_id", "url", "pub_date", "pub_date_source", "pub_year"
+        )
+
     def q_temperature_mix(spark, sf_dir):
         # share^alpha temperature rebalancing budgets (mBERT/XLM-R
         # exponent sampling): one corpus agg + tiny-relation windows;
@@ -2545,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         # -- link-graph bad-neighborhood flag (blocklist one-hop) --
         "host_link_spam": q_host_link_spam,
+        # -- publication-date extraction (meta > time > url) --
+        "page_dates": q_page_dates,
     }
 
 
@@ -2695,6 +2766,13 @@ def _repetition_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dss_plugin_nlp_preparation_spark.operators import dates as _DATES_MOD
+
+    p_fwd = _DATES_MOD.META_PUBLISHED_FWD
+    p_rev = _DATES_MOD.META_PUBLISHED_REV
+    p_time = _DATES_MOD.TIME_DATETIME
+    p_slash = _DATES_MOD.URL_SLASH_DATE
+    p_dash = _DATES_MOD.URL_DASH_DATE
     scrub = _scrub_sql()
     email_p = _SCRUB_MOD.PII_PATTERNS[0][1].replace("'", "''")
     tox_p = _SCRUB_MOD.TOXICITY_PATTERN.replace("'", "''")
@@ -2896,6 +2974,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
                (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
         FROM e GROUP BY src_host
+        """,
+        # publication-date extraction: the same deterministic page
+        # construction and the same RE2-safe patterns (imported from
+        # operators/dates.py) replayed verbatim; precedence via coalesce
+        "page_dates": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(2015 + doc_id % 10 AS VARCHAR) AS y,
+                 lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') AS mo,
+                 lpad(CAST(1 + doc_id % 27 AS VARCHAR), 2, '0') AS dd,
+                 lpad(CAST(2 + doc_id % 27 AS VARCHAR), 2, '0') AS dd2,
+                 CAST(doc_id % 6 AS INT) AS b,
+                 'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.org' AS host
+          FROM documents
+        ),
+        pages AS (
+          SELECT doc_id, b, host, y, mo, dd,
+                 y || '-' || mo || '-' || dd AS ds,
+                 y || '-' || mo || '-' || dd2 AS ds2
+          FROM base
+        ),
+        aug AS (
+          SELECT doc_id,
+                 CASE b
+                   WHEN 3 THEN host || '/' || y || '/' || mo || '/' || dd
+                               || '/slug-' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN host || '/arch/x-' || ds2 || '/post-'
+                               || CAST(doc_id AS VARCHAR)
+                   WHEN 4 THEN host || '/news/x-' || ds || '.html'
+                   WHEN 5 THEN host || '/p/' || CAST(doc_id + 100000 AS VARCHAR)
+                   ELSE host || '/doc/' || CAST(doc_id AS VARCHAR)
+                 END AS url,
+                 CASE b
+                   WHEN 0 THEN '<meta property="article:published_time" content="'
+                               || ds || 'T08:30:00Z">'
+                   WHEN 1 THEN '<meta content="' || ds
+                               || 'T00:01:02+02:00" name="pubdate"><time datetime="'
+                               || ds2 || '">x</time>'
+                   WHEN 2 THEN '<div><time datetime="' || ds || '">d</time></div>'
+                   ELSE '<meta name="description" content="2020-01-01"><p>plain</p>'
+                 END AS html
+          FROM pages
+        ),
+        ext AS (
+          SELECT doc_id, url,
+                 coalesce(nullif(regexp_extract(html, '{p_fwd}', 1), ''),
+                          nullif(regexp_extract(html, '{p_rev}', 1), '')) AS meta_d,
+                 nullif(regexp_extract(html, '{p_time}', 1), '') AS time_d,
+                 CASE WHEN nullif(regexp_extract(url, '{p_slash}', 1), '') IS NOT NULL
+                      THEN regexp_extract(url, '{p_slash}', 1) || '-'
+                           || regexp_extract(url, '{p_slash}', 2) || '-'
+                           || regexp_extract(url, '{p_slash}', 3)
+                      ELSE nullif(regexp_extract(url, '{p_dash}', 1), '')
+                 END AS url_d
+          FROM aug
+        )
+        SELECT doc_id, url,
+               coalesce(meta_d, time_d, url_d) AS pub_date,
+               CASE WHEN meta_d IS NOT NULL THEN 'meta'
+                    WHEN time_d IS NOT NULL THEN 'time'
+                    WHEN url_d IS NOT NULL THEN 'url'
+               END AS pub_date_source,
+               CAST(substr(coalesce(meta_d, time_d, url_d), 1, 4) AS INT) AS pub_year
+        FROM ext
         """,
         # longest-suffix-wins categorized blocklist: the LIKE join hits
         # dot-boundary suffixes only; max_by ties are impossible (one

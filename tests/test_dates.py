@@ -1,0 +1,119 @@
+# -*- coding: utf-8 -*-
+"""Publication-date extraction (operators/dates.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.dates import (
+    add_publication_date,
+    filter_by_age,
+)
+
+
+def _extract(spark, rows):
+    df = spark.createDataFrame(rows, "url string, html string, warc_ts string")
+    out = add_publication_date(
+        df.withColumn("warc_ts", F.to_timestamp("warc_ts")),
+        ts_column="warc_ts",
+    )
+    return {
+        r["url"]: (r["pub_date"], r["pub_date_source"], r["pub_year"], r["age_days"])
+        for r in out.collect()
+    }
+
+
+def test_meta_time_url_precedence_and_sources(spark):
+    got = _extract(
+        spark,
+        [
+            # 1. meta property, full ISO timestamp -> date prefix captured
+            (
+                "https://a.org/1",
+                '<meta property="article:published_time" content="2024-05-12T10:30:00Z">',
+                "2024-05-20 00:00:00",
+            ),
+            # 2. reversed attribute order + case-variant key; meta beats time
+            (
+                "https://a.org/2",
+                '<meta content="2023-01-31" name="PubDate">'
+                '<time datetime="2022-01-01">x</time>',
+                "2023-02-01 00:00:00",
+            ),
+            # 3. time tag; beats a dashed url date
+            (
+                "https://a.org/news/2020-03-03-old",
+                '<p>hi</p><time datetime="2021-07-04T12:00:00">d</time>',
+                "2021-07-05 00:00:00",
+            ),
+            # 4. /YYYY/MM/DD/ path
+            ("https://a.org/2019/12/31/slug", "<p>plain</p>", "2020-01-02 00:00:00"),
+            # 5. dashed date in slug
+            ("https://a.org/p-2018-06-15.html", "<p>plain</p>", "2018-06-15 00:00:00"),
+            # 6. decoys: description meta, invalid month in path, phone-ish
+            (
+                "https://a.org/2020/13/01/x",
+                '<meta name="description" content="2020-01-01">',
+                "2020-01-01 00:00:00",
+            ),
+            # 7. itemprop=datePublished
+            (
+                "https://a.org/7",
+                '<span itemprop="datePublished" content="x">'
+                '<meta itemprop="datePublished" content="2017-02-03">',
+                "2017-02-03 00:00:00",
+            ),
+        ],
+    )
+    assert got["https://a.org/1"] == ("2024-05-12", "meta", 2024, 8)
+    assert got["https://a.org/2"] == ("2023-01-31", "meta", 2023, 1)
+    assert got["https://a.org/news/2020-03-03-old"] == (
+        "2021-07-04",
+        "time",
+        2021,
+        1,
+    )
+    assert got["https://a.org/2019/12/31/slug"] == ("2019-12-31", "url", 2019, 2)
+    assert got["https://a.org/p-2018-06-15.html"] == ("2018-06-15", "url", 2018, 0)
+    assert got["https://a.org/2020/13/01/x"] == (None, None, None, None)
+    assert got["https://a.org/7"] == ("2017-02-03", "meta", 2017, -1 + 1)
+
+
+def test_impossible_calendar_date_nulls_age_only(spark):
+    got = _extract(
+        spark,
+        [
+            (
+                "https://a.org/x",
+                '<time datetime="2021-02-31">bad calendar</time>',
+                "2021-03-01 00:00:00",
+            )
+        ],
+    )
+    # syntactic extraction keeps the string; the try-parse absorbs it
+    assert got["https://a.org/x"] == ("2021-02-31", "time", 2021, None)
+
+
+def test_null_inputs_are_total(spark):
+    df = spark.createDataFrame(
+        [(None, None)], "url string, html string"
+    )
+    row = add_publication_date(df).collect()[0]
+    assert row["pub_date"] is None and row["pub_date_source"] is None
+
+
+@pytest.mark.parametrize("keep_undated", [True, False])
+def test_filter_by_age(spark, keep_undated):
+    df = spark.createDataFrame(
+        [("fresh", 10), ("stale", 4000), ("future", -5), ("undated", None)],
+        "url string, age_days int",
+    )
+    kept = {
+        r["url"]
+        for r in filter_by_age(
+            df, max_age_days=365, keep_undated=keep_undated
+        ).collect()
+    }
+    expected = {"fresh", "future"} | ({"undated"} if keep_undated else set())
+    assert kept == expected
