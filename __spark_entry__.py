@@ -1083,6 +1083,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", "pub_date", "pub_date_source", "pub_year"
         )
 
+    def q_semantic_prune(spark, sf_dir):
+        # D4-style SSL-prototype pruning: same deterministic k-means as
+        # semantic_dedup (k=16, 3 Lloyd iterations — bit-exact vs the
+        # frozen kernel replay), then the integer-permille within-cluster
+        # cut; the oracle windows over the independently-frozen
+        # (id, cluster_id, centroid_sim) assignment
+        from dss_plugin_nlp_preparation_spark.operators.semantic import (
+            prototypicality_prune,
+        )
+
+        return prototypicality_prune(
+            _embs(spark, sf_dir), keep_permille=800, n_clusters=16, n_iters=3
+        )
+
     def q_temperature_mix(spark, sf_dir):
         # share^alpha temperature rebalancing budgets (mBERT/XLM-R
         # exponent sampling): one corpus agg + tiny-relation windows;
@@ -2616,6 +2630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_spam": q_host_link_spam,
         # -- publication-date extraction (meta > time > url) --
         "page_dates": q_page_dates,
+        # -- D4 SSL-prototype pruning (frozen-assignment window oracle) --
+        "semantic_prune": q_semantic_prune,
     }
 
 
@@ -2974,6 +2990,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
                (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
         FROM e GROUP BY src_host
+        """,
+        # D4 prototype pruning: window the independently-frozen k-means
+        # assignment (id, cluster_id, centroid_sim) — the Spark side
+        # recomputes training+assignment from raw embeddings, so the
+        # match certifies the whole chain, not just the rank arithmetic;
+        # cut point is exact integer permille in both engines
+        "semantic_prune": f"""
+        WITH r AS (
+          SELECT id, cluster_id, centroid_sim,
+                 row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY centroid_sim DESC, id
+                 ) AS proto_rank,
+                 count(*) OVER (PARTITION BY cluster_id) AS n
+          FROM ({_frozen("semantic_dedup")})
+        )
+        SELECT id, cluster_id, centroid_sim, proto_rank,
+               proto_rank > (n * 200) // 1000 AS proto_keep
+        FROM r
         """,
         # publication-date extraction: the same deterministic page
         # construction and the same RE2-safe patterns (imported from

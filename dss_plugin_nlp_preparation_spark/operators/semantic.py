@@ -294,3 +294,63 @@ def semantic_dedup(
         .drop("id_b")
         .withColumn("sem_keep", F.col("dup_of").isNull())
     )
+
+
+def prototypicality_prune(
+    df: DataFrame,
+    keep_permille: int = 800,
+    n_clusters: int = 16,
+    n_iters: int = 4,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    centroids: list | None = None,
+) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022 "Beyond neural scaling
+    laws"; the second stage of D4, Tirumala et al. 2023): within each
+    k-means cluster, DROP the most prototypical members — the ones
+    closest to their centroid — and keep the informative tail. Returns
+    (id, cluster_id, centroid_sim, proto_rank, proto_keep) where
+    ``proto_rank`` is the 1-based within-cluster rank by (centroid_sim
+    desc, id asc) and ``proto_keep`` is false for the first
+    ``floor(n * (1000 - keep_permille) / 1000)`` ranks of an n-member
+    cluster. The fraction is a permille INTEGER so the cut point is exact
+    integer arithmetic — no float boundary can disagree between engines
+    or across retries (0.8 * 5 rounds to 5 under IEEE ceil).
+
+    Composes with :func:`semantic_dedup` into the full D4 recipe: dedup
+    first (drop near-exact semantic copies), then prune prototypes of
+    what remains; pass the same ``centroids`` to share one training run.
+
+    Scale shape: k-means training as in :func:`train_kmeans` (shuffle
+    carries partitions x k rows per iteration), then ONE window over
+    ``cluster_id``. The window ranks every member of a cluster in one
+    task, so size ``n_clusters`` to the corpus (the D4 paper uses 11k
+    clusters for 600M documents; target n/k rows per task) — unlike the
+    dedup path there is no candidacy cap because the rank itself is the
+    product, not a pair search.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 <= keep_permille <= 1000:
+        raise ValueError(
+            f"keep_permille must be in [0, 1000], got {keep_permille}"
+        )
+    if centroids is None:
+        centroids = train_kmeans(
+            df, n_clusters, n_iters, embedding_column, id_column
+        )
+    a = assign_clusters(df, centroids, embedding_column, id_column).select(
+        F.col(id_column).alias("id"), "cluster_id", "centroid_sim"
+    )
+    by_cluster = Window.partitionBy("cluster_id")
+    rank_w = by_cluster.orderBy(F.desc("centroid_sim"), F.asc("id"))
+    drop_permille = 1000 - int(keep_permille)
+    return (
+        a.withColumn("proto_rank", F.row_number().over(rank_w))
+        .withColumn("__n", F.count("*").over(by_cluster))
+        .withColumn(
+            "proto_keep",
+            F.col("proto_rank") > F.expr(f"(__n * {drop_permille}) div 1000"),
+        )
+        .drop("__n")
+    )

@@ -146,3 +146,48 @@ def test_semantic_dedup_with_zero_vector(spark):
     assert len(out) == 9
     for r in out:
         assert r["centroid_sim"] is not None and r["centroid_sim"] == r["centroid_sim"]
+
+
+def test_prototypicality_prune_ranks_and_cut(spark):
+    from dss_plugin_nlp_preparation_spark.operators.semantic import (
+        prototypicality_prune,
+    )
+
+    # two planted clusters on orthogonal axes; within each, members at
+    # decreasing alignment with the axis (decreasing prototypicality)
+    rows = []
+    for j, axis in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]):
+        for m in range(5):
+            v = np.array(axis, dtype=np.float64)
+            v[2] = 0.1 * m  # drift off-axis as m grows
+            rows.append((j * 10 + m, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    out = prototypicality_prune(
+        df, keep_permille=600, centroids=cents
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    # 5 members, drop floor(5*400/1000)=2 most prototypical per cluster
+    for base in (10, 0):
+        dropped = {i for i in range(base, base + 5) if not by_id[i]["proto_keep"]}
+        assert dropped == {base, base + 1}  # m=0,1 are closest to the axis
+        ranks = [by_id[base + m]["proto_rank"] for m in range(5)]
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_prototypicality_prune_permille_edges(spark):
+    from dss_plugin_nlp_preparation_spark.operators.semantic import (
+        prototypicality_prune,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0]]
+    keep_all = prototypicality_prune(df, keep_permille=1000, centroids=cents)
+    assert all(r["proto_keep"] for r in keep_all.collect())
+    keep_none = prototypicality_prune(df, keep_permille=0, centroids=cents)
+    assert not any(r["proto_keep"] for r in keep_none.collect())
+    with pytest.raises(ValueError):
+        prototypicality_prune(df, keep_permille=1001, centroids=cents)
