@@ -1083,6 +1083,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", "pub_date", "pub_date_source", "pub_year"
         )
 
+    def q_temporal_split(spark, sf_dir):
+        # time-sliced train/val/test over a deterministic epoch column
+        # (3-day stride per doc, every 10th row NULL -> train); cutoffs
+        # are epoch integers so the oracle replays exact arithmetic with
+        # no timezone surface
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            temporal_split,
+        )
+
+        aug = _docs(spark, sf_dir).select("doc_id").withColumn(
+            "warc_ts",
+            F.when(
+                F.col("doc_id") % 10 != 7,
+                F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 259200),
+            ),
+        )
+        return temporal_split(
+            aug, val_start_epoch=1790720000, test_start_epoch=1811456000
+        ).select("doc_id", "split")
+
     def q_semantic_prune(spark, sf_dir):
         # D4-style SSL-prototype pruning: same deterministic k-means as
         # semantic_dedup (k=16, 3 Lloyd iterations — bit-exact vs the
@@ -2632,6 +2652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_dates": q_page_dates,
         # -- D4 SSL-prototype pruning (frozen-assignment window oracle) --
         "semantic_prune": q_semantic_prune,
+        # -- time-sliced holdout (epoch-integer cutoffs) --
+        "temporal_split": q_temporal_split,
     }
 
 
@@ -2990,6 +3012,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
                (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
         FROM e GROUP BY src_host
+        """,
+        # time-sliced split: same epoch-integer arithmetic, no timestamp
+        # type crosses the engine boundary (the Spark side round-trips
+        # through a real TIMESTAMP column; unix_timestamp is absolute)
+        "temporal_split": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 7 THEN 'train'
+                    WHEN 1700000000 + doc_id * 259200 < 1790720000 THEN 'train'
+                    WHEN 1700000000 + doc_id * 259200 < 1811456000 THEN 'val'
+                    ELSE 'test'
+               END AS split
+        FROM documents
         """,
         # D4 prototype pruning: window the independently-frozen k-means
         # assignment (id, cluster_id, centroid_sim) — the Spark side

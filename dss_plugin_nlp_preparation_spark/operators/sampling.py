@@ -394,3 +394,40 @@ def holdout_split(
     last = F.lit(names[-1])
     out_col = last if expr is None else expr.otherwise(last)
     return df.withColumn(output_column, out_col)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_column: str = "warc_ts",
+    val_start_epoch: int = 0,
+    test_start_epoch: int = 0,
+    output_column: str = "split",
+) -> DataFrame:
+    """Time-sliced train/val/test split: train on the past, evaluate on
+    the future — the drift-honest complement to :func:`holdout_split`
+    (which is hash-random and so shares the training distribution).
+    Rows with ``ts < val_start`` are ``train``, ``[val_start,
+    test_start)`` are ``val``, the rest ``test``; a NULL timestamp is
+    ``train`` (undated pages cannot leak future content into the past).
+
+    Cutoffs are EPOCH SECONDS (integers): absolute instants, so the
+    assignment cannot shift with a session timezone the way calendar-date
+    cutoffs can — at 10^12 rows a TZ-dependent boundary silently moves
+    millions of documents between splits when a cluster config changes.
+    Derive them once driver-side from whatever calendar rule you need.
+
+    Scale shape: one codegen expression per row — no shuffle, no Python,
+    stable across partitioning/retries/AQE.
+    """
+    if test_start_epoch < val_start_epoch:
+        raise ValueError(
+            "test_start_epoch must be >= val_start_epoch "
+            f"(got {val_start_epoch} > {test_start_epoch})"
+        )
+    e = F.unix_timestamp(F.col(ts_column))
+    out = (
+        F.when(e.isNull() | (e < F.lit(int(val_start_epoch))), F.lit("train"))
+        .when(e < F.lit(int(test_start_epoch)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(output_column, out)

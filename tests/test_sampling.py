@@ -348,3 +348,29 @@ def test_holdout_split(spark):
         holdout_split(df, {"train": 0.5, "val": 0.2})
     with pytest.raises(ValueError):
         holdout_split(df, {})
+
+
+def test_temporal_split_boundaries_and_nulls(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 199), (3, 200), (4, 299), (5, 300), (6, None)],
+        "id long, e long",
+    ).withColumn("warc_ts", F.timestamp_seconds(F.col("e")))
+    got = {
+        r["id"]: r["split"]
+        for r in temporal_split(
+            df, val_start_epoch=200, test_start_epoch=300
+        ).collect()
+    }
+    assert got == {1: "train", 2: "train", 3: "val", 4: "val", 5: "test", 6: "train"}
+
+
+def test_temporal_split_rejects_inverted_cutoffs(spark):
+    import pytest as _pytest
+
+    from dss_plugin_nlp_preparation_spark.operators.sampling import temporal_split
+
+    df = spark.range(1).withColumn("warc_ts", F.current_timestamp())
+    with _pytest.raises(ValueError):
+        temporal_split(df, val_start_epoch=10, test_start_epoch=5)
