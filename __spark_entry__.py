@@ -1083,6 +1083,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", "pub_date", "pub_date_source", "pub_year"
         )
 
+    def q_threshold_sweep(spark, sf_dir):
+        # keep-rate curve per language over a deterministic synthetic
+        # score (every 11th row NULL -> excluded from both sides of
+        # keep_frac); identical float expression tree in both engines
+        from dss_plugin_nlp_preparation_spark.operators.funnel import (
+            threshold_sweep,
+        )
+
+        scored = _docs(spark, sf_dir).select(
+            "lang",
+            F.when(
+                F.col("doc_id") % 11 != 3,
+                ((F.col("doc_id") * 37) % 1000) / F.lit(1000.0),
+            ).alias("score"),
+        )
+        return threshold_sweep(scored, "score", group_column="lang", n_buckets=20)
+
     def q_temporal_split(spark, sf_dir):
         # time-sliced train/val/test over a deterministic epoch column
         # (3-day stride per doc, every 10th row NULL -> train); cutoffs
@@ -2654,6 +2671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_prune": q_semantic_prune,
         # -- time-sliced holdout (epoch-integer cutoffs) --
         "temporal_split": q_temporal_split,
+        # -- cutoff-tuning keep-rate curve (bounded bucket window) --
+        "threshold_sweep": q_threshold_sweep,
     }
 
 
@@ -3012,6 +3031,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
                (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
         FROM e GROUP BY src_host
+        """,
+        # threshold sweep: same bucket integers, same single-quotient
+        # floats; window over the bounded bucket relation in both engines
+        "threshold_sweep": """
+        WITH s AS (
+          SELECT lang,
+                 CASE WHEN doc_id % 11 = 3 THEN NULL
+                      ELSE ((doc_id * 37) % 1000) / 1000.0
+                 END AS score
+          FROM documents
+        ),
+        b AS (
+          SELECT lang,
+                 CAST(floor(score * 20) AS BIGINT) AS bucket_id,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM s WHERE score IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT lang,
+               bucket_id / 20.0 AS threshold,
+               bucket_id,
+               n_docs,
+               CAST(sum(n_docs) OVER (
+                 PARTITION BY lang ORDER BY bucket_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_kept,
+               CAST(sum(n_docs) OVER (
+                 PARTITION BY lang ORDER BY bucket_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE)
+               / sum(n_docs) OVER (PARTITION BY lang) AS keep_frac
+        FROM b
         """,
         # time-sliced split: same epoch-integer arithmetic, no timestamp
         # type crosses the engine boundary (the Spark side round-trips

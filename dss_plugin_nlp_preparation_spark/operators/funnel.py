@@ -155,3 +155,67 @@ def corpus_report(result: DataFrame, k_examples: int = 5) -> dict:
         "reasons": partition_reason_metrics(result),
         "examples": examples_per_reason(result, k=k_examples),
     }
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_column: str,
+    group_column: str | None = None,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Keep-rate curve over a score cutoff: for each candidate threshold
+    (bucket lower edge), how many documents — and what fraction — would
+    survive ``score >= threshold``. THE tuning artifact for picking a
+    quality-classifier or perplexity cutoff: published pipelines choose
+    these by eyeballing exactly this curve (per language when
+    ``group_column`` is set, since one global cutoff over-filters
+    low-resource languages).
+
+    Scores are bucketed as ``floor(score * n_buckets)`` (exact integer
+    key — the only float ops are the final ``threshold``/``keep_frac``
+    divisions, single IEEE quotients identical across engines). A NULL
+    score cannot be compared to a cutoff, so NULL-score rows are dropped
+    from both numerator and denominator — profile NULL rates separately
+    with ``profile_columns``.
+
+    Output per (group, bucket): ``threshold`` (bucket lower edge),
+    ``n_docs`` (docs in the bucket), ``n_kept`` (docs at or above the
+    edge), ``keep_frac`` (``n_kept`` over the group's scored total).
+
+    100-TB shape: ONE integer-count shuffle (groupBy on (group, bucket)
+    — map-side partials collapse each task to ≤ #buckets rows), then a
+    window over the BOUNDED bucket relation (≤ n_buckets rows per
+    group), never over documents.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql.window import Window
+
+    g = group_column or "__all"
+    base = df.where(F.col(score_column).isNotNull())
+    if group_column is None:
+        base = base.withColumn("__all", F.lit(""))
+    buckets = (
+        base.withColumn(
+            "__b", F.floor(F.col(score_column) * n_buckets).cast("long")
+        )
+        .groupBy(g, "__b")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy(g).orderBy(F.desc("__b"))
+    tot = Window.partitionBy(g)
+    out = (
+        buckets.withColumn(
+            "n_kept", F.sum("n_docs").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("__tot", F.sum("n_docs").over(tot))
+        .select(
+            *([F.col(g)] if group_column else []),
+            (F.col("__b") / n_buckets).alias("threshold"),
+            F.col("__b").alias("bucket_id"),
+            "n_docs",
+            "n_kept",
+            (F.col("n_kept") / F.col("__tot")).alias("keep_frac"),
+        )
+    )
+    return out

@@ -244,3 +244,57 @@ def test_categorize_hosts_broadcast_path_shuffle_free(spark, sf_dir):
     # shuffles and never joins
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_page_dates_codegen_no_exchange(spark, sf_dir):
+    # date extraction is a regexp projection: zero shuffle, zero Python
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.dates import (
+        add_publication_date,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://x.org/doc/"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("html"),
+    )
+    plan = _plan(add_publication_date(d))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_temporal_split_no_exchange(spark, sf_dir):
+    # per-row epoch comparison: rides the scan at any corpus size
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        temporal_split,
+    )
+
+    d = _docs(spark, sf_dir).withColumn(
+        "warc_ts", F.timestamp_seconds(F.col("doc_id") * 1000)
+    )
+    plan = _plan(temporal_split(d, val_start_epoch=1, test_start_epoch=2))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_prototypicality_prune_one_window_no_pairs(spark):
+    # given trained centroids: one Arrow assignment pass, then exactly
+    # one window partitioning (rank + count share the cluster_id window
+    # frame family) — and NO self-join (no pair enumeration: the rank is
+    # the product)
+    from dss_plugin_nlp_preparation_spark.operators.semantic import (
+        prototypicality_prune,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(prototypicality_prune(df, centroids=[[1.0, 0.0], [0.0, 1.0]]))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Window") >= 1
+    # a single hash partitioning by cluster_id feeds the window(s)
+    assert plan.count("hashpartitioning(cluster_id") <= 2

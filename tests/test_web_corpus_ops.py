@@ -190,3 +190,36 @@ class TestHostBoilerplate:
         assert {r["line"] for r in loose} == {"promo line"}
         strict = host_boilerplate_lines(df, min_df=2, min_host_frac=0.5).collect()
         assert strict == []
+
+
+def test_threshold_sweep_curve_and_groups(spark):
+    from dss_plugin_nlp_preparation_spark.operators.funnel import threshold_sweep
+
+    rows = [
+        ("en", 0.05), ("en", 0.15), ("en", 0.15), ("en", 0.95),
+        ("fr", 0.55), ("fr", None),
+    ]
+    df = spark.createDataFrame(rows, "lang string, score double")
+    out = threshold_sweep(df, "score", group_column="lang", n_buckets=10)
+    got = {(r["lang"], r["bucket_id"]): r for r in out.collect()}
+    # en: buckets 0 (1 doc), 1 (2 docs), 9 (1 doc); cumulative from top
+    assert got[("en", 9)]["n_kept"] == 1 and got[("en", 9)]["n_docs"] == 1
+    assert got[("en", 1)]["n_kept"] == 3
+    assert got[("en", 0)]["n_kept"] == 4 and got[("en", 0)]["keep_frac"] == 1.0
+    assert abs(got[("en", 1)]["threshold"] - 0.1) < 1e-12
+    # fr: the NULL score is excluded from numerator AND denominator
+    assert got[("fr", 5)]["n_kept"] == 1 and got[("fr", 5)]["keep_frac"] == 1.0
+    assert len([k for k in got if k[0] == "fr"]) == 1
+
+
+def test_threshold_sweep_ungrouped_and_validation(spark):
+    import pytest as _pytest
+
+    from dss_plugin_nlp_preparation_spark.operators.funnel import threshold_sweep
+
+    df = spark.createDataFrame([(0.2,), (0.8,)], "score double")
+    out = threshold_sweep(df, "score", n_buckets=4).collect()
+    assert {r["bucket_id"]: r["n_kept"] for r in out} == {0: 2, 3: 1}
+    assert "lang" not in out[0].asDict()
+    with _pytest.raises(ValueError):
+        threshold_sweep(df, "score", n_buckets=0)
