@@ -1083,6 +1083,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", "pub_date", "pub_date_source", "pub_year"
         )
 
+    def q_anchor_profile(spark, sf_dir):
+        # top-k anchor texts per destination host over the same synthetic
+        # link construction as anchor_links; the oracle windows over the
+        # independently-frozen anchor relation with the same
+        # normalization and (count desc, text asc) rank
+        from dss_plugin_nlp_preparation_spark.operators.links import (
+            anchor_text_profile,
+            extract_anchor_links,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, 500, 8)
+        i = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        extra = F.concat(
+            F.lit('<a href="https://nf.example.org/'),
+            (i % 7).cast("string"),
+            F.lit('" rel="nofollow">sponsored '),
+            (i % 3).cast("string"),
+            F.lit("</a>"),
+            F.when(
+                i % 4 == 0,
+                F.concat(
+                    F.lit('<a rel="nofollow" href="/paid/'),
+                    (i % 5).cast("string"),
+                    F.lit('">ad</a>'),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        aug = pages.withColumn(
+            "html_str", F.concat(F.col("html").cast("string"), extra)
+        )
+        links = extract_anchor_links(aug, html_column="html_str")
+        return anchor_text_profile(links, k=3)
+
     def q_threshold_sweep(spark, sf_dir):
         # keep-rate curve per language over a deterministic synthetic
         # score (every 11th row NULL -> excluded from both sides of
@@ -2673,6 +2707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         # -- cutoff-tuning keep-rate curve (bounded bucket window) --
         "threshold_sweep": q_threshold_sweep,
+        # -- per-host anchor-text profile (salted two-phase top-k) --
+        "anchor_profile": q_anchor_profile,
     }
 
 
@@ -3031,6 +3067,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
                (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
         FROM e GROUP BY src_host
+        """,
+        # anchor profile: naive window over the frozen anchor relation
+        # (the engine side runs the salted two-phase top-k — the match
+        # certifies the superset property on real skewed data)
+        "anchor_profile": f"""
+        WITH a AS (
+          SELECT lower(dst_host) AS dst_host,
+                 trim(regexp_replace(lower(coalesce(anchor_text, '')),
+                                     '\\s+', ' ', 'g')) AS anchor_text
+          FROM ({_frozen("anchor_links")})
+          WHERE NOT is_internal AND NOT nofollow
+        ),
+        c AS (
+          SELECT dst_host, anchor_text, CAST(count(*) AS BIGINT) AS n_links
+          FROM a WHERE length(anchor_text) > 0
+          GROUP BY 1, 2
+        )
+        SELECT dst_host, anchor_text, n_links, CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY dst_host ORDER BY n_links DESC, anchor_text
+          ) AS rank
+          FROM c
+        ) WHERE rank <= 3
         """,
         # threshold sweep: same bucket integers, same single-quotient
         # floats; window over the bounded bucket relation in both engines

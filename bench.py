@@ -797,6 +797,59 @@ def main() -> int:
 
     timed_extra("crawl_ops_suite", _crawl_ops)
 
+    # curation-ops set (session-5 additions): publication-date extraction,
+    # time-sliced split, threshold sweep (all pure codegen) and D4
+    # prototype pruning (one Lloyd iteration + assignment + one window)
+    from dss_plugin_nlp_preparation_spark.operators.dates import (
+        add_publication_date,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.funnel import (
+        threshold_sweep,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        temporal_split,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.semantic import (
+        prototypicality_prune,
+    )
+
+    def _curation_ops():
+        pages_like = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit(".example.org/2021/0"),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("/1"),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit("/post"),
+            ).alias("url"),
+            F.col("text").alias("html"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
+                "warc_ts"
+            ),
+        )
+        n = add_publication_date(pages_like, ts_column="warc_ts").where(
+            "pub_date is not null"
+        ).count()
+        n += temporal_split(
+            pages_like, val_start_epoch=1700020000, test_start_epoch=1700040000
+        ).where("split = 'train'").count()
+        n += threshold_sweep(
+            docs.select(
+                "lang", (((F.col("doc_id") * 37) % 1000) / 1000.0).alias("s")
+            ),
+            "s",
+            group_column="lang",
+        ).count()
+        n += prototypicality_prune(
+            embs, keep_permille=800, n_clusters=8, n_iters=1
+        ).where("proto_keep").count()
+        return n
+
+    timed_extra("curation_ops_suite", _curation_ops)
+
     # two interleaved passes over every registered extra; report the min
     # (storm-robust: contention only slows samples), with one bounded
     # retry sweep for extras whose every sample overlapped a storm

@@ -343,3 +343,74 @@ def host_link_spam(
     return out.withColumn("spam_frac", frac).withColumn(
         "spam_neighbor", frac >= F.lit(float(threshold))
     )
+
+
+def anchor_text_profile(
+    links: DataFrame,
+    k: int = 5,
+    include_internal: bool = False,
+    include_nofollow: bool = False,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Top-``k`` anchor texts per DESTINATION host — "what the rest of
+    the web calls this site". Off-page description is a classic quality/
+    spam signal (a host whose incoming anchors are all "cheap pills"
+    reveals itself even when its own pages read clean), and the profile
+    doubles as a free page-label source for classifier distillation.
+    Input is :func:`extract_anchor_links` output. Internal links
+    (self-description) and ``rel=nofollow`` anchors (explicitly
+    disavowed by the linker) are excluded by default. Anchor text is
+    normalized (lowercase, whitespace collapsed); empty anchors — image
+    links, naked hrefs — never profile.
+
+    Output: (dst_host, anchor_text, n_links, rank), ``rank`` 1-based by
+    (count desc, text asc) — fully deterministic.
+
+    100-TB shape: ONE integer-count shuffle on (host, anchor) with
+    map-side partials, then the salted two-phase top-k over the count
+    relation (same cure as ``cap_per_host``: a mega-host's millions of
+    distinct anchors rank per-(host, salt) first — the per-salt top-k is
+    a superset of the global top-k — so no task ever sorts more than
+    ``n_salt * k`` rows of one host). Output ≤ #hosts × k rows.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    a = links
+    if not include_internal:
+        a = a.where(~F.col("is_internal"))
+    if not include_nofollow:
+        a = a.where(~F.col("nofollow"))
+    anchor = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col("anchor_text"), F.lit(""))), r"\s+", " ")
+    )
+    counts = (
+        a.select(F.lower(F.col("dst_host")).alias("dst_host"), anchor.alias("anchor_text"))
+        .where(F.length("anchor_text") > 0)
+        .groupBy("dst_host", "anchor_text")
+        .agg(F.count("*").alias("n_links"))
+    )
+    # phase 1: per-(host, salt) top-k — a superset of the global top-k
+    # (removing rows below a salt-local rank k can never remove a row of
+    # the global top k, which holds rank <= k in its own salt bucket)
+    salt = F.pmod(F.xxhash64("anchor_text"), F.lit(int(n_salt)))
+    w1 = Window.partitionBy("dst_host", "__s").orderBy(
+        F.desc("n_links"), F.asc("anchor_text")
+    )
+    cand = (
+        counts.withColumn("__s", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__s", "__r1")
+    )
+    # phase 2: exact global rank over <= n_salt*k survivors per host
+    w2 = Window.partitionBy("dst_host").orderBy(
+        F.desc("n_links"), F.asc("anchor_text")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

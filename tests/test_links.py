@@ -218,3 +218,67 @@ def test_host_link_spam_fraction_and_flag(spark):
         for r in host_link_spam(links, cats, flag_categories=("malware",)).collect()
     }
     assert narrowed["a.example"]["n_flagged"] == 0
+
+
+def test_anchor_text_profile_ranks_and_filters(spark):
+    from dss_plugin_nlp_preparation_spark.operators.links import (
+        anchor_text_profile,
+    )
+
+    rows = [
+        # (dst_host, is_internal, nofollow, anchor_text)
+        ("b.org", False, False, "Great   Site"),
+        ("b.org", False, False, "great site"),       # same after normalize
+        ("b.org", False, False, "news"),
+        ("b.org", False, True, "spammy"),            # nofollow: excluded
+        ("b.org", True, False, "home"),              # internal: excluded
+        ("b.org", False, False, "   "),              # empty after trim
+        ("c.org", False, False, "docs"),
+    ]
+    df = spark.createDataFrame(
+        rows, "dst_host string, is_internal boolean, nofollow boolean, anchor_text string"
+    )
+    out = anchor_text_profile(df, k=2).collect()
+    got = {(r["dst_host"], r["rank"]): (r["anchor_text"], r["n_links"]) for r in out}
+    assert got[("b.org", 1)] == ("great site", 2)
+    assert got[("b.org", 2)] == ("news", 1)
+    assert got[("c.org", 1)] == ("docs", 1)
+    assert len(out) == 3  # nofollow/internal/empty never profile
+
+
+def test_anchor_text_profile_two_phase_matches_naive(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dss_plugin_nlp_preparation_spark.operators.links import (
+        anchor_text_profile,
+    )
+
+    # a skewed host with many distinct anchors: the salted two-phase
+    # top-k must equal the naive single-window rank
+    rows = [
+        ("hot.org", False, False, f"anchor {i % 13}") for i in range(200)
+    ] + [("cold.org", False, False, "one")]
+    df = spark.createDataFrame(
+        rows, "dst_host string, is_internal boolean, nofollow boolean, anchor_text string"
+    )
+    got = {
+        (r["dst_host"], r["rank"]): (r["anchor_text"], r["n_links"])
+        for r in anchor_text_profile(df, k=4, n_salt=8).collect()
+    }
+    counts = (
+        df.groupBy("dst_host", "anchor_text")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("dst_host").orderBy(
+                    F.desc("n"), F.asc("anchor_text")
+                )
+            ),
+        )
+        .where("r <= 4")
+        .collect()
+    )
+    want = {(r["dst_host"], r["r"]): (r["anchor_text"], r["n"]) for r in counts}
+    assert got == want
