@@ -1083,6 +1083,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", "pub_date", "pub_date_source", "pub_year"
         )
 
+    def q_unimax_budgets(spark, sf_dir):
+        # UniMax water-filling: at sf0.01 the 250k budget caps four
+        # languages at 2 epochs and leaves en on the even split; at
+        # sf0.1 nobody caps (pure even split) — both engines replay the
+        # all-integer prefix test closed-form
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            unimax_budgets,
+        )
+
+        return unimax_budgets(
+            _docs(spark, sf_dir), total_budget=250000, max_epochs=2
+        )
+
+    def q_unimax_resample(spark, sf_dir):
+        # budgets piped into the md5-threshold epoch decomposition (same
+        # sampler as temperature_resample, UniMax proportions)
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            unimax_mixture_sample,
+        )
+
+        return unimax_mixture_sample(
+            _docs(spark, sf_dir), total_budget=250000, max_epochs=2
+        ).select("doc_id", "lang", "epoch")
+
     def q_anchor_profile(spark, sf_dir):
         # top-k anchor texts per destination host over the same synthetic
         # link construction as anchor_links; the oracle windows over the
@@ -2709,6 +2733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         # -- per-host anchor-text profile (salted two-phase top-k) --
         "anchor_profile": q_anchor_profile,
+        # -- UniMax epoch-capped language budgets + resample --
+        "unimax_budgets": q_unimax_budgets,
+        "unimax_resample": q_unimax_resample,
     }
 
 
@@ -2856,6 +2883,47 @@ def _repetition_sql() -> str:
         f"WITH {', '.join(ctes)} SELECT doc_id, {', '.join(selects)}"
         f" FROM base {joins}"
     )
+
+
+# UniMax (Chung et al. 2023) budget allocation as a shared DuckDB CTE:
+# per-language totals -> caps at max_epochs=2 -> all-integer prefix test
+# against total_budget=250000 -> even split of the remainder (one float
+# quotient). Shared by the unimax_budgets and unimax_resample oracles.
+_UNIMAX_BUD_CTE = """
+        WITH a AS (
+          SELECT lang AS source, CAST(sum(n_chars) AS BIGINT) AS avail
+          FROM documents GROUP BY 1 HAVING sum(n_chars) > 0
+        ),
+        t AS (
+          SELECT source, avail, avail * 2 AS cap,
+                 row_number() OVER (ORDER BY avail * 2, source) AS i,
+                 count(*) OVER () AS n,
+                 coalesce(sum(avail * 2) OVER (
+                   ORDER BY avail * 2, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_prev
+          FROM a
+        ),
+        f AS (
+          SELECT *, (cap * (n - i + 1) <= 250000 - cum_prev) AS fits FROM t
+        ),
+        kk AS (
+          SELECT coalesce(min(CASE WHEN NOT fits THEN i END) - 1, max(n)) AS k
+          FROM f
+        ),
+        sp AS (
+          SELECT coalesce(max(cum_prev + cap), 0) AS spent
+          FROM f, kk WHERE f.i <= kk.k
+        ),
+        bud AS (
+          SELECT f.source, f.avail, f.cap,
+                 CASE WHEN f.i <= kk.k THEN CAST(f.cap AS DOUBLE)
+                      ELSE (250000 - sp.spent)
+                           / CAST(greatest(f.n - kk.k, 1) AS DOUBLE)
+                 END AS budget
+          FROM f, kk, sp
+        )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3067,6 +3135,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
                (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
         FROM e GROUP BY src_host
+        """,
+        # UniMax budgets: the water-filling closed form — all-integer
+        # prefix test (cap * langs_left <= budget_left), one float
+        # quotient for the even split; same ordering (cap, source)
+        "unimax_budgets": f"""
+        {_UNIMAX_BUD_CTE}
+        SELECT source, avail, cap, budget,
+               CAST(floor(budget / avail) AS BIGINT) AS n_epochs,
+               (budget - floor(budget / avail) * avail) / avail
+                 AS partial_fraction
+        FROM bud
+        """,
+        # UniMax resample: budgets CTE + the same md5-threshold epoch
+        # decomposition the temperature_resample oracle replays
+        "unimax_resample": f"""
+        {_UNIMAX_BUD_CTE},
+        j AS (
+          SELECT d.doc_id, d.lang, b.avail, b.budget,
+                 CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                      AS UBIGINT) / 4294967296.0 AS u
+          FROM documents d JOIN bud b ON d.lang = b.source
+        ),
+        e AS (
+          SELECT doc_id, lang,
+                 CAST(floor(budget / avail) AS BIGINT)
+                 + CASE WHEN u < (budget - floor(budget / avail) * avail)
+                              / avail
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM j
+        )
+        SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+        FROM e WHERE n_copies >= 1
         """,
         # anchor profile: naive window over the frozen anchor relation
         # (the engine side runs the salted two-phase top-k — the match

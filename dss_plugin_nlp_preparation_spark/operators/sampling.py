@@ -431,3 +431,128 @@ def temporal_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(output_column, out)
+
+
+def unimax_budgets(
+    df: DataFrame,
+    total_budget: int,
+    max_epochs: int = 4,
+    source_column: str = "lang",
+    weight_column: str = "n_chars",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): instead of a temperature exponent, give every
+    language an EQUAL share of the token budget, capped at
+    ``max_epochs`` passes over its available data — low-resource
+    languages never over-repeat (the catastrophic-memorization failure
+    of aggressive temperature upsampling), high-resource languages
+    absorb the slack.
+
+    Water-filling closed form over languages sorted by cap = avail *
+    max_epochs ascending: a prefix takes its full cap (the cap fits
+    under the running fair share); everyone after the prefix splits the
+    remaining budget evenly. The prefix test ``cap_i * langs_left <=
+    budget_left`` is EXACT integer arithmetic (weights and budget are
+    integers; no division) so the capped set cannot differ between
+    engines; the only float is the final even-split quotient.
+
+    Returns one row per language: ``avail`` (weight units available),
+    ``cap``, ``budget``, ``n_epochs``, ``partial_fraction`` — the same
+    epoch decomposition :func:`mixture_sample` consumes. Zero/NULL-weight
+    languages are dropped (nothing to sample).
+
+    Scale shape: ONE map-side-combined aggregation over the corpus, then
+    unpartitioned windows over the tiny per-language relation (#langs
+    rows — a deliberate single-task step, same as
+    :func:`temperature_budgets`).
+    """
+    if total_budget < 1:
+        raise ValueError(f"total_budget must be >= 1, got {total_budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    from pyspark.sql.window import Window
+
+    avail = (
+        df.groupBy(F.col(source_column).alias("source"))
+        .agg(F.sum(weight_column).cast("long").alias("avail"))
+        .where(F.col("avail") > 0)
+        .withColumn("cap", F.col("avail") * max_epochs)
+    )
+    order = Window.partitionBy().orderBy(F.asc("cap"), F.asc("source"))
+    everyone = Window.partitionBy()
+    t = (
+        avail.withColumn("__i", F.row_number().over(order))
+        .withColumn("__n", F.count("*").over(everyone))
+        .withColumn(
+            "__cum_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    # prefix flag: this language's cap fits under the fair share of what
+    # is left when its turn comes (all-integer comparison)
+    fits = (
+        F.col("cap") * (F.col("__n") - F.col("__i") + 1)
+        <= F.lit(int(total_budget)) - F.col("__cum_prev")
+    )
+    t = t.withColumn("__fits", fits)
+    # k = size of the capped prefix; caps are ascending so __fits is a
+    # prefix property — min over the first non-fitting index pins it
+    k = F.coalesce(
+        F.min(F.when(~F.col("__fits"), F.col("__i"))).over(everyone) - 1,
+        F.col("__n"),
+    )
+    spent = F.coalesce(
+        F.max(F.when(F.col("__i") <= k, F.col("__cum_prev") + F.col("cap"))).over(
+            everyone
+        ),
+        F.lit(0),
+    )
+    # greatest(..., 1) guards the all-capped edge (k = n): the otherwise
+    # branch is unreachable then, but the divisor must still be nonzero
+    even = (F.lit(int(total_budget)) - spent).cast("double") / F.greatest(
+        F.col("__n") - k, F.lit(1)
+    ).cast("double")
+    budget = F.when(F.col("__i") <= k, F.col("cap").cast("double")).otherwise(even)
+    out = t.withColumn("budget", budget)
+    n_epochs = F.floor(F.col("budget") / F.col("avail")).cast("long")
+    out = out.withColumn("n_epochs", n_epochs).withColumn(
+        "partial_fraction",
+        (F.col("budget") - F.col("n_epochs") * F.col("avail")) / F.col("avail"),
+    )
+    return out.select(
+        "source", "avail", "cap", "budget", "n_epochs", "partial_fraction"
+    )
+
+
+def unimax_mixture_sample(
+    df: DataFrame,
+    total_budget: int,
+    max_epochs: int = 4,
+    source_column: str = "lang",
+    weight_column: str = "n_chars",
+    key_column: str = "doc_id",
+    max_driver_rows: int = 100_000,
+) -> DataFrame:
+    """:func:`unimax_budgets` piped into :func:`mixture_sample`: rebuild
+    the corpus at UniMax proportions in one call. The collected budgets
+    relation is one row per language — guarded by ``max_driver_rows``
+    like the other bounded driver-side collects."""
+    b = unimax_budgets(
+        df, total_budget, max_epochs, source_column, weight_column
+    )
+    rows = b.select("source", "budget").limit(max_driver_rows + 1).collect()
+    if len(rows) > max_driver_rows:
+        raise ValueError(
+            f"more than {max_driver_rows} distinct sources; raise "
+            "max_driver_rows only if the driver can hold the budget map"
+        )
+    budgets = {r["source"]: float(r["budget"]) for r in rows}
+    return mixture_sample(
+        df, budgets, source_column, weight_column, key_column
+    )

@@ -374,3 +374,71 @@ def test_temporal_split_rejects_inverted_cutoffs(spark):
     df = spark.range(1).withColumn("warc_ts", F.current_timestamp())
     with _pytest.raises(ValueError):
         temporal_split(df, val_start_epoch=10, test_start_epoch=5)
+
+
+def test_unimax_budgets_water_filling(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import unimax_budgets
+
+    # three languages: tiny (caps at 2 epochs), medium, huge.
+    # budget 1000, max_epochs 2: fair share visits ascending caps —
+    # ta: cap 60 <= 1000/3 -> capped at 60; zh: cap 400 <= (940/2=470)
+    # -> capped at 400; en: takes the remainder 540 (under its cap 1600).
+    rows = (
+        [("ta", 30)] + [("zh", 200)] + [("en", 800)]
+    )
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    got = {
+        r["source"]: r
+        for r in unimax_budgets(df, total_budget=1000, max_epochs=2).collect()
+    }
+    assert got["ta"]["budget"] == 60.0 and got["ta"]["n_epochs"] == 2
+    assert got["zh"]["budget"] == 400.0 and got["zh"]["n_epochs"] == 2
+    assert got["en"]["budget"] == 540.0 and got["en"]["n_epochs"] == 0
+    assert abs(got["en"]["partial_fraction"] - 540 / 800) < 1e-12
+    assert sum(r["budget"] for r in got.values()) == 1000.0
+
+
+def test_unimax_budgets_all_capped_and_even_split(spark):
+    from dss_plugin_nlp_preparation_spark.operators.sampling import unimax_budgets
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "lang string, n_chars long"
+    )
+    # budget far above caps: everyone caps at max_epochs
+    got = {
+        r["source"]: r
+        for r in unimax_budgets(df, total_budget=10_000, max_epochs=3).collect()
+    }
+    assert got["a"]["budget"] == 30.0 and got["b"]["budget"] == 60.0
+    # budget below every cap: pure even split, nobody capped
+    got2 = {
+        r["source"]: r
+        for r in unimax_budgets(df, total_budget=20, max_epochs=3).collect()
+    }
+    assert got2["a"]["budget"] == 10.0 and got2["b"]["budget"] == 10.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unimax_budgets(df, total_budget=0)
+
+
+def test_unimax_mixture_sample_respects_epoch_cap(spark):
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.sampling import (
+        unimax_mixture_sample,
+    )
+
+    rows = [(f"t{i}", "ta", 10) for i in range(3)] + [
+        (f"e{i}", "en", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_chars long")
+    out = unimax_mixture_sample(df, total_budget=200, max_epochs=2)
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # ta caps at 2 epochs = 6 rows; it must NOT be upsampled further
+    assert per["ta"] == 6
+    # en absorbs the slack (~140 weight units = ~14 docs)
+    assert 10 <= per["en"] <= 18
