@@ -1,0 +1,79 @@
+# -*- coding: utf-8 -*-
+"""Bucketed dedup/index tables: shuffle-free steady-state joins.
+
+The incremental crawl-ingestion shape (`operators/dedup.py:
+incremental_exact_dedup`, `incremental_near_dup`) probes a PERSISTED
+index relation (hash -> first-seen doc, or band -> signature) with every
+nightly increment. Stored as plain parquet, every probe join re-shuffles
+the index — at 10^12 accumulated documents the index side is the
+dominant shuffle, repeated every night for data that never moved.
+
+Bucketing fixes the steady state: write the index `bucketBy(N, key)`
+(+ `sortBy` within buckets), and Spark's catalog records the hash
+layout; a later equi-join on the key reads each bucket as a
+pre-partitioned input and plans NO Exchange on the bucketed side (the
+increment — small — still shuffles to match). This is the on-disk
+equivalent of the broadcast trick for relations too big to broadcast.
+
+The reference plugin has no persistent index at all (every recipe run
+is stateless — `/root/reference/custom-recipes/*/recipe.py` read ->
+transform -> write); this module exists for the 100-TB steady state the
+reference never reaches.
+
+Caveats, stated because they bite: bucket metadata lives in the session
+catalog (`spark.sql.warehouse.dir` + in-memory catalog, or a Hive
+metastore on a real cluster) — `spark.read.parquet` on the same files
+sees plain unbucketed parquet; and the bucket count is fixed at write
+time (pick N so index_rows / N stays task-sized at the target horizon —
+SCALING.md's shuffle-budget math applies verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_index(
+    df: DataFrame,
+    table: str,
+    bucket_column: str,
+    n_buckets: int = 256,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed+sorted catalog table keyed on
+    ``bucket_column``. Sorting within buckets makes the steady-state
+    probe a sort-merge join with BOTH sort and shuffle pre-done on the
+    index side."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    (
+        df.write.bucketBy(n_buckets, bucket_column)
+        .sortBy(bucket_column)
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_index(spark: SparkSession, table: str) -> DataFrame:
+    """The bucketed index as a DataFrame (bucket layout rides along from
+    the catalog — equi-joins on the bucket key skip the index-side
+    Exchange)."""
+    return spark.table(table)
+
+
+def probe_bucketed_index(
+    increment: DataFrame,
+    index: DataFrame,
+    key: str,
+    how: str = "left_anti",
+) -> DataFrame:
+    """Join an increment against a bucketed index on ``key``.
+
+    ``left_anti`` (default) is the incremental-dedup shape: rows of the
+    increment whose key is NOT in the index (the genuinely-new
+    documents). The index side must come from :func:`read_index` for the
+    bucket layout to apply; the increment shuffles to match the bucket
+    hash — the index never moves.
+    """
+    return increment.join(index, on=key, how=how)
