@@ -119,6 +119,7 @@ def quality_filter_pipeline(
     with_dup_text_fractions: bool = False,
     with_extended_scrub: bool = False,
     with_code_routing: bool = False,
+    with_publication_dates: bool = False,
 ) -> DataFrame:
     """pages -> pages + lang_detected/effective_lang + signals + keep/drop.
 
@@ -188,6 +189,7 @@ def quality_filter_pipeline(
             with_dup_text_fractions=with_dup_text_fractions,
             with_extended_scrub=with_extended_scrub,
             with_code_routing=with_code_routing,
+            with_publication_dates=with_publication_dates,
         )
     if detect_missing_lang:
         # Only unlabeled rows pay the LID UDF: labeled rows feed '' into the
@@ -242,6 +244,7 @@ def quality_filter_pipeline(
         with_dup_text_fractions=with_dup_text_fractions,
         with_extended_scrub=with_extended_scrub,
         with_code_routing=with_code_routing,
+        with_publication_dates=with_publication_dates,
     )
 
 
@@ -258,6 +261,7 @@ def _apply_optins(
     with_dup_text_fractions: bool = False,
     with_extended_scrub: bool = False,
     with_code_routing: bool = False,
+    with_publication_dates: bool = False,
 ) -> DataFrame:
     # opt-in extended signals (defaults off: the graded output schema and
     # the frozen pages_pipeline oracle stay byte-stable). These ANNOTATE —
@@ -317,6 +321,24 @@ def _apply_optins(
         )
 
         df = route_code(df, text_column="text", policy="separate")
+    if with_publication_dates:
+        # pub_date / pub_date_source / pub_year (+ age_days when the
+        # crawl timestamp is present) from markup and URL — a pure
+        # codegen projection riding the same scan; pages arriving
+        # without an html payload still date from the URL
+        from dss_plugin_nlp_preparation_spark.operators.dates import (
+            add_publication_date,
+        )
+
+        ts = "warc_ts" if "warc_ts" in df.columns else None
+        if "html" in df.columns:
+            df = add_publication_date(df, ts_column=ts)
+        else:
+            df = add_publication_date(
+                df.withColumn("__no_html", F.lit(None).cast("string")),
+                html_column="__no_html",
+                ts_column=ts,
+            ).drop("__no_html")
     if with_extended_scrub:
         # checksum/shape-validated masking (Luhn cards, mod-97 IBANs,
         # leaked credentials) layered over the Stage-E scrubbed_text

