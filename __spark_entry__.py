@@ -1083,6 +1083,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", "pub_date", "pub_date_source", "pub_year"
         )
 
+    def q_url_keywords(spark, sf_dir):
+        # Dolma-style URL keyword screen over deterministic urls: path
+        # and query hits flag, host-only occurrences must NOT, leftmost
+        # occurrence wins; oracle replays the host-strip + alternation
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            flag_url_keywords,
+        )
+
+        i = F.col("doc_id")
+        b = i % 5
+        url = (
+            F.when(b == 0, F.concat(F.lit("https://a"), (i % 9).cast("string"), F.lit(".org/x/porn/"), i.cast("string")))
+            .when(b == 1, F.concat(F.lit("https://casino.example"), (i % 7).cast("string"), F.lit(".org/news/"), i.cast("string")))
+            .when(b == 2, F.concat(F.lit("https://b.org/p"), i.cast("string"), F.lit("?q=play-slots-now")))
+            .when(b == 3, F.concat(F.lit("https://c.org/article/health-"), i.cast("string")))
+            .otherwise(F.concat(F.lit("https://d.org/casino/viagra-"), i.cast("string")))
+        )
+        aug = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+        return flag_url_keywords(aug).select(
+            "doc_id", "url", "url_keyword", "url_flagged"
+        )
+
     def q_unimax_budgets(spark, sf_dir):
         # UniMax water-filling: at sf0.01 the 250k budget caps four
         # languages at 2 epochs and leaves en on the even split; at
@@ -2736,6 +2758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- UniMax epoch-capped language budgets + resample --
         "unimax_budgets": q_unimax_budgets,
         "unimax_resample": q_unimax_resample,
+        # -- URL keyword screen (Dolma-style path/query filter) --
+        "url_keywords": q_url_keywords,
     }
 
 
@@ -2927,7 +2951,14 @@ _UNIMAX_BUD_CTE = """
 
 
 def oracle_sql() -> dict[str, str]:
+    import re as _re_mod
+
     from dss_plugin_nlp_preparation_spark.operators import dates as _DATES_MOD
+    from dss_plugin_nlp_preparation_spark.operators.urls import (
+        DEFAULT_URL_KEYWORDS as _URL_KWS,
+    )
+
+    _URL_KW_ALT = "|".join(_re_mod.escape(k.lower()) for k in _URL_KWS)
 
     p_fwd = _DATES_MOD.META_PUBLISHED_FWD
     p_rev = _DATES_MOD.META_PUBLISHED_REV
@@ -3135,6 +3166,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
                (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
         FROM e GROUP BY src_host
+        """,
+        # URL keyword screen: same host-strip regex + escaped
+        # alternation (imported from the module's keyword list)
+        "url_keywords": f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 'https://a' || CAST(doc_id % 9 AS VARCHAR)
+                               || '.org/x/porn/' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN 'https://casino.example'
+                               || CAST(doc_id % 7 AS VARCHAR)
+                               || '.org/news/' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN 'https://b.org/p' || CAST(doc_id AS VARCHAR)
+                               || '?q=play-slots-now'
+                   WHEN 3 THEN 'https://c.org/article/health-'
+                               || CAST(doc_id AS VARCHAR)
+                   ELSE 'https://d.org/casino/viagra-'
+                        || CAST(doc_id AS VARCHAR)
+                 END AS url
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id, url,
+                 regexp_extract(
+                   lower(regexp_replace(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')),
+                   '({_URL_KW_ALT})', 1) AS url_keyword
+          FROM aug
+        )
+        SELECT doc_id, url, url_keyword, url_keyword != '' AS url_flagged
+        FROM e
         """,
         # UniMax budgets: the water-filling closed form — all-integer
         # prefix test (cap * langs_left <= budget_left), one float

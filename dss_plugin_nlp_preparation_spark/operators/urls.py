@@ -574,3 +574,52 @@ def categorize_hosts(
         return doc_hosts.map(lookup)
 
     return df.withColumn(output_column, _cat(host))
+
+
+# conservative high-precision path/query keywords (Dolma/CC-pipeline
+# style): each term is unambiguous enough that its PRESENCE in a URL is
+# a drop-or-review signal on its own — no "sex" (sussex, essex), no
+# "adult" (adult education)
+DEFAULT_URL_KEYWORDS: tuple[str, ...] = (
+    "porn", "xxx", "hentai", "erotik", "escort",
+    "casino", "gambling", "slots", "poker-online",
+    "viagra", "cialis",
+    "warez", "keygen", "crack-download",
+)
+
+
+def flag_url_keywords(
+    df: DataFrame,
+    keywords: tuple = DEFAULT_URL_KEYWORDS,
+    url_column: str = "url",
+    prefix: str = "",
+) -> DataFrame:
+    """Keyword screen over the URL path+query: ``url_keyword`` (the
+    leftmost keyword occurrence after the host, '' when clean — no
+    keyword in the default list is a prefix of another, so Java regex
+    and RE2 pick the same match) and ``url_flagged``. The host-level blocklists (`categorize_hosts`)
+    only cover KNOWN hosts; a keyword in the path catches the long
+    tail of unlisted ones — the standard cheap companion filter
+    (Dolma's URL filtering, C4's badwords cousin). Keywords match as
+    substrings of the lowercased path/query (high-precision terms
+    only — curate ``keywords`` for anything ambiguous).
+
+    Scale shape: one regexp over the url column, whole-stage codegen,
+    zero shuffle — rides the ingest scan.
+    """
+    if not keywords:
+        raise ValueError("keywords must name at least one term")
+    import re as _re
+
+    path = F.lower(
+        F.regexp_replace(
+            F.coalesce(F.col(url_column), F.lit("")),
+            r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*",
+            "",
+        )
+    )
+    alt = "|".join(_re.escape(k.lower()) for k in keywords)
+    hit = F.regexp_extract(path, f"({alt})", 1)
+    return df.withColumn(f"{prefix}url_keyword", hit).withColumn(
+        f"{prefix}url_flagged", hit != F.lit("")
+    )

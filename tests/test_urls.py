@@ -616,3 +616,36 @@ def test_categorize_hosts_host_column_and_rename(spark):
         ).collect()
     }
     assert out == {1: "x", 2: None}
+
+
+def test_flag_url_keywords_path_only_and_leftmost(spark):
+    from dss_plugin_nlp_preparation_spark.operators.urls import flag_url_keywords
+
+    rows = [
+        ("https://a.org/free-PORN/x",),          # case-insensitive path hit
+        ("https://casino.example.org/news",),    # host-only: NOT flagged
+        ("https://b.org/p?q=play-slots-now",),   # query hit
+        ("https://c.org/article/health",),       # clean
+        ("https://d.org/casino/viagra",),        # leftmost wins
+        (None,),                                  # total on NULL
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["url"]: (r["url_keyword"], r["url_flagged"]) for r in flag_url_keywords(df).collect()}
+    assert got["https://a.org/free-PORN/x"] == ("porn", True)
+    assert got["https://casino.example.org/news"] == ("", False)
+    assert got["https://b.org/p?q=play-slots-now"] == ("slots", True)
+    assert got["https://c.org/article/health"] == ("", False)
+    assert got["https://d.org/casino/viagra"] == ("casino", True)
+    assert got[None] == ("", False)
+
+
+def test_flag_url_keywords_custom_and_validation(spark):
+    import pytest as _pytest
+
+    from dss_plugin_nlp_preparation_spark.operators.urls import flag_url_keywords
+
+    df = spark.createDataFrame([("https://a.org/foo.bar",)], "url string")
+    out = flag_url_keywords(df, keywords=("foo.bar",)).collect()[0]
+    assert out["url_keyword"] == "foo.bar"  # dot is escaped, literal match
+    with _pytest.raises(ValueError):
+        flag_url_keywords(df, keywords=())
