@@ -1083,6 +1083,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", "pub_date", "pub_date_source", "pub_year"
         )
 
+    def q_locale_mismatch(spark, sf_dir):
+        # TLD-vs-language geo-consistency over deterministic hosts (a
+        # 7-TLD cycle incl. generic .com and multilingual .ch that must
+        # never flag) against the documents' real lang column; the
+        # oracle replays the host/TLD regexes and a CASE chain generated
+        # from the module's TLD map
+        from dss_plugin_nlp_preparation_spark.operators.urls import (
+            add_locale_mismatch,
+        )
+
+        i = F.col("doc_id")
+        tld = (
+            F.when(i % 7 == 0, F.lit("de"))
+            .when(i % 7 == 1, F.lit("fr"))
+            .when(i % 7 == 2, F.lit("jp"))
+            .when(i % 7 == 3, F.lit("com"))
+            .when(i % 7 == 4, F.lit("cn"))
+            .when(i % 7 == 5, F.lit("es"))
+            .otherwise(F.lit("ch"))
+        )
+        url = F.concat(
+            F.lit("https://h"), (i % 13).cast("string"), F.lit(".example."),
+            tld, F.lit("/p/"), i.cast("string"),
+        )
+        aug = _docs(spark, sf_dir).select("doc_id", "lang", url.alias("url"))
+        return add_locale_mismatch(aug).select(
+            "doc_id", "lang", "host_tld", "tld_lang", "locale_mismatch"
+        )
+
     def q_url_keywords(spark, sf_dir):
         # Dolma-style URL keyword screen over deterministic urls: path
         # and query hits flag, host-only occurrences must NOT, leftmost
@@ -2760,6 +2789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_resample": q_unimax_resample,
         # -- URL keyword screen (Dolma-style path/query filter) --
         "url_keywords": q_url_keywords,
+        # -- TLD-vs-language geo-consistency signal --
+        "locale_mismatch": q_locale_mismatch,
     }
 
 
@@ -2959,6 +2990,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _URL_KW_ALT = "|".join(_re_mod.escape(k.lower()) for k in _URL_KWS)
+    from dss_plugin_nlp_preparation_spark.operators.urls import (
+        TLD_PRIMARY_LANG as _TLD_MAP,
+    )
+
+    _TLD_CASE_ARMS = " ".join(
+        f"WHEN '{t}' THEN '{lang}'" for t, lang in _TLD_MAP
+    )
 
     p_fwd = _DATES_MOD.META_PUBLISHED_FWD
     p_rev = _DATES_MOD.META_PUBLISHED_REV
@@ -3166,6 +3204,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bad) AS DOUBLE) / count(*) AS spam_frac,
                (CAST(sum(bad) AS DOUBLE) / count(*)) >= 0.25 AS spam_neighbor
         FROM e GROUP BY src_host
+        """,
+        # locale mismatch: same host/TLD regexes + a CASE chain
+        # generated from the shared TLD->language map
+        "locale_mismatch": f"""
+        WITH aug AS (
+          SELECT doc_id, lang,
+                 'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.'
+                 || CASE CAST(doc_id % 7 AS INT)
+                      WHEN 0 THEN 'de' WHEN 1 THEN 'fr' WHEN 2 THEN 'jp'
+                      WHEN 3 THEN 'com' WHEN 4 THEN 'cn' WHEN 5 THEN 'es'
+                      ELSE 'ch' END
+                 || '/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id, lang,
+                 regexp_extract(
+                   lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)),
+                   '\.([a-z0-9-]+)$', 1) AS host_tld
+          FROM aug
+        ),
+        m AS (
+          SELECT *, CASE host_tld {_TLD_CASE_ARMS} END AS tld_lang FROM e
+        )
+        SELECT doc_id, lang, host_tld, tld_lang,
+               (tld_lang IS NOT NULL AND lang IS NOT NULL AND lang != ''
+                AND lang != tld_lang) AS locale_mismatch
+        FROM m
         """,
         # URL keyword screen: same host-strip regex + escaped
         # alternation (imported from the module's keyword list)

@@ -623,3 +623,79 @@ def flag_url_keywords(
     return df.withColumn(f"{prefix}url_keyword", hit).withColumn(
         f"{prefix}url_flagged", hit != F.lit("")
     )
+
+
+# country-code TLDs with ONE dominant web language (multilingual
+# ccTLDs — ch, be, ca, in, za, sg... — are deliberately absent: a
+# mismatch there means nothing)
+TLD_PRIMARY_LANG: tuple[tuple[str, str], ...] = (
+    ("de", "de"), ("at", "de"),
+    ("fr", "fr"),
+    ("es", "es"), ("mx", "es"), ("ar", "es"), ("cl", "es"), ("co", "es"),
+    ("it", "it"),
+    ("pt", "pt"), ("br", "pt"),
+    ("ru", "ru"),
+    ("jp", "ja"),
+    ("cn", "zh"), ("tw", "zh"), ("hk", "zh"),
+    ("kr", "ko"),
+    ("nl", "nl"),
+    ("pl", "pl"),
+    ("se", "sv"),
+    ("no", "no"),
+    ("dk", "da"),
+    ("fi", "fi"),
+    ("gr", "el"),
+    ("tr", "tr"),
+    ("cz", "cs"),
+    ("hu", "hu"),
+    ("ro", "ro"),
+    ("bg", "bg"),
+    ("ua", "uk"),
+    ("il", "he"),
+    ("sa", "ar"), ("eg", "ar"),
+    ("th", "th"),
+    ("vn", "vi"),
+    ("id", "id"),
+)
+
+
+def add_locale_mismatch(
+    df: DataFrame,
+    url_column: str = "url",
+    lang_column: str = "lang",
+    prefix: str = "",
+) -> DataFrame:
+    """Geo-consistency signal: ``host_tld`` (last host label),
+    ``tld_lang`` (the TLD's dominant language when it has one, NULL
+    otherwise) and ``locale_mismatch`` (document language detected,
+    TLD language known, and they differ). A .de host serving Russian
+    is a classic spam-network / hacked-site tell; it is a SIGNAL, not
+    a verdict (expat news sites exist) — combine with host priors.
+
+    Scale shape: host + TLD extraction and a literal CASE chain — one
+    codegen projection, zero shuffle.
+    """
+    host = F.lower(
+        F.regexp_extract(
+            F.coalesce(F.col(url_column), F.lit("")),
+            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)",
+            1,
+        )
+    )
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    expected = None
+    for t, lang in TLD_PRIMARY_LANG:
+        branch = (tld == F.lit(t), F.lit(lang))
+        expected = F.when(*branch) if expected is None else expected.when(*branch)
+    lang_c = F.col(lang_column)
+    mismatch = (
+        expected.isNotNull()
+        & lang_c.isNotNull()
+        & (lang_c != F.lit(""))
+        & (lang_c != expected)
+    )
+    return (
+        df.withColumn(f"{prefix}host_tld", tld)
+        .withColumn(f"{prefix}tld_lang", expected)
+        .withColumn(f"{prefix}locale_mismatch", mismatch)
+    )

@@ -649,3 +649,27 @@ def test_flag_url_keywords_custom_and_validation(spark):
     assert out["url_keyword"] == "foo.bar"  # dot is escaped, literal match
     with _pytest.raises(ValueError):
         flag_url_keywords(df, keywords=())
+
+
+def test_add_locale_mismatch(spark):
+    from dss_plugin_nlp_preparation_spark.operators.urls import add_locale_mismatch
+
+    rows = [
+        ("https://news.example.de/a", "ru"),   # .de serving ru: mismatch
+        ("https://site.fr/b", "fr"),           # consistent
+        ("https://x.example.com/c", "ru"),     # generic TLD: no expectation
+        ("https://y.ch:8080/d", "de"),         # multilingual ccTLD: absent
+        ("https://z.jp/e", None),              # no detected lang: no verdict
+        (None, "en"),                          # total on NULL url
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string")
+    got = {
+        r["url"]: (r["host_tld"], r["tld_lang"], r["locale_mismatch"])
+        for r in add_locale_mismatch(df).collect()
+    }
+    assert got["https://news.example.de/a"] == ("de", "de", True)
+    assert got["https://site.fr/b"] == ("fr", "fr", False)
+    assert got["https://x.example.com/c"] == ("com", None, False)
+    assert got["https://y.ch:8080/d"] == ("ch", None, False)
+    assert got["https://z.jp/e"] == ("jp", "ja", False)
+    assert got[None] == ("", None, False)
