@@ -386,3 +386,66 @@ def test_dedup_paragraphs_matches_pure_replay(spark):
                 if par:
                     assert par not in seen
                     seen.add(par)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=300), st.text(max_size=200))
+def test_date_patterns_total_and_range_validated(html, url):
+    # the publication-date regexes are pure pattern matching: total on
+    # arbitrary unicode, and any capture is a range-validated ISO date
+    # prefix (Python re shares the Java/RE2 subset the patterns use)
+    import re
+
+    from dss_plugin_nlp_preparation_spark.operators.dates import (
+        META_PUBLISHED_FWD,
+        META_PUBLISHED_REV,
+        TIME_DATETIME,
+        URL_DASH_DATE,
+        URL_SLASH_DATE,
+    )
+
+    iso = re.compile(r"^(19|20)\d\d-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$")
+    for pat in (META_PUBLISHED_FWD, META_PUBLISHED_REV, TIME_DATETIME):
+        m = re.search(pat, html)
+        if m:
+            assert iso.match(m.group(1)), (pat, m.group(1))
+    m = re.search(URL_DASH_DATE, url)
+    if m:
+        assert iso.match(m.group(1))
+    m = re.search(URL_SLASH_DATE, url)
+    if m:
+        assert iso.match("-".join(m.groups()))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=10**12),
+    st.integers(min_value=1, max_value=10),
+)
+def test_unimax_water_filling_invariants(avails, budget, epochs):
+    # pure-python replica of the closed form used by unimax_budgets:
+    # budgets never exceed caps, never negative, and sum to
+    # min(total_budget, sum(caps)) up to float tolerance
+    caps = sorted(c * epochs for c in avails)
+    n = len(caps)
+    spent, k = 0, 0
+    for i, cap in enumerate(caps, start=1):
+        if cap * (n - i + 1) <= budget - spent:
+            spent += cap
+            k = i
+        else:
+            break
+    budgets = list(caps[:k])
+    if k < n:
+        even = (budget - spent) / (n - k)
+        budgets += [even] * (n - k)
+        # the loop stopped because cap_k * (n-k) > budget - spent, so the
+        # even split sits strictly below the first uncapped cap
+        assert even < caps[k] + 1e-6 * max(1.0, caps[k])
+        assert even >= 0
+    total = sum(budgets)
+    expect = min(float(budget), float(sum(caps)))
+    assert abs(total - expect) <= 1e-6 * max(1.0, expect)
+    for b, cap in zip(budgets, caps):
+        assert b <= cap + 1e-9 * max(1.0, cap)
