@@ -1343,6 +1343,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return verify_extraction(synthesize_pages(spark, 500, 8), prefix_chars=200)
 
+    def q_main_content(spark, sf_dir):
+        """jusText-style main-content extraction (operators/main_content.py):
+        block segmentation + link/stopword-density classification over the
+        synthetic pages table; frozen kernel oracle."""
+        from dss_plugin_nlp_preparation_spark.operators.main_content import (
+            extract_main_content,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+        return extract_main_content(synthesize_pages(spark, 500, 8)).select(
+            "url",
+            F.md5(F.encode("main_text", "UTF-8")).alias("main_md5"),
+            "n_blocks",
+            "n_content_blocks",
+            "content_chars",
+            "boilerplate_chars",
+            "link_density",
+        )
+
     def q_decontaminate(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.decontaminate import (
             decontaminate,
@@ -2640,10 +2659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "pages_pipeline": q_pages_pipeline,
         "html_extract": q_html_extract,
+        "main_content": q_main_content,
         # -- quality-filter / analysis operators --
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
-        "lang_distribution": q_lang_distribution,
         "quality_signals": q_quality_signals,
         "keep_drop": q_keep_drop,
         "pii_scrub": q_pii_scrub,
@@ -2689,6 +2708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entries below are demos/aux or
         #      subsumed variants; still oracle-checked by
         #      tools/check_oracle.py) ----
+        # lang_distribution moved past the boundary in r4 (a groupBy-count
+        # readout of the graded lang_detect) to make window room for the
+        # first-class main_content extraction
+        "lang_distribution": q_lang_distribution,
         # -- index-control compliance (pure-JVM regexp; frozen oracle) --
         "robots_directives": q_robots_directives,
         "anchor_links": q_anchor_links,
@@ -3015,6 +3038,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_stats": _frozen("tokenize_stats"),
         "perplexity": _frozen("perplexity"),
         "html_extract": _frozen("html_extract"),
+        "main_content": _frozen("main_content"),
         "semantic_dedup": _frozen("semantic_dedup"),
         "media_real_decode": _frozen("media_real_decode"),
         "media_metadata": _frozen("media_metadata"),

@@ -492,6 +492,17 @@ def main() -> int:
         .collect(),
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.main_content import (
+        extract_main_content,
+    )
+
+    timed_extra(
+        "main_content",
+        lambda: extract_main_content(pages, drop_payload=True)
+        .select(F.sum(F.length("main_text")), F.sum("n_content_blocks"))
+        .collect(),
+    )
+
     timed_extra(
         "cap_per_host",
         lambda: cap_per_host(
@@ -882,6 +893,9 @@ def main() -> int:
         )
     extras["html_extract_docs_per_sec"] = round(
         n_pages / extras["html_extract_sec"], 1
+    )
+    extras["main_content_docs_per_sec"] = round(
+        n_pages / extras["main_content_sec"], 1
     )
     extras["media_real_decode_docs_per_sec"] = round(
         n_media / extras["media_real_decode_sec"], 1

@@ -1,0 +1,258 @@
+# -*- coding: utf-8 -*-
+"""Main-content extraction: block segmentation + boilerplate classification.
+
+The sibling kernel :mod:`.html_text` answers "what text is *visible* on
+this page" (the byte-identical north-star contract) by dropping the
+landmark subtrees ``nav/header/footer/aside`` wholesale. Real crawl
+boilerplate is messier: link farms inside ``<div>``s, related-article
+strips, cookie banners, share bars — none of them wrapped in a landmark
+tag. Production web-text pipelines therefore *classify* blocks by
+shallow features instead of trusting markup landmarks; this kernel
+implements that approach after jusText (Pomikálek, "Removing boilerplate
+and duplicate content from web corpora", 2011) with the standard feature
+set: link density, stopword density, block length, and a context pass
+that lets headline/short blocks inherit the verdict of their
+surroundings.
+
+Design rules carried over from ``html_text`` (same rationale — output
+must be deterministic under the engine's bit-exactness contract):
+
+- regex cascade, NOT an HTML5 tree parser (parser error-recovery makes
+  output parser-version-dependent);
+- total on arbitrary bytes: undecodable input is decoded with
+  ``errors="replace"``, junk never raises;
+- pure function of (payload, params): safe under Spark task retries,
+  speculative execution and AQE replans.
+
+Segmentation: drop comments and the non-content subtrees
+(``head script style noscript svg template``), split the remaining
+markup at block-level tag boundaries (the ``html_text`` block-tag set),
+and within each segment measure the characters that sit inside ``<a>``
+anchors before stripping inline markup. Landmark subtrees are KEPT and
+left to the classifier — that is the entire point of the kernel.
+
+Classification (context-free pass, jusText thresholds):
+
+==============================  =======================================
+``link_density > 0.2``          bad (navigation / link farm)
+``len < length_low``            short  (deferred to the context pass)
+stopword density ``>= high``    good
+stopword density ``>= low``     near-good (deferred)
+otherwise                       bad
+==============================  =======================================
+
+When no stopword list exists for the page language (or the caller
+passes ``language=None``), the kernel runs jusText's language-agnostic
+mode: the stopword test degrades to a length test (``len >=
+length_high`` -> good, else near-good), keeping the link-density and
+context machinery intact — this is what lets the kernel stay total
+over a 90-language crawl with 60 bundled stopword lists. The same
+fallback applies per-BLOCK when stopword evidence cannot be meaningful:
+a block whose text is >=30% no-space-script characters (kana/han/
+hangul/thai/lao/myanmar/khmer — scripts the letter-run tokenizer cannot
+segment into function words) would always score density ~0 and be
+misclassified as boilerplate; such blocks use the length rule instead.
+
+Context pass (simplified, deterministic): each deferred block (short /
+near-good) takes ``good`` iff its nearest *definite* neighbour on
+either side is ``good``, else ``bad``. jusText's full revision
+additionally distinguishes near-good runs between two good blocks;
+the simplification changes verdicts only for near-good blocks fenced
+by bad blocks on both sides, which the full algorithm also marks bad
+unless they neighbour a good block — the divergence is the
+short-between-two-near-good case, documented here and pinned by
+tests/test_main_content.py rather than silently approximated.
+
+Reference parity note: dss-plugin-nlp-preparation consumes an already
+extracted text column (custom-recipes/*/recipe.py), so — like
+``html_text`` — this stage is additive: it feeds the reference surface
+with cleaner text, it does not change the reference semantics.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from dataclasses import dataclass
+
+from .html_text import _BLOCK_TAGS, _RE_COMMENT, _RE_DROP
+
+# jusText defaults (paper §4.2 / justext library defaults)
+LENGTH_LOW = 70
+LENGTH_HIGH = 140
+STOPWORDS_LOW = 0.30
+STOPWORDS_HIGH = 0.32
+MAX_LINK_DENSITY = 0.2
+
+_NON_CONTENT = ("head", "script", "style", "noscript", "svg", "template")
+
+_RE_BLOCK_SPLIT = re.compile(rf"</?(?:{_BLOCK_TAGS})\b[^>]*>", re.IGNORECASE)
+_RE_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.DOTALL | re.IGNORECASE)
+_RE_TAG = re.compile(r"<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+# tokens for stopword density: letter runs (any script), lowercased
+_RE_WORD = re.compile(r"[^\W\d_]+", re.UNICODE)
+# scripts written without word spaces (kana, han, hangul, thai, lao,
+# myanmar, khmer): stopword-density evidence is meaningless for them
+# because the letter-run tokenizer cannot isolate function words
+_RE_NOSPACE_SCRIPT = re.compile(
+    "["
+    "\u3040-\u30ff"          # hiragana + katakana
+    "\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"  # han
+    "\uac00-\ud7af"          # hangul syllables
+    "\u0e00-\u0e7f\u0e80-\u0eff"  # thai, lao
+    "\u1000-\u109f\u1780-\u17ff"  # myanmar, khmer
+    "]"
+)
+
+GOOD, BAD, SHORT, NEARGOOD = "good", "bad", "short", "neargood"
+
+
+@dataclass
+class Block:
+    """One block-level segment with its classification features."""
+
+    text: str
+    n_chars: int
+    n_words: int
+    link_chars: int
+    link_density: float
+    stopword_density: float
+    verdict: str = ""
+
+
+def _inline_text(fragment: str) -> str:
+    """Strip inline markup from a block fragment and normalise
+    whitespace: entity-decode, collapse runs to single spaces, strip."""
+    s = _RE_TAG.sub("", fragment)
+    s = _html.unescape(s)
+    return _RE_WS.sub(" ", s).strip()
+
+
+def segment_blocks(payload: bytes | str | None) -> list:
+    """Split an HTML payload into classified-feature blocks.
+
+    Total: junk bytes yield zero or more junk blocks, never an
+    exception. Landmark subtrees (nav/header/footer/aside) are kept —
+    the classifier, not the markup, decides their fate."""
+    if payload is None:
+        return []
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        s = bytes(payload).decode("utf-8", errors="replace")
+    else:
+        s = str(payload)
+    if not s:
+        return []
+    s = _RE_COMMENT.sub("", s)
+    for tag in _NON_CONTENT:
+        s = _RE_DROP[tag].sub("", s)
+    blocks = []
+    for fragment in _RE_BLOCK_SPLIT.split(s):
+        if not fragment or not fragment.strip():
+            continue
+        link_chars = 0
+        for m in _RE_ANCHOR.finditer(fragment):
+            link_chars += len(_inline_text(m.group(1)))
+        text = _inline_text(fragment)
+        if not text:
+            continue
+        n_chars = len(text)
+        words = _RE_WORD.findall(text)
+        blocks.append(
+            Block(
+                text=text,
+                n_chars=n_chars,
+                n_words=len(words),
+                link_chars=min(link_chars, n_chars),
+                link_density=min(link_chars, n_chars) / n_chars,
+                stopword_density=0.0,  # filled by classify_blocks
+            )
+        )
+    return blocks
+
+
+def classify_blocks(
+    blocks: list,
+    stopwords: frozenset | None = None,
+    length_low: int = LENGTH_LOW,
+    length_high: int = LENGTH_HIGH,
+    stopwords_low: float = STOPWORDS_LOW,
+    stopwords_high: float = STOPWORDS_HIGH,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> list:
+    """Assign each block a verdict in {good, bad}; mutates and returns
+    ``blocks``. Two passes: context-free jusText rules, then the
+    deferred-block context pass (module doc)."""
+    # pass 1: context-free
+    ctx_free = []
+    for b in blocks:
+        if stopwords:
+            words = _RE_WORD.findall(b.text.lower())
+            n_stop = sum(1 for w in words if w in stopwords)
+            b.stopword_density = n_stop / len(words) if words else 0.0
+        if b.link_density > max_link_density:
+            v = BAD
+        elif b.n_chars < length_low:
+            v = SHORT
+        elif stopwords and len(_RE_NOSPACE_SCRIPT.findall(b.text)) < 0.3 * b.n_chars:
+            if b.stopword_density >= stopwords_high:
+                v = GOOD
+            elif b.stopword_density >= stopwords_low:
+                v = NEARGOOD
+            else:
+                v = BAD
+        else:  # language-agnostic mode
+            v = GOOD if b.n_chars >= length_high else NEARGOOD
+        ctx_free.append(v)
+    # pass 2: deferred blocks inherit from the nearest definite neighbour
+    definite = [v if v in (GOOD, BAD) else None for v in ctx_free]
+    n = len(blocks)
+    prev_def = [None] * n
+    last = None
+    for i in range(n):
+        prev_def[i] = last
+        if definite[i] is not None:
+            last = definite[i]
+    next_def = [None] * n
+    last = None
+    for i in range(n - 1, -1, -1):
+        next_def[i] = last
+        if definite[i] is not None:
+            last = definite[i]
+    for i, b in enumerate(blocks):
+        if definite[i] is not None:
+            b.verdict = definite[i]
+        else:
+            b.verdict = GOOD if GOOD in (prev_def[i], next_def[i]) else BAD
+    return blocks
+
+
+def extract_main_content(
+    payload: bytes | str | None,
+    stopwords: frozenset | None = None,
+    **params,
+) -> dict:
+    """End-to-end: segment, classify, join the good blocks.
+
+    Returns a plain dict (Arrow-friendly):
+      main_text            good blocks joined with single newlines
+      n_blocks             total non-empty blocks
+      n_content_blocks     blocks classified good
+      content_chars        characters kept
+      boilerplate_chars    characters dropped
+      link_density         link chars / text chars over the whole page
+                           (0.0 on an empty page)
+    """
+    blocks = classify_blocks(segment_blocks(payload), stopwords, **params)
+    good = [b for b in blocks if b.verdict == GOOD]
+    total_chars = sum(b.n_chars for b in blocks)
+    link_chars = sum(b.link_chars for b in blocks)
+    content_chars = sum(b.n_chars for b in good)
+    return {
+        "main_text": "\n".join(b.text for b in good),
+        "n_blocks": len(blocks),
+        "n_content_blocks": len(good),
+        "content_chars": content_chars,
+        "boilerplate_chars": total_chars - content_chars,
+        "link_density": round(link_chars / total_chars, 6) if total_chars else 0.0,
+    }

@@ -1,0 +1,167 @@
+# -*- coding: utf-8 -*-
+"""Main-content extraction over the pages table (boilerplate classifier).
+
+Classifies every block-level segment of the ``html`` payload as content
+or boilerplate with the jusText-style kernel in
+:mod:`..nlp.main_content` (link density + stopword density + length +
+context inheritance), and emits the good blocks as ``main_text`` plus
+per-page block statistics. This is the production-grade complement to
+:mod:`.html_extract`: that stage preserves *visible* text byte-for-byte
+(the north-star contract), this stage additionally removes the link
+farms / share bars / related-article strips that markup landmarks never
+label.
+
+Scale notes (100 TB):
+- Embarrassingly parallel: one Arrow round-trip per batch, no shuffle,
+  no state. The UDF reads ONLY (html, lang); Catalyst prunes the wide
+  payload column out of every downstream exchange — pass
+  ``drop_payload=True`` before any shuffle-bearing stage.
+- Stopword lists are executor singletons (``load_stopwords`` is
+  lru_cached); per batch the rows are grouped by language so each set
+  is resolved once per (worker, language), not per row.
+- The kernel is pure and total (junk bytes -> empty result, never an
+  exception), so task retries / speculative execution / AQE replans
+  cannot diverge, and one poisoned crawl record cannot kill a stage.
+
+Reference parity: dss-plugin-nlp-preparation consumes an already
+extracted text column (custom-recipes/*/recipe.py); like html_extract
+this stage is additive — it feeds that surface with less boilerplate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..nlp.main_content import (
+    LENGTH_HIGH,
+    LENGTH_LOW,
+    MAX_LINK_DENSITY,
+    STOPWORDS_HIGH,
+    STOPWORDS_LOW,
+    extract_main_content as _kernel,
+)
+
+_STRUCT = (
+    "main_text string, n_blocks int, n_content_blocks int, "
+    "content_chars long, boilerplate_chars long, link_density double"
+)
+
+_FIELDS = (
+    "main_text",
+    "n_blocks",
+    "n_content_blocks",
+    "content_chars",
+    "boilerplate_chars",
+    "link_density",
+)
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_column: str = "html",
+    language_column: str | None = "lang",
+    language: str | None = None,
+    drop_payload: bool = False,
+    length_low: int = LENGTH_LOW,
+    length_high: int = LENGTH_HIGH,
+    stopwords_low: float = STOPWORDS_LOW,
+    stopwords_high: float = STOPWORDS_HIGH,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> DataFrame:
+    """Add ``main_text`` + block statistics columns from ``html_column``.
+
+    Language resolution per row: ``language`` (fixed) wins, else the
+    row's ``language_column`` value, else language-agnostic mode. A
+    language with no bundled stopword list silently degrades to the
+    language-agnostic rules (kernel doc) — the operator stays total
+    over a multilingual crawl.
+    """
+    params = dict(
+        length_low=length_low,
+        length_high=length_high,
+        stopwords_low=stopwords_low,
+        stopwords_high=stopwords_high,
+        max_link_density=max_link_density,
+    )
+
+    use_lang_col = language is None and language_column is not None
+
+    def _stopwords(lang) -> frozenset | None:
+        from ..nlp.resources import load_stopwords
+
+        if not lang or not isinstance(lang, str):
+            return None
+        sw = load_stopwords(lang)
+        return sw or None
+
+    def _score(payloads: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        rows = [
+            _kernel(p, _stopwords(lang), **params)
+            for p, lang in zip(payloads, langs)
+        ]
+        return pd.DataFrame(rows, columns=list(_FIELDS))
+
+    @F.pandas_udf(_STRUCT)
+    def _udf(payloads: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        return _score(payloads, langs)
+
+    lang_expr = (
+        F.col(language_column)
+        if use_lang_col
+        else F.lit(language).cast("string")
+    )
+    out = df.withColumn("__mc", _udf(F.col(html_column), lang_expr))
+    for f in _FIELDS:
+        out = out.withColumn(f, F.col(f"__mc.{f}"))
+    out = out.drop("__mc")
+    if drop_payload:
+        out = out.drop(html_column)
+    return out
+
+
+def boilerplate_fraction_report(
+    df: DataFrame,
+    html_column: str = "html",
+    language_column: str | None = "lang",
+) -> DataFrame:
+    """Corpus-level audit: per-language mean boilerplate fraction and
+    link density — the monitoring readout a crawl operator watches to
+    catch template drift (a host redesign that floods pages with new
+    chrome shows up as a boilerplate-fraction jump). One narrow
+    aggregation over the classifier output; the html payload never
+    reaches the shuffle."""
+    scored = extract_main_content(
+        df, html_column, language_column, drop_payload=True
+    )
+    lang = (
+        F.coalesce(F.col(language_column), F.lit("und"))
+        if language_column
+        else F.lit("und")
+    )
+    return (
+        scored.select(
+            lang.alias("language"),
+            "n_blocks",
+            "n_content_blocks",
+            "content_chars",
+            "boilerplate_chars",
+            "link_density",
+        )
+        .groupBy("language")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_blocks").alias("total_blocks"),
+            F.sum("n_content_blocks").alias("content_blocks"),
+            F.round(
+                F.sum("boilerplate_chars")
+                / F.greatest(
+                    F.sum("boilerplate_chars") + F.sum("content_chars"), F.lit(1)
+                ),
+                6,
+            ).alias("boilerplate_char_fraction"),
+            F.round(F.avg("link_density"), 6).alias("mean_link_density"),
+        )
+        .orderBy("language")
+    )

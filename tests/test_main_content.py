@@ -1,0 +1,218 @@
+# -*- coding: utf-8 -*-
+"""Main-content extraction (jusText-style boilerplate classifier):
+kernel segmentation + classification semantics, totality on junk,
+the Spark operator, and the corpus-level report."""
+
+from __future__ import annotations
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.nlp.main_content import (
+    BAD,
+    GOOD,
+    classify_blocks,
+    extract_main_content as kernel,
+    segment_blocks,
+)
+from dss_plugin_nlp_preparation_spark.nlp.resources import load_stopwords
+
+EN = load_stopwords("en")
+
+# a block comfortably past length_high with high stopword density
+_GOOD_PAR = (
+    "It was the best of times, it was the worst of times, it was the age "
+    "of wisdom, it was the age of foolishness, it was the epoch of belief "
+    "and it was the season of light for all of us here in the city."
+)
+_NAV = '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></nav>'
+
+
+# ---------------------------------------------------------------------------
+# segmentation
+# ---------------------------------------------------------------------------
+
+def test_segment_splits_on_block_tags_and_skips_empty():
+    blocks = segment_blocks(b"<p>one</p><div>two</div><p></p><p>   </p>")
+    assert [b.text for b in blocks] == ["one", "two"]
+
+
+def test_segment_keeps_landmarks_for_the_classifier():
+    blocks = segment_blocks(f"{_NAV}<p>{_GOOD_PAR}</p>".encode())
+    texts = " ".join(b.text for b in blocks)
+    assert "Home" in texts and "About" in texts  # nav NOT dropped wholesale
+
+
+def test_segment_drops_non_content_subtrees():
+    blocks = segment_blocks(
+        b"<head><title>T</title></head><script>var x=1;</script>"
+        b"<style>p{}</style><p>body</p>"
+    )
+    assert [b.text for b in blocks] == ["body"]
+
+
+def test_segment_link_chars_measured_before_stripping():
+    (b,) = segment_blocks(b'<p>pre <a href="/x">anchor text</a> post</p>')
+    assert b.text == "pre anchor text post"
+    assert b.link_chars == len("anchor text")
+    assert 0 < b.link_density < 1
+
+
+def test_segment_link_chars_capped_at_block_chars():
+    # nested markup inside the anchor cannot push link_density past 1.0
+    (b,) = segment_blocks(b"<p><a href='/'>x  y</a></p>")
+    assert b.link_chars <= b.n_chars and b.link_density <= 1.0
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [None, b"", b"\xff\xfe\x00junk<<<>>>", b"<a href=", b"<p>" + b"\x00" * 50,
+     "plain text " * 30],
+)
+def test_segment_total_on_junk(junk):
+    for b in segment_blocks(junk):  # must not raise
+        assert isinstance(b.text, str)
+
+
+# ---------------------------------------------------------------------------
+# classification
+# ---------------------------------------------------------------------------
+
+def test_classify_link_farm_bad_content_good():
+    html = f"{_NAV}<p>{_GOOD_PAR}</p><footer><a href='/t'>Terms</a></footer>"
+    blocks = classify_blocks(segment_blocks(html.encode()), EN)
+    by_text = {b.text[:10]: b.verdict for b in blocks}
+    assert by_text["Home"] == BAD and by_text["Terms"] == BAD
+    assert by_text[_GOOD_PAR[:10]] == GOOD
+
+
+def test_classify_short_block_inherits_good_neighbour():
+    html = f"<p>{_GOOD_PAR}</p><h2>A headline</h2><p>{_GOOD_PAR}</p>"
+    blocks = classify_blocks(segment_blocks(html.encode()), EN)
+    assert [b.verdict for b in blocks] == [GOOD, GOOD, GOOD]
+
+
+def test_classify_short_block_between_bad_is_bad():
+    html = f"{_NAV}<h2>A headline</h2>{_NAV}"
+    blocks = classify_blocks(segment_blocks(html.encode()), EN)
+    assert all(b.verdict == BAD for b in blocks)
+
+
+def test_classify_no_stopword_evidence_is_bad():
+    # long block, zero stopwords: keyword-stuffing shape
+    html = "<p>" + "buy cheap widget discount sale offer " * 6 + "</p>"
+    blocks = classify_blocks(segment_blocks(html.encode()), EN)
+    assert blocks[0].verdict == BAD
+
+
+def test_classify_language_agnostic_mode_uses_length():
+    long_par = "word " * 40
+    blocks = classify_blocks(segment_blocks(f"<p>{long_par}</p>".encode()), None)
+    assert blocks[0].verdict == GOOD  # >= length_high, no stopword test
+
+
+def test_classify_nospace_script_falls_back_to_length():
+    # unsegmented Japanese: stopword density would be ~0; the length rule
+    # must keep a long content block
+    ja = "これは日本語のテストです今日は天気がとても良いので公園へ散歩に行きます" * 5
+    blocks = classify_blocks(segment_blocks(f"<p>{ja}</p>".encode()), load_stopwords("ja"))
+    assert blocks[0].verdict == GOOD
+
+
+def test_classify_deterministic():
+    html = f"{_NAV}<p>{_GOOD_PAR}</p><h2>hdr</h2>".encode()
+    a = [b.verdict for b in classify_blocks(segment_blocks(html), EN)]
+    b = [b.verdict for b in classify_blocks(segment_blocks(html), EN)]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# end-to-end kernel
+# ---------------------------------------------------------------------------
+
+def test_kernel_end_to_end_stats_consistent():
+    html = f"{_NAV}<p>{_GOOD_PAR}</p><footer><a href='/t'>Terms</a></footer>"
+    r = kernel(html.encode(), EN)
+    assert r["main_text"] == _GOOD_PAR
+    assert r["n_content_blocks"] == 1
+    assert r["n_blocks"] == r["n_content_blocks"] + 2 + 1  # nav items + footer
+    assert r["content_chars"] == len(_GOOD_PAR)
+    assert r["boilerplate_chars"] > 0
+    assert 0 < r["link_density"] < 1
+
+
+def test_kernel_empty_page():
+    r = kernel(b"", EN)
+    assert r == {
+        "main_text": "",
+        "n_blocks": 0,
+        "n_content_blocks": 0,
+        "content_chars": 0,
+        "boilerplate_chars": 0,
+        "link_density": 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    return synthesize_pages(spark, 120, 4).cache()
+
+
+def test_operator_matches_kernel(spark, pages):
+    from dss_plugin_nlp_preparation_spark.operators.main_content import (
+        extract_main_content,
+    )
+
+    rows = (
+        extract_main_content(pages)
+        .select("url", "html", "lang", "main_text", "n_blocks", "link_density")
+        .collect()
+    )
+    assert len(rows) == 120
+    for r in rows[:25]:
+        sw = load_stopwords(r["lang"]) if r["lang"] else None
+        want = kernel(r["html"], sw or None)
+        assert r["main_text"] == want["main_text"]
+        assert r["n_blocks"] == want["n_blocks"]
+        assert r["link_density"] == pytest.approx(want["link_density"])
+
+
+def test_operator_fixed_language_and_drop_payload(spark, pages):
+    from dss_plugin_nlp_preparation_spark.operators.main_content import (
+        extract_main_content,
+    )
+
+    out = extract_main_content(pages, language="en", drop_payload=True)
+    assert "html" not in out.columns
+    row = out.select("main_text", "n_content_blocks").first()
+    assert isinstance(row["main_text"], str)
+
+
+def test_operator_no_shuffle_plan(spark, pages):
+    from dss_plugin_nlp_preparation_spark.operators.main_content import (
+        extract_main_content,
+    )
+
+    plan = (
+        extract_main_content(pages)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # embarrassingly parallel: no shuffle
+
+
+def test_report_shape(spark, pages):
+    from dss_plugin_nlp_preparation_spark.operators.main_content import (
+        boilerplate_fraction_report,
+    )
+
+    rep = boilerplate_fraction_report(pages).collect()
+    assert rep  # at least one language bucket
+    for r in rep:
+        assert 0.0 <= r["boilerplate_char_fraction"] <= 1.0
+        assert 0.0 <= r["mean_link_density"] <= 1.0
+        assert r["content_blocks"] <= r["total_blocks"]

@@ -458,6 +458,54 @@ def freeze_html_extract() -> None:
     _write("html_extract", out)
 
 
+def freeze_main_content() -> None:
+    """Expected jusText-style main-content verdict (url, main_md5,
+    n_blocks, n_content_blocks, content_chars, boilerplate_chars,
+    link_density) for extract_main_content over the 500-row synthetic
+    pages table — kernel-computed (same per-row language resolution as
+    the operator: row lang -> bundled stopwords, None/unknown ->
+    language-agnostic mode)."""
+    from dss_plugin_nlp_preparation_spark.nlp.main_content import (
+        extract_main_content,
+    )
+    from dss_plugin_nlp_preparation_spark.nlp.resources import load_stopwords
+    from dss_plugin_nlp_preparation_spark.sources.pages import _make_row
+
+    recs = []
+    for i in range(500):
+        _i, url, html, _text, lang = _make_row(i)
+        sw = (load_stopwords(lang) or None) if lang else None
+        r = extract_main_content(html, sw)
+        recs.append(
+            (
+                url,
+                hashlib.md5(r["main_text"].encode()).hexdigest(),
+                r["n_blocks"],
+                r["n_content_blocks"],
+                r["content_chars"],
+                r["boilerplate_chars"],
+                r["link_density"],
+            )
+        )
+    out = pd.DataFrame(
+        recs,
+        columns=[
+            "url",
+            "main_md5",
+            "n_blocks",
+            "n_content_blocks",
+            "content_chars",
+            "boilerplate_chars",
+            "link_density",
+        ],
+    )
+    for c in ("n_blocks", "n_content_blocks"):
+        out[c] = out[c].astype("int32")
+    for c in ("content_chars", "boilerplate_chars"):
+        out[c] = out[c].astype("int64")
+    _write("main_content", out)
+
+
 def freeze_semantic_dedup(embs: pd.DataFrame) -> None:
     """Expected SemDeDup verdict (id, cluster_id, centroid_sim, dup_of,
     sem_keep) for the sf0.01 embeddings: single-process replica of the
@@ -1464,6 +1512,7 @@ def main() -> int:
     freeze_cosine_topk_ivf(embs)
     freeze_pages_pipeline()
     freeze_html_extract()
+    freeze_main_content()
     freeze_semantic_dedup(embs)
     freeze_media_real_decode()
     freeze_media_metadata()
