@@ -120,6 +120,7 @@ def quality_filter_pipeline(
     with_extended_scrub: bool = False,
     with_code_routing: bool = False,
     with_publication_dates: bool = False,
+    with_main_content: bool = False,
 ) -> DataFrame:
     """pages -> pages + lang_detected/effective_lang + signals + keep/drop.
 
@@ -190,6 +191,7 @@ def quality_filter_pipeline(
             with_extended_scrub=with_extended_scrub,
             with_code_routing=with_code_routing,
             with_publication_dates=with_publication_dates,
+            with_main_content=with_main_content,
         )
     if detect_missing_lang:
         # Only unlabeled rows pay the LID UDF: labeled rows feed '' into the
@@ -245,6 +247,7 @@ def quality_filter_pipeline(
         with_extended_scrub=with_extended_scrub,
         with_code_routing=with_code_routing,
         with_publication_dates=with_publication_dates,
+        with_main_content=with_main_content,
     )
 
 
@@ -262,6 +265,7 @@ def _apply_optins(
     with_extended_scrub: bool = False,
     with_code_routing: bool = False,
     with_publication_dates: bool = False,
+    with_main_content: bool = False,
 ) -> DataFrame:
     # opt-in extended signals (defaults off: the graded output schema and
     # the frozen pages_pipeline oracle stay byte-stable). These ANNOTATE —
@@ -339,6 +343,30 @@ def _apply_optins(
                 html_column="__no_html",
                 ts_column=ts,
             ).drop("__no_html")
+    if with_main_content:
+        # jusText-style boilerplate classification of the html payload:
+        # annotates main_text + block stats beside the byte-identical
+        # `text` column (which stays the scoring/keep-drop input — the
+        # north-star contract is untouched); a training-prep caller
+        # selects main_text instead of text downstream. Pages without an
+        # html payload get NULL main_text and zeroed stats so the output
+        # schema is stable either way.
+        if "html" in df.columns:
+            from dss_plugin_nlp_preparation_spark.operators.main_content import (
+                extract_main_content,
+            )
+
+            lang_col = "effective_lang" if "effective_lang" in df.columns else None
+            df = extract_main_content(df, language_column=lang_col)
+        else:
+            df = (
+                df.withColumn("main_text", F.lit(None).cast("string"))
+                .withColumn("n_blocks", F.lit(0))
+                .withColumn("n_content_blocks", F.lit(0))
+                .withColumn("content_chars", F.lit(0).cast("long"))
+                .withColumn("boilerplate_chars", F.lit(0).cast("long"))
+                .withColumn("link_density", F.lit(0.0))
+            )
     if with_extended_scrub:
         # checksum/shape-validated masking (Luhn cards, mod-97 IBANs,
         # leaked credentials) layered over the Stage-E scrubbed_text

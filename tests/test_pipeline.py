@@ -356,3 +356,41 @@ def test_pipeline_publication_dates_optin(spark):
     # default-off keeps the graded schema byte-stable
     base = quality_filter_pipeline(aug, with_perplexity=False)
     assert "pub_date" not in base.columns
+
+
+def test_pipeline_main_content_optin(spark):
+    from dss_plugin_nlp_preparation_spark.nlp.main_content import (
+        extract_main_content as kernel,
+    )
+    from dss_plugin_nlp_preparation_spark.nlp.resources import load_stopwords
+    from dss_plugin_nlp_preparation_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 40, 4)
+    out = quality_filter_pipeline(
+        pages, with_perplexity=False, with_main_content=True
+    )
+    rows = out.select(
+        "url", "html", "effective_lang", "text", "main_text", "n_blocks", "keep"
+    ).collect()
+    assert len(rows) == 40
+    # main_text matches the kernel resolved with the PIPELINE's effective
+    # language (detected when the crawl label was missing)
+    for r in rows[:12]:
+        sw = load_stopwords(r["effective_lang"]) if r["effective_lang"] else None
+        assert r["main_text"] == kernel(r["html"], sw or None)["main_text"]
+    # the scoring/keep-drop input stays the byte-identical `text` column
+    base = {
+        r["url"]: (r["keep"], r["text"])
+        for r in quality_filter_pipeline(pages, with_perplexity=False)
+        .select("url", "keep", "text")
+        .collect()
+    }
+    for r in rows:
+        assert base[r["url"]] == (r["keep"], r["text"])
+    # default-off keeps the graded schema byte-stable
+    assert "main_text" not in quality_filter_pipeline(
+        pages, with_perplexity=False
+    ).columns
