@@ -2599,6 +2599,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang", "log_ppl", "ppl_bucket"
         )
 
+    def q_shuffle_corpus(spark, sf_dir):
+        """Deterministic training-order shuffle (operators/sampling.py:
+        shuffle_corpus): shard + rank are pure functions of (seed, key)
+        via xxhash64 — frozen replay through the pure-Python xxh64."""
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            shuffle_corpus,
+        )
+
+        return shuffle_corpus(_docs(spark, sf_dir), n_shards=8, seed=0).select(
+            "doc_id", "shard", "shuffle_rank"
+        )
+
     def q_pack_sequences(spark, sf_dir):
         from dss_plugin_nlp_preparation_spark.operators.sampling import (
             chunk_documents,
@@ -2712,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # readout of the graded lang_detect) to make window room for the
         # first-class main_content extraction
         "lang_distribution": q_lang_distribution,
+        # -- deterministic training-order shuffle (frozen xxh64 replay) --
+        "shuffle_corpus": q_shuffle_corpus,
         # -- index-control compliance (pure-JVM regexp; frozen oracle) --
         "robots_directives": q_robots_directives,
         "anchor_links": q_anchor_links,
@@ -3039,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity": _frozen("perplexity"),
         "html_extract": _frozen("html_extract"),
         "main_content": _frozen("main_content"),
+        "shuffle_corpus": _frozen("shuffle_corpus"),
         "semantic_dedup": _frozen("semantic_dedup"),
         "media_real_decode": _frozen("media_real_decode"),
         "media_metadata": _frozen("media_metadata"),

@@ -556,3 +556,65 @@ def unimax_mixture_sample(
     return mixture_sample(
         df, budgets, source_column, weight_column, key_column
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    key_column: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: assign every row a shard and
+    a rank within its shard, both pure functions of (key, seed).
+
+    Training-data pipelines end with a global shuffle so no shard is
+    biased toward one crawl/host/language run. ``DataFrame.orderBy(rand())``
+    is wrong twice at scale: a global sort plans a range exchange over
+    100 TB, and a seeded RNG re-deals on every retry/AQE re-plan. This
+    operator instead uses the engine's keyed-decision idiom
+    (deterministic_sample above): ``h = xxhash64(seed, key)`` gives a
+    uniform 64-bit value; ``shard = pmod(h, n_shards)`` places the row;
+    ``shuffle_rank = row_number() over (partition by shard order by h,
+    key)`` orders it. One hash shuffle + per-shard sort — the terasort
+    shape without the range exchange; re-running at any parallelism,
+    any partitioning, any retry schedule deals the identical layout.
+    Changing ``seed`` re-deals the whole corpus.
+
+    The (h, key) sort key makes ranks total even under xxhash64
+    collisions. Skew-free by construction: shards are hash-uniform.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.xxhash64(F.lit(int(seed)).cast("long"), F.col(key_column))
+    out = (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn(
+            "shuffle_rank",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy("__h", key_column)
+            ),
+        )
+        .drop("__h")
+    )
+    return out
+
+
+def write_shuffled(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    key_column: str = "doc_id",
+) -> None:
+    """Materialise :func:`shuffle_corpus` as ``n_shards`` parquet files
+    whose within-file row order IS the shuffled training order
+    (repartition on shard + sortWithinPartitions — the write rides the
+    same single exchange the rank computation plans)."""
+    shuffled = shuffle_corpus(df, n_shards, seed, key_column)
+    (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_rank")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

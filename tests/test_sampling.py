@@ -442,3 +442,89 @@ def test_unimax_mixture_sample_respects_epoch_cap(spark):
     assert per["ta"] == 6
     # en absorbs the slack (~140 weight units = ~14 docs)
     assert 10 <= per["en"] <= 18
+
+
+class TestShuffleCorpus:
+    def _docs(self, spark, n=400, parts=4):
+        return spark.range(0, n, 1, parts).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        )
+
+    def test_layout_is_partitioning_invariant(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            shuffle_corpus,
+        )
+
+        a = shuffle_corpus(self._docs(spark, parts=2), 8, seed=3)
+        b = shuffle_corpus(
+            self._docs(spark, parts=16).repartition(5), 8, seed=3
+        )
+        key = lambda df: {
+            r["doc_id"]: (r["shard"], r["shuffle_rank"])
+            for r in df.select("doc_id", "shard", "shuffle_rank").collect()
+        }
+        assert key(a) == key(b)  # pure function of (seed, key)
+
+    def test_ranks_are_dense_per_shard_and_seed_redeals(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            shuffle_corpus,
+        )
+
+        out = shuffle_corpus(self._docs(spark), 8, seed=0).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["shuffle_rank"])
+        assert set(by_shard) <= set(range(8))
+        for ranks in by_shard.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        other = {
+            (r["doc_id"], r["shard"])
+            for r in shuffle_corpus(self._docs(spark), 8, seed=1).collect()
+        }
+        ours = {(r["doc_id"], r["shard"]) for r in out}
+        assert ours != other  # a different seed re-deals the corpus
+
+    def test_shards_are_balanced(self, spark):
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            shuffle_corpus,
+        )
+
+        sizes = [
+            r["n"]
+            for r in shuffle_corpus(self._docs(spark, n=2000), 8)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        assert len(sizes) == 8
+        assert max(sizes) < 2 * min(sizes)  # hash-uniform, no skew
+
+    def test_write_shuffled_round_trip(self, spark, tmp_path):
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            shuffle_corpus,
+            write_shuffled,
+        )
+
+        path = str(tmp_path / "shuffled")
+        write_shuffled(self._docs(spark), path, n_shards=4, seed=7)
+        back = spark.read.parquet(path)
+        assert back.count() == 400
+        want = {
+            r["doc_id"]: (r["shard"], r["shuffle_rank"])
+            for r in shuffle_corpus(self._docs(spark), 4, seed=7).collect()
+        }
+        got = {
+            r["doc_id"]: (r["shard"], r["shuffle_rank"]) for r in back.collect()
+        }
+        assert got == want
+
+    def test_rejects_bad_shards(self, spark):
+        import pytest as _pytest
+
+        from dss_plugin_nlp_preparation_spark.operators.sampling import (
+            shuffle_corpus,
+        )
+
+        with _pytest.raises(ValueError):
+            shuffle_corpus(self._docs(spark), 0)

@@ -458,6 +458,33 @@ def freeze_html_extract() -> None:
     _write("html_extract", out)
 
 
+def freeze_shuffle_corpus(docs: pd.DataFrame) -> None:
+    """Expected deterministic-shuffle layout (doc_id, shard, shuffle_rank)
+    for shuffle_corpus(n_shards=8, seed=0) over the sf0.01 documents —
+    replayed with the pure-Python xxHash64 (functions/xxh64.py, pinned
+    bit-for-bit against F.xxhash64). Python's % equals Spark's pmod for
+    a positive modulus, and the (h, doc_id) sort key matches the
+    operator's collision-total ordering."""
+    from dss_plugin_nlp_preparation_spark.functions.xxh64 import spark_xxhash64
+
+    n_shards, seed = 8, 0
+    rows = []
+    for doc_id in docs["doc_id"]:
+        h = spark_xxhash64(("long", seed), ("long", int(doc_id)))
+        rows.append((int(doc_id), h % n_shards, h))
+    rows.sort(key=lambda r: (r[1], r[2], r[0]))
+    recs, rank, prev_shard = [], 0, None
+    for doc_id, shard, h in rows:
+        rank = rank + 1 if shard == prev_shard else 1
+        prev_shard = shard
+        recs.append((doc_id, shard, rank))
+    out = pd.DataFrame(recs, columns=["doc_id", "shard", "shuffle_rank"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["shard"] = out["shard"].astype("int32")
+    out["shuffle_rank"] = out["shuffle_rank"].astype("int32")
+    _write("shuffle_corpus", out)
+
+
 def freeze_main_content() -> None:
     """Expected jusText-style main-content verdict (url, main_md5,
     n_blocks, n_content_blocks, content_chars, boilerplate_chars,
@@ -1513,6 +1540,7 @@ def main() -> int:
     freeze_pages_pipeline()
     freeze_html_extract()
     freeze_main_content()
+    freeze_shuffle_corpus(docs)
     freeze_semantic_dedup(embs)
     freeze_media_real_decode()
     freeze_media_metadata()
