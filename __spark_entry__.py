@@ -938,6 +938,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "media_type", "dhash", "image_seen"
         )
 
+    def q_video_near_dup(spark, sf_dir):
+        # perceptual video near-dup: per-frame dHash pigeonhole banding
+        # over the planted-variant clip table (container swap / JPEG
+        # recompression / brightness collide; decoys don't); frozen
+        # all-pairs kernel oracle (exact recall at hamming<=6 < 8 blocks)
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+            video_near_dup,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.media import (
+            synthesize_video_variants,
+        )
+
+        return video_near_dup(synthesize_video_variants(spark, 40))
+
+    def q_dedup_videos(spark, sf_dir):
+        # end-to-end perceptual video dedup with best-copy retention:
+        # per-frame banded pairs -> min-label components -> keep the
+        # largest payload per cluster; frozen union-find replay oracle
+        from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+            dedup_videos,
+        )
+        from dss_plugin_nlp_preparation_spark.sources.media import (
+            synthesize_video_variants,
+        )
+
+        return dedup_videos(synthesize_video_variants(spark, 40))
+
     def q_dedup_images(spark, sf_dir):
         # end-to-end perceptual image dedup with best-copy retention:
         # banded pairs -> min-label components -> keep the largest
@@ -2804,6 +2831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ahash": q_audio_ahash,
         "audio_near_dup": q_audio_near_dup,
         "dedup_images": q_dedup_images,
+        # -- perceptual video dedup (frame-sequence dHash; frozen oracles) --
+        "video_near_dup": q_video_near_dup,
+        "dedup_videos": q_dedup_videos,
         # -- writing-system router (native regexp_count; full SQL replay) --
         "script_mix": q_script_mix,
         # -- temperature-scaled domain rebalancing (share^alpha) --
@@ -3076,6 +3106,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_ahash": _frozen("audio_ahash"),
         "audio_near_dup": _frozen("audio_near_dup"),
         "dedup_images": _frozen("dedup_images"),
+        "video_near_dup": _frozen("video_near_dup"),
+        "dedup_videos": _frozen("dedup_videos"),
         # writing-system mix: the same \x{..}-range classes (Java/RE2
         # common subset) counted via regexp_extract_all; dominance CASE
         # mirrors the operator's first-wins order exactly

@@ -772,6 +772,20 @@ def main() -> int:
         lambda: image_near_dup(imgs, max_hamming=6).count(),
     )
 
+    # perceptual video dedup: per-frame dHash signatures + positionally-
+    # aligned pigeonhole banding over a 1000-clip variant table
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import video_near_dup
+    from dss_plugin_nlp_preparation_spark.sources.media import (
+        synthesize_video_variants,
+    )
+
+    vids = synthesize_video_variants(spark, 200, int(CPUS)).persist()
+    vids.count()
+    timed_extra(
+        "video_near_dup",
+        lambda: video_near_dup(vids).count(),
+    )
+
     # crawl-ops set: leakage-safe split, snapshot diff, categorical-mix
     # drift, per-reason audit samples (all pure codegen / tiny-relation
     # shapes — included for regression visibility, not cost)

@@ -29,6 +29,7 @@ __all__ = [
     "dhash64",
     "decode_image",
     "dhash_of_payload",
+    "video_frame_hashes",
     "hamming64",
     "audio_envelope_hash",
     "ahash_of_payload",
@@ -160,6 +161,52 @@ def audio_envelope_hash(samples: np.ndarray, n_windows: int = 65) -> int:
     if v >= 1 << 63:
         v -= 1 << 64
     return v
+
+
+def video_frame_hashes(payload: bytes, n_frames: int = 4):
+    """bytes -> list of ``n_frames`` signed-64 frame dHashes for the
+    multi-frame containers the in-repo codecs decode (FRMS, animated
+    GIF), else None. The video analogue of :func:`dhash_of_payload`:
+    sample ``n_frames`` evenly spaced frames by the same deterministic
+    integer index math as ``sample_frames_payload`` and fingerprint each
+    with :func:`dhash64`.
+
+    A re-served video — the same clip re-encoded into another container
+    or with per-frame recompression/brightness shifts — keeps each
+    sampled frame within a small Hamming distance, so per-frame
+    pigeonhole banding (operators/multimodal.py:video_near_dup) finds it
+    without an all-pairs join. Total: malformed payloads, non-video
+    formats, and containers with an undecodable sampled frame all return
+    None, never raise."""
+    import struct as _struct
+
+    from dss_plugin_nlp_preparation_spark.media import (
+        decode_frames,
+        decode_gif,
+        detect_media_type,
+    )
+
+    t = detect_media_type(payload)
+    try:
+        if t == "frames":
+            frames = decode_frames(payload)
+            if not frames:
+                return None
+            picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
+            hashes = [dhash_of_payload(f) for f in picks]
+        elif t == "gif":
+            frames = decode_gif(payload)
+            if not frames:
+                return None
+            picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
+            hashes = [dhash64(f) for f in picks]
+        else:
+            return None
+    except (ValueError, _struct.error, ZeroDivisionError, OverflowError, IndexError):
+        return None
+    if any(h is None for h in hashes):
+        return None
+    return hashes
 
 
 def ahash_of_payload(payload: bytes):

@@ -739,3 +739,203 @@ def dedup_images(
         "image_keep", F.lit(True)
     )
     return clustered.select(*cols).unionByName(singletons.select(*cols))
+
+
+VIDEO_FP_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("media_type", StringType()),
+        StructField("frame_hashes", ArrayType(LongType())),
+    ]
+)
+
+
+def video_fingerprint(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+    n_frames: int = 4,
+) -> DataFrame:
+    """mapInPandas: (url, media_type, frame_hashes[n_frames]) — one
+    signed-64 dHash per evenly-sampled frame of a multi-frame container
+    (FRMS, animated GIF), NULL for non-video/undecodable payloads.
+
+    The video member of the fingerprint family (:func:`image_dhash`,
+    :func:`audio_ahash`): the blob is consumed inside the Arrow batch
+    and pruned, so downstream dedup shuffles ``n_frames * 8`` bytes per
+    video, not the video. The kernel (``media/phash.py:
+    video_frame_hashes``) is pure integer arithmetic — bit-identical on
+    any machine, shareable with a frozen oracle and a cross-crawl
+    incremental index."""
+    from dss_plugin_nlp_preparation_spark.media import detect_media_type
+    from dss_plugin_nlp_preparation_spark.media.phash import video_frame_hashes
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_column]
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_column].astype(str),
+                    "media_type": [
+                        detect_media_type(p) or "binary" for p in payloads
+                    ],
+                    "frame_hashes": [
+                        video_frame_hashes(p, n_frames) for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(url_column, payload_column).mapInPandas(_fp, VIDEO_FP_SCHEMA)
+
+
+def video_near_dup(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+    n_frames: int = 4,
+    max_hamming: int = 6,
+    min_matching_frames: int = 3,
+    n_blocks: int = 8,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, n_matching_frames): perceptual video near-duplicates
+    — two videos match when at least ``min_matching_frames`` of their
+    ``n_frames`` positionally-aligned sampled frames are within
+    ``max_hamming`` bits of each other. A re-served clip (container
+    re-encode, per-frame recompression, brightness shift) keeps each
+    sampled frame's dHash close, so it collides; unrelated clips share
+    no frame.
+
+    100 TB shape — per-frame pigeonhole banding, never all-pairs:
+    fingerprints (blob pruned in the Arrow batch) -> posexplode to one
+    row per sampled frame -> split each 64-bit frame hash into
+    ``n_blocks`` blocks -> bucket on (frame_index, block_id, block_val)
+    with a window-count cap BEFORE collect_set (a degenerate bucket —
+    e.g. all-black frames — is dropped, bounded memory) -> in-bucket
+    upper-triangle pairs verified by JVM ``bit_count`` (exact recall for
+    per-frame hamming <= n_blocks-1) -> distinct matched (pair, frame)
+    -> one count aggregation. Everything shuffled is ids + small ints.
+    """
+    from pyspark.sql import Window
+
+    assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
+    block_bits = 64 // n_blocks
+    mask = (1 << block_bits) - 1
+    fps = video_fingerprint(df, payload_column, url_column, n_frames)
+    frames = fps.where(F.col("frame_hashes").isNotNull()).select(
+        "url", F.posexplode("frame_hashes").alias("fidx", "fh")
+    )
+    blocks = frames.select(
+        "url",
+        "fidx",
+        "fh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("fh"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("url", "fidx", "fh", "b.block_id", "b.block_val")
+    w = Window.partitionBy("fidx", "block_id", "block_val")
+    kept = blocks.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)
+    )
+    grouped = kept.groupBy("fidx", "block_id", "block_val").agg(
+        F.sort_array(F.collect_set(F.struct("url", "fh"))).alias("items")
+    )
+    matched = (
+        grouped.select(
+            "fidx",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("items"), i + 2, F.size("items")),
+                            lambda b: F.struct(
+                                a["url"].alias("id_a"),
+                                b["url"].alias("id_b"),
+                                F.bit_count(
+                                    a["fh"].bitwiseXOR(b["fh"])
+                                ).alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .where(F.col("p.hamming") <= max_hamming)
+        .select("p.id_a", "p.id_b", "fidx")
+        .distinct()
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matching_frames"))
+        .where(F.col("n_matching_frames") >= min_matching_frames)
+    )
+
+
+def dedup_videos(
+    df: DataFrame,
+    payload_column: str = "payload",
+    url_column: str = "url",
+    n_frames: int = 4,
+    max_hamming: int = 6,
+    min_matching_frames: int = 3,
+    n_blocks: int = 8,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """End-to-end perceptual video dedup with best-copy retention:
+    (url, media_type, byte_len, cluster_id, video_keep) per input row —
+    the video analogue of :func:`dedup_images`. Near-dup clusters keep
+    the LARGEST payload (highest-fidelity copy), ties toward the
+    smallest url; unclustered rows keep themselves (cluster_id NULL).
+
+    Composition is entirely existing scale shapes:
+    :func:`video_near_dup` (per-frame banding, capped buckets) ->
+    min-label connected components -> one ``min_by`` aggregation per
+    cluster + a never-amplifying flag join back.
+    """
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        connected_components,
+        flag_best_in_cluster,
+    )
+
+    fps = video_fingerprint(df, payload_column, url_column, n_frames)
+    sizes = df.select(
+        F.col(url_column).alias("url"),
+        F.length(F.col(payload_column)).cast("long").alias("byte_len"),
+    )
+    base = fps.select("url", "media_type").join(sizes, "url")
+    pairs = video_near_dup(
+        df,
+        payload_column,
+        url_column,
+        n_frames=n_frames,
+        max_hamming=max_hamming,
+        min_matching_frames=min_matching_frames,
+        n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size,
+    )
+    cc = connected_components(pairs).select(
+        F.col("id").alias("url"), F.col("component").alias("cluster_id")
+    )
+    labeled = base.join(cc, "url", "left")
+    cols = ["url", "media_type", "byte_len", "cluster_id", "video_keep"]
+    clustered = flag_best_in_cluster(
+        labeled.where(F.col("cluster_id").isNotNull()),
+        quality_column="byte_len",
+        cluster_column="cluster_id",
+        id_column="url",
+    ).withColumnRenamed("keep_best", "video_keep")
+    singletons = labeled.where(F.col("cluster_id").isNull()).withColumn(
+        "video_keep", F.lit(True)
+    )
+    return clustered.select(*cols).unionByName(singletons.select(*cols))

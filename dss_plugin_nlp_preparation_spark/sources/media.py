@@ -282,3 +282,88 @@ def synthesize_audio_variants(
     return spark.range(0, n_groups * N_AUDIO_VARIANTS, 1, partitions).mapInPandas(
         _gen, _SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video-variant table: planted perceptual near-duplicates
+# ---------------------------------------------------------------------------
+
+N_VIDEO_VARIANTS = 5
+_VIDEO_N_FRAMES = 4
+
+
+def _video_base_frames(group: int) -> list:
+    """4 frames of 36x36x3 uint8 for a group: each frame a 9x9 grid of
+    4x4 constant-color cells, colors drawn from a 64-entry per-group
+    palette via chained md5. The 4-px cells align with the dHash 9x8
+    sample grid (every luma sample lands in a distinct cell — same
+    geometry as ``_variant_base``), so JPEG q85 noise cannot flip
+    cell-interior comparisons; the shared palette caps the whole clip at
+    64 distinct colors, so the animated-GIF re-encode round-trips its
+    exact palette (lossless — frame dHashes identical across
+    containers)."""
+    palette = _seed_bytes(3_500_000 + group, 64 * 3).reshape(64, 3)
+    frames = []
+    for f in range(_VIDEO_N_FRAMES):
+        idx = _seed_bytes(3_000_000 + group * 17 + f, 9 * 9) % 64
+        cells = palette[idx].reshape(9, 9, 3)
+        frames.append(np.repeat(np.repeat(cells, 4, axis=0), 4, axis=1))
+    return frames
+
+
+def make_video_variant(video_id: int) -> bytes:
+    """The payload for video_id — group ``video_id // 5``, variant
+    ``video_id % 5``; shared by the Spark synthesizer and the frozen
+    oracle kernel, like :func:`make_image_variant`.
+
+    Variants of a group's 4-frame base clip:
+      0. FRMS container of BMP frames
+      1. animated GIF of the SAME frames — exact-palette re-encode,
+         frame dHashes identical to 0 (container swap)
+      2. brightness +6 (clipped) FRMS/BMP — per-frame dHash within a
+         bit or two (global shift cancels in the gradient)
+      3. FRMS of JPEG q85 frames — small per-frame Hamming distance
+      4. unrelated clip (different seed chain) — far from everything
+    """
+    g, v = video_id // N_VIDEO_VARIANTS, video_id % N_VIDEO_VARIANTS
+    frames = _video_base_frames(g)
+    if v == 0:
+        return encode_frames([encode_bmp(f) for f in frames])
+    if v == 1:
+        return encode_gif(frames, delays_cs=[10] * len(frames))
+    if v == 2:
+        return encode_frames(
+            [
+                encode_bmp(np.minimum(f.astype(np.int32) + 6, 255).astype(np.uint8))
+                for f in frames
+            ]
+        )
+    if v == 3:
+        return encode_frames([encode_jpeg(f, quality=85) for f in frames])
+    return encode_frames(
+        [encode_bmp(f) for f in _video_base_frames(8_000_000 + g)]
+    )
+
+
+def synthesize_video_variants(
+    spark: SparkSession, n_groups: int = 40, partitions: int = 8
+) -> DataFrame:
+    """(media_id, url, payload) with ``5 * n_groups`` rows — each group a
+    4-frame base clip plus container/recompression/brightness variants
+    and one unrelated decoy (see :func:`make_video_variant`). The
+    video-dedup test/gate relation."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "url": [f"https://video.example.org/item/{i}" for i in ids],
+                    "payload": [bytearray(make_video_variant(i)) for i in ids],
+                }
+            )
+
+    return spark.range(0, n_groups * N_VIDEO_VARIANTS, 1, partitions).mapInPandas(
+        _gen, _SCHEMA
+    )

@@ -1,0 +1,173 @@
+# -*- coding: utf-8 -*-
+"""Perceptual video dedup (media/phash.py:video_frame_hashes +
+operators/multimodal.py: video_fingerprint / video_near_dup /
+dedup_videos).
+
+The reference plugin has no media operators (its scope is text —
+/root/reference/python-lib/); these complete the multimodal dedup
+family (image dHash, audio envelope hash) for the video payloads a
+100 TB crawl table carries: per-frame dHash signatures matched by
+positionally-aligned pigeonhole banding, never an all-pairs join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dss_plugin_nlp_preparation_spark.media import (
+    encode_bmp,
+    encode_frames,
+    encode_gif,
+    encode_png,
+)
+from dss_plugin_nlp_preparation_spark.media.phash import (
+    hamming64,
+    video_frame_hashes,
+)
+from dss_plugin_nlp_preparation_spark.sources.media import (
+    N_VIDEO_VARIANTS,
+    _video_base_frames,
+    make_video_variant,
+    synthesize_video_variants,
+)
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def test_video_frame_hashes_container_swap_identical():
+    """FRMS-of-BMP and animated-GIF re-encodes of the same frames hash
+    identically (exact-palette GIF round-trip, integer dHash)."""
+    frames = _video_base_frames(3)
+    h_frms = video_frame_hashes(encode_frames([encode_bmp(f) for f in frames]))
+    h_gif = video_frame_hashes(encode_gif(frames, delays_cs=[10] * len(frames)))
+    assert h_frms == h_gif
+    assert len(h_frms) == 4
+
+
+def test_video_frame_hashes_total_on_junk():
+    assert video_frame_hashes(b"") is None
+    assert video_frame_hashes(b"not a video at all") is None
+    # valid magic, malformed body: must return None, never raise
+    assert video_frame_hashes(b"FRMS\xff\xff\xff\xff") is None
+    assert video_frame_hashes(b"GIF89a\x01") is None
+    # a still image is not a video
+    assert video_frame_hashes(encode_png(_video_base_frames(0)[0])) is None
+
+
+def test_video_frame_hashes_samples_evenly():
+    """8-frame container sampled at n_frames=4 picks frames 0,2,4,6."""
+    frames = [_video_base_frames(g)[0] for g in range(8)]
+    payload = encode_frames([encode_bmp(f) for f in frames])
+    hs = video_frame_hashes(payload, n_frames=4)
+    singles = [
+        video_frame_hashes(encode_frames([encode_bmp(f), encode_bmp(f)]))[0]
+        for f in frames
+    ]
+    assert hs == [singles[0], singles[2], singles[4], singles[6]]
+
+
+def test_variant_table_distances():
+    """Planted variants: container swap and brightness are 0-2 bits per
+    frame, JPEG q85 within 6, decoys far on every frame."""
+    for g in range(6):
+        hs = [
+            video_frame_hashes(make_video_variant(g * N_VIDEO_VARIANTS + v))
+            for v in range(N_VIDEO_VARIANTS)
+        ]
+        for v in (1, 2, 3):
+            assert max(hamming64(a, b) for a, b in zip(hs[0], hs[v])) <= 6, (g, v)
+        assert min(hamming64(a, b) for a, b in zip(hs[0], hs[4])) > 12, g
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def video_variants(spark):
+    return synthesize_video_variants(spark, 8).cache()
+
+
+def test_video_fingerprint_matches_kernel(spark, video_variants):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import (
+        video_fingerprint,
+    )
+
+    rows = {
+        r["url"]: r for r in video_fingerprint(video_variants, "payload").collect()
+    }
+    assert len(rows) == 8 * N_VIDEO_VARIANTS
+    for i in range(8 * N_VIDEO_VARIANTS):
+        url = f"https://video.example.org/item/{i}"
+        expected = video_frame_hashes(make_video_variant(i))
+        assert list(rows[url]["frame_hashes"]) == expected, i
+
+
+def test_video_near_dup_exact_recall_no_false_positives(spark, video_variants):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import video_near_dup
+
+    pairs = video_near_dup(video_variants).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(got) == len(pairs)  # no duplicate pairs
+
+    def gid(u):
+        return int(u.rsplit("/", 1)[1]) // N_VIDEO_VARIANTS
+
+    def vid(u):
+        return int(u.rsplit("/", 1)[1]) % N_VIDEO_VARIANTS
+
+    # exactly the 6 within-group pairs of variants {0,1,2,3} per group
+    assert len(got) == 8 * 6
+    for a, b in got:
+        assert gid(a) == gid(b)
+        assert vid(a) != 4 and vid(b) != 4
+        assert a < b  # engine orientation: lexicographic
+    # container-swap pair matches on every sampled frame
+    by_pair = {(r["id_a"], r["id_b"]): r["n_matching_frames"] for r in pairs}
+    u0 = "https://video.example.org/item/0"
+    u1 = "https://video.example.org/item/1"
+    assert by_pair[(u0, u1)] == 4
+
+
+def test_video_near_dup_skips_null_fingerprints(spark):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import video_near_dup
+
+    frames = _video_base_frames(11)
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(encode_frames([encode_bmp(f) for f in frames]))),
+            ("b", bytearray(encode_gif(frames, delays_cs=[10] * 4))),
+            ("junk", bytearray(b"FRMS\xff\xff\xff\xff")),
+            ("still", bytearray(encode_png(frames[0]))),
+        ],
+        "url string, payload binary",
+    )
+    pairs = video_near_dup(df).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b")}
+
+
+def test_dedup_videos_keeps_largest_copy(spark, video_variants):
+    from dss_plugin_nlp_preparation_spark.operators.multimodal import dedup_videos
+
+    rows = dedup_videos(video_variants).collect()
+    assert len(rows) == 8 * N_VIDEO_VARIANTS
+    clusters: dict = {}
+    for r in rows:
+        i = int(r["url"].rsplit("/", 1)[1])
+        if i % N_VIDEO_VARIANTS == 4:
+            assert r["cluster_id"] is None and r["video_keep"] is True, r
+        else:
+            assert r["cluster_id"] is not None, r
+            clusters.setdefault(r["cluster_id"], []).append(r)
+    assert len(clusters) == 8
+    for label, members in clusters.items():
+        assert len(members) == 4
+        # label = min member url; keeper = unique max-byte_len member
+        assert label == min(m["url"] for m in members)
+        keepers = [m for m in members if m["video_keep"]]
+        assert len(keepers) == 1
+        top = max(members, key=lambda m: (m["byte_len"], m["url"] == keepers[0]["url"]))
+        assert keepers[0]["byte_len"] == max(m["byte_len"] for m in members)

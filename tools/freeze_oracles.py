@@ -1521,6 +1521,122 @@ def freeze_warc_ingest() -> None:
     _write("warc_ingest", out)
 
 
+def freeze_video_near_dup() -> None:
+    """Expected (id_a, id_b, n_matching_frames) over the 200-row
+    video-variant table at the operator defaults (4 sampled frames,
+    per-frame hamming <= 6, >= 3 matching frames): all-pairs per-frame
+    hamming via the SAME make_video_variant/video_frame_hashes kernels
+    the Spark operator runs. The engine's per-frame pigeonhole banding
+    (8 blocks, bucket cap 1024) has exact recall for hamming <= 7 and no
+    bucket here approaches the cap, so the banded result equals this
+    all-pairs filter; pair orientation matches sort_array(struct(url,
+    fh)) ordering (unique ASCII urls -> plain lexicographic)."""
+    from dss_plugin_nlp_preparation_spark.media.phash import (
+        hamming64,
+        video_frame_hashes,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import make_video_variant
+
+    hs = sorted(
+        (
+            f"https://video.example.org/item/{i}",
+            video_frame_hashes(make_video_variant(i)),
+        )
+        for i in range(200)
+    )
+    recs = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            m = sum(
+                1
+                for a, b in zip(hs[i][1], hs[j][1])
+                if hamming64(a, b) <= 6
+            )
+            if m >= 3:
+                recs.append((hs[i][0], hs[j][0], m))
+    out = pd.DataFrame(recs, columns=["id_a", "id_b", "n_matching_frames"])
+    out["n_matching_frames"] = out["n_matching_frames"].astype("int32")
+    _write("video_near_dup", out)
+
+
+def freeze_dedup_videos() -> None:
+    """Expected (url, media_type, byte_len, cluster_id, video_keep) over
+    the video-variant table: union-find over the all-pairs >=3-matching-
+    frames graph (== the engine's banded pairs by exact recall),
+    component label = min member url, representative = max byte_len with
+    min-url tie-break — same replay shape as freeze_dedup_images."""
+    from dss_plugin_nlp_preparation_spark.media import detect_media_type
+    from dss_plugin_nlp_preparation_spark.media.phash import (
+        hamming64,
+        video_frame_hashes,
+    )
+    from dss_plugin_nlp_preparation_spark.sources.media import make_video_variant
+
+    items = []
+    for i in range(200):
+        p = make_video_variant(i)
+        items.append(
+            (
+                f"https://video.example.org/item/{i}",
+                detect_media_type(p) or "binary",
+                video_frame_hashes(p),
+                len(p),
+            )
+        )
+    parent = {u: u for u, _, _, _ in items}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            m = sum(
+                1
+                for a, b in zip(items[i][2], items[j][2])
+                if hamming64(a, b) <= 6
+            )
+            if m >= 3:
+                union(items[i][0], items[j][0])
+    comp: dict = {}
+    for u, _, _, _ in items:
+        comp.setdefault(find(u), []).append(u)
+    cluster_of = {}
+    rep_of = {}
+    for members in comp.values():
+        if len(members) < 2:
+            continue
+        label = min(members)
+        by_url = {u: next(it for it in items if it[0] == u) for u in members}
+        rep = min(members, key=lambda u: (-by_url[u][3], u))
+        for u in members:
+            cluster_of[u] = label
+            rep_of[u] = rep
+    recs = [
+        (
+            u,
+            t,
+            n,
+            cluster_of.get(u),
+            cluster_of.get(u) is None or rep_of[u] == u,
+        )
+        for u, t, _, n in items
+    ]
+    out = pd.DataFrame(
+        recs,
+        columns=["url", "media_type", "byte_len", "cluster_id", "video_keep"],
+    )
+    out["byte_len"] = out["byte_len"].astype("int64")
+    _write("dedup_videos", out)
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -1565,6 +1681,8 @@ def main() -> int:
     freeze_audio_ahash()
     freeze_audio_near_dup()
     freeze_dedup_images()
+    freeze_video_near_dup()
+    freeze_dedup_videos()
     return 0
 
 
