@@ -504,6 +504,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.where("vec_id = 0").select("embedding").collect()[0][0]
         return cosine_topk_ivf(emb, qvec, centroids, k=10, n_probe=4)
 
+    def q_pq_encode(spark, sf_dir):
+        # product quantization: 64-dim float vectors -> 4 codes of 4 bits'
+        # worth each (m=4 subspaces x k=16 md5-sampled codewords) — the
+        # compressed-embedding store ANN queries scan at 100 TB; frozen
+        # oracle runs the SAME pq_encode_kernel numpy ops on the same rows
+        from dss_plugin_nlp_preparation_spark.operators.similarity import (
+            pick_pq_codebooks,
+            pq_encode,
+        )
+
+        emb = _embs(spark, sf_dir)
+        return pq_encode(emb, pick_pq_codebooks(emb, m=4, k=16))
+
+    def q_pq_topk(spark, sf_dir):
+        # ADC top-k over the PQ codes table: m element_at lookups on
+        # literal query tables + TakeOrderedAndProject — the scan never
+        # touches a vector; frozen oracle replays the same LUT + sum
+        from dss_plugin_nlp_preparation_spark.operators.similarity import (
+            pick_pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        emb = _embs(spark, sf_dir)
+        cb = pick_pq_codebooks(emb, m=4, k=16)
+        qvec = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+        return pq_topk(pq_encode(emb, cb), qvec, cb, k=10)
+
     def q_char_class_stats(spark, sf_dir):
         d = _docs(spark, sf_dir)
         text = F.coalesce(F.col("text"), F.lit(""))
@@ -573,6 +601,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return add_bpe_token_count(_docs(spark, sf_dir)).select(
             "doc_id", "n_bpe_tokens"
         )
+
+    def q_tokenizer_fertility(spark, sf_dir):
+        # per-language tokenizer fertility (BPE tokens/word, bytes/token):
+        # the training-mix diagnostic for token-budgeted samplers — one
+        # Arrow BPE pass + one map-side-combinable groupBy on lang;
+        # frozen oracle replays the same BPE kernel + Java-ASCII split
+        from dss_plugin_nlp_preparation_spark.operators.tokenize import (
+            tokenizer_fertility,
+        )
+
+        return tokenizer_fertility(_docs(spark, sf_dir))
 
     def q_perplexity_bigram(spark, sf_dir):
         # KenLM-style two-pass job: train the bigram LM on the corpus, then
@@ -2715,6 +2754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_ivf": q_cosine_topk_ivf,
+        # -- product quantization ANN (codes table + ADC; frozen oracles) --
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "duplicate_spans": q_duplicate_spans,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -2731,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_report": q_corpus_prep_report,
         "quality_classifier": q_quality_classifier,
         "bpe_token_count_v2": q_bpe_token_count_v2,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "perplexity_bigram": q_perplexity_bigram,
         "perplexity_kn": q_perplexity_kn,
         "perplexity_buckets": q_perplexity_buckets,
@@ -3092,7 +3135,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _frozen("embedding_near_dup"),
         "pages_pipeline": _frozen("pages_pipeline"),
         "bpe_token_count_v2": _frozen("bpe_token_count_v2"),
+        # fertility: BPE is kernel-only — frozen replay of the same
+        # tokenizer + Java-ASCII word split + HALF_UP ratio rounding
+        "tokenizer_fertility": _frozen("tokenizer_fertility"),
         "cosine_topk_ivf": _frozen("cosine_topk_ivf"),
+        # PQ: md5-sampled codebooks + numpy kernel — frozen replay of the
+        # shared pq_encode_kernel / pq_adc_table on the same parquet rows
+        "pq_encode": _frozen("pq_encode"),
+        "pq_topk": _frozen("pq_topk"),
         "dedup_paragraphs": _frozen("dedup_paragraphs"),
         "extract_links": _frozen("extract_links"),
         "host_in_degree": _frozen("host_in_degree"),

@@ -384,6 +384,19 @@ def main() -> int:
     timed_extra("near_dup_clusters", lambda: near_dup_clusters(docs).where("is_canonical").count())
     timed_extra("simhash_near_dup", lambda: simhash_near_dup(docs).count())
     timed_extra("embedding_near_dup", lambda: embedding_near_dup(embs, min_cosine=0.25).count())
+    # PQ: encode the whole embeddings table to 4 codes + one ADC top-k
+    # over the codes (the compressed-store ANN path; scan reads 4 ints/row)
+    from dss_plugin_nlp_preparation_spark.operators.similarity import (
+        pick_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    pq_cb = pick_pq_codebooks(embs, m=4, k=16)
+    timed_extra(
+        "pq_encode_topk",
+        lambda: pq_topk(pq_encode(embs, pq_cb), qvec, pq_cb, k=10).collect(),
+    )
     timed_extra(
         "perplexity_bigram",
         lambda: add_perplexity_bigram(docs, train_bigram_lm(docs))

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -318,3 +320,151 @@ def embedding_near_dup(
         )
     )
     return verified.where(F.col("cosine") >= min_cosine)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-embedding scale path
+# ---------------------------------------------------------------------------
+#
+# At 100 TB an embedding store of float32[768] is ~3 KB/vector; PQ codes it
+# into m bytes (m=4..16) by splitting each vector into m subspaces and
+# replacing every subvector with the id of its nearest codeword from a
+# k-entry per-subspace codebook. Queries score candidates with ADC
+# (asymmetric distance computation): one m*k lookup table built driver-side
+# from the query, then each candidate's distance is m table lookups — the
+# scan over the codes table is pure whole-stage codegen, reads m ints per
+# row instead of the vector, and ends in TakeOrderedAndProject. Combine
+# with ivf_assign/partition-by-list_id for IVF-PQ: probe p lists, ADC-scan
+# only their codes.
+
+
+def pick_pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> list:
+    """Deterministic per-subspace codebooks: the ``k`` dataset vectors with
+    the smallest md5(id) (the same no-RNG uniform sample as
+    :func:`pick_ivf_centroids`), each sliced into ``m`` equal subvectors —
+    codebooks[s][j] = sample j's subspace-s slice. (Production path: refine
+    per-subspace with Lloyd iterations via the quantised-sum pattern in
+    operators/semantic.py; every op below only needs the codeword lists.)
+    One bounded driver collect; codebooks ship to executors inside the
+    encode UDF closure (one Arrow-serialized matrix per executor)."""
+    rows = (
+        df.select(
+            F.md5(F.col(id_column).cast("string")).alias("__h"),
+            F.col(embedding_column).cast("array<double>").alias("__v"),
+        )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    dim = len(rows[0]["__v"])
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return [
+        [list(r["__v"])[s * d_sub : (s + 1) * d_sub] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode_kernel(V, codebooks: list):
+    """THE encoder — shared verbatim by the distributed operator, the
+    frozen-oracle kernel (tools/freeze_oracles.py) and the tests, so Spark
+    and oracle execute the same float ops on the same values (the
+    assign_kernel convention, operators/semantic.py:70): squared L2 from
+    every subvector to every codeword via numpy's fixed pairwise-summation
+    reduce (no BLAS dispatch -> machine-independent), argmin with
+    first-min tie-break (= smallest code). Returns an (n, m) int32 code
+    matrix."""
+    V = np.asarray(V, dtype=np.float64)
+    m = len(codebooks)
+    d_sub = V.shape[1] // m
+    codes = np.empty((V.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        C = np.asarray(codebooks[s], dtype=np.float64)
+        sub = V[:, s * d_sub : (s + 1) * d_sub]
+        d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): the PQ codes table — m small ints per
+    vector, the only thing ANN queries scan from here on.
+
+    One vectorized Arrow UDF per batch (a codebook matrix captured in the
+    closure, numpy distance + argmin — the assign_kernel shape; a literal
+    JVM expression would put m*k*d_sub literals into the plan and blow up
+    Catalyst planning at production k). Nothing shuffles; write the output
+    partitioned/bucketed however the id space is already organized."""
+    m = len(codebooks)
+    fields = ", ".join(f"code_{s}:int" for s in range(m))
+
+    @F.pandas_udf(f"struct<{fields}>")
+    def _enc(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({f"code_{s}": pd.array([], dtype="int32") for s in range(m)})
+        V = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        codes = pq_encode_kernel(V, codebooks)
+        return pd.DataFrame({f"code_{s}": codes[:, s] for s in range(m)})
+
+    out = df.select(
+        F.col(id_column).alias("id"),
+        _enc(F.col(embedding_column).cast("array<double>")).alias("__pq"),
+    )
+    return out.select("id", *[F.col(f"__pq.code_{s}") for s in range(m)])
+
+
+def pq_adc_table(query_vector, codebooks: list) -> list:
+    """m lists of k rounded squared-L2 distances from the query's
+    subvectors to every codeword — the ADC lookup tables. Same numpy ops
+    as :func:`pq_encode_kernel`; rounded to 6 (the engine-wide
+    engine/oracle contract for derived doubles)."""
+    q = np.asarray([float(v) for v in query_vector], dtype=np.float64)
+    m = len(codebooks)
+    d_sub = len(q) // m
+    tables = []
+    for s in range(m):
+        C = np.asarray(codebooks[s], dtype=np.float64)
+        d2 = ((q[s * d_sub : (s + 1) * d_sub][None, :] - C) ** 2).sum(axis=1)
+        tables.append([float(x) for x in np.round(d2, 6)])
+    return tables
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query_vector,
+    codebooks: list,
+    k: int = 10,
+    id_column: str = "id",
+) -> DataFrame:
+    """Approximate top-k nearest (smallest ADC distance) over a PQ codes
+    table: ``adc_dist = sum_s lut[s][code_s]`` as m ``element_at`` lookups
+    on literal arrays — pure whole-stage codegen over m-int rows, ending
+    in TakeOrderedAndProject (per-partition heaps, no full sort). Ties
+    break toward the smaller id, so results are deterministic under any
+    partitioning/AQE decision."""
+    luts = pq_adc_table(query_vector, codebooks)
+    dist = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]), F.col(f"code_{s}") + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes_df.select(
+            F.col(id_column).alias("id"), F.round(dist, 6).alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("id"))
+        .limit(k)
+    )

@@ -69,3 +69,61 @@ def add_bpe_token_count(
         )
 
     return df.withColumn("n_bpe_tokens", _bpe_count(F.col(text_column)))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_column: str = "text",
+    lang_column: str = "lang",
+    language: str = "en",
+    dictionary_folder: str | None = None,
+) -> DataFrame:
+    """Per-language tokenizer fertility: ``(lang, n_docs, n_words,
+    n_bpe_tokens, n_bytes, tokens_per_word, bytes_per_token)``.
+
+    Fertility (subword tokens per whitespace word) and compression
+    (UTF-8 bytes per token) are THE standard multilingual training-mix
+    diagnostics: a language whose fertility is far above English's is
+    under-served by the tokenizer — its documents consume
+    proportionally more sequence length per unit of content, which
+    silently re-weights any token-budgeted mixture (UniMax/temperature
+    sampling operate on token counts). Run this before fixing language
+    budgets in operators/sampling.py.
+
+    Spark shape: the per-row counts ride the same scan (one Arrow UDF
+    for the BPE count — executor-singleton tokenizer — plus native word
+    split / octet_length), then ONE map-side-combinable groupBy on the
+    language key; ratios are derived from the exact long sums, so the
+    aggregation is associative and the result is partitioning-
+    independent. Languages are low-cardinality, so the shuffle carries
+    a handful of rows per partition."""
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    n_words = F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+    base = add_bpe_token_count(df, text_column, language, dictionary_folder)
+    per_row = base.select(
+        F.coalesce(F.col(lang_column), F.lit("unknown")).alias("lang"),
+        n_words.cast("long").alias("__w"),
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("long").alias("__t"),
+        F.octet_length(text).cast("long").alias("__b"),
+    )
+    agg = per_row.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__t").alias("n_bpe_tokens"),
+        F.sum("__b").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(F.col("n_bytes") / F.col("n_bpe_tokens"), 6),
+        ).alias("bytes_per_token"),
+    )

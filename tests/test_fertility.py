@@ -1,0 +1,51 @@
+# -*- coding: utf-8 -*-
+"""Per-language tokenizer fertility (operators/tokenize.py:
+tokenizer_fertility)."""
+
+from dss_plugin_nlp_preparation_spark.operators.tokenize import (
+    tokenizer_fertility,
+)
+
+
+def test_fertility_sums_and_ratios(spark):
+    from dss_plugin_nlp_preparation_spark.nlp.bpe import get_tokenizer
+
+    tk = get_tokenizer("en")
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "a dog ran", "en"),
+        (2, "le chat noir dort", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en_tokens = tk.count(rows[0][1]) + tk.count(rows[1][1])
+    assert out["en"]["n_docs"] == 2
+    assert out["en"]["n_words"] == 9
+    assert out["en"]["n_bpe_tokens"] == en_tokens
+    assert out["en"]["n_bytes"] == len(rows[0][1].encode()) + len(rows[1][1].encode())
+    assert abs(out["en"]["tokens_per_word"] - round(en_tokens / 9, 6)) < 1e-9
+    assert out["fr"]["n_docs"] == 1
+
+
+def test_fertility_null_lang_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world", None), (1, None, "en"), (2, "", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    assert out["unknown"]["n_docs"] == 1
+    # empty/null docs: zero words and tokens -> NULL ratios, zero bytes
+    assert out["en"]["n_words"] == 0
+    assert out["en"]["n_bpe_tokens"] == 0
+    assert out["en"]["tokens_per_word"] is None
+    assert out["en"]["bytes_per_token"] is None
+    assert out["en"]["n_bytes"] == 0
+
+
+def test_fertility_aggregation_is_partitioning_independent(spark):
+    rows = [(i, f"word{i} common text here", "en" if i % 2 else "fr") for i in range(40)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).repartition(1)
+    df8 = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).repartition(8)
+    a = sorted(map(tuple, tokenizer_fertility(df1).collect()))
+    b = sorted(map(tuple, tokenizer_fertility(df8).collect()))
+    assert a == b

@@ -65,6 +65,25 @@ def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
 
 
+def test_pq_topk_plan_shape(spark, sf_dir):
+    # one ArrowEvalPython (the encoder), ADC as pure projections, top-k as
+    # TakeOrderedAndProject; no shuffle and no vector column past encode
+    from dss_plugin_nlp_preparation_spark.operators.similarity import (
+        pick_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cb = pick_pq_codebooks(emb, m=4, k=16)
+    q = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    plan = _plan(pq_topk(pq_encode(emb, cb), q, cb, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_near_dup_window_cap_single_scan(spark, sf_dir):
     from dss_plugin_nlp_preparation_spark.operators.dedup import near_dup_pairs
 

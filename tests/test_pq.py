@@ -1,0 +1,109 @@
+# -*- coding: utf-8 -*-
+"""Product quantization (operators/similarity.py: pick_pq_codebooks /
+pq_encode / pq_topk)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.similarity import (
+    pick_pq_codebooks,
+    pq_adc_table,
+    pq_encode,
+    pq_encode_kernel,
+    pq_topk,
+)
+
+
+def _emb_df(spark, n=120, dim=16, seed=7):
+    # deterministic float vectors without RNG state: md5-free affine mix
+    rows = [
+        (i, [float(((i * 37 + d * 11 + seed) % 97) - 48) / 48.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_codebook_shapes(spark):
+    df = _emb_df(spark)
+    cb = pick_pq_codebooks(df, m=4, k=8)
+    assert len(cb) == 4 and all(len(c) == 8 for c in cb)
+    assert all(len(w) == 4 for c in cb for w in c)
+
+
+def test_dim_not_divisible_raises(spark):
+    df = _emb_df(spark, dim=10)
+    with pytest.raises(ValueError):
+        pick_pq_codebooks(df, m=4, k=4)
+
+
+def test_kernel_first_min_tiebreak():
+    # duplicate codewords: argmin must pick the smaller code
+    cb = [[[0.0, 0.0], [0.0, 0.0], [5.0, 5.0]]]
+    codes = pq_encode_kernel(np.array([[0.1, 0.1]]), cb)
+    assert codes[0, 0] == 0
+
+
+def test_encode_matches_kernel(spark):
+    df = _emb_df(spark)
+    cb = pick_pq_codebooks(df, m=4, k=8)
+    got = {
+        r["vec_id"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+        for r in pq_encode(df, cb).withColumnRenamed("id", "vec_id").collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: r["vec_id"])
+    V = np.array([r["embedding"] for r in rows])
+    codes = pq_encode_kernel(V, cb)
+    for i, r in enumerate(rows):
+        assert got[r["vec_id"]] == tuple(int(c) for c in codes[i])
+
+
+def test_topk_self_is_nearest_and_deterministic(spark):
+    df = _emb_df(spark)
+    cb = pick_pq_codebooks(df, m=4, k=16)
+    q = df.where("vec_id = 5").collect()[0]["embedding"]
+    codes = pq_encode(df, cb)
+    top = pq_topk(codes, q, cb, k=10).collect()
+    # the query vector's own code cell must be the (joint-)nearest cell
+    best = top[0]["adc_dist"]
+    self_row = [r for r in top if r["id"] == 5]
+    assert self_row and self_row[0]["adc_dist"] == best
+    # deterministic: repeated run returns the identical ordering
+    again = pq_topk(codes, q, cb, k=10).collect()
+    assert [(r["id"], r["adc_dist"]) for r in top] == [
+        (r["id"], r["adc_dist"]) for r in again
+    ]
+
+
+def test_adc_distance_is_sum_of_luts(spark):
+    df = _emb_df(spark)
+    cb = pick_pq_codebooks(df, m=4, k=8)
+    q = df.where("vec_id = 0").collect()[0]["embedding"]
+    luts = pq_adc_table(q, cb)
+    codes = {r["id"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+             for r in pq_encode(df, cb).collect()}
+    top = pq_topk(pq_encode(df, cb), q, cb, k=len(codes))
+    for r in top.collect():
+        cs = codes[r["id"]]
+        acc = None
+        for s in range(4):
+            t = luts[s][cs[s]]
+            acc = t if acc is None else acc + t
+        assert abs(r["adc_dist"] - round(acc, 6)) < 1e-9
+
+
+def test_adc_orders_like_true_distance_on_separated_data(spark):
+    # two far-apart blobs: ADC must rank every same-blob vector above
+    # every cross-blob vector even through quantization error
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 100.0
+        rows.append((i, [base + ((i * 13 + d) % 7) / 7.0 for d in range(8)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = pick_pq_codebooks(df, m=2, k=8)
+    q = df.where("vec_id = 0").collect()[0]["embedding"]
+    top = pq_topk(pq_encode(df, cb), q, cb, k=40).collect()
+    dists = {r["id"]: r["adc_dist"] for r in top}
+    worst_same = max(d for i, d in dists.items() if i % 2 == 0)
+    best_other = min(d for i, d in dists.items() if i % 2 == 1)
+    assert worst_same < best_other

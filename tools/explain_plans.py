@@ -88,6 +88,21 @@ def main() -> int:
             _explain(cosine_topk_ivf(embs, qvec, centroids, k=5, n_probe=2)),
         )
     )
+    from dss_plugin_nlp_preparation_spark.operators.similarity import (
+        pick_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    pq_cb = pick_pq_codebooks(embs, m=4, k=16)
+    sections.append(
+        (
+            "pq_topk over pq_encode (one ArrowEvalPython to code, then pure "
+            "codegen ADC lookups into TakeOrderedAndProject — no shuffle, "
+            "no vector columns past the encoder)",
+            _explain(pq_topk(pq_encode(embs, pq_cb), qvec, pq_cb, k=10)),
+        )
+    )
 
     from dss_plugin_nlp_preparation_spark.operators.c4 import add_c4_line_filter
     from dss_plugin_nlp_preparation_spark.operators.fineweb import (

@@ -1637,6 +1637,101 @@ def freeze_dedup_videos() -> None:
     _write("dedup_videos", out)
 
 
+def freeze_tokenizer_fertility(docs: pd.DataFrame) -> None:
+    """Expected per-language fertility table: the SAME BPE tokenizer
+    kernel (nlp.bpe.get_tokenizer('en')), Java-ASCII whitespace word
+    split, UTF-8 byte length; ratios from the exact long sums with
+    Spark's HALF_UP rounding, NULL on zero denominators."""
+    from dss_plugin_nlp_preparation_spark.nlp.bpe import get_tokenizer
+
+    tk = get_tokenizer("en")
+    agg: dict = {}
+    for text, lang in zip(docs["text"], docs["lang"]):
+        t = "" if text is None else str(text)
+        key = "unknown" if lang is None else str(lang)
+        words = [w for w in _JAVA_WS.split(t) if w != ""]
+        rec = agg.setdefault(key, [0, 0, 0, 0])
+        rec[0] += 1
+        rec[1] += len(words)
+        rec[2] += 0 if text is None else tk.count(t)
+        rec[3] += len(t.encode("utf-8"))
+    rows = []
+    for lang in sorted(agg):
+        n_docs, n_words, n_tok, n_bytes = agg[lang]
+        tpw = _round_half_up(n_tok / n_words, 6) if n_words > 0 else None
+        bpt = _round_half_up(n_bytes / n_tok, 6) if n_tok > 0 else None
+        rows.append((lang, n_docs, n_words, n_tok, n_bytes, tpw, bpt))
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "lang", "n_docs", "n_words", "n_bpe_tokens", "n_bytes",
+            "tokens_per_word", "bytes_per_token",
+        ],
+    )
+    for c in ("n_docs", "n_words", "n_bpe_tokens", "n_bytes"):
+        out[c] = out[c].astype("int64")
+    _write("tokenizer_fertility", out)
+
+
+def _pq_codebooks_replay(embs: pd.DataFrame, m: int = 4, k: int = 16) -> list:
+    """pick_pq_codebooks replay: the k vectors with smallest md5(id),
+    each sliced into m subvectors (codebooks[s][j] = sample j, slice s)."""
+    ids = list(embs["vec_id"])
+    vecs = [[float(x) for x in v] for v in embs["embedding"]]
+    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+    sample = [vecs[i] for i in order[:k]]
+    d_sub = len(sample[0]) // m
+    return [[v[s * d_sub : (s + 1) * d_sub] for v in sample] for s in range(m)]
+
+
+def freeze_pq_encode(embs: pd.DataFrame) -> None:
+    """Expected (id, code_0..code_3) PQ codes: md5-sampled codebooks +
+    the SAME pq_encode_kernel numpy ops the Spark UDF runs (pairwise-sum
+    squared L2, first-min argmin) — agreement by construction."""
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.operators.similarity import (
+        pq_encode_kernel,
+    )
+
+    cb = _pq_codebooks_replay(embs)
+    V = np.array([[float(x) for x in v] for v in embs["embedding"]], dtype=np.float64)
+    codes = pq_encode_kernel(V, cb)
+    out = pd.DataFrame({"id": [int(i) for i in embs["vec_id"]]})
+    for s in range(codes.shape[1]):
+        out[f"code_{s}"] = codes[:, s].astype("int32")
+    _write("pq_encode", out)
+
+
+def freeze_pq_topk(embs: pd.DataFrame) -> None:
+    """Expected (id, adc_dist) top-10 by ADC distance: the shared
+    pq_adc_table lookup tables for the vec_id=0 query, summed left-to-
+    right per row (the engine's `+` chain order), rounded HALF_UP 6,
+    ties toward the smaller id."""
+    import numpy as np
+
+    from dss_plugin_nlp_preparation_spark.operators.similarity import (
+        pq_adc_table,
+        pq_encode_kernel,
+    )
+
+    cb = _pq_codebooks_replay(embs)
+    ids = [int(i) for i in embs["vec_id"]]
+    V = np.array([[float(x) for x in v] for v in embs["embedding"]], dtype=np.float64)
+    codes = pq_encode_kernel(V, cb)
+    q = [float(x) for x in list(embs["embedding"])[ids.index(0)]]
+    luts = pq_adc_table(q, cb)
+    rows = []
+    for i, vid in enumerate(ids):
+        acc = None
+        for s in range(len(luts)):
+            t = luts[s][codes[i, s]]
+            acc = t if acc is None else acc + t
+        rows.append((vid, _round_half_up(acc, 6)))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    _write("pq_topk", pd.DataFrame(rows[:10], columns=["id", "adc_dist"]))
+
+
 def main() -> int:
     docs = _read("documents")
     for col in ("text", "lang"):  # NaN -> None, leave numeric dtypes alone
@@ -1651,8 +1746,11 @@ def main() -> int:
     freeze_perplexity_bigram(docs)
     freeze_perplexity_kn(docs)
     freeze_bpe_token_count_v2(docs)
+    freeze_tokenizer_fertility(docs)
     freeze_embedding_near_dup(embs)
     freeze_cosine_topk_ivf(embs)
+    freeze_pq_encode(embs)
+    freeze_pq_topk(embs)
     freeze_pages_pipeline()
     freeze_html_extract()
     freeze_main_content()
