@@ -30,16 +30,17 @@ single-process oracle kernel (tools/freeze_oracles.py):
   classic reason distributed k-means diverges between runs) is
   eliminated by construction, at the cost of 1e-6 quantisation noise,
   far below embedding precision.
-- **Pair cosines** (the within-cluster stage) are EMPIRICALLY aligned,
-  not shared-kernel: the engine evaluates the JVM ``cosine_expr``
-  aggregate (sequential sum) while the frozen oracle computes numpy
-  pre-normalized dots (pairwise/SIMD summation). Both round to 6
-  decimals before the threshold compare, which absorbs the summation-
-  order ulp differences on every observed input; a cosine within an ulp
-  of a rounding boundary AT the threshold could in principle diverge on
-  a refreeze under a different BLAS. Assignment — the step that feeds
-  centroid state forward — IS by-construction identical (one shared
-  ``assign_kernel``).
+- **Pair cosines** (the within-cluster stage) are by-construction
+  aligned too: the engine evaluates the JVM ``cosine_expr`` aggregate (a
+  sequential left fold in float64), and the frozen oracle replays the
+  SAME op sequence through :func:`pair_cosine_kernel` — a pure-Python
+  replica of ``cosine_expr``'s exact fold order, clamp, and divide.
+  IEEE-754 float64 ops are deterministic, so identical op sequences on
+  identical inputs yield bit-identical cosines — no BLAS/pairwise-
+  summation ulp exposure at the threshold boundary (which an earlier
+  revision tolerated empirically via the 6-decimal round).
+  Assignment — the step that feeds centroid state forward — shares
+  ``assign_kernel`` the same way.
 
 Scale notes (10^9+ vectors):
 - Each Lloyd iteration is ONE shuffle of (cid, dim, int64) triples —
@@ -88,6 +89,40 @@ def assign_kernel(V, centroids: list):
     cn = np.maximum(np.linalg.norm(C, axis=1), 1e-30)
     sims = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), 6)
     return sims.argmax(axis=1), sims
+
+
+def pair_cosine_kernel(ea, eb) -> float:
+    """THE pair-cosine function for oracle replay: a pure-Python replica
+    of ``similarity.cosine_expr``'s exact float64 op sequence, so the
+    frozen oracle and the JVM pair stage compute bit-identical cosines
+    by construction (see module docstring).
+
+    ``cosine_expr`` is ``_dot(a,b) / greatest(_norm(a)*_norm(b), 1e-30)``
+    where ``_dot``/``_norm`` are sequential left folds (``F.aggregate``
+    evaluates the array left-to-right, accumulator on the left). Python
+    floats are IEEE float64 like the JVM's double and ``math.sqrt`` is
+    correctly rounded like ``java.lang.Math.sqrt``, so the loop below is
+    op-for-op the expression Spark executes. Inputs must be the same
+    float64 values Spark sees (array<float> widened to double — exact).
+
+    Pinned against the live Spark expression by
+    ``tests/test_semantic.py::test_pair_cosine_kernel_matches_jvm``.
+    """
+    import math
+
+    dot = 0.0
+    for x, y in zip(ea, eb):
+        dot = dot + float(x) * float(y)
+    na = 0.0
+    for x in ea:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in eb:
+        nb = nb + float(y) * float(y)
+    den = math.sqrt(na) * math.sqrt(nb)
+    if den < 1e-30:
+        den = 1e-30
+    return dot / den
 
 
 def _assign_udf(centroids: list):

@@ -138,6 +138,48 @@ def test_assign_kernel_zero_norm_vector_is_total():
     assert cid[1] == 0 and sims[1, 0] == 1.0
 
 
+def test_pair_cosine_kernel_matches_jvm(spark, embs):
+    """ADVICE r3: the oracle's pair cosine must be the JVM cosine_expr
+    by construction, not by tolerance. Pin pair_cosine_kernel against
+    the live Spark expression bit-for-bit (exact ==, no round, no eps)
+    on real sf0.001 embeddings (float32 widened to double, the shapes
+    semantic_dedup's pair stage actually compares) plus adversarial
+    vectors: zero-norm (clamp path), denormal-scale, and sign-mixed
+    components whose sequential fold order matters."""
+    from dss_plugin_nlp_preparation_spark.operators.semantic import (
+        pair_cosine_kernel,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.similarity import cosine_expr
+
+    real = [r["embedding"] for r in embs.limit(24).collect()]
+    adversarial = [
+        [0.0, 0.0, 0.0, 0.0],
+        [1e-300, -1e-300, 1e-300, -1e-300],
+        [0.1, -0.3, 0.7, -0.9],
+        [1e16, 1.0, -1e16, 1.0],
+    ]
+    realv = [[float(x) for x in v] for v in real[:20]]
+    # pair only within same-dimension groups: Python zip truncates a
+    # length mismatch while zip_with null-pads, so cross-dim pairs
+    # compare different semantics, not the kernel
+    pairs = [(i, realv[i], realv[(i * 7 + 3) % len(realv)]) for i in range(len(realv))]
+    pairs += [
+        (len(realv) + j, adversarial[j], adversarial[(j * 3 + 1) % len(adversarial)])
+        for j in range(len(adversarial))
+    ]
+    df = spark.createDataFrame(
+        pairs, "i long, ea array<double>, eb array<double>"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", cosine_expr(F.col("ea"), F.col("eb")).alias("c")
+        ).collect()
+    }
+    for i, ea, eb in pairs:
+        assert got[i] == pair_cosine_kernel(ea, eb), f"pair {i} diverged"
+
+
 def test_semantic_dedup_with_zero_vector(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(8)]
     rows.append((8, [0.0, 0.0, 0.0, 0.0]))

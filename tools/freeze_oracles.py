@@ -553,7 +553,6 @@ def freeze_semantic_dedup(embs: pd.DataFrame) -> None:
     hs = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
     order = np.argsort(hs, kind="stable")
     C = [V[j].tolist() for j in order[:k]]
-    norms = np.linalg.norm(V, axis=1)
 
     # assignment is the operator's own assign_kernel — the distributed
     # Arrow UDF and this replay execute the SAME float ops on the SAME
@@ -577,11 +576,15 @@ def freeze_semantic_dedup(embs: pd.DataFrame) -> None:
     # capped Spark path and this uncapped replay agree
     assert max(np.bincount(cid)) <= 256
 
-    # pair cosines are EMPIRICALLY aligned with the engine, not
-    # shared-kernel: numpy pre-normalized dots here vs the JVM
-    # cosine_expr aggregate there; both round to 6 decimals before the
-    # threshold compare (see operators/semantic.py module docstring)
-    Vn = V / norms[:, None]
+    # pair cosines route through pair_cosine_kernel — a pure-Python
+    # replica of the JVM cosine_expr's exact float64 fold order, so the
+    # oracle and engine pair stages are bit-identical by construction
+    # (see operators/semantic.py module docstring); the 6-decimal round
+    # then matches F.round's HALF_UP via _r6
+    from dss_plugin_nlp_preparation_spark.operators.semantic import (
+        pair_cosine_kernel,
+    )
+
     dup_of = {}
     by_cluster: dict = {}
     for idx in np.argsort(ids, kind="stable"):
@@ -590,7 +593,7 @@ def freeze_semantic_dedup(embs: pd.DataFrame) -> None:
         for bi, b in enumerate(members):
             best = None
             for a in members[:bi]:
-                if _r6(float(Vn[a] @ Vn[b])) > threshold:
+                if _r6(pair_cosine_kernel(V[a], V[b])) > threshold:
                     best = int(ids[a]) if best is None else min(best, int(ids[a]))
             if best is not None:
                 dup_of[int(ids[b])] = best
