@@ -532,6 +532,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.where("vec_id = 0").select("embedding").collect()[0][0]
         return pq_topk(pq_encode(emb, cb), qvec, cb, k=10)
 
+    def q_bm25_topk(spark, sf_dir):
+        # lexical retrieval: BM25 (Lucene idf) top-5 per query — postings
+        # filtered to query terms BEFORE the wide agg, corpus stats as a
+        # broadcast 1-row relation, rank on the rounded score (portable)
+        from dss_plugin_nlp_preparation_spark.operators.bm25 import bm25_topk
+
+        return bm25_topk(
+            _docs(spark, sf_dir),
+            ["fast table scan", "spark query join"],
+            k=5,
+        )
+
+    def q_top_terms_tfidf(spark, sf_dir):
+        # per-doc TF-IDF keywords (corpus profiling); window partitions
+        # by doc — partition size bounded by document length, skew-free
+        from dss_plugin_nlp_preparation_spark.operators.bm25 import (
+            top_terms_per_doc,
+        )
+
+        return top_terms_per_doc(_docs(spark, sf_dir), k=3)
+
     def q_char_class_stats(spark, sf_dir):
         d = _docs(spark, sf_dir)
         text = F.coalesce(F.col("text"), F.lit(""))
@@ -2757,6 +2778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- product quantization ANN (codes table + ADC; frozen oracles) --
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        # -- lexical retrieval --
+        "bm25_topk": q_bm25_topk,
+        "top_terms_tfidf": q_top_terms_tfidf,
         "duplicate_spans": q_duplicate_spans,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -3820,6 +3844,60 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
             FROM embeddings, q WHERE label = q.ql
             ORDER BY cosine DESC, id ASC LIMIT 5
+        """,
+        "bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+              FROM documents
+            ),
+            dl AS (SELECT id, len(toks) AS dl FROM toks),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES
+              (0, 'fast'), (0, 'table'), (0, 'scan'),
+              (1, 'spark'), (1, 'query'), (1, 'join')),
+            tok AS (SELECT t.id, unnest(t.toks) AS term FROM toks t),
+            posting AS (
+              SELECT id, term, count(*) AS tf FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+            scored AS (
+              SELECT q.query_id, p.id,
+                     sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                         * (p.tf * 2.2)
+                         / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+              FROM posting p
+              JOIN q ON p.term = q.term
+              JOIN dfreq d ON p.term = d.term
+              JOIN dl l ON p.id = l.id
+              CROSS JOIN stats s
+              GROUP BY q.query_id, p.id
+            )
+            SELECT query_id, id, round(score, 4) AS score
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, id) AS rn FROM scored)
+            WHERE rn <= 5
+        """,
+        "top_terms_tfidf": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+              FROM documents
+            ),
+            tok AS (SELECT t.id, unnest(t.toks) AS term FROM toks t),
+            posting AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+            stats AS (SELECT count(*) AS n_docs FROM documents),
+            dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+            scored AS (
+              SELECT p.id, p.term,
+                     round(p.tf * ln(s.n_docs * 1.0 / d.df), 4) AS tfidf
+              FROM posting p JOIN dfreq d ON p.term = d.term CROSS JOIN stats s
+            )
+            SELECT id, term, tfidf, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY id
+                        ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
+            WHERE rank <= 3
         """,
         "char_class_stats": """
             SELECT doc_id,

@@ -1,0 +1,237 @@
+# -*- coding: utf-8 -*-
+"""Lexical retrieval over the corpus: BM25 top-k and per-doc TF-IDF keywords.
+
+The reference plugin treats documents one at a time and has no corpus
+search at all, but a web-scale training-data pipeline needs lexical
+retrieval constantly: auditing what the quality filter kept ("show me
+the top documents for this query"), debugging decontamination hits,
+and extracting per-document keywords for corpus profiling. BM25
+(Robertson/Spärck Jones; the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))``
+idf variant) is the standard lexical scorer.
+
+100-TB shape — the key property is that the expensive relations are
+sized by the QUERY, not the corpus:
+
+* The posting relation is filtered to query terms with a codegen
+  ``isin`` BEFORE the (doc, term) aggregation, so the one wide shuffle
+  carries only rows for documents containing at least one query term.
+  Query terms reach every task as a literal predicate — no shuffle of
+  the term dictionary, no join against a vocabulary table.
+* Document length is ``size(regexp_extract_all(...))`` — a per-row
+  native expression, zero shuffle, computed in the same scan that
+  explodes tokens (Catalyst collapses the projections).
+* Corpus-global N and avgdl come from one 1-row aggregate that is
+  broadcast back via ``crossJoin`` — no driver-side ``collect`` in the
+  plan, so the scorer stays a single lazy DataFrame.
+* Per-term document frequency is an aggregate of the already-filtered
+  postings (exact: restricting postings to query terms does not change
+  any query term's df) and is broadcast-joined back — it has at most
+  |query vocabulary| rows.
+* Final top-k per query is a window over the scored relation, which is
+  bounded by the number of matching documents; ordering is on the
+  ROUNDED score with doc id as tiebreak so the cut is deterministic
+  across engines and under retries.
+
+``top_terms_per_doc`` (TF-IDF keyword extraction) keeps the full
+posting relation instead — its window partitions by ``doc_id``, which
+is skew-free by construction (a partition is one document's distinct
+terms, bounded by document length).
+
+Reference parity hook: the reference ships SymSpell frequency
+dictionaries (resource/dictionaries/, see operators/vocab.py) — the
+same tokenization contract (lowercased alphanumeric runs) is used here
+so retrieval, vocab training, and spellchecking agree on what a term
+is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# lowercased ascii-alphanumeric runs: the Java-regex / RE2 / DuckDB
+# common subset (non-ASCII letters simply never match, identically in
+# every engine)
+TOKEN_PATTERN = "[a-z0-9]+"
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _tokens(text_column: str) -> Column:
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_column), F.lit(""))),
+        F.lit(TOKEN_PATTERN),
+        0,
+    )
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side query tokenization under the same contract as the
+    corpus side (lowercased ascii-alphanumeric runs, duplicates kept —
+    BM25 term weights are per distinct term, so duplicates are dropped
+    by the distinct() in bm25_score)."""
+    import re
+
+    return re.findall(TOKEN_PATTERN, (query or "").lower())
+
+
+def doc_lengths(
+    docs: DataFrame, text_column: str = "text", id_column: str = "doc_id"
+) -> DataFrame:
+    """(id, dl): token count per document — per-row native expression,
+    no shuffle."""
+    return docs.select(
+        F.col(id_column).alias("id"),
+        F.size(_tokens(text_column)).alias("dl"),
+    )
+
+
+def postings(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """(id, dl, term, tf): term frequencies per document, restricted to
+    ``terms`` when given (the filter runs BEFORE the aggregation so the
+    shuffle is sized by the query, not the corpus)."""
+    tok = docs.select(
+        F.col(id_column).alias("id"),
+        F.size(_tokens(text_column)).alias("dl"),
+        F.explode(_tokens(text_column)).alias("term"),
+    )
+    if terms is not None:
+        tok = tok.where(F.col("term").isin(list(dict.fromkeys(terms))))
+    return tok.groupBy("id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    queries: list[str],
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """(query_id, id, score): BM25 of every matching document against
+    every query (query_id = position in ``queries``). Lucene idf:
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always positive, so a
+    stopword-ish term cannot subtract relevance."""
+    spark = docs.sparkSession
+    qterms = [
+        (qid, t)
+        for qid, q in enumerate(queries)
+        for t in dict.fromkeys(tokenize_query(q))
+    ]
+    if not qterms:
+        raise ValueError("bm25_score: no query produced any term")
+    qdf = spark.createDataFrame(qterms, "query_id INT, term STRING")
+
+    post = postings(
+        docs,
+        terms=[t for _, t in qterms],
+        text_column=text_column,
+        id_column=id_column,
+    )
+    # corpus stats: 1-row aggregate broadcast back into the plan
+    stats = doc_lengths(docs, text_column, id_column).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # per-term df over the filtered postings (exact for query terms)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """(query_id, id, score): top-``k`` documents per query, ranked by
+    BM25 rounded to 4 decimals with id as deterministic tiebreak (the
+    rounded rank order is engine-portable; raw double ulps are not)."""
+    scored = bm25_score(docs, queries, text_column, id_column, k1, b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("score", F.round("score", 4))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def top_terms_per_doc(
+    docs: DataFrame,
+    k: int = 3,
+    min_df: int = 1,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """(id, term, tfidf, rank): the ``k`` highest-TF-IDF terms of every
+    document — corpus keyword extraction. tf-idf = tf * ln(N / df)
+    (plain idf; df >= min_df prunes hapax noise when asked). Window
+    partitions by document, so partition size is bounded by document
+    length — no skew at any corpus size."""
+    post = postings(docs, terms=None, text_column=text_column, id_column=id_column)
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    scored = (
+        post.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tfidf", "rank")
+    )

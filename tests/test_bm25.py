@@ -1,0 +1,177 @@
+# -*- coding: utf-8 -*-
+"""BM25 retrieval + TF-IDF keyword extraction.
+
+Hand-computed goldens on a 4-doc corpus (numpy replay of the same
+formula), invariants (k rows per query, matched term containment,
+score monotonicity in tf), and a DuckDB cross-check of the full
+operator output on the sf0.001 documents table.
+"""
+
+import math
+
+import pytest
+
+from dss_plugin_nlp_preparation_spark.operators.bm25 import (
+    bm25_score,
+    bm25_topk,
+    doc_lengths,
+    postings,
+    tokenize_query,
+    top_terms_per_doc,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "cat cat cat"),
+    (3, "a completely unrelated document about spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def _bm25_ref(corpus, query_terms, k1=1.2, b=0.75):
+    """Pure-python replay of the exact formula (Lucene idf)."""
+    toks = {i: [t for t in txt.lower().split() if t.isalnum()] for i, txt in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in dict.fromkeys(query_terms):
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            dl = len(v)
+            scores[i] = scores.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+    return scores
+
+
+def test_tokenize_query():
+    assert tokenize_query("The CAT, sat!") == ["the", "cat", "sat"]
+    assert tokenize_query("") == []
+    assert tokenize_query(None) == []
+
+
+def test_doc_lengths(docs_df):
+    got = {r["id"]: r["dl"] for r in doc_lengths(docs_df).collect()}
+    assert got == {0: 6, 1: 3, 2: 3, 3: 6}
+
+
+def test_postings_filtered_to_query_terms(docs_df):
+    rows = postings(docs_df, terms=["cat", "sat"]).collect()
+    assert {r["term"] for r in rows} == {"cat", "sat"}
+    tf = {(r["id"], r["term"]): r["tf"] for r in rows}
+    assert tf[(2, "cat")] == 3
+    assert tf[(0, "cat")] == 1
+    assert tf[(0, "sat")] == 1
+
+
+def test_bm25_matches_reference_formula(docs_df):
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_score(docs_df, ["cat sat"]).collect()
+    }
+    want = _bm25_ref(DOCS, ["cat", "sat"])
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_bm25_topk_rank_and_tiebreak(docs_df):
+    rows = bm25_topk(docs_df, ["cat"], k=2).collect()
+    # doc 2 (tf=3, short) must outrank doc 0 (tf=1, long)
+    assert [r["id"] for r in rows] == [2, 0]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_multiple_queries_independent(docs_df):
+    rows = bm25_topk(docs_df, ["cat", "dog", "spark"], k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    assert by_q[0] == {0, 2}
+    assert by_q[1] == {1}
+    assert by_q[2] == {3}
+
+
+def test_bm25_unknown_term_matches_nothing(docs_df):
+    assert bm25_topk(docs_df, ["zebra"], k=5).count() == 0
+
+
+def test_bm25_empty_query_raises(docs_df):
+    with pytest.raises(ValueError):
+        bm25_score(docs_df, ["!!!"])
+
+
+def test_top_terms_per_doc(docs_df):
+    rows = top_terms_per_doc(docs_df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["term"], r["tfidf"]))
+    # every doc yields <= 2 keywords, ranked 1..k without gaps
+    for doc_id, terms in by_doc.items():
+        ranks = sorted(t[0] for t in terms)
+        assert ranks == list(range(1, len(terms) + 1))
+    # doc 2's top keyword is its only (and repeated) term
+    top2 = min(by_doc[2])
+    assert top2[1] == "cat"
+    # tf-idf with plain idf = ln(N/df) is never negative (df <= N)
+    assert all(t[2] >= 0.0 for terms in by_doc.values() for t in terms)
+
+
+def test_bm25_duckdb_crosscheck(spark, sf_dir):
+    """Full-operator cross-check against an independent DuckDB replay
+    on the real sf0.001 documents table."""
+    duckdb = pytest.importorskip("duckdb")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in bm25_topk(docs, ["fast table scan", "spark query join"], k=5).collect()
+    }
+    con = duckdb.connect()
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+          FROM '{sf_dir}/documents.parquet'
+        ),
+        dl AS (SELECT id, len(toks) AS dl FROM toks),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        q(query_id, term) AS (VALUES
+          (0, 'fast'), (0, 'table'), (0, 'scan'),
+          (1, 'spark'), (1, 'query'), (1, 'join')),
+        tok AS (SELECT t.id, unnest(t.toks) AS term FROM toks t),
+        posting AS (
+          SELECT id, term, count(*) AS tf FROM tok
+          WHERE term IN (SELECT term FROM q) GROUP BY id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+        scored AS (
+          SELECT q.query_id, p.id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (p.tf * 2.2)
+                     / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+          FROM posting p
+          JOIN q ON p.term = q.term
+          JOIN dfreq d ON p.term = d.term
+          JOIN dl l ON p.id = l.id
+          CROSS JOIN stats s
+          GROUP BY q.query_id, p.id
+        )
+        SELECT query_id, id, round(score, 4) AS score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(score, 4) DESC, id) AS rn FROM scored)
+        WHERE rn <= 5
+    """
+    want = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert got == want
