@@ -2053,6 +2053,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("dup_count").cast("long").alias("dup_count"),
         )
 
+    def q_ngram_diversity(spark, sf_dir):
+        # corpus diversity: distinct-n-gram ratio for n=1..3 — the
+        # dataset-card number that collapses on template/SEO/self-
+        # repetitive corpora; exact two-phase group count, SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+            ngram_diversity,
+        )
+
+        return ngram_diversity(_docs(spark, sf_dir)).select(
+            F.col("n").cast("int").alias("n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            "distinct_ratio",
+        )
+
+    def q_zipf_fit(spark, sf_dir):
+        # "is this corpus shaped like language?" — OLS of ln(count) on
+        # ln(rank) over the 10k-term Zipf head; nano-quantised integer
+        # moment sums make the fit partitioning-independent; SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+            zipf_fit,
+        )
+
+        return zipf_fit(_docs(spark, sf_dir), top_k=10000)
+
+    def q_soft_dedup_weights(spark, sf_dir):
+        # SoftDeDup-style down-weighting: keep every row, weight
+        # 1/dup_count over exact clusters so k copies carry one copy's
+        # sampling mass; md5-key join-back, SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        return soft_dedup_weights(_docs(spark, sf_dir)).select(
+            "doc_id",
+            "text_hash",
+            F.col("dup_count").cast("long").alias("dup_count"),
+            "sample_weight",
+        )
+
     def q_profile_columns(spark, sf_dir):
         # one-pass column profiler (exact mode = oracle-replayable):
         # null rate, cardinality, string-length shape per column
@@ -2854,6 +2894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "examples_per_reason": q_examples_per_reason,
         "profile_columns": q_profile_columns,
         "exact_dedup_norm": q_exact_dedup_norm,
+        # -- corpus-level lexical QA --
+        "ngram_diversity": q_ngram_diversity,
+        "zipf_fit": q_zipf_fit,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
         # -- link graph (crawl frontier / curation analytics) --
@@ -4554,6 +4598,102 @@ def oracle_sql() -> dict[str, str]:
           CAST(max(b_tot) AS BIGINT) AS n_base,
           CAST(max(n_tot) AS BIGINT) AS n_new
         FROM contrib GROUP BY signal
+    """
+
+    # corpus diversity: same token definition (lowercased \p{L}+ runs),
+    # same 1-based inclusive n-gram slices, same two-phase group count;
+    # ratio is one double division of exact integers, rounded 6 dp
+    sqls["ngram_diversity"] = """
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                    '\\p{L}+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT nn.n,
+                 array_to_string(t[i.i:i.i + nn.n - 1], ' ') AS gram
+          FROM toks,
+               (VALUES (1), (2), (3)) nn(n),
+               LATERAL unnest(range(1, greatest(len(t) - nn.n + 2, 1)))
+                 AS i(i)
+        ), pc AS (
+          SELECT n, gram, count(*) AS c FROM grams GROUP BY n, gram
+        )
+        SELECT CAST(n AS INT) AS n,
+               CAST(sum(c) AS BIGINT) AS total_ngrams,
+               CAST(count(*) AS BIGINT) AS distinct_ngrams,
+               round(count(*) / sum(c), 6) AS distinct_ratio
+        FROM pc GROUP BY n
+    """
+
+    # Zipf head fit: identical head selection (count desc, term asc,
+    # LIMIT 10000), identical nano-quantised integer moment sums, and
+    # the FINAL double formulas written operation-for-operation as the
+    # Spark expressions so IEEE arithmetic agrees exactly
+    sqls["zipf_fit"] = """
+        WITH tc AS (
+          SELECT term, count(*) AS cnt
+          FROM (SELECT unnest(regexp_extract_all(
+                  lower(coalesce(text, '')), '\\p{L}+')) AS term
+                FROM documents)
+          GROUP BY term
+        ), top AS (
+          SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 10000
+        ), ranked AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, term) AS rank
+          FROM top
+        ), qs AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+            sum(CAST(floor(ln(rank) * 1000000000 + 0.5)
+                     AS BIGINT)) AS sx,
+            sum(CAST(floor(ln(cnt) * 1000000000 + 0.5)
+                     AS BIGINT)) AS sy,
+            sum(CAST(floor(ln(rank) * ln(cnt) * 1000000000 + 0.5)
+                     AS BIGINT)) AS sxy,
+            sum(CAST(floor(ln(rank) * ln(rank) * 1000000000 + 0.5)
+                     AS BIGINT)) AS sxx,
+            sum(CAST(floor(ln(cnt) * ln(cnt) * 1000000000 + 0.5)
+                     AS BIGINT)) AS syy
+          FROM ranked
+        )
+        SELECT n_ranks,
+          round((CAST(n_ranks AS DOUBLE) * (sxy / 1000000000.0)
+                 - (sx / 1000000000.0) * (sy / 1000000000.0))
+                / (CAST(n_ranks AS DOUBLE) * (sxx / 1000000000.0)
+                   - (sx / 1000000000.0) * (sx / 1000000000.0)),
+                6) AS slope,
+          round(((sy / 1000000000.0)
+                 - ((CAST(n_ranks AS DOUBLE) * (sxy / 1000000000.0)
+                     - (sx / 1000000000.0) * (sy / 1000000000.0))
+                    / (CAST(n_ranks AS DOUBLE) * (sxx / 1000000000.0)
+                       - (sx / 1000000000.0) * (sx / 1000000000.0)))
+                   * (sx / 1000000000.0))
+                / CAST(n_ranks AS DOUBLE), 6) AS intercept,
+          round(((CAST(n_ranks AS DOUBLE) * (sxy / 1000000000.0)
+                  - (sx / 1000000000.0) * (sy / 1000000000.0))
+                 * (CAST(n_ranks AS DOUBLE) * (sxy / 1000000000.0)
+                    - (sx / 1000000000.0) * (sy / 1000000000.0)))
+                / ((CAST(n_ranks AS DOUBLE) * (sxx / 1000000000.0)
+                    - (sx / 1000000000.0) * (sx / 1000000000.0))
+                   * (CAST(n_ranks AS DOUBLE) * (syy / 1000000000.0)
+                      - (sy / 1000000000.0) * (sy / 1000000000.0))),
+                6) AS r2
+        FROM qs
+    """
+
+    # soft dedup: exact-cluster sizes joined back by md5 key; weight is
+    # one double division (alpha = 1) of an exact integer, rounded 6 dp
+    sqls["soft_dedup_weights"] = """
+        WITH h AS (
+          SELECT doc_id, md5(text) AS text_hash FROM documents
+        ), s AS (
+          SELECT text_hash, CAST(count(*) AS BIGINT) AS dup_count
+          FROM h GROUP BY text_hash
+        )
+        SELECT h.doc_id, h.text_hash, s.dup_count,
+               round(1.0 / CAST(s.dup_count AS DOUBLE), 6)
+                 AS sample_weight
+        FROM h JOIN s ON h.text_hash = s.text_hash
     """
 
     # normalized exact dedup: the same light normalization in SQL

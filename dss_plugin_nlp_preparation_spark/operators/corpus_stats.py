@@ -1,0 +1,203 @@
+# -*- coding: utf-8 -*-
+"""Corpus-level lexical statistics: n-gram diversity and Zipf fit.
+
+Two corpus-QA numbers every large-scale pretraining-data report leads
+with, neither computable by the reference plugin (it is strictly
+per-document, ``nlp_preparation/recipe.py``-style chunked maps):
+
+- **Distinct-n-gram ratio** (distinct n-grams / total n-grams, n =
+  1..3): the standard corpus *diversity* metric. Template farms, SEO
+  spam, and model-generated filler collapse the 2/3-gram ratio long
+  before any per-document signal fires; dataset cards (Gopher's
+  corpus analysis, the self-repetition literature) report exactly
+  this number.
+- **Zipf log-log fit** (slope/intercept/R² of ln(count) over ln(rank)
+  for the frequency head): natural language sits near slope −1 with
+  high R²; machine-generated or heavily boilerplated corpora bend the
+  curve. A one-row "is this corpus shaped like language?" check.
+
+100-TB shape:
+
+- ``ngram_diversity``: one narrow projection builds all n-gram arrays
+  per document JVM-side (``transform`` over a ``sequence`` of start
+  offsets — no Python, no explode until the count), then ONE shuffle
+  of (n, gram) keys with map-side partial aggregation — a boilerplate
+  3-gram shared by 10^9 documents is one counter before the wire, the
+  same shuffle class as the line-DF / duplicate-span aggregations.
+  The exact mode's distinct count is the (n, gram) group count
+  itself, so no second wide shuffle and no count-distinct expand.
+  ``approx=True`` swaps the exact group-count for
+  ``approx_count_distinct`` (HyperLogLog++), collapsing the shuffle
+  to one HLL sketch per partition per n — the 10^12-document path
+  when the gram relation itself (~corpus-sized) is the bottleneck
+  and ±1 % on the diversity ratio is acceptable.
+- ``zipf_fit``: the frequency table is the ``train_vocab`` shuffle
+  (integer counts on zipfian term keys — partial agg collapses hot
+  terms pre-wire, no salting needed). The global rank window runs
+  over ``top_k`` SURVIVORS of a TakeOrdered head (count desc, term
+  asc — total order, deterministic under ties), never the full
+  vocabulary: the single-task window is bounded at ``top_k`` rows
+  (default 10k) whatever the corpus size. Zipf fits are conventionally
+  reported on the head anyway (the tail is count-quantised and bends
+  the line for reasons unrelated to corpus quality).
+
+Determinism (oracle-replayable by construction): all counts and ranks
+are exact integers; each per-rank regression term (ln x, ln y, their
+products) is quantised to int64 nano-units BEFORE the sum, so the sums
+are associative integer adds — partitioning/retry/AQE cannot change
+them (same device as the PSI drift monitor and the semantic-dedup
+centroid sums). The final slope/intercept/R² are single IEEE-double
+expressions over those integer sums, written with the same operation
+order as the DuckDB oracle, then rounded to 6 dp.
+
+Reference parity note: no reference analogue — this module belongs to
+the engine's LLM-training-data extensions (SURVEY.md "text analysis");
+the token definition (lowercased ``\\p{L}+`` runs) is shared with
+:mod:`.vocab` so diversity, OOV, and dictionary training all speak
+about the same tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .vocab import TERM_PATTERN
+
+
+def _tokens(text_column: str) -> Column:
+    """Lowercased unicode-letter runs — the shared corpus token."""
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_column), F.lit(""))),
+        F.lit(TERM_PATTERN),
+        0,
+    )
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams of ``toks`` (empty when too short).
+
+    Pure JVM: ``transform`` over a ``sequence`` of 1-based start
+    offsets; guarded so ``sequence`` never sees start > stop (where it
+    would count DOWN, not return empty).
+    """
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_column: str = "text",
+    ns: Sequence[int] = (1, 2, 3),
+    approx: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """(n, total_ngrams, distinct_ngrams, distinct_ratio) per n.
+
+    Exact mode (default, oracle-gated): two-phase group count — ONE
+    shuffle of (n, gram) integer counts, then a tiny per-n rollup.
+    ``approx=True`` is the corpus-scale path: HLL++ distinct with
+    relative error ``rsd``, one sketch per partition on the wire.
+    """
+    toks = _tokens(text_column)
+    rel = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(n)).alias("n"),
+                            _grams(toks, int(n)).alias("grams"),
+                        )
+                        for n in ns
+                    ]
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.n").alias("n"), F.explode(F.col("s.grams")).alias("gram"))
+    )
+    if approx:
+        agg = rel.groupBy("n").agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.approx_count_distinct("gram", rsd).alias("distinct_ngrams"),
+        )
+    else:
+        per = rel.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("c"))
+        agg = per.groupBy("n").agg(
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        )
+    return agg.withColumn(
+        "distinct_ratio",
+        F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6),
+    )
+
+
+_NANO = 1000000000
+
+
+def _q(e: Column) -> Column:
+    """Quantise a double expression to int64 nano-units (round-half-up)."""
+    return F.floor(e * F.lit(float(_NANO)) + F.lit(0.5)).cast("long")
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_column: str = "text",
+    top_k: int = 10000,
+    min_count: int = 1,
+) -> DataFrame:
+    """One row: (n_ranks, slope, intercept, r2) of the Zipf head fit.
+
+    OLS of y = ln(term_count) on x = ln(rank) over the ``top_k`` most
+    frequent terms (ties broken by term order). Natural text lands
+    near slope −1; the R² says how line-like the head is.
+    """
+    terms = df.select(F.explode(_tokens(text_column)).alias("term"))
+    counts = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    # TakeOrdered head (never a full sort), then a rank window bounded
+    # at top_k rows — the only single-task step, sized in ranks.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum(_q(x)).alias("sx"),
+        F.sum(_q(y)).alias("sy"),
+        F.sum(_q(x * y)).alias("sxy"),
+        F.sum(_q(x * x)).alias("sxx"),
+        F.sum(_q(y * y)).alias("syy"),
+    )
+    # De-quantised moments; formulas mirror the DuckDB oracle text
+    # operation-for-operation so the IEEE doubles agree exactly.
+    n = F.col("n_ranks").cast("double")
+    SX = F.col("sx") / F.lit(float(_NANO))
+    SY = F.col("sy") / F.lit(float(_NANO))
+    SXY = F.col("sxy") / F.lit(float(_NANO))
+    SXX = F.col("sxx") / F.lit(float(_NANO))
+    SYY = F.col("syy") / F.lit(float(_NANO))
+    den = n * SXX - SX * SX
+    slope = (n * SXY - SX * SY) / den
+    num2 = n * SXY - SX * SY
+    r2 = (num2 * num2) / (den * (n * SYY - SY * SY))
+    return sums.select(
+        "n_ranks",
+        F.round(F.when(den != 0, slope), 6).alias("slope"),
+        F.round(F.when(den != 0, (SY - slope * SX) / n), 6).alias("intercept"),
+        F.round(F.when(den != 0, r2), 6).alias("r2"),
+    )

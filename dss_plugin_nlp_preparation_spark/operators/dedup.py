@@ -70,6 +70,49 @@ def exact_dedup(
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    normalize: bool = False,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Down-weight duplicates instead of dropping them (SoftDeDup-style).
+
+    Every row keeps flowing; it gains (dup_count, sample_weight) where
+    ``sample_weight = 1 / dup_count**alpha`` over its exact-duplicate
+    cluster — the "soft" alternative to :func:`exact_dedup`'s hard
+    keep-one: a document copied k times contributes total mass k^(1-α)
+    (α=1 → exactly one copy's worth) to any weight-aware sampler
+    (``deterministic_sample``'s threshold form consumes it directly).
+
+    100-TB shape: the cluster-size relation is :func:`exact_dedup`'s
+    single integer-count shuffle; the join back is by 16-byte md5 key —
+    uniform by construction, the same class as the duplicate-span
+    join-back. No collect, no window, no skew exposure.
+    """
+    key = F.col(text_column)
+    if normalize:
+        key = F.trim(
+            F.regexp_replace(F.lower(key), "[ \\t\\n\\r\\f\\x0B]+", " ")
+        )
+    sizes = exact_dedup(
+        df, text_column=text_column, id_column=id_column, normalize=normalize
+    ).select("text_hash", "dup_count")
+    return (
+        df.withColumn("text_hash", F.md5(key))
+        .join(sizes, on="text_hash")
+        .withColumn(
+            "sample_weight",
+            F.round(
+                F.lit(1.0)
+                / F.pow(F.col("dup_count").cast("double"), F.lit(float(alpha))),
+                6,
+            ),
+        )
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     text_column: str = "text",

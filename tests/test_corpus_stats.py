@@ -1,0 +1,176 @@
+# -*- coding: utf-8 -*-
+"""Corpus-level lexical QA: n-gram diversity and the Zipf head fit.
+
+Hand-computable goldens on tiny corpora, the partitioning-independence
+claims the module's docstring makes, and the soft-dedup mass invariant
+(α = 1 → every cluster contributes exactly one copy's worth).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+    ngram_diversity,
+    zipf_fit,
+)
+from dss_plugin_nlp_preparation_spark.operators.dedup import (
+    soft_dedup_weights,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestNgramDiversity:
+    def test_hand_computed_ratios(self, spark):
+        # doc0: a b a b -> uni a,b,a,b  bi "a b","b a","a b"  tri "a b a","b a b"
+        # doc1: a b c   -> uni a,b,c    bi "a b","b c"        tri "a b c"
+        out = {
+            r["n"]: r
+            for r in ngram_diversity(
+                _docs(spark, ["a b a b", "a b c"])
+            ).collect()
+        }
+        assert out[1]["total_ngrams"] == 7
+        assert out[1]["distinct_ngrams"] == 3
+        assert out[1]["distinct_ratio"] == pytest.approx(round(3 / 7, 6))
+        assert out[2]["total_ngrams"] == 5
+        assert out[2]["distinct_ngrams"] == 3  # "a b", "b a", "b c"
+        assert out[2]["distinct_ratio"] == pytest.approx(0.6)
+        assert out[3]["total_ngrams"] == 3
+        assert out[3]["distinct_ngrams"] == 3
+        assert out[3]["distinct_ratio"] == pytest.approx(1.0)
+
+    def test_short_and_empty_docs_produce_no_higher_grams(self, spark):
+        rows = ngram_diversity(_docs(spark, ["x", "", None])).collect()
+        by_n = {r["n"]: r for r in rows}
+        assert set(by_n) == {1}
+        assert by_n[1]["total_ngrams"] == 1
+
+    def test_tokenization_is_lowercased_letter_runs(self, spark):
+        # "The the THE" is one distinct unigram; digits/punct are not tokens
+        out = {
+            r["n"]: r
+            for r in ngram_diversity(
+                _docs(spark, ["The the, THE! 42"])
+            ).collect()
+        }
+        assert out[1]["total_ngrams"] == 3
+        assert out[1]["distinct_ngrams"] == 1
+
+    def test_partitioning_independent(self, spark):
+        texts = [
+            f"w{chr(97 + i % 7)} w{chr(97 + i % 3)} common word"
+            for i in range(40)
+        ]
+        a = sorted(
+            map(tuple, ngram_diversity(_docs(spark, texts)).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                ngram_diversity(_docs(spark, texts).repartition(7)).collect(),
+            )
+        )
+        assert a == b
+
+    def test_approx_mode_close_to_exact(self, spark):
+        texts = [
+            "tok{} tok{} tok{} filler".format(
+                chr(97 + i % 26) + chr(97 + (i // 26) % 26),
+                chr(97 + i % 11),
+                chr(97 + i % 5),
+            )
+            for i in range(120)
+        ]
+        exact = {
+            r["n"]: r for r in ngram_diversity(_docs(spark, texts)).collect()
+        }
+        approx = {
+            r["n"]: r
+            for r in ngram_diversity(
+                _docs(spark, texts), approx=True, rsd=0.02
+            ).collect()
+        }
+        for n in exact:
+            assert approx[n]["total_ngrams"] == exact[n]["total_ngrams"]
+            rel = abs(
+                approx[n]["distinct_ngrams"] - exact[n]["distinct_ngrams"]
+            ) / max(exact[n]["distinct_ngrams"], 1)
+            assert rel < 0.1
+
+
+class TestZipfFit:
+    def test_near_perfect_zipf_head(self, spark):
+        # counts 100, 50, 33, 25 ~ 100/rank: slope near -1, line-like
+        texts = []
+        for term, cnt in [("aa", 100), ("bb", 50), ("cc", 33), ("dd", 25)]:
+            texts += [term] * cnt
+        row = zipf_fit(_docs(spark, texts)).collect()[0]
+        assert row["n_ranks"] == 4
+        assert -1.05 < row["slope"] < -0.92
+        assert row["r2"] > 0.99
+        # intercept ~ ln(100)
+        assert abs(row["intercept"] - math.log(100)) < 0.1
+
+    def test_top_k_bounds_the_head(self, spark):
+        # 30 distinct letter-only terms ("taa".."tbd"), head capped at 5
+        terms = [
+            "t" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(30)
+        ]
+        texts = [f"{t} {t} {terms[i % 4]}" for i, t in enumerate(terms)]
+        row = zipf_fit(_docs(spark, texts), top_k=5).collect()[0]
+        assert row["n_ranks"] == 5
+
+    def test_partitioning_independent(self, spark):
+        texts = [
+            "w{} w{} w{} the the of".format(
+                chr(97 + i % 13), chr(97 + i % 5), chr(97 + i % 2)
+            )
+            for i in range(60)
+        ]
+        a = zipf_fit(_docs(spark, texts)).collect()[0]
+        b = zipf_fit(_docs(spark, texts).repartition(9)).collect()[0]
+        assert tuple(a) == tuple(b)
+
+    def test_degenerate_single_rank_is_null(self, spark):
+        row = zipf_fit(_docs(spark, ["only", "only"])).collect()[0]
+        assert row["n_ranks"] == 1
+        assert row["slope"] is None and row["r2"] is None
+
+
+class TestSoftDedupWeights:
+    def test_weights_and_mass_invariant(self, spark):
+        out = soft_dedup_weights(_docs(spark, ["x", "x", "y"])).collect()
+        assert len(out) == 3  # every row kept
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[0]["dup_count"] == 2
+        assert by_id[0]["sample_weight"] == pytest.approx(0.5)
+        assert by_id[2]["sample_weight"] == pytest.approx(1.0)
+        # alpha = 1: total mass == number of distinct texts
+        total = sum(r["sample_weight"] for r in out)
+        assert total == pytest.approx(2.0)
+
+    def test_alpha_softens_the_penalty(self, spark):
+        out = soft_dedup_weights(
+            _docs(spark, ["x", "x"]), alpha=0.5
+        ).collect()
+        assert out[0]["sample_weight"] == pytest.approx(
+            round(1 / math.sqrt(2), 6)
+        )
+
+    def test_normalized_collapses_reformatted_copies(self, spark):
+        out = soft_dedup_weights(
+            _docs(spark, ["Hello  World", "hello world\n"]), normalize=True
+        ).collect()
+        assert all(r["dup_count"] == 2 for r in out)
+
+    def test_plan_has_no_cartesian_and_single_agg_exchange(self, spark):
+        df = soft_dedup_weights(_docs(spark, ["x", "y", "x"]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
