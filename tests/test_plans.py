@@ -317,3 +317,33 @@ def test_prototypicality_prune_one_window_no_pairs(spark):
     assert plan.count("Window") >= 1
     # a single hash partitioning by cluster_id feeds the window(s)
     assert plan.count("hashpartitioning(cluster_id") <= 2
+
+
+def test_ngram_diversity_jvm_only_two_phase_count(spark, sf_dir):
+    # gram arrays built by JVM transform/slice: no Python anywhere; the
+    # distinct count is the (n, gram) group count itself — no
+    # count-distinct Expand; both aggs keep map-side partial combine
+    from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+        ngram_diversity,
+    )
+
+    plan = _plan(ngram_diversity(_docs(spark, sf_dir)))
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
+    assert "Expand" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_zipf_fit_takeordered_head_bounded_window(spark, sf_dir):
+    # the head comes from TakeOrdered (never a rangepartitioning global
+    # sort of the vocabulary); the single rank window runs AFTER the
+    # top_k limit, so its single task is bounded at top_k rows
+    from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+        zipf_fit,
+    )
+
+    plan = _plan(zipf_fit(_docs(spark, sf_dir)))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Window") == 1
+    assert "EvalPython" not in plan

@@ -398,6 +398,28 @@ def main() -> int:
         )
     )
 
+    from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+        ngram_diversity,
+        zipf_fit,
+    )
+
+    sections.append(
+        (
+            "ngram_diversity (JVM transform-built gram arrays -> explode ->"
+            " ONE map-side-combined (n, gram) count shuffle -> tiny per-n"
+            " rollup; no Python, no count-distinct expand)",
+            _explain(ngram_diversity(docs)),
+        )
+    )
+    sections.append(
+        (
+            "zipf_fit (term-count shuffle -> TakeOrdered 10k head -> rank"
+            " window bounded at top_k rows -> one-row quantised-moment agg;"
+            " never a full-vocabulary sort or window)",
+            _explain(zipf_fit(docs)),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text in sections:
         out.append(f"\n## {title}\n\n```\n{text}\n```\n")
