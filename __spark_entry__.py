@@ -2078,6 +2078,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return zipf_fit(_docs(spark, sf_dir), top_k=10000)
 
+    def q_vocab_stats(spark, sf_dir):
+        # one-row vocabulary report: hapax fraction / type-token ratio /
+        # top-term share — the dataset-card spam & OCR-noise smells;
+        # one term-count shuffle + rollup; SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+            vocab_stats,
+        )
+
+        return vocab_stats(_docs(spark, sf_dir))
+
+    def q_heaps_fit(spark, sf_dir):
+        # Heaps'-law vocabulary growth V = k*N^beta at doc-id octave
+        # checkpoints (integer bit-length, never floating log);
+        # quantised-moment OLS like zipf_fit; SQL replay
+        from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+            heaps_fit,
+        )
+
+        return heaps_fit(_docs(spark, sf_dir))
+
     def q_soft_dedup_weights(spark, sf_dir):
         # SoftDeDup-style down-weighting: keep every row, weight
         # 1/dup_count over exact clusters so k copies carry one copy's
@@ -2897,6 +2917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- corpus-level lexical QA --
         "ngram_diversity": q_ngram_diversity,
         "zipf_fit": q_zipf_fit,
+        "vocab_stats": q_vocab_stats,
+        "heaps_fit": q_heaps_fit,
         "soft_dedup_weights": q_soft_dedup_weights,
         "robots_txt_compliance": q_robots_txt_compliance,
         "salted_host_counts": q_salted_host_counts,
@@ -4676,6 +4698,107 @@ def oracle_sql() -> dict[str, str]:
                 / ((CAST(n_ranks AS DOUBLE) * (sxx / 1000000000.0)
                     - (sx / 1000000000.0) * (sx / 1000000000.0))
                    * (CAST(n_ranks AS DOUBLE) * (syy / 1000000000.0)
+                      - (sy / 1000000000.0) * (sy / 1000000000.0))),
+                6) AS r2
+        FROM qs
+    """
+
+    # vocabulary report: same token definition and exact integer counts;
+    # each ratio is one integer->double division, rounded 6 dp
+    sqls["vocab_stats"] = """
+        WITH tc AS (
+          SELECT term, count(*) AS cnt
+          FROM (SELECT unnest(regexp_extract_all(
+                  lower(coalesce(text, '')), '\\p{L}+')) AS term
+                FROM documents)
+          GROUP BY term
+        )
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS hapax_fraction,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(sum(cnt) AS DOUBLE), 6) AS type_token_ratio,
+               round(CAST(max(cnt) AS DOUBLE)
+                     / CAST(sum(cnt) AS DOUBLE), 6) AS top1_share
+        FROM tc
+    """
+
+    # Heaps fit: identical integer-bit-length octaves, identical octave
+    # rollups + cumulative window over octave rows, identical
+    # nano-quantised moment sums and final IEEE formulas
+    sqls["heaps_fit"] = """
+        WITH toksrel AS (
+          SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),
+                                            '\\p{L}+') AS t
+          FROM documents
+        ), perdoc AS (
+          SELECT CAST(length(bin(doc_id + 1)) - 1 AS INT) AS octave,
+                 len(t) AS n_tok
+          FROM toksrel
+        ), doc_oct AS (
+          SELECT octave, CAST(sum(n_tok) AS BIGINT) AS oct_tokens,
+                 CAST(count(*) AS BIGINT) AS oct_docs
+          FROM perdoc GROUP BY octave
+        ), fs AS (
+          SELECT term, min(doc_id) AS first_id
+          FROM (SELECT doc_id, unnest(t) AS term FROM toksrel)
+          GROUP BY term
+        ), voc_oct AS (
+          SELECT CAST(length(bin(first_id + 1)) - 1 AS INT) AS octave,
+                 CAST(count(*) AS BIGINT) AS oct_vocab
+          FROM fs GROUP BY octave
+        ), pts0 AS (
+          SELECT d.octave, d.oct_docs, d.oct_tokens,
+                 coalesce(v.oct_vocab, 0) AS oct_vocab
+          FROM doc_oct d LEFT JOIN voc_oct v ON d.octave = v.octave
+        ), pts AS (
+          SELECT sum(oct_docs) OVER w AS cum_docs,
+                 sum(oct_tokens) OVER w AS cum_tokens,
+                 sum(oct_vocab) OVER w AS cum_vocab
+          FROM pts0
+          WINDOW w AS (ORDER BY octave
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), fitpts AS (
+          SELECT * FROM pts
+          WHERE cum_docs >= 8 AND cum_tokens > 0 AND cum_vocab > 0
+        ), qs AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_points,
+            sum(CAST(floor(ln(cum_tokens) * 1000000000 + 0.5)
+                     AS BIGINT)) AS sx,
+            sum(CAST(floor(ln(cum_vocab) * 1000000000 + 0.5)
+                     AS BIGINT)) AS sy,
+            sum(CAST(floor(ln(cum_tokens) * ln(cum_vocab) * 1000000000
+                           + 0.5) AS BIGINT)) AS sxy,
+            sum(CAST(floor(ln(cum_tokens) * ln(cum_tokens) * 1000000000
+                           + 0.5) AS BIGINT)) AS sxx,
+            sum(CAST(floor(ln(cum_vocab) * ln(cum_vocab) * 1000000000
+                           + 0.5) AS BIGINT)) AS syy
+          FROM fitpts
+        )
+        SELECT n_points,
+          round((CAST(n_points AS DOUBLE) * (sxy / 1000000000.0)
+                 - (sx / 1000000000.0) * (sy / 1000000000.0))
+                / (CAST(n_points AS DOUBLE) * (sxx / 1000000000.0)
+                   - (sx / 1000000000.0) * (sx / 1000000000.0)),
+                6) AS beta,
+          round(((sy / 1000000000.0)
+                 - ((CAST(n_points AS DOUBLE) * (sxy / 1000000000.0)
+                     - (sx / 1000000000.0) * (sy / 1000000000.0))
+                    / (CAST(n_points AS DOUBLE) * (sxx / 1000000000.0)
+                       - (sx / 1000000000.0) * (sx / 1000000000.0)))
+                   * (sx / 1000000000.0))
+                / CAST(n_points AS DOUBLE), 6) AS ln_k,
+          round(((CAST(n_points AS DOUBLE) * (sxy / 1000000000.0)
+                  - (sx / 1000000000.0) * (sy / 1000000000.0))
+                 * (CAST(n_points AS DOUBLE) * (sxy / 1000000000.0)
+                    - (sx / 1000000000.0) * (sy / 1000000000.0)))
+                / ((CAST(n_points AS DOUBLE) * (sxx / 1000000000.0)
+                    - (sx / 1000000000.0) * (sx / 1000000000.0))
+                   * (CAST(n_points AS DOUBLE) * (syy / 1000000000.0)
                       - (sy / 1000000000.0) * (sy / 1000000000.0))),
                 6) AS r2
         FROM qs

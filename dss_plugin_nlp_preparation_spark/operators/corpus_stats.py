@@ -142,6 +142,48 @@ def ngram_diversity(
     )
 
 
+def vocab_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """One-row vocabulary report: the dataset-card token numbers.
+
+    (n_tokens, n_terms, n_hapax, hapax_fraction, type_token_ratio,
+    top1_share) — hapax fraction (share of vocabulary seen exactly
+    once) and top-term share are the quick spam/boilerplate smells: a
+    scraped-template corpus has few hapaxes and a bloated top share,
+    OCR noise the opposite.
+
+    100-TB shape: ONE integer-count shuffle on term keys (zipfian, but
+    partial aggregation collapses hot terms pre-wire — the
+    ``train_vocab`` property) and a one-row rollup. No window, no
+    collect.
+    """
+    counts = (
+        df.select(F.explode(_tokens(text_column)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.max("cnt").cast("long").alias("max_term_count"),
+    ).select(
+        "n_tokens",
+        "n_terms",
+        "n_hapax",
+        F.round(F.col("n_hapax") / F.col("n_terms"), 6).alias(
+            "hapax_fraction"
+        ),
+        F.round(F.col("n_terms") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("max_term_count") / F.col("n_tokens"), 6).alias(
+            "top1_share"
+        ),
+    )
+
+
 _NANO = 1000000000
 
 
@@ -173,19 +215,33 @@ def zipf_fit(
     top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(top_k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
     ranked = top.withColumn("rank", F.row_number().over(w))
-    x = F.log(F.col("rank").cast("double"))
-    y = F.log(F.col("cnt").cast("double"))
-    sums = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+    fit = _quantised_ols(
+        ranked,
+        F.log(F.col("rank").cast("double")),
+        F.log(F.col("cnt").cast("double")),
+    )
+    return fit.select(
+        F.col("n_points").alias("n_ranks"), "slope", "intercept", "r2"
+    )
+
+
+def _quantised_ols(rel: DataFrame, x: Column, y: Column) -> DataFrame:
+    """One-row OLS of y on x: (n_points, slope, intercept, r2).
+
+    Each per-row moment term is quantised to int64 nano-units BEFORE
+    the sum (associative integer adds → partitioning/retry-exact); the
+    final formulas are single IEEE-double expressions over those sums,
+    mirrored operation-for-operation by the DuckDB oracle text.
+    """
+    sums = rel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
         F.sum(_q(x)).alias("sx"),
         F.sum(_q(y)).alias("sy"),
         F.sum(_q(x * y)).alias("sxy"),
         F.sum(_q(x * x)).alias("sxx"),
         F.sum(_q(y * y)).alias("syy"),
     )
-    # De-quantised moments; formulas mirror the DuckDB oracle text
-    # operation-for-operation so the IEEE doubles agree exactly.
-    n = F.col("n_ranks").cast("double")
+    n = F.col("n_points").cast("double")
     SX = F.col("sx") / F.lit(float(_NANO))
     SY = F.col("sy") / F.lit(float(_NANO))
     SXY = F.col("sxy") / F.lit(float(_NANO))
@@ -196,8 +252,88 @@ def zipf_fit(
     num2 = n * SXY - SX * SY
     r2 = (num2 * num2) / (den * (n * SYY - SY * SY))
     return sums.select(
-        "n_ranks",
+        "n_points",
         F.round(F.when(den != 0, slope), 6).alias("slope"),
         F.round(F.when(den != 0, (SY - slope * SX) / n), 6).alias("intercept"),
         F.round(F.when(den != 0, r2), 6).alias("r2"),
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_docs: int = 8,
+) -> DataFrame:
+    """Heaps'-law fit V = k·N^β: (n_points, beta, ln_k, r2).
+
+    Vocabulary growth against cumulative token count, measured at
+    doc-id octave checkpoints (after the first 2, 4, 8, … documents in
+    ``id_column`` order) and fit log-log: natural corpora land at
+    β ≈ 0.5–0.8 with a near-perfect line; a template corpus's
+    vocabulary saturates (β → 0), an OCR-noise corpus never bends
+    (β → 1). The companion diagnostic to :func:`zipf_fit`.
+
+    100-TB shape: the octave index is pure integer bit-length — never
+    floating log — so checkpoint membership is partitioning-exact. Two
+    shuffles: the per-octave token-count rollup (≤ 64 groups) and the
+    term→min(doc_id) first-seen aggregation (the ``train_vocab``
+    shuffle class: zipfian keys collapsed map-side). Cumulative sums
+    then run over OCTAVE rows (≤ 64 for any corpus in history), never
+    documents, and the fit is the same quantised-moment one-row
+    aggregate as the Zipf head. No collect, no corpus-sized window.
+    """
+    toks = _tokens(text_column)
+    # octave o = floor(log2(doc_id + 1)) via integer bit length: docs
+    # with octave <= j are exactly the first 2^(j+1) - 1 ids
+    oct_of = lambda c: (F.length(F.bin(c + F.lit(1))) - F.lit(1)).cast("int")
+    per_doc = df.select(
+        oct_of(F.col(id_column)).alias("octave"),
+        F.size(toks).alias("n_tok"),
+    )
+    doc_oct = per_doc.groupBy("octave").agg(
+        F.sum("n_tok").cast("long").alias("oct_tokens"),
+        F.count(F.lit(1)).cast("long").alias("oct_docs"),
+    )
+    first_seen = (
+        df.select(F.col(id_column).alias("__id"), F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.min("__id").alias("first_id"))
+    )
+    voc_oct = first_seen.select(
+        oct_of(F.col("first_id")).alias("octave")
+    ).groupBy("octave").agg(F.count(F.lit(1)).cast("long").alias("oct_vocab"))
+    w = (
+        Window.orderBy("octave")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = (
+        doc_oct.join(voc_oct, on="octave", how="left")
+        .select(
+            "octave",
+            "oct_docs",
+            "oct_tokens",
+            F.coalesce(F.col("oct_vocab"), F.lit(0)).alias("oct_vocab"),
+        )
+        .select(
+            F.sum("oct_docs").over(w).alias("cum_docs"),
+            F.sum("oct_tokens").over(w).alias("cum_tokens"),
+            F.sum("oct_vocab").over(w).alias("cum_vocab"),
+        )
+        .where(
+            (F.col("cum_docs") >= min_docs)
+            & (F.col("cum_tokens") > 0)
+            & (F.col("cum_vocab") > 0)
+        )
+    )
+    fit = _quantised_ols(
+        pts,
+        F.log(F.col("cum_tokens").cast("double")),
+        F.log(F.col("cum_vocab").cast("double")),
+    )
+    return fit.select(
+        "n_points",
+        F.col("slope").alias("beta"),
+        F.col("intercept").alias("ln_k"),
+        "r2",
     )

@@ -12,7 +12,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+    heaps_fit,
     ngram_diversity,
+    vocab_stats,
     zipf_fit,
 )
 from dss_plugin_nlp_preparation_spark.operators.dedup import (
@@ -174,3 +176,60 @@ class TestSoftDedupWeights:
         df = soft_dedup_weights(_docs(spark, ["x", "y", "x"]))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestVocabStats:
+    def test_hand_computed(self, spark):
+        # tokens: a a b | c  -> 4 tokens, 3 terms, hapax {b, c}
+        row = vocab_stats(_docs(spark, ["a a b", "c"])).collect()[0]
+        assert row["n_tokens"] == 4
+        assert row["n_terms"] == 3
+        assert row["n_hapax"] == 2
+        assert row["hapax_fraction"] == pytest.approx(round(2 / 3, 6))
+        assert row["type_token_ratio"] == pytest.approx(0.75)
+        assert row["top1_share"] == pytest.approx(0.5)
+
+    def test_template_corpus_has_low_hapax(self, spark):
+        row = vocab_stats(_docs(spark, ["same text here"] * 50)).collect()[0]
+        assert row["n_hapax"] == 0
+        assert row["type_token_ratio"] == pytest.approx(round(3 / 150, 6))
+
+
+class TestHeapsFit:
+    def test_linear_vocab_growth_beta_near_one(self, spark):
+        # every doc introduces one brand-new term plus one shared term:
+        # V grows ~linearly in tokens -> beta ~ 1, line-like
+        terms = [
+            "w" + chr(97 + i // 26 // 26) + chr(97 + (i // 26) % 26)
+            + chr(97 + i % 26)
+            for i in range(512)
+        ]
+        texts = [f"{t} common" for t in terms]
+        row = heaps_fit(_docs(spark, texts)).collect()[0]
+        assert row["n_points"] >= 5
+        assert 0.85 < row["beta"] <= 1.05
+        assert row["r2"] > 0.98
+
+    def test_saturated_vocab_beta_near_zero(self, spark):
+        row = heaps_fit(
+            _docs(spark, ["alpha beta gamma"] * 256)
+        ).collect()[0]
+        assert row["beta"] < 0.05
+
+    def test_partitioning_independent(self, spark):
+        texts = [
+            "x{} y{} shared words here".format(
+                chr(97 + i % 17), chr(97 + i % 9)
+            )
+            for i in range(200)
+        ]
+        a = heaps_fit(_docs(spark, texts)).collect()[0]
+        b = heaps_fit(_docs(spark, texts).repartition(11)).collect()[0]
+        assert tuple(a) == tuple(b)
+
+    def test_octave_checkpoints_are_integer_exact(self, spark):
+        # 10 docs -> octaves 0 (doc 0), 1 (docs 1-2), 2 (docs 3-6),
+        # 3 (docs 7-9); with min_docs=1 all 4 cumulative points survive
+        texts = [f"t{chr(97 + i)}" for i in range(10)]
+        row = heaps_fit(_docs(spark, texts), min_docs=1).collect()[0]
+        assert row["n_points"] == 4
