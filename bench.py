@@ -888,6 +888,25 @@ def main() -> int:
 
     timed_extra("curation_ops_suite", _curation_ops)
 
+    from dss_plugin_nlp_preparation_spark.operators.corpus_stats import (
+        heaps_fit,
+        ngram_diversity,
+        vocab_stats,
+        zipf_fit,
+    )
+
+    def _corpus_qa_ops():
+        # the corpus dataset-card sweep: n-gram diversity (the heavy
+        # one — a full (n, gram) count shuffle), vocabulary report,
+        # Zipf head fit, Heaps growth fit — all four over the full table
+        rows = ngram_diversity(docs).collect()
+        rows += vocab_stats(docs).collect()
+        rows += zipf_fit(docs).collect()
+        rows += heaps_fit(docs).collect()
+        return len(rows)
+
+    timed_extra("corpus_qa_suite", _corpus_qa_ops)
+
     # two interleaved passes over every registered extra; report the min
     # (storm-robust: contention only slows samples), with one bounded
     # retry sweep for extras whose every sample overlapped a storm
