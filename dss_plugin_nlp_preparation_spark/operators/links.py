@@ -214,6 +214,10 @@ def host_rank(
     """
     if n_iters < 0:
         raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    # materialize the distinct host->host edge set ONCE: it is tiny next
+    # to the page corpus, and every iteration below joins against it —
+    # without this the upstream page-level link extraction would be
+    # recomputed n_iters+2 times
     edges = (
         links.select("src_host", "dst_host")
         .where(
@@ -222,6 +226,7 @@ def host_rank(
             & (F.col("dst_host") != "")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src_host").alias("host"))
@@ -236,8 +241,12 @@ def host_rank(
             F.lit(0).cast("long").alias("rank_q"),
             F.lit(0.0).alias("rank"),
         )
-    out_deg = edges.groupBy(F.col("src_host").alias("host")).agg(
-        F.count(F.lit(1)).alias("__deg")
+    # host-keyed, consulted every iteration (contrib join + dangling
+    # anti-join) — pin it so each use is a scan, not a re-aggregation
+    out_deg = (
+        edges.groupBy(F.col("src_host").alias("host"))
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=True)
     )
     # uniform initial mass per host, exact integer share
     ranks = nodes.select("host", F.lit(_SCALE // n).cast("long").alias("rank_q"))
