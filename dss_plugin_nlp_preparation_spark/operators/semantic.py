@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -179,7 +180,14 @@ def train_kmeans(
     if n_iters < 0:
         raise ValueError(f"n_iters must be >= 0, got {n_iters}")
     centroids = kmeans_init(df, n_clusters, embedding_column, id_column)
-    emb_df = df.select(F.col(embedding_column).cast("array<double>").alias("__e"))
+    # pin the projected vectors for the loop: every Lloyd iteration scans
+    # this relation, and without the persist each pass re-reads (and
+    # re-casts) the source — MEMORY_AND_DISK so an over-memory corpus
+    # spills instead of failing; released before returning
+    emb_df = (
+        df.select(F.col(embedding_column).cast("array<double>").alias("__e"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     for _ in range(n_iters):
         # ONE fused Arrow pass per partition: assignment (shared
         # assign_kernel) + quantisation + per-cluster int64 partial sums —
@@ -232,6 +240,7 @@ def train_kmeans(
         for r in rows:
             new_c[r["cid"]][r["d"]] = (r["s"] / r["nn"]) / _QUANT
         centroids = new_c
+    emb_df.unpersist()
     return centroids
 
 
