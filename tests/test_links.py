@@ -95,6 +95,29 @@ def test_host_rank_mass_conserved_and_deterministic(spark):
     assert r1 == r2
 
 
+def test_host_rank_evaluates_input_once(spark):
+    # the page-level link relation must be materialized ONCE (the edge
+    # set is localCheckpoint'd before the loop) — not recomputed on
+    # every PageRank iteration; an accumulator inside a marker UDF
+    # counts actual evaluations of the input rows
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def _marked(s):
+        acc.add(1)
+        return s
+
+    base = spark.createDataFrame(
+        [(f"h{i}.com", f"h{(i + 1) % 7}.com") for i in range(100)],
+        ["raw_src", "dst_host"],
+    )
+    links = base.select(_marked("raw_src").alias("src_host"), "dst_host")
+    host_rank(links, n_iters=3).collect()
+    # one evaluation per input row; 3 iterations over a recomputed input
+    # would push this to ~400+
+    assert acc.value <= 200
+
+
 def test_host_rank_empty_graph(spark):
     links = extract_links(_pages(spark, [("https://a.org/", b"<p>no links</p>")]))
     assert host_rank(links, n_iters=2).count() == 0

@@ -233,3 +233,25 @@ def test_prototypicality_prune_permille_edges(spark):
     assert not any(r["proto_keep"] for r in keep_none.collect())
     with pytest.raises(ValueError):
         prototypicality_prune(df, keep_permille=1001, centroids=cents)
+
+
+def test_train_kmeans_evaluates_input_once(spark):
+    # the projected vector relation is persisted for the Lloyd loop:
+    # the source must be evaluated once (first iteration fills the
+    # cache), not once per iteration — counted by a marker UDF
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("array<double>")
+    def _marked(v):
+        acc.add(1)
+        return v
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(60)],
+        "vec_id long, raw array<double>",
+    )
+    df = base.select("vec_id", _marked("raw").alias("embedding"))
+    train_kmeans(df, n_clusters=3, n_iters=4)
+    # 60 rows for the init collect + 60 for the single materialization
+    # of the training relation; 4 recomputed iterations would be ~300
+    assert acc.value <= 180
