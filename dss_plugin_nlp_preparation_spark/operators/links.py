@@ -241,15 +241,23 @@ def host_rank(
             F.lit(0).cast("long").alias("rank_q"),
             F.lit(0.0).alias("rank"),
         )
+    # uniform initial mass per host, exact integer share
+    ranks = nodes.select("host", F.lit(_SCALE // n).cast("long").alias("rank_q"))
+    if n_iters == 0:
+        return ranks.select(
+            "host",
+            "rank_q",
+            (F.col("rank_q").cast("double") / _SCALE).alias("rank"),
+        )
     # host-keyed, consulted every iteration (contrib join + dangling
-    # anti-join) — pin it so each use is a scan, not a re-aggregation
+    # anti-join) — pin it so each use is a scan, not a re-aggregation;
+    # built only after the n_iters=0 fast exit so the degenerate call
+    # never pays the eager materialization
     out_deg = (
         edges.groupBy(F.col("src_host").alias("host"))
         .agg(F.count(F.lit(1)).alias("__deg"))
         .localCheckpoint(eager=True)
     )
-    # uniform initial mass per host, exact integer share
-    ranks = nodes.select("host", F.lit(_SCALE // n).cast("long").alias("rank_q"))
     for _ in range(n_iters):
         # per-edge contribution: integer share of the source's mass
         contrib = (

@@ -188,6 +188,17 @@ def train_kmeans(
         df.select(F.col(embedding_column).cast("array<double>").alias("__e"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    try:
+        centroids = _lloyd_iterations(emb_df, centroids, n_iters)
+    finally:
+        emb_df.unpersist()
+    return centroids
+
+
+def _lloyd_iterations(emb_df: DataFrame, centroids: list, n_iters: int) -> list:
+    """The Lloyd loop over an already-persisted vector relation (split
+    out so the caller's try/finally releases the cache on ANY exit,
+    including a failed job mid-iteration)."""
     for _ in range(n_iters):
         # ONE fused Arrow pass per partition: assignment (shared
         # assign_kernel) + quantisation + per-cluster int64 partial sums —
@@ -240,7 +251,6 @@ def train_kmeans(
         for r in rows:
             new_c[r["cid"]][r["d"]] = (r["s"] / r["nn"]) / _QUANT
         centroids = new_c
-    emb_df.unpersist()
     return centroids
 
 
