@@ -3443,7 +3443,7 @@ def oracle_sql() -> dict[str, str]:
                  regexp_extract(
                    lower(regexp_extract(url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)),
-                   '\.([a-z0-9-]+)$', 1) AS host_tld
+                   '\\.([a-z0-9-]+)$', 1) AS host_tld
           FROM aug
         ),
         m AS (
@@ -4825,7 +4825,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, h.text_hash, s.dup_count,
                round(1.0 / CAST(s.dup_count AS DOUBLE), 6)
                  AS sample_weight
-        FROM h JOIN s ON h.text_hash = s.text_hash
+        FROM h JOIN s ON h.text_hash IS NOT DISTINCT FROM s.text_hash
     """
 
     # normalized exact dedup: the same light normalization in SQL

@@ -29,6 +29,57 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 
+# the driver keeps only the tail of bench stdout; the final line must
+# stay comfortably inside that capture (r4 lesson, VERDICT r4 item 1)
+_HEADLINE_MAX_BYTES = 3800
+
+
+def emit_bench_output(headline, diagnostics, diag_path=None, out=None):
+    """Emit bench results so the driver's tail capture always parses them.
+
+    Round 4 printed headline + per-pass diagnostics as ONE stdout line;
+    the driver keeps only the tail of the output, the line's head (with
+    ``"metric"``/``"value"``) was cut off, and ``BENCH_r04.json``
+    recorded ``parsed: null`` (VERDICT r4, "What's wrong").
+
+    Now the full diagnostics dict goes to ``BENCH_DIAGNOSTICS.json``
+    and its own stdout line FIRST, and a compact headline JSON —
+    metric/value/unit/queries/sf/cpus plus scalar extras only, no
+    per-pass arrays — is printed as the FINAL stdout line, hard-capped
+    at ``_HEADLINE_MAX_BYTES`` by shedding extras before ever growing
+    past the driver's capture window.
+
+    Returns the compact headline line (str) for tests.
+    """
+    out = out if out is not None else sys.stdout
+    if diag_path is None:
+        diag_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DIAGNOSTICS.json"
+        )
+    diag_line = json.dumps({"diagnostics": diagnostics})
+    try:
+        with open(diag_path, "w") as fh:
+            fh.write(diag_line + "\n")
+    except OSError:
+        pass  # diagnostics are best-effort; never block the headline
+    print(diag_line, file=out)
+    compact = dict(headline)
+    compact["extras"] = {
+        k: v
+        for k, v in (headline.get("extras") or {}).items()
+        if v is None or isinstance(v, (int, float, str, bool))
+    }
+    line = json.dumps(compact)
+    if len(line) > _HEADLINE_MAX_BYTES:
+        compact.pop("extras", None)
+        line = json.dumps(compact)
+    if len(line) > _HEADLINE_MAX_BYTES:  # pathological: shed everything
+        line = json.dumps(
+            {k: compact.get(k) for k in ("metric", "value", "unit", "sf", "cpus")}
+        )
+    print(line, file=out)
+    return line
+
 
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -207,6 +258,40 @@ def main() -> int:
     spark.range(int(CPUS), numPartitions=int(CPUS)).mapInPandas(
         _warm_worker, "n long"
     ).count()
+
+    # The barrier above touches CPUS workers — but a plan with TWO
+    # Python nodes in one stage (quality_filter_pipeline = MapInPandas
+    # -> ArrowEvalPython) runs one Python runner PER NODE per task, so
+    # its first pass pulls 2x CPUS workers from the reuse pool and the
+    # second, cold set pays the model load inside the timed window
+    # (judge r4: pages_pipeline_cold 10.5 s, with the cold half then
+    # bleeding into lang_detect's first pass). Chained scalar pandas
+    # UDFs FUSE into a single ArrowEvalPython (verified on the plan),
+    # so the only way to fork the second runner set is the same
+    # mapInPandas + pandas_udf shape the pipeline uses. Near-free when
+    # the pool is already warm (VERDICT r4 item 5).
+    @F.pandas_udf("long")
+    def _warm_link(s):
+        import pandas as _pd
+
+        from dss_plugin_nlp_preparation_spark.nlp.langid import (
+            warm_caches as _wc,
+        )
+        from dss_plugin_nlp_preparation_spark.nlp.spellcheck import (
+            check_document as _sc,
+        )
+        from dss_plugin_nlp_preparation_spark.operators.lang_detect import (
+            _identifier as _lid,
+        )
+
+        _wc()
+        _sc("thsi sentnce has misspeled wrds", "en")
+        _lid(None, 0.0, "").detect("a short warm-up document in english")
+        return _pd.Series([0] * len(s), dtype="int64")
+
+    spark.range(int(CPUS), numPartitions=int(CPUS)).mapInPandas(
+        _warm_worker, "n long"
+    ).select(F.sum(_warm_link(F.col("n")))).collect()
     _mark("worker_warm")
 
     # JVM/JIT warm (still untimed setup): run every headline query shape
@@ -959,49 +1044,91 @@ def main() -> int:
     media.unpersist()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "cpus": int(CPUS),
-                "extras": extras,
-                "diagnostics": {
-                    "shuffle_partitions": int(
-                        spark.conf.get("spark.sql.shuffle.partitions")
-                    ),
-                    "loadavg_start_1m": round(loadavg_start[0], 2),
-                    "loadavg_end_1m": round(os.getloadavg()[0], 2),
-                    "adaptive_enabled": spark.conf.get(
-                        "spark.sql.adaptive.enabled", "true"
-                    ),
-                    "setup_sec": setup_sec,
-                    # every individual sample, in execution order — a
-                    # contention window is visible as a vertical stripe
-                    # across queries in the same pass; *_storms carries
-                    # each sample's measured (sys+steal)/total CPU
-                    # fraction (>= 0.35 = hypervisor convoy, sample
-                    # excluded from the reported stat when a clean
-                    # sample exists)
-                    "headline_pass_times": pass_times,
-                    "headline_pass_storms": pass_storms,
-                    # busy = 1 - idle/total per sample: a SLOW sample with
-                    # busy <= 0.25 marks the idle-stall degradation mode
-                    # (BASELINE.md) — also excluded via _contaminated
-                    "headline_pass_busy": pass_busy,
-                    "extra_pass_times": extra_times,
-                    "extra_pass_storms": extra_storms,
-                    "extra_pass_busy": extra_busy,
-                    "storm_retries": storm_retries,
-                },
-            }
-        )
+    diagnostics = {
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
+        "loadavg_start_1m": round(loadavg_start[0], 2),
+        "loadavg_end_1m": round(os.getloadavg()[0], 2),
+        "adaptive_enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled", "true"
+        ),
+        "setup_sec": setup_sec,
+        # every individual sample, in execution order — a
+        # contention window is visible as a vertical stripe
+        # across queries in the same pass; *_storms carries
+        # each sample's measured (sys+steal)/total CPU
+        # fraction (>= 0.35 = hypervisor convoy, sample
+        # excluded from the reported stat when a clean
+        # sample exists)
+        "headline_pass_times": pass_times,
+        "headline_pass_storms": pass_storms,
+        # busy = 1 - idle/total per sample: a SLOW sample with
+        # busy <= 0.25 marks the idle-stall degradation mode
+        # (BASELINE.md) — also excluded via _contaminated
+        "headline_pass_busy": pass_busy,
+        "extra_pass_times": extra_times,
+        "extra_pass_storms": extra_storms,
+        "extra_pass_busy": extra_busy,
+        "storm_retries": storm_retries,
+    }
+    emit_bench_output(
+        {
+            "metric": "headline_query_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": int(CPUS),
+            "extras": extras,
+            "storm_retries": storm_retries,
+        },
+        diagnostics,
     )
     return 0
 
 
+def _emit_sample() -> int:
+    """Exercise the REAL emission path on a representative bloated
+    payload without starting Spark — `python bench.py --emit-sample`
+    is the driver-contract smoke `tests/test_bench_output.py` runs as a
+    subprocess: its LAST stdout line must ``json.loads`` and stay small
+    no matter how large the diagnostics grow (VERDICT r4 item 1)."""
+    import tempfile
+
+    queries = {
+        n: 1.234
+        for n in (
+            "pages_pipeline keep_drop scrub exact_dedup near_dup_pairs "
+            "simhash lang_detect clean_text spellcheck cosine_topk"
+        ).split()
+    }
+    diagnostics = {
+        "setup_sec": {"driver_warm": 1.0, "worker_warm": 2.0},
+        "headline_pass_times": {n: [1.5, 1.3, 1.2] for n in queries},
+        "headline_pass_storms": {n: [0.1, 0.1, 0.1] for n in queries},
+        "headline_pass_busy": {n: [0.9, 0.9, 0.9] for n in queries},
+        "extra_pass_times": {f"extra_{i}": [0.5, 0.4] for i in range(60)},
+        "extra_pass_storms": {f"extra_{i}": [0.1, 0.1] for i in range(60)},
+        "extra_pass_busy": {f"extra_{i}": [0.9, 0.9] for i in range(60)},
+        "storm_retries": 0,
+    }
+    headline = {
+        "metric": "headline_query_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "extras": {f"extra_{i}_sec": 0.4 for i in range(60)},
+        "storm_retries": 0,
+    }
+    with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+        emit_bench_output(headline, diagnostics, diag_path=tmp.name)
+    return 0
+
+
 if __name__ == "__main__":
+    if "--emit-sample" in sys.argv[1:]:
+        raise SystemExit(_emit_sample())
     raise SystemExit(main())

@@ -17,8 +17,10 @@ from .codecs import (  # noqa: F401
 from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive  # noqa: F401
 from .gif import decode_gif, encode_gif, probe_gif  # noqa: F401
 from .containers import (  # noqa: F401
+    encode_mjpeg_mp4,
     encode_mp3,
     encode_mp4,
+    extract_mp4_samples,
     probe_media,
     probe_mp3,
     probe_mp4,

@@ -184,6 +184,7 @@ def video_frame_hashes(payload: bytes, n_frames: int = 4):
         decode_frames,
         decode_gif,
         detect_media_type,
+        extract_mp4_samples,
     )
 
     t = detect_media_type(payload)
@@ -200,6 +201,16 @@ def video_frame_hashes(payload: bytes, n_frames: int = 4):
                 return None
             picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
             hashes = [dhash64(f) for f in picks]
+        elif payload and bytes(payload[4:8]) == b"ftyp":
+            # Motion-JPEG MP4: samples are standalone JPEGs pulled via
+            # the real stbl walk; entropy-coded codecs (avc1 etc.)
+            # return None here and stay on the stub path (r5,
+            # VERDICT r4 item 9)
+            frames = extract_mp4_samples(payload)
+            if not frames:
+                return None
+            picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
+            hashes = [dhash_of_payload(f) for f in picks]
         else:
             return None
     except (ValueError, _struct.error, ZeroDivisionError, OverflowError, IndexError):

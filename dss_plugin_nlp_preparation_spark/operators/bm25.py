@@ -69,8 +69,9 @@ def _tokens(text_column: str) -> Column:
 def tokenize_query(query: str) -> list[str]:
     """Driver-side query tokenization under the same contract as the
     corpus side (lowercased ascii-alphanumeric runs, duplicates kept —
-    BM25 term weights are per distinct term, so duplicates are dropped
-    by the distinct() in bm25_score)."""
+    BM25 term weights are per distinct term, so callers drop duplicates
+    with an order-preserving ``dict.fromkeys`` before building the term
+    filter / query literals)."""
     import re
 
     return re.findall(TOKEN_PATTERN, (query or "").lower())

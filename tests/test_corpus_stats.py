@@ -172,6 +172,20 @@ class TestSoftDedupWeights:
         ).collect()
         assert all(r["dup_count"] == 2 for r in out)
 
+    def test_null_text_rows_keep_flowing(self, spark):
+        # md5(NULL) is NULL; the null-safe join keeps the documented
+        # "every row keeps flowing" contract — null-text rows form one
+        # duplicate cluster instead of vanishing (ADVICE r4)
+        df = spark.createDataFrame(
+            [(0, "x"), (1, None), (2, None), (3, "x")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in soft_dedup_weights(df).collect()}
+        assert set(out) == {0, 1, 2, 3}
+        assert out[1]["dup_count"] == 2
+        assert out[1]["sample_weight"] == pytest.approx(0.5)
+        assert out[0]["dup_count"] == 2
+
     def test_plan_has_no_cartesian_and_single_agg_exchange(self, spark):
         df = soft_dedup_weights(_docs(spark, ["x", "y", "x"]))
         plan = df._jdf.queryExecution().executedPlan().toString()

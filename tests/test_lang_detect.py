@@ -91,22 +91,25 @@ def test_multilingual_wide_coverage():
 
 def test_wili_style_accuracy_floor():
     """Committed LID accuracy on the WiLI-style sample (BASELINE.md):
-    regression floor well under the measured 0.97 overall / 0.985 long.
+    regression floor well under the measured 0.975 overall / 0.99 long.
     hr/sr share a language continuum (the bundled sr resources are
-    Cyrillic stopwords + a Latin dictionary) and th's dictionary carries
-    Latin/mojibake noise — those three are floored separately."""
+    Cyrillic stopwords + a Latin dictionary) — those two are floored
+    separately. th (0.82 in r4) went to 1.0 once the profile build and
+    sampler script-filter the 54%-English th dictionary
+    (VERDICT r4 item 6)."""
     import sys
 
     sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
     from tools.lid_benchmark import evaluate
 
     res = evaluate()
-    assert res["overall"] >= 0.94, res["overall"]
-    assert res["long"] >= 0.96, res["long"]
-    confusables = {"hr", "sr", "th"}
+    assert res["overall"] >= 0.96, res["overall"]
+    assert res["long"] >= 0.975, res["long"]
+    confusables = {"hr", "sr"}
     for lang, acc in res["per_lang"].items():
         floor = 0.45 if lang in confusables else 0.9
         assert acc >= floor, (lang, acc)
+    assert res["per_lang"]["th"] >= 0.95, res["per_lang"]["th"]
 
 
 def test_detect_batch_identical_to_detect():

@@ -47,11 +47,28 @@ def _dictionary_langs() -> list:
 
 def _sampler(lang: str):
     """(terms, cumulative counts) for frequency-weighted deterministic
-    draws from the language's bundled dictionary."""
+    draws from the language's bundled dictionary.
+
+    Terms are script-filtered against the language's stopword scripts
+    (same rule the profile build uses): the subtitle-derived
+    dictionaries carry cross-language contamination — 54% of th's
+    top-3000 terms are plain English — and real WiLI paragraphs for a
+    non-Latin language are written in that language's script, so an
+    unfiltered sampler would synthesize half-English "Thai" paragraphs
+    no detector should call th."""
     from dss_plugin_nlp_preparation_spark.nlp import resources
+    from dss_plugin_nlp_preparation_spark.nlp.langid import (
+        _term_script,
+        profile_allowed_scripts,
+    )
 
     freq = resources.load_frequency_dict(lang, resources.dictionary_folder())
-    items = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_TERMS]
+    allowed = profile_allowed_scripts(lang)
+    items = [
+        (t, c)
+        for t, c in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        if not allowed or _term_script(t) is None or _term_script(t) in allowed
+    ][:TOP_TERMS]
     terms = [t for t, _ in items]
     counts = np.array([c for _, c in items], dtype=np.float64)
     cum = np.cumsum(counts)
