@@ -216,9 +216,11 @@ def main() -> int:
         | set(warm_langs)
     )
 
-    def _warm_worker(batches):
-        import pandas as _pd
-
+    def _warm_models():
+        """The ONE model-warm sequence, shared by both warm jobs below
+        so the two pooled worker sets are warm for the same models by
+        construction (a model warmed in only one place leaves half the
+        pool cold for it — measured as a 5x clean_text first pass)."""
         from dss_plugin_nlp_preparation_spark.nlp.bpe import (
             get_tokenizer as _gt,
         )
@@ -252,6 +254,11 @@ def main() -> int:
                 _um(lang, None)
             except Exception:
                 pass  # languages without bundled resources: nothing to warm
+
+    def _warm_worker(batches):
+        import pandas as _pd
+
+        _warm_models()
         for pdf in batches:
             yield _pd.DataFrame({"n": [len(pdf)]})
 
@@ -274,34 +281,7 @@ def main() -> int:
     def _warm_link(s):
         import pandas as _pd
 
-        from dss_plugin_nlp_preparation_spark.nlp.cleaner import (
-            clean_document as _cd,
-        )
-        from dss_plugin_nlp_preparation_spark.nlp.langid import (
-            warm_caches as _wc,
-        )
-        from dss_plugin_nlp_preparation_spark.nlp.spellcheck import (
-            check_document as _sc,
-        )
-        from dss_plugin_nlp_preparation_spark.operators.lang_detect import (
-            _identifier as _lid,
-        )
-        from dss_plugin_nlp_preparation_spark.operators.perplexity import (
-            _unigram_model as _um,
-        )
-
-        _wc()
-        _sc("thsi sentnce has misspeled wrds", "en")
-        _lid(None, 0.0, "").detect("a short warm-up document in english")
-        # the second worker set must be warm for the SAME model set as
-        # the barrier workers — cleaner/LM loads left out here showed up
-        # as a 5x clean_text first pass when its tasks landed on these
-        for lang in corpus_langs:
-            try:
-                _cd("warm up text", lang, frozenset({"is_stop", "is_punct", "like_num"}))
-                _um(lang, None)
-            except Exception:
-                pass  # languages without bundled resources: nothing to warm
+        _warm_models()
         return _pd.Series([0] * len(s), dtype="int64")
 
     spark.range(int(CPUS), numPartitions=int(CPUS)).mapInPandas(

@@ -559,10 +559,20 @@ def extract_mp4_samples(payload: bytes):
                     break
         if not boxes or (b"stco" not in boxes and b"co64" not in boxes):
             return None
-        # stsz: uniform size or per-sample table
+        # stsz: uniform size or per-sample table. n and uniform come
+        # from arbitrary bytes — bound BOTH by the box and by the file
+        # before any allocation (a crafted sample_count of 2^32-1 must
+        # not turn into a multi-GB list; the contract is return-None,
+        # never raise, and MemoryError is deliberately not handled)
         z0, z1 = boxes[b"stsz"]
+        if z0 + 12 > z1:
+            return None
         uniform, n = struct.unpack(">II", b[z0 + 4 : z0 + 12])
+        if n == 0 or n > len(b):  # more samples than file bytes: bogus
+            return None
         if uniform:
+            if uniform * n > len(b):
+                return None
             sizes = [uniform] * n
         else:
             if z0 + 12 + 4 * n > z1:

@@ -311,9 +311,7 @@ def _profiles() -> dict:
         for term, weight in corpus_terms:
             padded = f" {term.lower()} "
             w = max(1, int(math.log10(weight + 1)))
-            t_counts: Counter = Counter(_char_script(ch) for ch in term)
-            t_counts.pop("other", None)
-            t_script = t_counts.most_common(1)[0][0] if t_counts else "latin"
+            t_script = _term_script(term) or "latin"
             for i in range(len(padded) - _PROFILE_NGRAM + 1):
                 g = padded[i : i + _PROFILE_NGRAM]
                 grams[g] += w

@@ -582,6 +582,33 @@ def test_mjpeg_mp4_extract_is_total():
     assert tail_cut is not None and len(tail_cut) == 3
 
 
+def test_mjpeg_mp4_adversarial_stsz_cannot_force_allocation():
+    """A crafted stsz (sample_count 2^32-1, uniform size) must return
+    None, not attempt a multi-GB list allocation: sample counts/sizes
+    from arbitrary bytes are bounded by the file length before any
+    allocation."""
+    import struct
+
+    from dss_plugin_nlp_preparation_spark.media import (
+        encode_mjpeg_mp4,
+        extract_mp4_samples,
+    )
+
+    p = bytearray(encode_mjpeg_mp4(_mjpeg_frames(), 16, 12))
+    i = bytes(p).find(b"stsz")
+    assert i > 0
+    # full-box header: [i+4]=version/flags, [i+8]=sample_size, [i+12]=count
+    p[i + 8 : i + 16] = struct.pack(">II", 1, 0xFFFFFFFF)  # uniform path
+    assert extract_mp4_samples(bytes(p)) is None
+    p[i + 8 : i + 16] = struct.pack(">II", 0, 0xFFFFFFFF)  # table path
+    assert extract_mp4_samples(bytes(p)) is None
+    # truncated stsz header must not read the next box's bytes
+    q = bytearray(encode_mjpeg_mp4(_mjpeg_frames(), 16, 12))
+    j = bytes(q).find(b"stsz")
+    q[j - 4 : j] = struct.pack(">I", 10)  # box too short for its header
+    assert extract_mp4_samples(bytes(q)) is None
+
+
 def test_mjpeg_mp4_video_fingerprint_and_frame_sampling():
     """The MP4 profile rides the REAL perceptual-dedup path: frame
     hashes equal the FRMS container of the same JPEGs (container swap

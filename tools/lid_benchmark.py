@@ -67,7 +67,7 @@ def _sampler(lang: str):
     items = [
         (t, c)
         for t, c in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
-        if not allowed or _term_script(t) is None or _term_script(t) in allowed
+        if not allowed or (s := _term_script(t)) is None or s in allowed
     ][:TOP_TERMS]
     terms = [t for t, _ in items]
     counts = np.array([c for _, c in items], dtype=np.float64)
