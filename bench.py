@@ -34,6 +34,23 @@ PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 _HEADLINE_MAX_BYTES = 3800
 
 
+def trimmed_median(samples, trim_factor: float = 2.5) -> float:
+    """Median over the samples within ``trim_factor`` x the minimum.
+
+    The storm/stall detectors bound their contamination modes, but an
+    observed third mode (r5: partial convoy — storm_frac 0.05-0.30,
+    busy ~0.5) slows a sample 3-6x while passing both filters; a plain
+    median over such a set ([10.2, 1.67, 5.48] in the measured run)
+    reports the poisoned middle. Repeats of a genuinely clean shuffle
+    query land within ~1.5x of each other (BASELINE.md observed
+    ranges), so samples beyond 2.5x the fastest are contention by
+    construction, not variance, and are trimmed before the median.
+    """
+    floor_ = min(samples)
+    trimmed = sorted(t for t in samples if t <= floor_ * trim_factor)
+    return trimmed[len(trimmed) // 2]
+
+
 def emit_bench_output(headline, diagnostics, diag_path=None, out=None):
     """Emit bench results so the driver's tail capture always parses them.
 
@@ -428,7 +445,7 @@ def main() -> int:
                 for t, s, b in zip(ts, pass_storms[name], pass_busy[name])
                 if not _contaminated(t, s, b)
             ] or ts
-            timings[name] = sorted(clean)[len(clean) // 2]
+            timings[name] = trimmed_median(clean)
         else:
             timings[name] = min(ts)
         if ts[0] > timings[name] * 1.5:

@@ -100,6 +100,21 @@ def test_unwritable_diag_path_never_blocks_the_headline(tmp_path):
     assert json.loads(lines[-1])["value"] == 9.5
 
 
+def test_trimmed_median_rejects_partial_convoy_samples():
+    """The r5-observed partial-convoy mode: samples 3-6x slow with
+    storm/busy under both detector thresholds. A plain median reports
+    the poisoned middle; the trimmed median stays on the clean
+    cluster."""
+    # the actual measured sample set from the contended r5 run
+    assert bench.trimmed_median([10.175, 1.669, 5.481]) == 1.669
+    # ordinary clean spread (within 1.5x): true median survives
+    assert bench.trimmed_median([2.3, 1.9, 2.1]) == 2.1
+    # single sample degenerates to itself
+    assert bench.trimmed_median([4.2]) == 4.2
+    # all-slow set (no clean sample): median of what exists
+    assert bench.trimmed_median([9.0, 10.0, 11.0]) == 10.0
+
+
 def test_subprocess_last_stdout_line_is_driver_parseable():
     """The real process-level contract: run bench.py's emission path as
     a subprocess (--emit-sample, no Spark) and assert the LAST stdout
