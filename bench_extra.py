@@ -1,0 +1,168 @@
+# -*- coding: utf-8 -*-
+"""Round-6 measurement harness (guide §1): per-stage isolation of the
+headline queries with the noop sink, plus .explain("formatted") capture.
+
+NOT part of the frozen driver contract — bench.py stays the measured
+artifact; this file only produces the evidence cited in
+OPTIMIZATION_r06.md and plans/r06/*.txt.
+
+Usage:
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py [--explain-only]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = int(os.environ.get("BENCH_EXTRA_REPS", "3"))
+PLAN_DIR = os.environ.get("BENCH_EXTRA_PLAN_DIR", "")
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from dss_plugin_nlp_preparation_spark.operators.dedup import (
+        exact_dedup,
+        minhash_bands,
+        near_dup_pairs,
+        simhash,
+    )
+    from dss_plugin_nlp_preparation_spark.operators.keep_drop import add_keep_drop
+    from dss_plugin_nlp_preparation_spark.operators.lang_detect import detect_language
+    from dss_plugin_nlp_preparation_spark.operators.quality import add_quality_signals
+    from dss_plugin_nlp_preparation_spark.operators.scrub import scrub_text
+    from dss_plugin_nlp_preparation_spark.operators.similarity import cosine_topk
+    from dss_plugin_nlp_preparation_spark.operators.spellcheck import check_spelling
+    from dss_plugin_nlp_preparation_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench_extra", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .repartition(int(CPUS) * 2)
+    )
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).repartition(
+        int(CPUS)
+    )
+    docs.cache().count()
+    embs.cache().count()
+    en_docs = docs.where("lang = 'en'")
+    qvec = embs.where("vec_id = 0").select("embedding").collect()[0][0]
+
+    # ---- near_dup_pairs staged decomposition (xxhash64 family) ----
+    from pyspark.sql import Window
+
+    def ndp_stageA_bands():
+        return minhash_bands(docs)
+
+    def ndp_stageB_window():
+        bands = minhash_bands(docs)
+        w = Window.partitionBy("band_id", "band_min")
+        return bands.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+            (F.col("__n") >= 2) & (F.col("__n") <= 64)
+        )
+
+    def ndp_stageC_pairs_nodistinct():
+        kept = ndp_stageB_window()
+        pairs = kept.groupBy("band_id", "band_min").agg(
+            F.sort_array(F.collect_set("id")).alias("ids")
+        ).select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        return pairs.select("p.id_a", "p.id_b")
+
+    def ndp_full():
+        return near_dup_pairs(docs)
+
+    targets = [
+        ("ndp_A_bands", ndp_stageA_bands),
+        ("ndp_B_window", ndp_stageB_window),
+        ("ndp_C_pairs_nodistinct", ndp_stageC_pairs_nodistinct),
+        ("ndp_D_full", ndp_full),
+        ("exact_dedup", lambda: exact_dedup(docs)),
+        ("keep_drop", lambda: add_keep_drop(add_quality_signals(docs))),
+        ("scrub", lambda: scrub_text(docs)),
+        ("simhash", lambda: simhash(docs)),
+        ("lang_detect", lambda: detect_language(docs, "text")),
+        ("clean_or_skip", None),
+        ("spellcheck", lambda: check_spelling(en_docs, "text", language="en")),
+        ("cosine_topk", lambda: cosine_topk(embs, qvec, k=10)),
+    ]
+
+    from dss_plugin_nlp_preparation_spark.operators.clean import clean_text
+
+    def _clean():
+        return clean_text(
+            docs,
+            "text",
+            language_column="lang",
+            token_filters=frozenset({"is_stop", "is_punct", "like_num"}),
+        )
+
+    targets = [(n, f if n != "clean_or_skip" else _clean) for n, f in targets]
+    targets = [(n if n != "clean_or_skip" else "clean_text", f) for n, f in targets]
+
+    if PLAN_DIR:
+        os.makedirs(PLAN_DIR, exist_ok=True)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        for name, fn in targets:
+            with open(os.path.join(PLAN_DIR, f"{name}.txt"), "w") as fh:
+                fh.write(fn()._jdf.queryExecution().explainString(mode))
+    if "--explain-only" in sys.argv[1:]:
+        return 0
+
+    # warm every shape once (JIT + model load outside timed region)
+    for name, fn in targets:
+        spark.sparkContext.setJobDescription(f"warm:{name}")
+        _noop(fn().limit(200) if name not in ("cosine_topk",) else fn())
+
+    results: dict[str, list] = {n: [] for n, _ in targets}
+    rows: dict[str, int] = {}
+    for rep in range(REPS):
+        for name, fn in targets:
+            spark.sparkContext.setJobDescription(f"time:{name}:rep{rep}")
+            df = fn()
+            t0 = time.perf_counter()
+            _noop(df)
+            results[name].append(round(time.perf_counter() - t0, 3))
+    for name, fn in targets:
+        rows[name] = fn().count()
+
+    out = {
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "samples": results,
+        "min": {n: min(v) for n, v in results.items()},
+        "rows": rows,
+    }
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,17 +26,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _norm_text(text: Column) -> Column:
+    """Whitespace-collapsed lowercase text (the shingle normalization)."""
+    return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
 def _shingles(text: Column, k: int) -> Column:
-    """Distinct char k-grams of lowercase text (empty-safe)."""
-    t = F.lower(F.regexp_replace(text, r"\s+", " "))
-    n = F.length(t)
-    return F.when(n < k, F.array(t)).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(t, i, k)
+    """Distinct char k-grams of lowercase text (empty-safe).
+
+    The normalized text is BOUND to a lambda variable through a
+    1-element ``transform`` so the regex+lower runs once per ROW.
+    Writing ``substring(t_expr, i, k)`` with the raw normalization
+    expression instead lets Catalyst inline it into the per-position
+    lambda, re-running the regex once per character position — measured
+    as ~4x the whole minhash stage at sf1.0 (OPTIMIZATION_r06.md)."""
+
+    def _arr(t: Column) -> Column:
+        n = F.length(t)
+        return F.when(n < k, F.array(t)).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(t, i, k)
+                )
             )
         )
-    )
+
+    return F.get(F.transform(F.array(_norm_text(text)), _arr), 0)
 
 
 def exact_dedup(
@@ -157,7 +172,6 @@ def minhash_bands(
     """
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    sh = _shingles(F.col(text_column), shingle_k)
     if hash_fn == "xxhash64":
         # WHOLE-STAGE-CODEGEN shape: higher-order functions (transform/
         # array_min lambdas) evaluate interpreted in Spark, and their
@@ -174,15 +188,26 @@ def minhash_bands(
         # same MinHash estimator; replayed by functions/xxh64.py in the
         # frozen oracle. Min over the shingle MULTISET equals min over the
         # set, so no distinct pass is needed. NULL text hashes as "".
-        t = F.lower(
-            F.regexp_replace(F.coalesce(F.col(text_column), F.lit("")), r"\s+", " ")
-        )
-        n = F.length(t)
-        ex = df.select(
+        #
+        # The normalized text is materialized as the __t ATTRIBUTE by its
+        # own projection and every later reference goes through the
+        # attribute: passing the raw lower(regexp_replace(..)) expression
+        # into the post-explode substring let Catalyst collapse it into
+        # the per-position projection, re-running the regex once per
+        # character position — measured 6.0 s -> 1.4 s for this stage at
+        # sf1.0 (OPTIMIZATION_r06.md, plans/r06/near_dup_pairs_*.txt).
+        normed = df.select(
             F.col(id_column).alias("id"),
-            t.alias("__t"),
+            _norm_text(F.coalesce(F.col(text_column), F.lit(""))).alias("__t"),
+        )
+        ex = normed.select(
+            "id",
+            "__t",
             F.explode(
-                F.sequence(F.lit(1), F.greatest(n - shingle_k + 1, F.lit(1)))
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__t") - shingle_k + 1, F.lit(1)),
+                )
             ).alias("__i"),
         )
         pre = F.xxhash64(F.substring(F.col("__t"), F.col("__i"), shingle_k))
@@ -215,6 +240,7 @@ def minhash_bands(
             F.col("b.band_min").alias("band_min"),
         )
     else:
+        sh = _shingles(F.col(text_column), shingle_k)
         n_digests = (num_bands * 8 + 31) // 32
         digest = lambda s: F.concat(  # noqa: E731
             *[F.md5(s) if i == 0 else F.md5(F.concat(F.lit(str(i)), s)) for i in range(n_digests)]
