@@ -341,45 +341,58 @@ def simhash(
     64 bits (vs the 32 of round 1) keeps the collision rate useful at
     corpus scale: at 10^12 docs, 32 bits collide constantly while 64-bit
     hamming balls of radius 3 stay selective.
+
+    Shape (r6): one exploded row per token, the widened digest computed
+    once per token in a codegen projection, then ``bits`` integer SUM
+    aggregates with map-side partial combine — the shuffle carries
+    ``bits`` ints per document. This replaces an interpreted per-bit ×
+    per-token double ``F.aggregate`` (measured 9.5 s -> ~1 s for the
+    full materialization at sf1.0, bit-identical output — same md5
+    formula, same majority vote). ``explode_outer`` keeps tokenless
+    documents (null/empty text) as one null-token row whose per-bit
+    contribution is 0, reproducing ``simhash = 0``. Like
+    :func:`minhash_bands`, assumes ``id_column`` is unique per row.
     """
     assert 1 <= bits <= 64
     n_digests = (bits + 31) // 32
     words = F.filter(
         F.split(F.lower(F.col(text_column)), r"\s+"), lambda w: w != ""
     )
-    digest = lambda w: F.concat(  # noqa: E731
-        *[F.md5(w) if i == 0 else F.md5(F.concat(F.lit(str(i)), w)) for i in range(n_digests)]
+    ex = df.select(
+        F.col(id_column).alias("id"), F.explode_outer(words).alias("__w")
     )
-    # materialize the per-token digests ONCE (a real projection): Catalyst
-    # does not CSE across lambda bodies, so inlining would md5 every token
-    # `bits` times over
-    hashed = df.select(
-        F.col(id_column).alias("id"), F.transform(words, digest).alias("__hs")
+    w = F.col("__w")
+    digest = F.concat(
+        *[
+            F.md5(w) if i == 0 else F.md5(F.concat(F.lit(str(i)), w))
+            for i in range(n_digests)
+        ]
+    )
+    hx = ex.select("id", digest.alias("__h"))
+    # per-token, per-bit vote: +1 when hex digit b has its high bit set,
+    # -1 otherwise, 0 for the null row of a tokenless document
+    votes = [
+        F.when(F.col("__h").isNull(), F.lit(0))
+        .when(F.substring(F.col("__h"), b + 1, 1).isin(*_HI_HEX), F.lit(1))
+        .otherwise(F.lit(-1))
+        for b in range(bits)
+    ]
+    sums = hx.groupBy("id").agg(
+        *[F.sum(votes[b]).alias(f"__s{b}") for b in range(bits)]
     )
     sign_bit = bits - 1 if bits == 64 else None
-    sim = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
-            F.aggregate(
-                F.col("__hs"),
-                F.lit(0),
-                lambda a, h: a
-                + F.when(F.substring(h, b + 1, 1).isin(*_HI_HEX), F.lit(1)).otherwise(
-                    F.lit(-1)
-                ),
-            )
-            > 0,
-            # two's complement: bit 63 contributes -2^63, others +2^b
-            F.when(b == F.lit(sign_bit), F.lit(-(2**63)).cast("bigint")).otherwise(
-                F.pow(F.lit(2.0), b).cast("bigint")
-            )
-            if sign_bit is not None
-            else F.pow(F.lit(2.0), b).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    return hashed.select("id", sim.alias("simhash"))
+    # two's complement: bit 63 contributes -2^63, others +2^b
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        bitval = (
+            F.lit(-(2**63)).cast("bigint")
+            if b == sign_bit
+            else F.lit(1 << b).cast("bigint")
+        )
+        sim = sim + F.when(F.col(f"__s{b}") > 0, bitval).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sums.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dup(
