@@ -240,30 +240,65 @@ def minhash_bands(
             F.col("b.band_min").alias("band_min"),
         )
     else:
-        sh = _shingles(F.col(text_column), shingle_k)
+        # Same explode + codegen hash-aggregate shape as the xxhash64
+        # branch (r6): one row per shingle position from the materialized
+        # __t attribute, the widened digest computed once per shingle in
+        # a codegen projection, per-band STRING mins with map-side
+        # partial combine. The min over the shingle MULTISET equals the
+        # min over the distinct set, so the old array_distinct pass is
+        # unnecessary; output is bit-identical to the documented formula
+        # (the DuckDB _MINHASH_SQL replay pins it). Null-text documents
+        # produce no rows — the prior transform-over-null semantics.
         n_digests = (num_bands * 8 + 31) // 32
-        digest = lambda s: F.concat(  # noqa: E731
-            *[F.md5(s) if i == 0 else F.md5(F.concat(F.lit(str(i)), s)) for i in range(n_digests)]
-        )
-        hashed = df.select(
+        normed = df.select(
             F.col(id_column).alias("id"),
-            F.transform(sh, digest).alias("__digests"),
+            _norm_text(F.col(text_column)).alias("__t"),
+        ).where(F.col("__t").isNotNull())
+        ex = normed.select(
+            "id",
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__t") - shingle_k + 1, F.lit(1)),
+                )
+            ).alias("__i"),
         )
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(num_bands - 1)),
-            lambda b: F.struct(
-                b.alias("band_id"),
-                F.array_min(
-                    F.transform(
-                        F.col("__digests"),
-                        lambda h: h.substr(b.cast("int") * 8 + 1, F.lit(8)),
-                    )
-                ).alias("band_min"),
-            ),
+        s = F.substring(F.col("__t"), F.col("__i"), shingle_k)
+        digest = F.concat(
+            *[
+                F.md5(s) if i == 0 else F.md5(F.concat(F.lit(str(i)), s))
+                for i in range(n_digests)
+            ]
         )
-    return hashed.select("id", F.explode(bands).alias("b")).select(
-        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_min").alias("band_min")
-    )
+        mins = (
+            ex.select("id", digest.alias("__d"))
+            .groupBy("id")
+            .agg(
+                *[
+                    F.min(F.substring(F.col("__d"), b * 8 + 1, 8)).alias(f"__m{b}")
+                    for b in range(num_bands)
+                ]
+            )
+        )
+        return mins.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"__m{b}").alias("band_min"),
+                        )
+                        for b in range(num_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(
+            "id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_min").alias("band_min"),
+        )
 
 
 def near_dup_pairs(
