@@ -377,16 +377,78 @@ def simhash(
     corpus scale: at 10^12 docs, 32 bits collide constantly while 64-bit
     hamming balls of radius 3 stay selective.
 
-    Shape (r6): one exploded row per token, the widened digest computed
-    once per token in a codegen projection, then ``bits`` integer SUM
+    Two output-identical shapes (r6):
+
+    - THIS function stays a narrow per-row projection (interpreted
+      array folds, zero shuffle). Downstream plans that never read the
+      ``simhash`` column — counts, row filters on other columns —
+      prune the whole computation away, which a shuffling shape cannot
+      offer.
+    - :func:`simhash_agg` computes the same values through explode +
+      codegen SUM aggregates — 2.4x faster when the hash IS
+      materialized for every row; :func:`simhash_near_dup` uses it.
+    """
+    assert 1 <= bits <= 64
+    n_digests = (bits + 31) // 32
+    words = F.filter(
+        F.split(F.lower(F.col(text_column)), r"\s+"), lambda w: w != ""
+    )
+    digest = lambda w: F.concat(  # noqa: E731
+        *[F.md5(w) if i == 0 else F.md5(F.concat(F.lit(str(i)), w)) for i in range(n_digests)]
+    )
+    # materialize the per-token digests ONCE (a real projection): Catalyst
+    # does not CSE across lambda bodies, so inlining would md5 every token
+    # `bits` times over
+    hashed = df.select(
+        F.col(id_column).alias("id"), F.transform(words, digest).alias("__hs")
+    )
+    sign_bit = bits - 1 if bits == 64 else None
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                F.col("__hs"),
+                F.lit(0),
+                lambda a, h: a
+                + F.when(F.substring(h, b + 1, 1).isin(*_HI_HEX), F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            > 0,
+            # two's complement: bit 63 contributes -2^63, others +2^b
+            F.when(b == F.lit(sign_bit), F.lit(-(2**63)).cast("bigint")).otherwise(
+                F.pow(F.lit(2.0), b).cast("bigint")
+            )
+            if sign_bit is not None
+            else F.pow(F.lit(2.0), b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return hashed.select("id", sim.alias("simhash"))
+
+
+def simhash_agg(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """:func:`simhash`, materialization-optimized (output-identical).
+
+    Shape: one exploded row per token, the widened digest computed once
+    per token in a codegen projection, then ``bits`` integer SUM
     aggregates with map-side partial combine — the shuffle carries
-    ``bits`` ints per document. This replaces an interpreted per-bit ×
-    per-token double ``F.aggregate`` (measured 9.5 s -> ~1 s for the
-    full materialization at sf1.0, bit-identical output — same md5
-    formula, same majority vote). ``explode_outer`` keeps tokenless
-    documents (null/empty text) as one null-token row whose per-bit
-    contribution is 0, reproducing ``simhash = 0``. Like
-    :func:`minhash_bands`, assumes ``id_column`` is unique per row.
+    ``bits`` ints per document. Replaces the interpreted per-bit ×
+    per-token double ``F.aggregate`` (measured 9.5 s -> ~4 s for the
+    full materialization at sf1.0; simhash_near_dup 31.7 s -> ~8.5 s —
+    same md5 formula, same majority vote, bit-identical values;
+    tests/test_dedup.py pins agreement with :func:`simhash`).
+    ``explode_outer`` keeps tokenless documents (null/empty text) as one
+    null-token row whose per-bit contribution is 0, reproducing
+    ``simhash = 0``. Like :func:`minhash_bands`, assumes ``id_column``
+    is unique per row. Prefer :func:`simhash` when downstream plans may
+    prune the hash column — this shape's aggregation cannot be skipped.
     """
     assert 1 <= bits <= 64
     n_digests = (bits + 31) // 32
@@ -451,8 +513,13 @@ def simhash_near_dup(
     Verification is one xor+bit_count per candidate.
 
     Requires ``max_hamming < n_blocks`` for exact recall (default 3 < 4).
+
+    The hash is computed through :func:`simhash_agg` — this operator
+    materializes every document's simhash, which is exactly the case the
+    aggregate shape is 2.4x faster at (output-identical to
+    :func:`simhash`).
     """
-    sh = simhash(df, text_column, id_column, bits)
+    sh = simhash_agg(df, text_column, id_column, bits)
     return hamming_near_dup(
         sh,
         hash_column="simhash",

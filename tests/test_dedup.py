@@ -105,6 +105,29 @@ def test_simhash_is_64_bit(spark):
     assert len(set(out)) == len(out)
 
 
+def test_simhash_agg_matches_projection_shape(spark):
+    """The materialization-optimized aggregate shape (simhash_agg, used
+    by simhash_near_dup) must be value-identical to the prunable per-row
+    projection shape — including tokenless documents (empty/null text)
+    and sub-64-bit widths."""
+    from dss_plugin_nlp_preparation_spark.operators.dedup import simhash_agg
+
+    rows = [
+        (0, BASE),
+        (1, BASE + " extra tail"),
+        (2, ""),
+        (3, None),
+        (4, "  \n\t  "),
+        (5, "one"),
+        (6, "Unicode tÉxt ünd ☃ snöwman " * 3),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for bits in (64, 32, 7):
+        a = {r["id"]: r["simhash"] for r in simhash(df, bits=bits).collect()}
+        b = {r["id"]: r["simhash"] for r in simhash_agg(df, bits=bits).collect()}
+        assert a == b, f"bits={bits}: {a} != {b}"
+
+
 def test_simhash_near_dup_hamming(spark):
     from dss_plugin_nlp_preparation_spark.operators.dedup import simhash_near_dup
 
