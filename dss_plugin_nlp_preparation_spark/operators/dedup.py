@@ -653,38 +653,37 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iterations):
-        # one round: every node adopts min(self, neighbors, neighbors'
-        # labels-of-labels) — the extra label->label hop is pointer
-        # doubling, collapsing convergence from diameter to ~log(diameter)
-        neighbor_min = (
-            edges.join(labels, edges.d == labels.id)
+        # one round: every node adopts min(self, neighbors' labels,
+        # label-of-label) — the label->label hop is pointer doubling,
+        # collapsing convergence from diameter to ~log(diameter).
+        # The neighbor probe and the pointer hop share ONE union + join +
+        # aggregate (r6): min over {component(d) : (s,d) in edges} union
+        # {component(component(s))} equals the old least(nbr_min,
+        # hop_min) — every node has >= 1 neighbor (labels are built from
+        # edges) and component(s) always names a labeled node, so neither
+        # side of the old two-join form could be null. Identical labels
+        # per round at half the per-round join/aggregate count.
+        probe = edges.union(
+            labels.select(F.col("id").alias("s"), F.col("component").alias("d"))
+        )
+        mins = (
+            probe.join(
+                labels.select(F.col("id").alias("__jid"), "component"),
+                F.col("d") == F.col("__jid"),
+            )
             .groupBy("s")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        lbl2 = labels.select(
-            F.col("id").alias("l_id"), F.col("component").alias("l_comp")
-        )
-        hop2 = (
-            labels.join(lbl2, labels.component == lbl2.l_id)
-            .groupBy(labels.id)
-            .agg(F.min("l_comp").alias("hop_min"))
-            .select(F.col("id").alias("h_id"), "hop_min")
+            .agg(F.min("component").alias("all_min"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
-            .join(hop2, labels.id == hop2.h_id, "left")
+            labels.join(mins, labels.id == mins.s, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                    F.coalesce(F.col("hop_min"), F.col("component")),
+                    F.coalesce(F.col("all_min"), F.col("component")),
                 ).alias("component"),
                 (
-                    F.least(
-                        F.coalesce(F.col("nbr_min"), F.col("component")),
-                        F.coalesce(F.col("hop_min"), F.col("component")),
-                    )
+                    F.coalesce(F.col("all_min"), F.col("component"))
                     < F.col("component")
                 ).alias("__changed"),
             )
