@@ -1,0 +1,30 @@
+# -*- coding: utf-8 -*-
+"""Expression helpers shared by the native-expression operators.
+
+``bind_once`` works around a Catalyst behavior that cost three operators
+4-7x this round (OPTIMIZATION_r06.md): a non-trivial expression (regex
+tokenization, digest arrays) referenced from inside a higher-order
+function's lambda body is inlined and re-evaluated ONCE PER ELEMENT —
+e.g. ``transform(sequence(..), i -> slice(split(text), i, n))`` re-splits
+the document for every n-gram window. Binding the expression to a lambda
+variable through a 1-element ``transform`` forces one evaluation per row;
+lambda-variable references are O(1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def bind_once(expr: Column, fn: Callable[[Column], Column]) -> Column:
+    """``fn(expr)`` with ``expr`` evaluated exactly once per row.
+
+    Equivalent to ``fn(expr)`` value-for-value (including nulls: the
+    1-element array always has one element to transform, and ``get(.., 0)``
+    extracts it), but immune to Catalyst inlining ``expr`` into per-element
+    lambda positions or duplicated projections.
+    """
+    return F.get(F.transform(F.array(expr), fn), 0)

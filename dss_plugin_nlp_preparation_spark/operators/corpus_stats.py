@@ -64,6 +64,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprs import bind_once
 from .vocab import TERM_PATTERN
 
 
@@ -108,21 +109,24 @@ def ngram_diversity(
     ``approx=True`` is the corpus-scale path: HLL++ distinct with
     relative error ``rsd``, one sketch per partition on the wire.
     """
-    toks = _tokens(text_column)
-    rel = (
-        df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(n)).alias("n"),
-                            _grams(toks, int(n)).alias("grams"),
-                        )
-                        for n in ns
-                    ]
+    # tokenization bound once per row (functions/exprs.bind_once): with
+    # the raw regexp_extract_all expression inlined into _grams' lambda,
+    # every n-gram window re-tokenized the document (r6)
+    toks_expr = _tokens(text_column)
+    gram_structs = bind_once(
+        toks_expr,
+        lambda toks: F.array(
+            *[
+                F.struct(
+                    F.lit(int(n)).alias("n"),
+                    _grams(toks, int(n)).alias("grams"),
                 )
-            ).alias("s")
-        )
+                for n in ns
+            ]
+        ),
+    )
+    rel = (
+        df.select(F.explode(gram_structs).alias("s"))
         .select(F.col("s.n").alias("n"), F.explode(F.col("s.grams")).alias("gram"))
     )
     if approx:

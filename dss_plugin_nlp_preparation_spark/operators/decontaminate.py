@@ -35,15 +35,24 @@ def _ngram_digests(text, n: int):
     one digest per window ``slice(words, i, n)`` (1-based), empty array
     when the document has fewer than ``n`` words.
     """
-    words = words_col(F.lower(text))
-    n_windows = F.size(words) - F.lit(n - 1)
-    return F.when(
-        n_windows > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # tokenization bound once per row (functions/exprs.bind_once): the raw
+    # split expression inlined into the per-window lambda re-tokenized the
+    # document once per n-gram window (r6)
+    from dss_plugin_nlp_preparation_spark.functions.exprs import bind_once
+
+    words_expr = words_col(F.lower(text))
+
+    def _digests(words):
+        n_windows = F.size(words) - F.lit(n - 1)
+        return F.when(
+            n_windows > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(words_expr, _digests)
 
 
 def benchmark_ngram_digests(

@@ -715,12 +715,16 @@ def _large_star(edges: DataFrame, n_part: int) -> DataFrame:
     adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = adj.groupBy("u").agg(F.min("v").alias("nbr_min"))
     m = mins.select("u", F.least("nbr_min", "u").alias("m"))
+    # coalesce, not repartition (r6): the next star step immediately
+    # unions/rekeys, so a hash exchange here buys nothing — coalescing
+    # the distinct's output keeps the checkpointed partition count at
+    # graph size without paying an extra shuffle per round
     return (
         adj.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
-        .repartition(n_part, "u")
+        .coalesce(n_part)
     )
 
 
@@ -737,7 +741,8 @@ def _small_star(edges: DataFrame, n_part: int) -> DataFrame:
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
     center_edges = mn.select("u", F.col("m").alias("v"))
-    return child_edges.union(center_edges).distinct().repartition(n_part, "u")
+    # coalesce, not repartition — same rationale as _large_star
+    return child_edges.union(center_edges).distinct().coalesce(n_part)
 
 
 def connected_components_star(

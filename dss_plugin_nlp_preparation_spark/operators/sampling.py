@@ -258,26 +258,35 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
     stride = chunk_size - overlap
-    words = words_col(F.col(text_column))
-    n = F.size(words)
-    # starts: 1, 1+stride, ... covering every token once
-    starts = F.when(
-        n > 0,
-        F.sequence(
-            F.lit(1),
-            # last start: the smallest 1+k*stride with start+chunk_size > n
-            F.lit(1) + F.ceil((F.greatest(n - F.lit(chunk_size), F.lit(0))) / F.lit(stride)).cast("int") * F.lit(stride),
-            F.lit(stride),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.cast("long").alias("chunk_id"),
-            F.concat_ws(" ", F.slice(words, s, chunk_size)).alias("chunk_text"),
-            F.least(F.lit(chunk_size), n - s + 1).cast("long").alias("n_tokens"),
-        ),
-    )
+    # tokenization bound once per row (functions/exprs.bind_once): the
+    # raw split expression was re-evaluated per chunk window and per
+    # reference to `n` (r6)
+    from dss_plugin_nlp_preparation_spark.functions.exprs import bind_once
+
+    words_expr = words_col(F.col(text_column))
+
+    def _chunks(words):
+        n = F.size(words)
+        # starts: 1, 1+stride, ... covering every token once
+        starts = F.when(
+            n > 0,
+            F.sequence(
+                F.lit(1),
+                # last start: the smallest 1+k*stride with start+chunk_size > n
+                F.lit(1) + F.ceil((F.greatest(n - F.lit(chunk_size), F.lit(0))) / F.lit(stride)).cast("int") * F.lit(stride),
+                F.lit(stride),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(words, s, chunk_size)).alias("chunk_text"),
+                F.least(F.lit(chunk_size), n - s + 1).cast("long").alias("n_tokens"),
+            ),
+        )
+
+    chunks = bind_once(words_expr, _chunks)
     return (
         df.select(F.col(id_column).alias("id"), F.explode(chunks).alias("c"))
         .select("id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
