@@ -60,15 +60,25 @@ def _token_array(text_column: str):
 
 
 def _feature_array(text_column: str):
-    """Unigrams + adjacent-word bigrams ("w1 w2"), empty tokens dropped."""
-    toks = F.filter(_token_array(text_column), lambda t: t != "")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    return F.concat(toks, bigrams)
+    """Unigrams + adjacent-word bigrams ("w1 w2"), empty tokens dropped.
+
+    The token array is bound once per row (functions/exprs.bind_once) —
+    the four references below would otherwise each re-run the
+    split+filter tokenization."""
+    from dss_plugin_nlp_preparation_spark.functions.exprs import bind_once
+
+    toks_expr = F.filter(_token_array(text_column), lambda t: t != "")
+
+    def _feats(toks):
+        n = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return F.concat(toks, bigrams)
+
+    return bind_once(toks_expr, _feats)
 
 
 def train_token_classifier(

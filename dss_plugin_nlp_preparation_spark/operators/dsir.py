@@ -53,19 +53,27 @@ def hashed_gram_buckets(text: Column, n_buckets: int = 4096) -> Column:
 
     Words are lowercased whitespace tokens; bigrams join adjacent words
     with a single space. Pure expression — no shuffle, no Python."""
-    words = F.filter(
+    from dss_plugin_nlp_preparation_spark.functions.exprs import bind_once
+
+    words_expr = F.filter(
         F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+"),
         lambda w: w != "",
     )
-    n = F.size(words)
-    m = F.greatest(n - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(words, 1, m),
-        F.slice(words, 2, m),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    grams = F.concat(words, bigrams)
-    return F.transform(grams, lambda g: _bucket(g, n_buckets))
+
+    # words bound once per row (the four references below would each
+    # re-run the split+filter — functions/exprs.bind_once rationale)
+    def _buckets(words):
+        n = F.size(words)
+        m = F.greatest(n - 1, F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(words, 1, m),
+            F.slice(words, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        grams = F.concat(words, bigrams)
+        return F.transform(grams, lambda g: _bucket(g, n_buckets))
+
+    return bind_once(words_expr, _buckets)
 
 
 def train_hashed_lm(

@@ -19,11 +19,21 @@ from dss_plugin_nlp_preparation_spark.operators.dedup import _shingles
 
 
 def fingerprint_expr(text: Column, shingle_k: int = 8) -> Column:
-    hashes = F.transform(_shingles(text, shingle_k), lambda s: F.md5(s))
-    sampled = F.filter(hashes, lambda h: F.substring(h, 1, 1) == "0")
-    # fall back to the full hash set when sampling leaves nothing (short docs)
-    effective = F.when(F.size(sampled) > 0, sampled).otherwise(hashes)
-    return F.md5(F.array_join(F.array_sort(effective), ","))
+    from dss_plugin_nlp_preparation_spark.functions.exprs import bind_once
+
+    # the hashed-shingle array is bound once per row: the three
+    # references below (sampled, its size guard, the fallback) would
+    # otherwise each re-shingle and re-md5 the document
+    hashes_expr = F.transform(_shingles(text, shingle_k), lambda s: F.md5(s))
+
+    def _fp(hashes):
+        sampled = F.filter(hashes, lambda h: F.substring(h, 1, 1) == "0")
+        # fall back to the full hash set when sampling leaves nothing
+        # (short docs)
+        effective = F.when(F.size(sampled) > 0, sampled).otherwise(hashes)
+        return F.md5(F.array_join(F.array_sort(effective), ","))
+
+    return bind_once(hashes_expr, _fp)
 
 
 def add_fingerprint(
