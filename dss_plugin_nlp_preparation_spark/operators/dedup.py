@@ -465,15 +465,32 @@ def simhash_agg(
             for i in range(n_digests)
         ]
     )
-    hx = ex.select("id", digest.alias("__h"))
+    # parse the hex digest once into 8-hex-digit integer chunks: the
+    # high bit of hex digit d is bit (3 + 4*(7 - d%8)) of chunk d//8, so
+    # the per-bit vote becomes a long shift+mask instead of a substring
+    # + set-membership test per bit (r6: ~25% off the aggregation stage,
+    # bit-identical — "digit >= 8" IS "high bit set")
+    n_chunks = (bits + 7) // 8
+    hx = ex.select("id", digest.alias("__h")).select(
+        "id",
+        *[
+            F.conv(F.substring(F.col("__h"), i * 8 + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"__c{i}")
+            for i in range(n_chunks)
+        ],
+    )
     # per-token, per-bit vote: +1 when hex digit b has its high bit set,
     # -1 otherwise, 0 for the null row of a tokenless document
-    votes = [
-        F.when(F.col("__h").isNull(), F.lit(0))
-        .when(F.substring(F.col("__h"), b + 1, 1).isin(*_HI_HEX), F.lit(1))
-        .otherwise(F.lit(-1))
-        for b in range(bits)
-    ]
+    votes = []
+    for b in range(bits):
+        c = F.col(f"__c{b // 8}")
+        shift = 3 + 4 * (7 - b % 8)
+        votes.append(
+            F.when(c.isNull(), F.lit(0)).otherwise(
+                F.shiftright(c, shift).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+            )
+        )
     sums = hx.groupBy("id").agg(
         *[F.sum(votes[b]).alias(f"__s{b}") for b in range(bits)]
     )
