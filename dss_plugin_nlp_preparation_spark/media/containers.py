@@ -525,7 +525,8 @@ def extract_mp4_samples(payload: bytes):
         return None
 
     def find_stbl(lo: int, hi: int):
-        """(codec, stbl boxes dict) for the first MJPEG video trak."""
+        """stbl boxes dict for the first MJPEG video trak (codec is
+        checked internally), or None when no such trak exists."""
         for typ, p0, p1 in _walk_boxes(b, lo, hi):
             if typ != b"trak":
                 continue
@@ -605,9 +606,12 @@ def extract_mp4_samples(payload: bytes):
                 ents.append((first, per))
             for idx, (first, per) in enumerate(ents):
                 last = ents[idx + 1][0] - 1 if idx + 1 < len(ents) else nc
-                for c in range(first, last + 1):
-                    if 1 <= c <= nc:
-                        spc[c - 1] = per
+                # first/last come from arbitrary bytes: clamp the range to
+                # the real chunk count so a crafted gap (e.g. a 2^32-wide
+                # entry span) cannot buy ~minutes of CPU per payload —
+                # out-of-range chunks were discarded anyway
+                for c in range(max(first, 1), min(last, nc) + 1):
+                    spc[c - 1] = per
         samples = []
         si = 0
         for c in range(nc):

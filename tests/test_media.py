@@ -609,6 +609,56 @@ def test_mjpeg_mp4_adversarial_stsz_cannot_force_allocation():
     assert extract_mp4_samples(bytes(q)) is None
 
 
+def test_mjpeg_mp4_adversarial_stsc_cannot_burn_cpu():
+    """A crafted stsc whose non-final entry spans a ~2^32-wide chunk gap
+    (first_chunk values from arbitrary bytes) must not buy minutes of
+    CPU: the chunk-range walk is clamped to the real chunk count, and
+    in-range chunks still extract exactly (ADVICE r5, medium)."""
+    import struct
+    import time
+
+    from dss_plugin_nlp_preparation_spark.media import (
+        encode_mjpeg_mp4,
+        extract_mp4_samples,
+    )
+
+    frames = _mjpeg_frames()
+    raw = bytes(encode_mjpeg_mp4(frames, 16, 12))
+    i = raw.find(b"stsc")
+    assert i > 0
+    old_len = struct.unpack(">I", raw[i - 4 : i])[0]
+    old_box = raw[i - 4 : i - 4 + old_len]
+    # two entries: chunk 1 onward = 1 sample/chunk, then a bogus entry
+    # whose first_chunk leaves a ~2^32-wide gap to walk
+    payload = struct.pack(">II", 0, 2) + struct.pack(
+        ">IIIIII", 1, 1, 1, 0xFFFFFFF0, 1, 1
+    )
+    new_box = struct.pack(">I", 8 + len(payload)) + b"stsc" + payload
+    grown = len(new_box) - len(old_box)
+    assert grown == 12
+    out = bytearray(raw.replace(old_box, new_box))
+    # growing stsc shifts mdat: fix every ancestor box size and rebase
+    # the absolute chunk offsets in stco
+    for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        t = out.find(name)
+        size = struct.unpack(">I", out[t - 4 : t])[0]
+        out[t - 4 : t] = struct.pack(">I", size + grown)
+    t = out.find(b"stco")
+    n_off = struct.unpack(">I", out[t + 8 : t + 12])[0]
+    for k in range(n_off):
+        o = t + 12 + 4 * k
+        v = struct.unpack(">I", out[o : o + 4])[0]
+        out[o : o + 4] = struct.pack(">I", v + grown)
+    t0 = time.monotonic()
+    res = extract_mp4_samples(bytes(out))
+    elapsed = time.monotonic() - t0
+    assert elapsed < 10.0, f"stsc chunk walk not bounded: {elapsed:.1f}s"
+    # the hostile entry maps only out-of-range chunks: extraction of the
+    # real samples is unchanged
+    assert res is not None
+    assert [bytes(f) for f in res] == [bytes(f) for f in frames]
+
+
 def test_mjpeg_mp4_video_fingerprint_and_frame_sampling():
     """The MP4 profile rides the REAL perceptual-dedup path: frame
     hashes equal the FRMS container of the same JPEGs (container swap
