@@ -355,18 +355,31 @@ def add_perplexity_bigram(
     """
     spark = lm_counts.sparkSession
     use_path = model_path is not None
-    if not use_path and lm_counts.count() > max_driver_rows:
-        import tempfile
-        import warnings
-
-        model_path = tempfile.mkdtemp(prefix="nlp_spark_bigram_lm_")
-        warnings.warn(
-            f"bigram LM counts exceed max_driver_rows={max_driver_rows}; "
-            f"spilling model to {model_path} for per-executor load. Pass "
-            "model_path= on shared storage when running on a cluster.",
-            stacklevel=2,
+    rows = None
+    if not use_path:
+        # single materialization: the limited collect IS the size probe —
+        # training never runs twice on the common broadcast path (same
+        # scheme as add_perplexity_kn; the old count()-then-collect() ran
+        # the union + two-window prune twice)
+        collected = (
+            lm_counts.select("lang", "w1", "w2", "n")
+            .limit(max_driver_rows + 1)
+            .collect()
         )
-        use_path = True
+        if len(collected) > max_driver_rows:
+            import tempfile
+            import warnings
+
+            model_path = tempfile.mkdtemp(prefix="nlp_spark_bigram_lm_")
+            warnings.warn(
+                f"bigram LM counts exceed max_driver_rows={max_driver_rows}; "
+                f"spilling model to {model_path} for per-executor load. Pass "
+                "model_path= on shared storage when running on a cluster.",
+                stacklevel=2,
+            )
+            use_path = True
+        else:
+            rows = [(r["lang"], r["w1"], r["w2"], r["n"]) for r in collected]
 
     if use_path:
         lm_counts.select("lang", "w1", "w2", "n").write.mode("overwrite").parquet(
@@ -379,7 +392,6 @@ def add_perplexity_bigram(
             return score_bigram_pandas(texts, langs, _load_models_from_path(path))
 
     else:
-        rows = [(r["lang"], r["w1"], r["w2"], r["n"]) for r in lm_counts.collect()]
         models_bc = spark.sparkContext.broadcast(build_bigram_model(rows))
 
         @F.pandas_udf(DoubleType())
