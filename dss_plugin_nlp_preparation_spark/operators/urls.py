@@ -120,8 +120,11 @@ def add_host_verdict(
 
     hosts_norm = hosts.select(F.lower(F.col("host")).alias("__h")).distinct()
     sub = bool(include_subdomains)
-    n_hosts = hosts_norm.limit(max_driver_rows + 1).count()
-    if n_hosts > max_driver_rows:
+    # single materialization: the limited collect IS the size probe (same
+    # scheme as add_perplexity_kn — a separate count() would run the
+    # distinct twice on the common broadcast path)
+    collected = hosts_norm.limit(max_driver_rows + 1).collect()
+    if len(collected) > max_driver_rows:
         # join path: verdict per DISTINCT doc host (tiny vs the corpus),
         # then one equi-join back. No collect at any size.
         doc_host = host_of(F.col(url_column))
@@ -144,7 +147,7 @@ def add_host_verdict(
             .drop("__dh", "__listed")
         )
 
-    listed_set = {r["__h"] for r in hosts_norm.collect()}
+    listed_set = {r["__h"] for r in collected}
     bc = df.sparkSession.sparkContext.broadcast(listed_set)
 
     @F.pandas_udf(BooleanType())
@@ -538,8 +541,10 @@ def categorize_hosts(
         .groupBy("__h")
         .agg(F.min("__c").alias("__c"))
     )
-    n_cats = cats.limit(max_driver_rows + 1).count()
-    if n_cats > max_driver_rows:
+    # single materialization: the limited collect IS the size probe (the
+    # old count() ran the category groupBy twice on the broadcast path)
+    collected = cats.limit(max_driver_rows + 1).collect()
+    if len(collected) > max_driver_rows:
         dh = df.select(host.alias("__dh")).where(F.col("__dh") != "").distinct()
         matched = (
             dh.select("__dh", F.explode(_host_suffixes(F.col("__dh"))).alias("__sfx"))
@@ -554,7 +559,7 @@ def categorize_hosts(
             .drop("__dh")
         )
 
-    table = {r["__h"]: r["__c"] for r in cats.collect()}
+    table = {r["__h"]: r["__c"] for r in collected}
     bc = df.sparkSession.sparkContext.broadcast(table)
 
     @F.pandas_udf(StringType())
