@@ -124,17 +124,22 @@ def train_token_classifier(
         .where(F.col("__r") <= vocab_cap)
         .drop("__r")
     )
-    totals = vocab.agg(
-        F.sum("n_pos").alias("P"),
-        F.sum("n_neg").alias("N"),
-        F.count(F.lit(1)).alias("V"),
-    )
+    # P/N/V as whole-relation window totals over the pruned vocab (already
+    # <= vocab_cap rows in one partition from the final rank) — the old
+    # crossJoin(broadcast(agg)) subtree was NOT exchange-reused against
+    # the weights branch, so the corpus was tokenized and count-aggregated
+    # twice per train (plan: 6 parquet scans / 2 Generate -> 2 / 1). Same
+    # longs into the same double arithmetic: output bit-identical.
+    w_tot = Window.partitionBy()
+    P = F.sum("n_pos").over(w_tot)
+    N = F.sum("n_neg").over(w_tot)
+    V = F.count(F.lit(1)).over(w_tot)
     a = F.lit(float(alpha))
-    weights = vocab.crossJoin(F.broadcast(totals)).select(
+    weights = vocab.select(
         "token",
         F.round(
-            F.log((F.col("n_pos") + a) / (F.col("P") + a * (F.col("V") + 1)))
-            - F.log((F.col("n_neg") + a) / (F.col("N") + a * (F.col("V") + 1))),
+            F.log((F.col("n_pos") + a) / (P + a * (V + 1)))
+            - F.log((F.col("n_neg") + a) / (N + a * (V + 1))),
             _W_DECIMALS,
         ).alias("w"),
     )
