@@ -104,27 +104,28 @@ def dsir_log_ratio(
     (bucket long, lambda_q long) where lambda_q = floor(1e6 · (
     log((t_cnt+1)/(t_total+B)) − log((r_cnt+1)/(r_total+B))) + 0.5)
     — add-one smoothing on both models, so buckets unseen in the target
-    corpus get a finite negative ratio. ≤ n_buckets rows; totals ride in
-    via broadcast single-row cross joins (no collect, no driver loop)."""
-    t_tot = target_lm.agg(F.sum("cnt").alias("t_total"))
-    r_tot = raw_lm.agg(F.sum("cnt").alias("r_total"))
-    joined = (
-        raw_lm.select("bucket", F.col("cnt").alias("r_cnt"))
-        .join(
-            target_lm.select("bucket", F.col("cnt").alias("t_cnt")),
-            "bucket",
-            "full",
-        )
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
+    corpus get a finite negative ratio. ≤ n_buckets rows; totals are
+    whole-relation window sums over the joined buckets (no collect, no
+    driver loop). Each LM bucket appears exactly once in the full join,
+    and sum() skips the other side's nulls, so the window totals equal
+    the per-LM aggregates — without them the crossJoin(broadcast(agg))
+    subtrees re-computed each input LM (a full corpus pass when the LM
+    is a fresh train_hashed_lm) a second time (no exchange reuse)."""
+    joined = raw_lm.select("bucket", F.col("cnt").alias("r_cnt")).join(
+        target_lm.select("bucket", F.col("cnt").alias("t_cnt")),
+        "bucket",
+        "full",
     )
+    w_tot = Window.partitionBy()
+    t_total = F.sum("t_cnt").over(w_tot)
+    r_total = F.sum("r_cnt").over(w_tot)
     b = F.lit(n_buckets)
     lam = F.log(
         (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1)
-        / (F.coalesce(F.col("t_total"), F.lit(0)) + b)
+        / (F.coalesce(t_total, F.lit(0)) + b)
     ) - F.log(
         (F.coalesce(F.col("r_cnt"), F.lit(0)) + 1)
-        / (F.coalesce(F.col("r_total"), F.lit(0)) + b)
+        / (F.coalesce(r_total, F.lit(0)) + b)
     )
     return joined.select(
         "bucket",
@@ -273,14 +274,20 @@ def train_dsir(
             F.coalesce("n_r", F.lit(0)).alias("n_r"),
         )
     )
-    totals = joined.agg(F.sum("n_t").alias("T"), F.sum("n_r").alias("R"))
+    # T/R as whole-relation window sums over the ≤ n_buckets joined rows:
+    # the old crossJoin(broadcast(agg(joined))) subtree was not
+    # exchange-reused, so both corpus bucket-count passes ran twice per
+    # train. Same longs, same double arithmetic — output bit-identical.
+    w_tot = Window.partitionBy()
+    T = F.sum("n_t").over(w_tot)
+    R = F.sum("n_r").over(w_tot)
     a = F.lit(float(alpha))
     b = F.lit(float(n_buckets))
-    return joined.crossJoin(F.broadcast(totals)).select(
+    return joined.select(
         "bucket",
         F.round(
-            F.log((F.col("n_t") + a) / (F.col("T") + a * b))
-            - F.log((F.col("n_r") + a) / (F.col("R") + a * b)),
+            F.log((F.col("n_t") + a) / (T + a * b))
+            - F.log((F.col("n_r") + a) / (R + a * b)),
             _W_DECIMALS,
         ).alias("w"),
     )
